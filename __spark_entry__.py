@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship daily-sync merge at sf0.001;
+``queries()``/``oracle_sql()`` expose the full operator inventory of
+SURVEY.md §2 plus the training-data-pipeline extensions, each with a DuckDB
+oracle twin (implementations in
+etl_mssql_to_postgres_dailysync_spark/plans/driver_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Pin the oracle-parity semantics on a driver-provided session."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS); read nanos as long and convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the daily-sync merge (upsert of a modified orders slice into
+    an orders target) at sf0.001."""
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+    return QUERIES["merge_upsert"](_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as a full pipeline-to-action (count or collect of the
+final DataFrame), timed wall-clock after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_mssql_to_postgres_dailysync_spark.session import get_spark
+
+# Headline set: the flagship merge family + representative scan/agg/dedup/
+# similarity queries. Keep this stable round-over-round for comparability.
+HEADLINE = [
+    "daily_partition_extract",
+    "backfill_range_counts",
+    "merge_upsert",
+    "merge_conditional",
+    "coercion_casts",
+    "fake_orders_generator",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm up JVM + file-system cache with one light action per input table
+    for name in names[:1]:
+        qs[name](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale document corpora: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design:
+  * Exact dedup is a single hash-groupBy on a 60-bit content fingerprint —
+    one shuffle of (hash, id), never of document text.
+  * MinHash signatures are computed shuffle-free per row with higher-order
+    functions (shingle -> md5 -> array_min); only the (band_hash, id) pairs
+    shuffle for LSH bucketing, so the join cost is O(candidate pairs), not
+    O(n^2). This is the standard web-scale near-dup pipeline (cf. the
+    MinHashLSH design in Spark MLlib, re-expressed oracle-checkably).
+  * SimHash is an ordered fold over tokens -> 60-bit signature per row,
+    shuffle-free; banding the signature gives LSH-style candidate pairs.
+  * All hashing is md5-based (functions/hashing.py) so every stage has an
+    exact DuckDB-SQL twin for correctness checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+from etl_mssql_to_postgres_dailysync_spark.functions.text import normalize, tokens
+
+SIMHASH_BITS = 60  # md5_long yields 60-bit positive values
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact near-zero-cost dedup: group by normalized-content fingerprint,
+    keep the lowest id as representative, count duplicates."""
+    return (
+        df.select(
+            F.col(id_col), md5_long(normalize(F.col(text_col))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text -> array<string>.
+    Built entirely from higher-order functions (no explode): slice a token
+    array into overlapping windows."""
+    toks = tokens(normalize(text))
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> list[Column]:
+    """MinHash signature: for each seed, min over shingles of
+    md5(shingle + seed). Returns one bigint Column per hash (sig_0..sig_{n-1}).
+    Shuffle-free and codegen'd; cost O(shingles * num_hashes) per row."""
+    sh = word_shingles(text, k)
+    return [
+        F.array_min(F.transform(sh, lambda s, seed=seed: md5_long(s, seed))).alias(
+            f"sig_{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their MinHash signature.
+
+    rows_per_band = num_hashes / bands; P(candidate) ≈ 1-(1-J^r)^b. The
+    band hash + self-join-on-bucket keeps the shuffle to (band_hash, id)
+    pairs. Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = df.select(F.col(id_col).alias("doc"), *minhash_signature(F.col(text_col), num_hashes, k))
+    band_rows = None
+    for b in range(bands):
+        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bh = md5_long(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), seed=1000 + b)
+        one = sigs.select(F.col("doc"), F.lit(b).alias("band"), bh.alias("band_hash"))
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    left = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_a"))
+    right = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per-token 60-bit hashes vote ±1 per bit position;
+    the sign vector packs back into a bigint. Ordered fold -> deterministic."""
+    toks = F.array_distinct(tokens(normalize(text)))
+    # counts[j] = sum over tokens of (bit j set ? +1 : -1)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.shiftright(md5_long(t), j).bitwiseAND(F.lit(1)),
+            ),
+            lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda cnt, j: F.when(cnt > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return packed
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed simhash bigints via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Blocking (``block_col``, e.g. a source/bucket/LSH-band column) bounds the
+    candidate set; without it this is a full O(n^2)-pair computation executed
+    as an inverted-index join: explode distinct shingles, self-join on
+    shingle, count intersections, |A∪B| = |A|+|B|-|A∩B|.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = base.select("doc", "blk", "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(
+        F.col("blk"), F.col("sh"),
+        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"),
+    )
+    b = ex.select(
+        F.col("blk"), F.col("sh"),
+        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"),
+    )
+    inter = (
+        a.join(b, ["blk", "sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container ships no image/audio codecs, so the *decode* kernels are
+deterministic fakes (clearly marked) or raise ``NotImplementedError`` —
+the Spark-side contract (schemas, batch iteration, partitioning, UDF
+signatures) is real and tested, and a real codec drops into ``_decode_bytes``
+without touching the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from the documents fixture: the text bytes stand in
+    for an encoded blob (deterministic; real pipelines read binary files via
+    ``spark.read.format("binaryFile")``)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_bytes(media_type: str, payload: bytes) -> dict:
+    """STUB DECODER — deterministic fake. A real implementation would use
+    PIL / libsndfile / pyav here; none are in the container."""
+    try:  # pragma: no cover - exercised only when codecs exist
+        import PIL  # noqa: F401
+
+        raise NotImplementedError("real codec path not wired in this container")
+    except ImportError:
+        pass
+    n = len(payload or b"")
+    if media_type == "image":
+        return {"width": (n % 64) + 1, "height": (n % 48) + 1, "n_frames": 1, "sample_rate": None}
+    if media_type == "audio":
+        return {"width": None, "height": None, "n_frames": None, "sample_rate": 8000 + (n % 8) * 1000}
+    return {"width": (n % 64) + 1, "height": (n % 48) + 1, "n_frames": (n % 30) + 1, "sample_rate": None}
+
+
+def decode_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: ``mapInPandas`` keeps per-batch (not per-row)
+    Python overhead and preserves partitioning (no shuffle)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                _decode_bytes(mt, pl)
+                for mt, pl in zip(pdf["media_type"], pdf["payload"])
+            ]
+            out = pdf.copy()
+            for field in ("width", "height", "n_frames", "sample_rate"):
+                out[field] = pd.array(
+                    [m[field] for m in meta], dtype="Int32"
+                )
+            yield out
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for 'video' payloads: fixed-stride byte chunks stand in
+    for decoded frames. One output row per frame, produced per Arrow batch."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "video" or pl is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(pl) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(pl[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stub: real kernel requires a codec. The plan-level
+    contract (binary in -> binary out, map-only) is what matters here."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires an image codec (PIL), not present in this container"
+        )
+
+    return df.mapInPandas(resize, schema=df.schema)

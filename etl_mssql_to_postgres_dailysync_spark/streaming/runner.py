@@ -1,0 +1,104 @@
+"""Structured Streaming skins over the batch operators (SURVEY.md §2.7).
+
+The reference is a scheduled batch pipeline whose semantics are streaming in
+disguise: daily event-time micro-batches, catchup replay, NULL-event-time
+quarantine as a side output, idempotent per-partition upsert. Mapped here:
+
+  - daily micro-batch -> ``trigger(availableNow=True)`` replay
+  - per-batch upsert  -> ``foreachBatch`` + the same merge operator
+  - quarantine        -> a second filter branch of the same micro-batch
+  - tumbling/window aggregation + watermark for late data
+  - sessionization via ``session_window``
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge as merge_op, dedupe_last_wins
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-source stream (schema required for streaming reads)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def merge_sink(
+    target_path: str,
+    keys: Sequence[str],
+    *,
+    quarantine_ts_col: str | None = None,
+    quarantine_path: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function applying the engine merge to a parquet
+    target — exactly-once per partition in effect because the merge is
+    idempotent (re-running a micro-batch converges to the same state,
+    the reference's re-run safety property, dags/…_orders_daily.py:28-29)."""
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        complete = batch
+        if quarantine_ts_col is not None:
+            incomplete = batch.filter(F.col(quarantine_ts_col).isNull())
+            complete = batch.filter(F.col(quarantine_ts_col).isNotNull())
+            if quarantine_path is not None:
+                incomplete.write.mode("append").parquet(quarantine_path)
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_op(target, complete, keys).df
+        except Exception:  # first batch: no target yet
+            merged = dedupe_last_wins(complete, keys)
+        # rewrite target atomically (parquet has no txn; staging-dir rename
+        # or a table format (Delta/Iceberg) supplies atomicity in production)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return apply_batch
+
+
+def run_available_now(
+    stream: DataFrame, batch_fn: Callable[[DataFrame, int], None], checkpoint: str
+) -> None:
+    """Catchup/backfill replay: process everything currently available then
+    stop — the streaming analog of Airflow ``catchup=True``."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time aggregation with a watermark for late data — the
+    streaming generalization of the reference's daily partition counts."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, *, ts_col: str = "ts", gap: str = "30 minutes", key: str = "user_id"
+) -> DataFrame:
+    """Session windows per user (streaming-native stateful operator)."""
+    return (
+        events.withWatermark(ts_col, gap)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,112 @@
+"""Local mini-driver: runs every queries() entry against its oracle_sql()
+twin on DuckDB at a given scale factor and reports row-count / schema /
+value-level matches — the same gate the round driver applies
+(CORRECTNESS_r{N}.json), runnable in-loop.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from etl_mssql_to_postgres_dailysync_spark.schemas import TESTDATA_TABLES
+from etl_mssql_to_postgres_dailysync_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    problems = []
+    a, b = canon(spark_df), canon(oracle_df)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(f"col {c}: {len(bad)} mismatches; first at row {i}: spark={x!r} oracle={y!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check-correctness")
+    con = duck_con(sf_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    print("ALL OK" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
