@@ -65,10 +65,16 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> list[Co
     md5(shingle + seed). Returns one bigint Column per hash (sig_0..sig_{n-1}).
     Shuffle-free and codegen'd; cost O(shingles * num_hashes) per row."""
     sh = word_shingles(text, k)
+
+    def hash_with(seed: int):
+        # NB: a one-parameter lambda is required — PySpark treats a
+        # two-parameter lambda (e.g. `lambda s, seed=seed`) as an
+        # (element, index) lambda and passes the array INDEX as the second
+        # argument, silently replacing the seed.
+        return lambda s: md5_long(s, seed)
+
     return [
-        F.array_min(F.transform(sh, lambda s, seed=seed: md5_long(s, seed))).alias(
-            f"sig_{seed}"
-        )
+        F.array_min(F.transform(sh, hash_with(seed))).alias(f"sig_{seed}")
         for seed in range(num_hashes)
     ]
 
@@ -109,33 +115,34 @@ def minhash_lsh_pairs(
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint: per-token 60-bit hashes vote ±1 per bit position;
-    the sign vector packs back into a bigint. Ordered fold -> deterministic."""
+    the sign vector packs back into a bigint. Ordered fold -> deterministic.
+
+    Bit positions are unrolled statically (``F.shiftright`` takes only int
+    literals); the per-token md5 is computed once via ``transform``."""
     toks = F.array_distinct(tokens(normalize(text)))
+    hashes = F.transform(toks, lambda t: md5_long(t))
     # counts[j] = sum over tokens of (bit j set ? +1 : -1)
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.shiftright(md5_long(t), j).bitwiseAND(F.lit(1)),
+            F.array(
+                *[F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long") for j in range(bits)]
             ),
             lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
-    packed = F.aggregate(
+    # pack sign bits: zip counts with the literal powers-of-two array
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
         F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda cnt, j: F.when(cnt > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            counts, powers,
+            lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return packed
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -179,8 +186,13 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # jaccard_ppm is exact integer arithmetic (cross-engine reproducible);
+    # the double `jaccard` is for human consumption.
     jac = inter.withColumn(
-        "jaccard",
-        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        "jaccard_ppm", F.expr("(inter * 1000000) div (na + nb - inter)")
+    ).withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return jac.filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000)).select(
+        "id_a", "id_b", "jaccard", "jaccard_ppm"
+    )

@@ -64,18 +64,18 @@ def brute_force_topk(
 
 def sign_bucket(vec, bits: int = 6):
     """LSH bucket id from the signs of the first ``bits`` dimensions:
-    bucket = sum_j 2^j * [v[j] > 0]. Cheap, deterministic, oracle-friendly."""
-    return F.aggregate(
-        F.zip_with(
-            F.slice(vec, 1, bits),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda x, j: F.when(x > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    bucket = sum_j 2^j * [v[j] > 0]. Cheap, deterministic, oracle-friendly.
+    Statically unrolled (bit positions are Python ints)."""
+    terms = [
+        F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def lsh_bucketed_topk(

@@ -65,9 +65,9 @@ def quality_score(c: Column) -> Column:
     sw = stopword_ratio(c)
     sw_score = F.least(sw * 5.0, F.lit(1.0))
     punct_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
-    return F.round(
-        (length_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2), 6
-    )
+    # raw double on purpose: the expression tree is fixed-order IEEE ops, so
+    # any engine evaluating the same tree reproduces it bit-exactly
+    return length_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2
 
 
 # Tiny per-language marker lexicons (n-gram/stopword heuristic language ID).

@@ -444,3 +444,537 @@ def fake_orders_generator(spark, sf_dir):
     type parity (engine-internal type is decimal(18,4))."""
     df = fake_orders(spark, 1000)
     return df.withColumn("Amount", F.round(F.col("Amount").cast("double"), 2))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / text / similarity / multimodal
+# (BASELINE.json north-star; first-class alongside the reference surface)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS_SQL = rf"regexp_split_to_array({_NORM_SQL}, ' ')"
+_HASH15 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+# distinct 3-word shingles with the <3-token fallback (matches dedup.word_shingles)
+_SHINGLES_CTE = rf"""
+    toks AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
+    pos AS (SELECT doc_id, source, tk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i FROM toks),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                    ELSE array_to_string(tk, ' ') END AS sh
+        FROM pos
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_HASH15.format(x=_NORM_SQL)} AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint; only
+    (hash, id) pairs shuffle, never document text."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    sig AS (
+        SELECT doc_id, seed,
+               min(CAST('0x' || substr(md5(sh || '#' || seed), 1, 15) AS BIGINT)) AS sig
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands x 4 rows) near-dup candidate pairs; signatures
+    computed shuffle-free per row, join only on (band, band_hash)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4, k=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH t1 AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    tk AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM t1),
+    th AS (SELECT doc_id, {_HASH15.format(x='t')} AS h FROM tk),
+    bits AS (SELECT unnest(range(0, 60)) AS j),
+    votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM th CROSS JOIN bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(60-bit) fingerprints, one ordered fold per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (sa.n + sb.n - inter) AS jaccard,
+           (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_ppm
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= 100000
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.1, blocked by source (inverted-index
+    join: shuffle is O(matching shingles), not O(n^2))."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.1, block_col="source",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {_HASH15.format(x=_NORM_SQL)} AS fp FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document content fingerprint (rolling-hash analog, md5-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish word-piece proxy."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.char_count(F.col("text")).alias("n_chars_calc"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    rf"""
+    WITH q AS (
+        SELECT doc_id, text,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS np,
+               CASE WHEN trim(lower(text)) = '' THEN CAST(NULL AS BIGINT)
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+           CASE WHEN nt = 0 THEN 0.0 ELSE sw / nt END AS stopword_ratio,
+           (least(nc / 500.0, 1.0) * 0.4
+            + least((CASE WHEN nt = 0 THEN 0.0 ELSE sw / nt END) * 5.0, 1.0) * 0.4
+            + (1.0 - least((CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) * 4.0, 1.0)) * 0.2
+           ) AS quality_score
+    FROM q
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: punct/stopword ratios + composite heuristic score.
+    Raw doubles (identical IEEE expression trees on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.punct_ratio(F.col("text")).alias("punct_ratio"),
+        text.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        text.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        rf" x -> list_contains({lst}, x)))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    scores = {lang: _lang_score_sql(m) for lang, m in text.LANG_MARKERS.items()}
+    cols = ",\n           ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    langs = sorted(scores)
+    greatest = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+           {cols}
+        FROM documents
+    )
+    SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID via marker-lexicon hits (n-gram/stopword
+    method); ties break to the alphabetically-first language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_COS_SQL = "round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6)"
+
+
+@register(
+    "similarity_brute_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_brute_topk(spark, sf_dir):
+    """Exact cosine top-5 per query vector: broadcast queries over the corpus
+    (map-side), window top-k; ties break by neighbor id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(queries_df, emb, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN {{v}}[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(6)
+    )
+    + ")"
+)
+
+
+@register(
+    "similarity_ann_lsh",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_BUCKET_SQL.format(v='embedding')} AS bucket
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_BUCKET_SQL.format(v='embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS sim
+        FROM c JOIN q ON c.bucket = q.bucket WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate top-5 via sign-bucket LSH: candidates restricted to the
+    query's bucket -> equi-join instead of cross join (the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(queries_df, emb, k=5, bits=6).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register(
+    "dedup_embedding_near",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.5
+    """,
+)
+def dedup_embedding_near(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.5) within sign-buckets
+    — the embedding analog of MinHash-LSH blocking."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.similarity import sign_bucket
+    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import cosine_rounded
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), 6).alias("bucket")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_rounded(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics operators, batch-checkable (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_window_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time aggregation (the streaming windowed-agg
+    operator run on a batch frame); money summed exactly in cents."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value_cents",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH l AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM l
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands windows —
+    the batch twin of streaming ``session_window``."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts") - F.col("prev") > F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("sid")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (binary payloads + Pandas-UDF decode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CASE WHEN media_type IN ('image', 'video') THEN CAST(n_bytes % 64 + 1 AS INTEGER) END AS width,
+           CASE WHEN media_type IN ('image', 'video') THEN CAST(n_bytes % 48 + 1 AS INTEGER) END AS height,
+           CASE WHEN media_type = 'image' THEN 1
+                WHEN media_type = 'video' THEN CAST(n_bytes % 30 + 1 AS INTEGER) END AS n_frames,
+           CASE WHEN media_type = 'audio' THEN CAST(8000 + (n_bytes % 8) * 1000 AS INTEGER) END AS sample_rate
+    FROM m
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal metadata decode: binary payload column -> typed metadata via
+    Arrow-batched mapInPandas (decode kernel is a deterministic stub; the
+    Spark-side plumbing — schema, batching, no-shuffle — is real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.decode_metadata(media).drop("payload")
+
+
+# ---------------------------------------------------------------------------
+# General analytics (aggregation / window / join coverage at scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_centipct,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary with exact integer money arithmetic
+    (cents / cent-percent units): shuffle-safe, engine-portable, and faster
+    than decimal at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_cents"),
+        F.sum(cents * (100 - disc_pct)).alias("sum_disc_centipct"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per priority class (window top-k)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name, count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """Fact-dim star join: orders x customer x nation; the nation (and at
+    scale, customer) side broadcasts — no shuffle of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark, sf_dir):
+    """Distinct aggregation (exact); at 100 TB swap to approx_count_distinct
+    (HLL) — kept exact here for oracle parity."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,128 @@
+"""Extension-function tests: text analysis, dedup, similarity, multimodal."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", source="a"),
+            Row(doc_id=2, text="The  quick brown fox jumps over the lazy dog", source="a"),
+            Row(doc_id=3, text="completely different content here about spark engines", source="a"),
+            Row(doc_id=4, text="der hund ist nicht schnell und die katze auch nicht", source="b"),
+            Row(doc_id=5, text="", source="b"),
+        ]
+    )
+
+
+def test_exact_dedup_groups_normalized_duplicates(docs, spark):
+    out = dedup.exact_dedup(docs, "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    # doc 1 and 2 normalize identically (case + whitespace collapse)
+    assert groups[1] == 2
+    assert groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dupes(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_close_for_near_dupes(docs):
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    }
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 == 0  # identical after normalization
+    assert d13 > 10
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, block_col="source")
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 3) not in rows
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([Row(a=0b1010, b=0b0110)])
+    assert df.select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"] == 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, -0.1, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0, 0.0]),
+        ]
+    )
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors.filter(F.col("vec_id") == 1), vectors, k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["sim"] > 0.99
+
+
+def test_lsh_bucket_separates_signs(vectors):
+    out = vectors.select(similarity.sign_bucket(F.col("embedding"), 3).alias("b"), "vec_id")
+    buckets = {r["vec_id"]: r["b"] for r in out.collect()}
+    assert buckets[1] == buckets[2]  # same orthant
+    assert buckets[1] != buckets[4]  # opposite sign
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([Row(t="The quick brown fox, it is fast!")])
+    row = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.bpe_ish_token_count(F.col("t")).alias("bpe"),
+        text.lang_id(F.col("t")).alias("lang"),
+        text.quality_score(F.col("t")).alias("q"),
+    ).collect()[0]
+    assert row["n"] == 7
+    assert row["bpe"] == 9  # 7 words + comma + bang
+    assert row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_lang_id_und_for_no_markers(spark):
+    df = spark.createDataFrame([Row(t="zzz qqq www")])
+    assert df.select(text.lang_id(F.col("t")).alias("l")).collect()[0]["l"] == "und"
+
+
+def test_multimodal_decode_and_frames(docs):
+    media = multimodal.attach_fake_payload(docs.filter(F.col("doc_id") <= 4), "doc_id", "text")
+    decoded = multimodal.decode_metadata(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert set(decoded.columns) >= {"media_id", "media_type", "width", "height", "n_frames", "sample_rate"}
+    for mid, r in rows.items():
+        if r["media_type"] == "image":
+            assert r["n_frames"] == 1 and r["width"] is not None
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] >= 8000 and r["width"] is None
+    frames = multimodal.sample_frames(media).collect()
+    video_ids = {r["media_id"] for r in rows.values() if r["media_type"] == "video"}
+    assert {f["media_id"] for f in frames} == {r["media_id"] for r in rows.values() if r["media_type"] == "video"}
+    for f in frames:
+        assert isinstance(f["frame_bytes"], (bytes, bytearray))
+
+
+def test_resize_stub_raises(docs):
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, 32, 32).collect()
