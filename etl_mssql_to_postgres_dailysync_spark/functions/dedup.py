@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,30 @@ from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
 from etl_mssql_to_postgres_dailysync_spark.functions.text import normalize, tokens
 
 SIMHASH_BITS = 60  # md5_long yields 60-bit positive values
+
+# Universal-hash family for MinHash: h_i(x) = (a_i * x + b_i) mod P over the
+# 31-bit shingle hash. P = 2^31 - 1 (prime); products stay < 2^62 so the
+# arithmetic is overflow-free in signed int64 on every engine. One md5 per
+# TOKEN total (shingle hashes are polynomial combinations of token hashes,
+# and the per-seed hashes are derived arithmetically) — the difference
+# between O(tokens) and O(shingles * num_hashes) string hashing at 100 TB.
+MINHASH_P = 2147483647
+
+
+def _mh_const(tag: str, mod: int) -> int:
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % mod
+
+
+# polynomial base for combining token hashes into a shingle hash
+SHINGLE_C1 = _mh_const("sh-c1", MINHASH_P - 2) + 2
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, identical in engine and oracle."""
+    return [
+        (_mh_const(f"mh-a-{i}", MINHASH_P - 1) + 1, _mh_const(f"mh-b-{i}", MINHASH_P))
+        for i in range(num_hashes)
+    ]
 
 
 def exact_dedup(
@@ -60,23 +86,58 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> list[Column]:
-    """MinHash signature: for each seed, min over shingles of
-    md5(shingle + seed). Returns one bigint Column per hash (sig_0..sig_{n-1}).
-    Shuffle-free and codegen'd; cost O(shingles * num_hashes) per row."""
-    sh = word_shingles(text, k)
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingle hashes (31-bit bigints) without materializing
+    shingle strings: each token is md5-hashed ONCE, then the k-window hash is
+    the polynomial fold ((h1*C1 + h2) mod P * C1 + h3) mod P over k shifted
+    slices of the token-hash array — pure int64 arithmetic, zero string
+    concatenation. Document text never leaves the row; every downstream
+    shuffle key is an 8-byte long. Documents with < k tokens fall back to a
+    single whole-document fold (matching the string-shingle fallback)."""
+    th = F.transform(tokens(normalize(text)), lambda t: md5_long(t) % MINHASH_P)
+    n = F.size(th)
+    # number of windows when n >= k; clamped to 1 so the slice stays legal on
+    # short documents (the when() below discards that branch anyway)
+    m = F.greatest(n - F.lit(k - 1), F.lit(1))
+    windowed = F.slice(th, 1, m)
+    for j in range(1, k):
+        windowed = F.zip_with(
+            windowed,
+            F.slice(th, 1 + j, m),
+            lambda acc, h: (acc * SHINGLE_C1 + h) % MINHASH_P,
+        )
+    whole = F.aggregate(
+        th,
+        F.lit(-1).cast("long"),
+        lambda acc, h: F.when(acc < 0, h).otherwise((acc * SHINGLE_C1 + h) % MINHASH_P),
+    )
+    return F.array_distinct(
+        F.when(n >= k, windowed).otherwise(F.array(whole))
+    )
 
-    def hash_with(seed: int):
-        # NB: a one-parameter lambda is required — PySpark treats a
-        # two-parameter lambda (e.g. `lambda s, seed=seed`) as an
-        # (element, index) lambda and passes the array INDEX as the second
-        # argument, silently replacing the seed.
-        return lambda s: md5_long(s, seed)
 
-    return [
-        F.array_min(F.transform(sh, hash_with(seed))).alias(f"sig_{seed}")
-        for seed in range(num_hashes)
-    ]
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as one array<bigint> column, computed in a single
+    fold: sig[i] = min over shingle hashes of (a_i * h + b_i) mod P.
+    One md5 per token; the per-seed hashes are integer arithmetic on the
+    bound lambda variable. Shuffle-free."""
+    coeffs = minhash_coeffs(num_hashes)
+    hashes = shingle_hashes(text, k)
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(a).cast("long") * h + F.lit(b)) % MINHASH_P
+                    for a, b in coeffs
+                ]
+            ),
+            lambda m, x: F.least(m, x),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -91,18 +152,29 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: docs sharing any band of their MinHash signature.
 
     rows_per_band = num_hashes / bands; P(candidate) ≈ 1-(1-J^r)^b. The
-    band hash + self-join-on-bucket keeps the shuffle to (band_hash, id)
-    pairs. Output: (id_a, id_b) with id_a < id_b, distinct.
+    signature is computed once per document (see minhash_signature); banding
+    is a single explode of (band, band_hash) structs — NOT a per-band union,
+    which would rescan the corpus ``bands`` times. Only (band_hash, id)
+    pairs shuffle, so join cost is O(candidate pairs), not O(n^2).
+    Output: (id_a, id_b) with id_a < id_b, distinct.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = df.select(F.col(id_col).alias("doc"), *minhash_signature(F.col(text_col), num_hashes, k))
-    band_rows = None
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sigs"),
+    )
+    band_structs = []
     for b in range(bands):
-        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bh = md5_long(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), seed=1000 + b)
-        one = sigs.select(F.col("doc"), F.lit(b).alias("band"), bh.alias("band_hash"))
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        parts = [
+            F.element_at(F.col("sigs"), b * rows_per_band + i + 1).cast("string")
+            for i in range(rows_per_band)
+        ]
+        bh = md5_long(F.concat_ws("|", *parts), seed=1000 + b)
+        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
+    band_rows = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bx")
+    ).select("doc", F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash"))
     left = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_a"))
     right = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_b"))
     return (
@@ -163,13 +235,14 @@ def ngram_jaccard_pairs(
 
     Blocking (``block_col``, e.g. a source/bucket/LSH-band column) bounds the
     candidate set; without it this is a full O(n^2)-pair computation executed
-    as an inverted-index join: explode distinct shingles, self-join on
-    shingle, count intersections, |A∪B| = |A|+|B|-|A∩B|.
+    as an inverted-index join: explode distinct shingle HASHES (60-bit longs
+    — 8-byte shuffle keys, never shingle strings), self-join on hash, count
+    intersections, |A∪B| = |A|+|B|-|A∩B|.
     """
     base = df.select(
         F.col(id_col).alias("doc"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+        shingle_hashes(F.col(text_col), k).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     ex = base.select("doc", "blk", "n_sh", F.explode("shingles").alias("sh"))
     a = ex.select(

@@ -44,6 +44,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (nanosAsLong); truncate to micros exactly like DuckDB's TIMESTAMP_NS
         # -> TIMESTAMP cast so both engines see identical values.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in ("documents", "embeddings"):
+        # These fixtures are one small parquet file = ONE input split, so
+        # every doc-level pipeline (shingling, hashing, Pandas-UDF decode)
+        # would run on a single core. Fan out to the cluster's parallelism
+        # when the scan can't; at real scale the file splits already provide
+        # this and the repartition is a no-op branch.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
@@ -455,14 +464,22 @@ _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS_SQL = rf"regexp_split_to_array({_NORM_SQL}, ' ')"
 _HASH15 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-# distinct 3-word shingles with the <3-token fallback (matches dedup.word_shingles)
+# distinct 3-word shingle HASHES with the <3-token fallback (matches
+# dedup.shingle_hashes: one md5 per token, polynomial window combination)
+_SH_P = dedup.MINHASH_P
+_SH_C1 = dedup.SHINGLE_C1
 _SHINGLES_CTE = rf"""
-    toks AS (SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents),
-    pos AS (SELECT doc_id, source, tk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i FROM toks),
+    toks AS (SELECT doc_id, source,
+                    list_transform({_TOKS_SQL},
+                                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {_SH_P}) AS th
+             FROM documents),
+    pos AS (SELECT doc_id, source, th, unnest(range(1, greatest(len(th) - 2, 1) + 1)) AS i FROM toks),
     sh AS (
         SELECT DISTINCT doc_id, source,
-               CASE WHEN len(tk) >= 3 THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                    ELSE array_to_string(tk, ' ') END AS sh
+               CASE WHEN len(th) >= 3
+                      THEN (((th[i] * {_SH_C1} + th[i+1]) % {_SH_P}) * {_SH_C1} + th[i+2]) % {_SH_P}
+                    WHEN len(th) = 2 THEN (th[1] * {_SH_C1} + th[2]) % {_SH_P}
+                    ELSE th[1] END AS sh
         FROM pos
     )
 """
@@ -482,15 +499,20 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_MH_SEED_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
+)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLES_CTE},
-    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
     sig AS (
-        SELECT doc_id, seed,
-               min(CAST('0x' || substr(md5(sh || '#' || seed), 1, 15) AS BIGINT)) AS sig
-        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     bands AS (
         SELECT doc_id, seed // 4 AS band,
@@ -507,8 +529,10 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16)+LSH(4 bands x 4 rows) near-dup candidate pairs; signatures
-    computed shuffle-free per row, join only on (band, band_hash)."""
+    """MinHash(16)+LSH(4 bands x 4 rows) near-dup candidate pairs; one md5
+    per shingle, per-seed hashes derived arithmetically (universal-hash
+    family), signature in one shuffle-free fold; join only on
+    (band, band_hash)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4, k=3
     )
