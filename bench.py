@@ -27,8 +27,14 @@ HEADLINE = [
     "merge_conditional",
     "coercion_casts",
     "fake_orders_generator",
+    "merge_composite_key",
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "rollup_revenue",
+    "running_total",
     "event_window_agg",
     "sessionize",
     "dedup_exact",

@@ -234,10 +234,16 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Blocking (``block_col``, e.g. a source/bucket/LSH-band column) bounds the
-    candidate set; without it this is a full O(n^2)-pair computation executed
-    as an inverted-index join: explode distinct shingle HASHES (60-bit longs
-    — 8-byte shuffle keys, never shingle strings), self-join on hash, count
-    intersections, |A∪B| = |A|+|B|-|A∩B|.
+    candidate set; without it this is a full O(n^2)-pair computation.
+
+    Executed as a single-pass inverted index (NOT a self-join, which would
+    recompute the shingle pipeline for both sides): explode distinct shingle
+    hashes (8-byte longs — document text never shuffles), group by
+    (block, shingle) collecting the posting list, emit sorted doc pairs from
+    each posting, count intersections, |A∪B| = |A|+|B|-|A∩B|. One scan, two
+    shuffles. Pair fan-out is bounded by the hottest posting list squared —
+    at corpus scale, cap it by dropping stop-shingles (postings above a
+    frequency ceiling carry no near-dup signal anyway).
     """
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -245,17 +251,30 @@ def ngram_jaccard_pairs(
         shingle_hashes(F.col(text_col), k).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     ex = base.select("doc", "blk", "n_sh", F.explode("shingles").alias("sh"))
-    a = ex.select(
-        F.col("blk"), F.col("sh"),
-        F.col("doc").alias("id_a"), F.col("n_sh").alias("na"),
-    )
-    b = ex.select(
-        F.col("blk"), F.col("sh"),
-        F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"),
+    postings = ex.groupBy("blk", "sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "n_sh"))).alias("docs")
+    ).filter(F.size("docs") >= 2)  # singleton postings generate no pairs
+    # all (i < j) combinations of the posting list
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.greatest(F.size("docs") - i - 1, F.lit(1))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     inter = (
-        a.join(b, ["blk", "sh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(
+            F.col("p.a.doc").alias("id_a"),
+            F.col("p.b.doc").alias("id_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

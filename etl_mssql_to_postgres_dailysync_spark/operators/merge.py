@@ -61,14 +61,18 @@ class MergeResult:
 
     df: DataFrame
 
-    def counts(self) -> dict[str, int]:
-        # Single pass: the marker columns are aggregated before being dropped.
-        row = self._with_markers.agg(
+    def counts_df(self) -> DataFrame:
+        """A5 metrics as a lazy 1-row DataFrame (``cur.rowcount`` analog) —
+        one aggregate pass over the marker column."""
+        return self._with_markers.agg(
             F.count(F.lit(1)).alias("total"),
             F.count_if(F.col("__merge_action__") == "update").alias("updated"),
             F.count_if(F.col("__merge_action__") == "insert").alias("inserted"),
             F.count_if(F.col("__merge_action__") == "keep").alias("kept"),
-        ).collect()[0]
+        )
+
+    def counts(self) -> dict[str, int]:
+        row = self.counts_df().collect()[0]
         return {k: row[k] for k in ("total", "updated", "inserted", "kept")}
 
     _with_markers: DataFrame = None  # type: ignore[assignment]

@@ -322,6 +322,84 @@ def merge_insert_only(spark, sf_dir):
     return merge(target, source, ["o_orderkey"], insert_only=True).df
 
 
+@register(
+    "merge_small_source",
+    f"""
+    WITH t AS ({_MERGE_T}), s AS ({_MERGE_S})
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_small_source(spark, sf_dir):
+    """The 100 TB merge path: huge target + small delta. Target rows never
+    shuffle (left join against broadcast(source)); inserts anti-join only the
+    target's pruned key column. Result must be identical to the full-outer
+    strategy — same oracle as merge_upsert."""
+    target, source = _merge_frames(spark, sf_dir)
+    return merge(target, source, ["o_orderkey"], strategy="small_source").df
+
+
+@register(
+    "merge_composite_key",
+    """
+    WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+               WHERE l_orderkey % 4 <> 0),
+    s AS (SELECT l_orderkey, l_linenumber, max(l_quantity) + 5 AS l_quantity,
+                 'S' AS l_returnflag
+          FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2)
+    SELECT COALESCE(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+           COALESCE(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+           CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity ELSE t.l_quantity END AS l_quantity,
+           CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_returnflag ELSE t.l_returnflag END AS l_returnflag
+    FROM t FULL OUTER JOIN s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+    """,
+)
+def merge_composite_key(spark, sf_dir):
+    """J2 — composite conflict key (l_orderkey, l_linenumber), the engine
+    analog of the sync variant's 4-column ON CONFLICT target
+    (mssql_to_postgres_sync pyc). Source is made key-unique by construction
+    (the testdata's composite key has duplicates, and cross-engine tie-break
+    order in last-wins dedupe is undefined)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    target = li.filter(F.col("l_orderkey") % 4 != 0)
+    source = (
+        li.filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((F.max("l_quantity") + 5).alias("l_quantity"))
+        .withColumn("l_returnflag", F.lit("S"))
+    )
+    return merge(target, source, ["l_orderkey", "l_linenumber"]).df
+
+
+@register(
+    "merge_metrics",
+    f"""
+    WITH t AS ({_MERGE_T}), s AS ({_MERGE_S}),
+    j AS (SELECT t.o_orderkey AS tk, s.o_orderkey AS sk
+          FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+    SELECT count(*) AS total,
+           count(*) FILTER (WHERE tk IS NOT NULL AND sk IS NOT NULL) AS updated,
+           count(*) FILTER (WHERE tk IS NULL) AS inserted,
+           count(*) FILTER (WHERE tk IS NOT NULL AND sk IS NULL) AS kept
+    FROM j
+    """,
+)
+def merge_metrics(spark, sf_dir):
+    """A5 — merge operation metrics (affected-rows accounting): one aggregate
+    pass over the merge's action markers, the engine's ``cur.rowcount``
+    (dags/…_orders_daily.py:328-335)."""
+    target, source = _merge_frames(spark, sf_dir)
+    return merge(target, source, ["o_orderkey"]).counts_df()
+
+
 # ---------------------------------------------------------------------------
 # Coercion layer (C1-C10) + null accounting (A3/A4)
 # ---------------------------------------------------------------------------
@@ -984,6 +1062,215 @@ def revenue_by_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
         )
+    )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_centipct,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '{RUN_DATE}'
+      AND CAST(l.l_shipdate AS DATE) > DATE '{RUN_DATE}'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue_centipct DESC, o.o_orderkey ASC LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective fact-fact join + top-10 by aggregated
+    revenue. Filters reach both parquet scans (pushdown); customer is the
+    broadcast side; exact integer money arithmetic for oracle parity."""
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < F.lit(RUN_DATE))
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > F.lit(RUN_DATE))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("od"), "o_orderpriority")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_centipct"))
+        .select(
+            "o_orderkey", "revenue_centipct",
+            F.col("od").cast("string").alias("orderdate"), "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_centipct").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_centipct
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style 6-way join: all dimension sides broadcast; the only
+    shuffles are the lineitem⋈orders key exchange and the final agg."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_centipct"))
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS promo_centipct,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_centipct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style conditional aggregation over a fact⋈dim join (part
+    broadcasts; one shuffle-free map-side join + scalar agg)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents * (100 - disc)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))).alias(
+                "promo_centipct"
+            ),
+            F.sum(rev).alias("total_centipct"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '1995-03-01'
+                        AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01')
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti join (TPC-H Q22 flavor): customers with no orders in a month.
+    The date filter pushes into the orders scan; only its key column
+    shuffles."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-03-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-04-01"))
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "suppliers_with_returns",
+    """
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+    """,
+)
+def suppliers_with_returns(spark, sf_dir):
+    """Semi join: suppliers having at least one returned lineitem. The
+    existence probe never materializes the matching rows."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP year -> priority -> grand total) —
+    grouping-sets coverage; partial aggregation keeps one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM orders WHERE o_custkey % 100 = 0
+    """,
+)
+def running_total(spark, sf_dir):
+    """Cumulative revenue per customer over order time (running-total window;
+    deterministic tie-break on o_orderkey)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).alias("running_cents"),
     )
 
 

@@ -1,0 +1,131 @@
+"""Structured Streaming skins (SURVEY.md §2.7): availableNow replay +
+foreachBatch merge, windowed aggregation with watermark, session windows.
+
+The reference's scheduling IS streaming semantics (daily event-time
+micro-batches, catchup replay, NULL-key quarantine side output); these tests
+prove the streaming operators produce the same state the batch operators do.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.operators.merge import dedupe_last_wins
+from etl_mssql_to_postgres_dailysync_spark.sources.fake_data import fake_orders
+from etl_mssql_to_postgres_dailysync_spark.streaming import runner
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_available_now_merge_sink_matches_batch(spark, tmpdir):
+    src = fake_orders(spark, 300)
+    src.write.parquet(f"{tmpdir}/in")
+
+    stream = runner.read_stream_parquet(spark, f"{tmpdir}/in", src.schema)
+    sink = runner.merge_sink(
+        f"{tmpdir}/target",
+        ["OrderID"],
+        quarantine_ts_col="OrderCreatedAt",
+        quarantine_path=f"{tmpdir}/quarantine",
+    )
+    runner.run_available_now(stream, sink, f"{tmpdir}/ckpt")
+
+    target = spark.read.parquet(f"{tmpdir}/target")
+    quarantine = spark.read.parquet(f"{tmpdir}/quarantine")
+    complete = src.filter(F.col("OrderCreatedAt").isNotNull())
+    incomplete = src.filter(F.col("OrderCreatedAt").isNull())
+    # the streamed merge state == the batch split (completeness invariant)
+    assert target.count() == complete.count()
+    assert quarantine.count() == incomplete.count()
+    assert target.exceptAll(complete).count() == 0
+
+    # replay idempotency: running the same input again converges (upsert, not
+    # append) — the reference's re-run safety property.
+    stream2 = runner.read_stream_parquet(spark, f"{tmpdir}/in", src.schema)
+    sink2 = runner.merge_sink(f"{tmpdir}/target", ["OrderID"], quarantine_ts_col="OrderCreatedAt")
+    runner.run_available_now(stream2, sink2, f"{tmpdir}/ckpt2")
+    target2 = spark.read.parquet(f"{tmpdir}/target")
+    assert target2.count() == complete.count()
+    assert target2.exceptAll(complete).count() == 0
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmpdir):
+    events = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros((F.lit(1700000000_000000) + F.col("id") * 90_000_000).cast("long")).alias("ts"),
+            (F.col("id") % 3).cast("string").alias("event_type"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+    )
+    events.write.parquet(f"{tmpdir}/ev")
+    stream = runner.read_stream_parquet(spark, f"{tmpdir}/ev", events.schema)
+    agg = runner.windowed_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT window.start AS ws, event_type, n_events FROM win_counts")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n_events")
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_session_window_stream(spark, tmpdir):
+    events = (
+        spark.range(0, 200)
+        .select(
+            F.col("id").alias("event_id"),
+            # two users, bursts separated by > 30 min every 50 events
+            F.timestamp_micros(
+                (F.lit(1700000000_000000)
+                 + (F.col("id") / 50).cast("long") * 3600_000_000
+                 + (F.col("id") % 50) * 10_000_000).cast("long")
+            ).alias("ts"),
+            (F.col("id") % 2).alias("user_id"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    events.write.parquet(f"{tmpdir}/sess")
+    stream = runner.read_stream_parquet(spark, f"{tmpdir}/sess", events.schema)
+    sess = runner.sessionized(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT user_id, n_events FROM sessions")
+    # 4 hourly bursts x 2 users = 8 sessions of 25 events each
+    assert out.count() == 8
+    assert {r["n_events"] for r in out.collect()} == {25}
+
+
+def test_dedupe_last_wins_streaming_batch_parity(spark):
+    # the merge sink's first-batch path dedupes exactly like merge would
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1)], ["k", "v", "ver"]
+    )
+    out = dedupe_last_wins(df, ["k"], "ver")
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "b", 2: "c"}
