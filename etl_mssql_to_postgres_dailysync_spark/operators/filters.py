@@ -8,25 +8,41 @@ design (dags/mssql_to_postgresql_orders_daily.py:199).
 
 from __future__ import annotations
 
+from datetime import date, timedelta
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _next_day(d: str) -> str:
+    return (date.fromisoformat(d) + timedelta(days=1)).isoformat()
+
+
 def daily_partition(ts_col: str, run_date: str) -> Column:
-    """P1 — ``CAST(ts AS DATE) = run_date``; NULL ts rows are excluded by SQL
-    NULL semantics, exactly like the reference's CAST predicate
-    (dags/mssql_to_postgresql_orders_daily.py:198-199)."""
-    return F.to_date(F.col(ts_col)) == F.to_date(F.lit(run_date))
+    """P1 — the reference's ``CAST(ts AS DATE) = run_date``
+    (dags/mssql_to_postgresql_orders_daily.py:198-199), expressed as the
+    SARGABLE half-open range ``ts >= d AND ts < d+1day``. Same result set
+    (NULLs excluded by SQL semantics), but unlike a ``to_date(ts) = d``
+    predicate — a function of the column, which Spark cannot push — the
+    range reaches the parquet scan as PushedFilters and prunes row groups /
+    partitions. At 100 TB this is the difference between a full scan and
+    reading one day."""
+    lo = F.lit(run_date).cast("timestamp_ntz")
+    hi = F.lit(_next_day(run_date)).cast("timestamp_ntz")
+    c = F.col(ts_col)
+    return (c >= lo) & (c < hi)
 
 
 def date_range_partition(ts_col: str, start_date: str, end_date: str) -> Column:
     """Backfill range predicate (backfill/historical pyc variants): one scan
     over the whole range, naturally partition-parallel, instead of the
-    reference's sequential per-date Airflow fan-out."""
-    d = F.to_date(F.col(ts_col))
-    return (d >= F.to_date(F.lit(start_date))) & (d <= F.to_date(F.lit(end_date)))
+    reference's sequential per-date Airflow fan-out. Sargable half-open
+    range, inclusive of end_date (matching CAST(ts AS DATE) <= end_date)."""
+    lo = F.lit(start_date).cast("timestamp_ntz")
+    hi = F.lit(_next_day(end_date)).cast("timestamp_ntz")
+    c = F.col(ts_col)
+    return (c >= lo) & (c < hi)
 
 
 def null_partition(ts_col: str) -> Column:

@@ -1,0 +1,98 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness says WHAT each operator computes; these tests pin HOW Spark
+executes it: filters reach the parquet scan (row-group pruning), projections
+prune the read schema, small dimensions broadcast (no fact-table shuffle),
+and aggregations combine map-side before the exchange. A regression here is
+invisible at sf0.01 and catastrophic at 100 TB.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.operators import filters
+from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_daily_partition_filter_pushes_to_scan(orders):
+    df = orders.filter(filters.daily_partition("o_orderdate", "1995-03-15"))
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+
+
+def test_date_range_filter_pushes_to_scan(orders):
+    df = orders.filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-06-30"))
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_projection_prunes_read_schema(orders):
+    df = orders.select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    # ReadSchema carries only the referenced columns — no full-width scan
+    assert "o_orderstatus" not in plan, plan
+    assert "o_custkey" not in plan, plan
+
+
+def test_dim_join_broadcasts(spark, orders):
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_groupby_does_partial_aggregation(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = plan_of(df)
+    # two HashAggregate nodes (partial below the exchange, final above)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_merge_small_source_never_shuffles_target_rows(spark, orders):
+    source = orders.limit(10)
+    mr = merge(orders, source, ["o_orderkey"], strategy="small_source")
+    plan = plan_of(mr.df)
+    # update branch: broadcast join against the small delta
+    assert "BroadcastHashJoin" in plan, plan
+    # insert branch: anti join — and the target side of it scans keys only
+    assert "LeftAnti" in plan, plan
+
+
+def test_merge_full_outer_single_shuffle_each_side(spark, orders):
+    source = orders.limit(100)
+    mr = merge(orders, source, ["o_orderkey"])
+    plan = plan_of(mr.df)
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan or (
+        "FullOuter" in plan
+    ), plan
+
+
+def test_whole_stage_codegen_covers_scan_filter_agg(orders):
+    df = (
+        orders.filter(filters.daily_partition("o_orderdate", "1995-03-15"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE finalizes (and codegen-compiles) the plan on execution
+    plan = plan_of(df)
+    # codegen stages appear as `*(n)` markers; the scan->filter->partial-agg
+    # pipeline must sit inside one
+    assert "*(1) HashAggregate" in plan or "*(1) Filter" in plan, plan
