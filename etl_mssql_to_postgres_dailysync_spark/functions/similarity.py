@@ -1,14 +1,20 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
   * ``brute_force_topk`` — exact cosine top-k. Queries broadcast against the
     corpus (map-side), so the big side never shuffles; per-query top-k via a
     window. Baseline and oracle-comparable.
-  * ``lsh_bucketed_topk`` — the scale path: sign-bucket LSH (one bucket id
-    per vector from the signs of the leading dimensions), equi-join on
-    bucket, top-k within bucket. Shuffle is (bucket, vector) instead of a
-    full cross join; recall trades off with bucket bits. Deterministic and
-    SQL-expressible, unlike a trained IVF.
+  * ``lsh_bucketed_topk`` — sign-bucket LSH (one bucket id per vector from
+    the signs of the leading dimensions), equi-join on bucket, top-k within
+    bucket. Shuffle is (bucket, vector) instead of a full cross join; recall
+    trades off with bucket bits.
+  * ``ivf_topk`` — inverted-file index: corpus vectors assigned to their
+    nearest centroid cell (broadcast pass), queries probe their ``nprobe``
+    nearest cells, search runs cell-local. At 100 TB the centroids come from
+    offline k-means over a sample, the assigned corpus is written bucketed
+    by cell_id, and each query touches nprobe/num_cells of the data. Here
+    the centroids are a deterministic subset so the whole path stays
+    oracle-checkable.
 """
 
 from __future__ import annotations
@@ -52,6 +58,66 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_rounded(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "cell_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells (cosine;
+    ties break to the lower cell id). Centroids broadcast — the corpus never
+    shuffles for assignment; the only exchange is the per-vector top-nprobe
+    window on |df| * |centroids| scored rows."""
+    c = centroids.select(
+        F.col(cell_id_col).alias("__cell__"), F.col(vec_col).alias("__cent_v__")
+    )
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "__cs__", cosine_rounded(F.col(vec_col), F.col("__cent_v__"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs__").desc(), F.col("__cell__").asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= nprobe)
+        .select(*df.columns, F.col("__cell__").alias(cell_id_col))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "cell_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus in 1 cell each, queries probe their
+    ``nprobe`` nearest cells, cosine top-k within the probed cells."""
+    corp = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, cell_id_col=cell_id_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), cell_id_col
+    )
+    qs = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, cell_id_col=cell_id_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), cell_id_col)
+    scored = (
+        corp.join(F.broadcast(qs), cell_id_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

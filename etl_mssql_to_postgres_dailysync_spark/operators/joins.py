@@ -1,0 +1,92 @@
+"""Join operators Spark lacks natively, built as DataFrame compositions.
+
+As-of join (time-series point-in-time lookup): for each left row, the most
+recent right row with ``right.ts <= left.ts`` on the same key. Spark has no
+ASOF JOIN; the naive formulations are catastrophic at scale — a range
+theta-join explodes to O(|L|·|R|) per key, and a per-left-row subquery is a
+correlated scan. The scalable pattern is union + ordered window:
+
+    1. tag both sides and union them (one relation, no join at all)
+    2. one shuffle: partition by key, sort by (ts, side) within partition
+    3. running ``last(right_value, ignorenulls=True)`` carries the latest
+       right values forward onto each left row
+    4. keep the left rows
+
+Cost: a single exchange of |L|+|R| rows — the same price as one equi-join
+shuffle — regardless of time-range density. Ties (right.ts == left.ts)
+match, i.e. the inclusive/backward as-of convention (DuckDB ``ASOF JOIN``
+``l.ts >= r.ts``, pandas ``merge_asof`` default).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward (inclusive) as-of join: left rows gain ``{prefix}{col}`` for
+    each right value column, taken from the latest right row at-or-before
+    the left timestamp; NULL when no such row exists (left-join semantics).
+
+    ``keys`` must be non-NULL equality keys; right rows should be unique per
+    (keys, right_ts) — with duplicates, the row sorted last wins.
+    """
+    keys = list(keys)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    value_cols = list(value_cols)
+
+    # Right values travel as ONE nullable struct: the struct is non-NULL for
+    # every right row (even when its fields are NULL), so carry-forward with
+    # last(ignorenulls) is correct for NULL right values — and it's a single
+    # window expression regardless of how many columns are carried.
+    payload = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_payload = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__is_left__"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        null_payload.alias("__r__"),
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__is_left__"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys and c != left_ts
+        ],
+        payload.alias("__r__"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # right rows sort BEFORE left rows at equal ts -> inclusive match
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts__").asc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("__m__", F.last("__r__", ignorenulls=True).over(w))
+    out_cols = (
+        keys
+        + [F.col("__ts__").alias(left_ts)]
+        + [c for c in left.columns if c not in keys and c != left_ts]
+        + [F.col(f"__m__.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    )
+    return carried.filter(F.col("__is_left__") == 1).select(*out_cols)

@@ -533,6 +533,29 @@ def fake_orders_generator(spark, sf_dir):
     return df.withColumn("Amount", F.round(F.col("Amount").cast("double"), 2))
 
 
+@register(
+    "csv_roundtrip",
+    ORACLES["fake_orders_generator"],
+)
+def csv_roundtrip(spark, sf_dir):
+    """S3/S4/C9 — the reference's CSV interchange boundary: write the orders
+    batch as CSV in the reference's timestamp format
+    ('%Y-%m-%d %H:%M:%S.%f', dags/…_orders_daily.py:219), read it back with
+    an explicit schema, and prove the round trip is lossless (oracle = the
+    generator itself)."""
+    import tempfile
+
+    from etl_mssql_to_postgres_dailysync_spark.schemas import ORDERS_SCHEMA
+    from etl_mssql_to_postgres_dailysync_spark.sources.readers import read_csv
+    from etl_mssql_to_postgres_dailysync_spark.sources.writers import write_csv
+
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_roundtrip"
+    write_csv(fake_orders(spark, 1000), path, timestamp_format=fmt)
+    back = read_csv(spark, path, schema=ORDERS_SCHEMA, timestamp_format=fmt)
+    return back.withColumn("Amount", F.round(F.col("Amount").cast("double"), 2))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions: dedup / text / similarity / multimodal
 # (BASELINE.json north-star; first-class alongside the reference surface)
@@ -837,6 +860,49 @@ def similarity_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "similarity_ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    a AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+                            c.cell_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS cve, cell_id FROM a WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM a WHERE vec_id < 10 AND rn <= 2),
+    scored AS (
+        SELECT qa.query_id, corpus.neighbor_id,
+               round(list_cosine_similarity(qa.qv::DOUBLE[], corpus.cve::DOUBLE[]), 6) AS sim
+        FROM corpus JOIN qa ON corpus.cell_id = qa.cell_id
+        WHERE corpus.neighbor_id <> qa.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF approximate top-5: corpus assigned to nearest-centroid cells (one
+    broadcast pass, no corpus shuffle), queries probe their 2 nearest cells,
+    search runs cell-local. Centroids = a deterministic subset (vec_id < 8)
+    so the full path is oracle-checkable; at scale they come from offline
+    k-means and the corpus is stored bucketed by cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        queries_df, emb, centroids, k=5, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
     "dedup_embedding_near",
     f"""
     WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
@@ -1062,6 +1128,33 @@ def revenue_by_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
         )
+    )
+
+
+@register(
+    "asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_query(spark, sf_dir):
+    """As-of join (point-in-time lookup): each click joined to the user's
+    most recent purchase at-or-before it. Spark has no ASOF JOIN; the engine
+    operator (operators/joins.py) uses union + ordered window — ONE shuffle
+    of |L|+|R| rows, no range-join explosion. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, ["user_id"], value_cols=["ts", "value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts"), F.col("asof_value"),
     )
 
 

@@ -22,11 +22,16 @@ def read_csv(
     header: bool = True,
     quote: str = '"',
     sep: str = ",",
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """S3 — CSV scan with the reference's dialect (header, double-quote,
     comma — csv_to_mssqldb.py:210). Schema explicit whenever known: inference
     is an extra full pass and unstable on dirty data."""
     reader = spark.read.option("header", header).option("quote", quote).option("sep", sep)
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", timestamp_format
+        )
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -24,7 +24,7 @@ def write_csv(df: DataFrame, path: str, *, timestamp_format: str = "yyyy-MM-dd H
     intra-pipeline temp-CSV hop is eliminated (the DataFrame is the exchange)."""
     df.write.mode("overwrite").option("header", True).option(
         "timestampFormat", timestamp_format
-    ).csv(path)
+    ).option("timestampNTZFormat", timestamp_format).csv(path)
 
 
 def write_parquet_partitioned(

@@ -126,3 +126,38 @@ def test_resize_stub_raises(docs):
     media = multimodal.attach_fake_payload(docs, "doc_id", "text")
     with pytest.raises(Exception):
         multimodal.resize_images(media, 32, 32).collect()
+
+
+def test_asof_join_backward_inclusive(spark):
+    from datetime import datetime
+
+    from etl_mssql_to_postgres_dailysync_spark.operators.joins import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00"), "a"), (1, t("2024-01-01T12:00"), "b"),
+         (2, t("2024-01-01T09:00"), "c")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00"), 100.0), (1, t("2024-01-01T11:00"), 200.0),
+         (2, t("2024-01-01T09:30"), 300.0)],
+        ["k", "ts", "v"],
+    )
+    out = {(r["k"], r["tag"]): r["asof_v"] for r in asof_join(left, right, ["k"]).collect()}
+    assert out[(1, "a")] == 100.0  # inclusive: right.ts == left.ts matches
+    assert out[(1, "b")] == 200.0  # latest at-or-before
+    assert out[(2, "c")] is None   # no right row at-or-before -> left join NULL
+
+
+def test_ivf_topk_finds_close_vector(spark, vectors):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cell_id", "embedding"]
+    )
+    out = similarity.ivf_topk(
+        vectors.filter(F.col("vec_id") == 1), vectors, centroids, k=2, nprobe=1
+    )
+    rows = out.orderBy("rank").collect()
+    # vec 2 shares vec 1's cell (x-axis orthant); vec 3 lives in the y cell
+    assert rows[0]["neighbor_id"] == 2
+    assert all(r["neighbor_id"] != 3 for r in rows)
