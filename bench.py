@@ -45,6 +45,8 @@ HEADLINE = [
     "text_lang_id",
     "similarity_brute_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "asof_join",
     "multimodal_meta",
 ]
 

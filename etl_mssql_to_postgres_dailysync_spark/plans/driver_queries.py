@@ -934,6 +934,50 @@ def dedup_embedding_near(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+           round(list_sum(embedding::DOUBLE[]), 6) AS comp_sum
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector math stays JVM-side (ordered folds over array<float> — no
+    Python round-trip): L2 norm + component sum per embedding."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(vectors.norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(comp_sum, 6).alias("comp_sum"),
+    )
+
+
+@register(
+    "agg_distinct_scalable",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT event_type, count(*) AS n_users FROM d GROUP BY event_type
+    """,
+)
+def agg_distinct_scalable(spark, sf_dir):
+    """The 100 TB exact-distinct pattern: two-stage aggregation (dedupe on
+    (group, key) first — partial map-side — then count). Unlike a direct
+    count(DISTINCT x), no single reducer ever holds a group's full value set;
+    skewed groups spread over the cluster in stage 1."""
+    events = _t(spark, sf_dir, "events")
+    deduped = events.select("event_type", "user_id").distinct()
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming-semantics operators, batch-checkable (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -1042,6 +1086,44 @@ def multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.attach_fake_payload(docs, "doc_id", "text")
     return multimodal.decode_metadata(media).drop("payload")
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type,
+               text
+        FROM documents
+    ),
+    v AS (SELECT media_id, text, octet_length(encode(text)) AS n FROM m WHERE media_type = 'video'),
+    f AS (SELECT media_id, text,
+                 unnest(range(0, least(8, greatest(1, n // 64)))) AS frame_index
+          FROM v)
+    -- testdata text is pure ASCII (byte length == char length, verified), so
+    -- char slicing == byte slicing of the payload; frames are compared by
+    -- md5 digest (binary columns don't survive the pandas-based comparator)
+    SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+           md5(text[(CAST(frame_index AS INT) * 64 + 1):(CAST(frame_index AS INT) * 64 + 64)]) AS frame_md5,
+           CAST(octet_length(encode(text[(CAST(frame_index AS INT) * 64 + 1):(CAST(frame_index AS INT) * 64 + 64)])) AS INT) AS frame_len
+    FROM f
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Video frame sampling: one row per fixed-stride chunk of the payload
+    (stub for codec-based frame extraction), emitted per Arrow batch with no
+    shuffle; output partitioning inherits the input's. Frames reported as
+    (md5, length) digests for cross-engine comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
 
 
 # ---------------------------------------------------------------------------
