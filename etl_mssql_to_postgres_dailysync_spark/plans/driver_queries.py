@@ -1450,6 +1450,48 @@ def running_total(spark, sf_dir):
 
 
 @register(
+    "window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             - lag(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+)
+def window_functions(spark, sf_dir):
+    """Window-function breadth on one shuffle: lag delta, ntile quartiles,
+    and a 3-row moving sum share a single (partition, order) exchange."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.sum(cents).over(w.rowsBetween(-2, 0)).alias("moving_cents"),
+    )
+
+
+@register("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB replacement for
+    exact distinct counts (fixed-size sketch per group, mergeable across
+    partitions). Rows-only check: sketch estimates are engine-specific by
+    construction; the exact twin is agg_distinct_users."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "agg_distinct_users",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
