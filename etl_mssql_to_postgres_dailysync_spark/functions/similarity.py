@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_mssql_to_postgres_dailysync_spark.functions.vectors import cosine_rounded
+from etl_mssql_to_postgres_dailysync_spark.functions.vectors import (
+    cosine_prenormed,
+    norm,
+)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -51,10 +54,12 @@ def brute_force_topk(
     (tiny). Ties break by neighbor id for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -62,7 +67,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_rounded(F.col("qv"), F.col("cv")).alias("sim"),
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
         )
     )
     return _topk_per_query(scored, k)
@@ -82,10 +87,19 @@ def ivf_assign(
     shuffles for assignment; the only exchange is the per-vector top-nprobe
     window on |df| * |centroids| scored rows."""
     c = centroids.select(
-        F.col(cell_id_col).alias("__cell__"), F.col(vec_col).alias("__cent_v__")
+        F.col(cell_id_col).alias("__cell__"),
+        F.col(vec_col).alias("__cent_v__"),
+        norm(F.col(vec_col)).alias("__cent_n__"),
     )
-    scored = df.crossJoin(F.broadcast(c)).withColumn(
-        "__cs__", cosine_rounded(F.col(vec_col), F.col("__cent_v__"))
+    scored = (
+        df.withColumn("__vn__", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__cs__",
+            cosine_prenormed(
+                F.col(vec_col), F.col("__cent_v__"), F.col("__vn__"), F.col("__cent_n__")
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs__").desc(), F.col("__cell__").asc())
     return (
@@ -111,18 +125,22 @@ def ivf_topk(
     corp = ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, cell_id_col=cell_id_col, nprobe=1
     ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), cell_id_col
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"), cell_id_col
     )
     qs = ivf_assign(
         queries, centroids, id_col=id_col, vec_col=vec_col, cell_id_col=cell_id_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), cell_id_col)
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"), cell_id_col
+    )
     scored = (
         corp.join(F.broadcast(qs), cell_id_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_rounded(F.col("qv"), F.col("cv")).alias("sim"),
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
         )
     )
     return _topk_per_query(scored, k)
@@ -162,11 +180,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
@@ -175,7 +195,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_rounded(F.col("qv"), F.col("cv")).alias("sim"),
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
         )
     )
     return _topk_per_query(scored, k)

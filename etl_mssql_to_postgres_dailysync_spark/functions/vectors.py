@@ -38,3 +38,12 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     """Rounded cosine: the cross-engine comparison form (double fold order is
     identical in Spark/DuckDB, but rounding removes any residual ulp noise)."""
     return F.round(cosine(a, b), digits)
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column, digits: int = 6) -> Column:
+    """Cosine with the norms hoisted to per-ROW columns: inside a pairwise
+    join, ``cosine(a, b)`` folds three times per PAIR (dot + both norms);
+    passing precomputed norms makes it one fold per pair and one norm per
+    row. The value is bit-identical to :func:`cosine_rounded` — same IEEE
+    expression, evaluated once instead of |pairs| times."""
+    return F.round(dot(a, b) / (norm_a * norm_b), digits)

@@ -919,17 +919,28 @@ def dedup_embedding_near(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim >= 0.5) within sign-buckets
     — the embedding analog of MinHash-LSH blocking."""
     from etl_mssql_to_postgres_dailysync_spark.functions.similarity import sign_bucket
-    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import cosine_rounded
+    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import cosine_prenormed, norm
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), 6).alias("bucket")
+        "vec_id", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        sign_bucket(F.col("embedding"), 6).alias("bucket"),
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_rounded(F.col("ea"), F.col("eb")).alias("sim"))
+        .select(
+            "id_a", "id_b",
+            cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
         .filter(F.col("sim") >= 0.5)
     )
 
