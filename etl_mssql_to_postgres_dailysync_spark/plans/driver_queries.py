@@ -989,6 +989,91 @@ def agg_distinct_scalable(spark, sf_dir):
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@register(
+    "dedup_keep_representatives",
+    f"""
+    WITH h AS (
+        SELECT doc_id, {_HASH15.format(x=_NORM_SQL)} AS content_hash
+        FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS keep_id FROM h GROUP BY content_hash)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN keep ON d.doc_id = keep.keep_id
+    """,
+)
+def dedup_keep_representatives(spark, sf_dir):
+    """The dedup pipeline's OUTPUT stage: the corpus reduced to one
+    representative per content group (semi join against the keep set — only
+    (hash, id) pairs shuffle, then ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _quality_pipeline_oracle() -> str:
+    lang_case = _lang_id_oracle().split("SELECT doc_id,")[-1].split("AS lang_pred")[0]
+    return f"""
+    WITH s AS (
+        SELECT doc_id, text,
+           {", ".join(f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in text.LANG_MARKERS.items())}
+        FROM documents
+    ),
+    lid AS (SELECT doc_id, {lang_case} AS lang_pred FROM s),
+    q AS (
+        SELECT d.doc_id,
+               length(d.text) AS nc,
+               length(d.text) - length(regexp_replace(d.text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np,
+               CASE WHEN trim(lower(d.text)) = '' THEN CAST(NULL AS BIGINT)
+                    ELSE len(regexp_split_to_array(trim(lower(d.text)), '\\s+')) END AS nt,
+               len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS sw
+        FROM documents d
+    ),
+    scored AS (
+        SELECT doc_id,
+               (least(nc / 500.0, 1.0) * 0.4
+                + least((CASE WHEN nt = 0 THEN 0.0 ELSE sw / nt END) * 5.0, 1.0) * 0.4
+                + (1.0 - least((CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END) * 4.0, 1.0)) * 0.2
+               ) AS quality
+        FROM q
+    ),
+    h AS (SELECT doc_id, {_HASH15.format(x=_NORM_SQL)} AS content_hash FROM documents),
+    keep AS (SELECT min(doc_id) AS keep_id FROM h GROUP BY content_hash)
+    SELECT d.doc_id, lid.lang_pred, scored.quality
+    FROM documents d
+    JOIN lid ON lid.doc_id = d.doc_id
+    JOIN scored ON scored.doc_id = d.doc_id
+    JOIN keep ON keep.keep_id = d.doc_id
+    WHERE lid.lang_pred = 'en' AND scored.quality >= 0.5
+    """
+
+
+@register("quality_filter_pipeline", _quality_pipeline_oracle())
+def quality_filter_pipeline(spark, sf_dir):
+    """The composed training-data curation pipeline: language filter (en) +
+    quality threshold + exact dedup, in ONE pass over the corpus — per-row
+    scoring is shuffle-free; the only exchange is the dedup hash-groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+    keep = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-semantics operators, batch-checkable (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
