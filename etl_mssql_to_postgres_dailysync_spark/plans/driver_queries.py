@@ -165,6 +165,34 @@ def key_null_drop(spark, sf_dir):
 
 
 @register(
+    "project_normalize",
+    """
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderstatus AS orderstatus
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def project_normalize(spark, sf_dir):
+    """P5/P6 — surrogate-column drop + lowercase-normalize column names
+    (dags/…_orders_daily.py:216-217), on a renamed slice of orders."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.project import (
+        drop_surrogate,
+        lowercase_columns,
+    )
+
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("OrderKey"),
+            F.col("o_custkey").alias("CustKey"),
+            F.col("o_orderstatus").alias("OrderStatus"),
+            F.monotonically_increasing_id().alias("id"),
+        )
+    )
+    return lowercase_columns(drop_surrogate(df))
+
+
+@register(
     "column_align",
     """
     SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS license, CAST(n_chars AS BIGINT) AS n_chars
