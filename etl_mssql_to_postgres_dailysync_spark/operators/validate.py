@@ -21,8 +21,11 @@ log = logging.getLogger(__name__)
 
 def filtered_count(df: DataFrame, ts_col: str, run_date: str) -> int:
     """A1/S10 — validation count: rows in the target for one logical date
-    (dags/…_orders_daily.py:561-566)."""
-    return df.filter(F.to_date(F.col(ts_col)) == F.to_date(F.lit(run_date))).count()
+    (dags/…_orders_daily.py:561-566). Uses the sargable range predicate so
+    the count scans one partition, not the table."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.filters import daily_partition
+
+    return df.filter(daily_partition(ts_col, run_date)).count()
 
 
 def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

@@ -70,12 +70,15 @@ def jdbc_append(
 def make_on_conflict_sql(
     table: str, columns: Sequence[str], keys: Sequence[str],
     exclude_update_cols: Sequence[str] = (), matched_condition_sql: str | None = None,
+    placeholder: str = "%s",
 ) -> str:
     """Build the reference's dynamic upsert statement
     (dags/…_orders_daily.py:296-308; conditional variant from the sync pyc).
-    Kept as a pure function so it is unit-testable without a database."""
+    Kept as a pure function so it is unit-testable without a database.
+    ``placeholder`` adapts to the driver's paramstyle ('%s' psycopg,
+    '?' pyodbc/sqlite)."""
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     update_cols = [c for c in columns if c not in keys and c not in exclude_update_cols]
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
     sql = (
@@ -96,6 +99,7 @@ def jdbc_upsert_write(
     page_size: int = 100,
     exclude_update_cols: Sequence[str] = (),
     matched_condition_sql: str | None = None,
+    placeholder: str = "%s",
 ) -> None:
     """S6/S7 — distributed ON CONFLICT upsert for real JDBC targets: each
     Spark partition opens its own connection (via the picklable ``connect``
@@ -108,6 +112,7 @@ def jdbc_upsert_write(
         table, columns, keys,
         exclude_update_cols=exclude_update_cols,
         matched_condition_sql=matched_condition_sql,
+        placeholder=placeholder,
     )
 
     def load_partition(rows) -> None:
