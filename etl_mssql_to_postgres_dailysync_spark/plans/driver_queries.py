@@ -784,6 +784,81 @@ def text_quality(spark, sf_dir):
     )
 
 
+@register(
+    "text_ngram_freq",
+    f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh)
+    SELECT sh AS shingle_hash, n_docs,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, sh ASC) AS INT) AS rank
+    FROM freq ORDER BY n_docs DESC, sh ASC LIMIT 20
+    """,
+)
+def text_ngram_freq(spark, sf_dir):
+    """Corpus n-gram frequency profile: top-20 trigram hashes by document
+    frequency (the stop-shingle detector for the Jaccard/MinHash pipelines).
+    One explode + one partial-aggregated groupBy + a global top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(dedup.shingle_hashes(F.col("text"))).alias("sh")
+    )
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    # distributed top-k (TakeOrdered — per-partition heads, merged on the
+    # driver), NOT a global window, which would sort every group on one
+    # partition; the rank window then runs over only 20 rows
+    top = freq.orderBy(F.col("n_docs").desc(), F.col("sh").asc()).limit(20)
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("sh").asc())
+    return top.select(
+        F.col("sh").alias("shingle_hash"),
+        "n_docs",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH su AS (SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    cl AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN su ON su.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t_signup GROUP BY e.user_id),
+    pu AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN cl ON cl.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t_click GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM su) AS n_signup,
+           (SELECT count(*) FROM cl) AS n_click_after,
+           (SELECT count(*) FROM pu) AS n_purchase_after
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Conversion funnel (signup -> first later click -> first later
+    purchase): per-stage min-timestamp joins; every stage aggregates to one
+    row per user before joining, so the exchanges carry user ids, not
+    events."""
+    events = _t(spark, sf_dir, "events")
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t_signup"))
+    )
+    cl = (
+        events.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        su.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(cl.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(pu.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
 def _lang_score_sql(markers: list[str]) -> str:
     lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
     return (
