@@ -129,3 +129,38 @@ def test_source_target_mismatch_raises(spark, target):
     bad = spark.createDataFrame([Row(k=1, other="x")])
     with pytest.raises(ValueError):
         merge(target, bad, ["k"])
+
+
+def test_transactions_sync_variant_contract(spark):
+    """The full mssql_to_postgres_sync contract: 4-column composite conflict
+    target (TxCorrelationId, TenantId, TxGroupCorrelationId,
+    TxRefCorrelationId) with the timestamp-guarded update
+    ``target.UpdatedDateUtc IS NULL OR EXCLUDED.UpdatedDateUtc >
+    target.UpdatedDateUtc`` (sync variant pyc; SURVEY.md S7/J2)."""
+    keys = ["TxCorrelationId", "TenantId", "TxGroupCorrelationId", "TxRefCorrelationId"]
+    cols = keys + ["UpdatedDateUtc", "TxBaseAmount"]
+    t0 = dt.datetime(2025, 5, 1)
+    target = spark.createDataFrame(
+        [(100, 1, 7, 9, t0, 10.0), (100, 2, 7, 9, None, 20.0), (101, 1, 7, 9, t0, 30.0)],
+        cols,
+    )
+    source = spark.createDataFrame(
+        [
+            (100, 1, 7, 9, dt.datetime(2025, 4, 1), 11.0),  # older -> keep 10.0
+            (100, 2, 7, 9, dt.datetime(2025, 5, 2), 22.0),  # target NULL -> update
+            (101, 1, 7, 9, dt.datetime(2025, 6, 1), 33.0),  # newer -> update
+            (102, 1, 7, 9, dt.datetime(2025, 6, 1), 44.0),  # unmatched -> insert
+        ],
+        cols,
+    )
+    out = merge(
+        target,
+        source,
+        keys,
+        matched_condition=lambda s, t: t("UpdatedDateUtc").isNull()
+        | (s("UpdatedDateUtc") > t("UpdatedDateUtc")),
+        source_order_col="UpdatedDateUtc",
+        strategy="small_source",
+    ).df
+    got = {(r["TxCorrelationId"], r["TenantId"]): r["TxBaseAmount"] for r in out.collect()}
+    assert got == {(100, 1): 10.0, (100, 2): 22.0, (101, 1): 33.0, (102, 1): 44.0}
