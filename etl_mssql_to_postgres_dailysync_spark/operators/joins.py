@@ -90,3 +90,49 @@ def asof_join(
         + [F.col(f"__m__.{c}").alias(f"{prefix}{c}") for c in value_cols]
     )
     return carried.filter(F.col("__is_left__") == 1).select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval containment join: each point row joined to every interval row
+    with ``start <= point < end`` (plus optional equality ``keys``).
+
+    Spark plans the naive theta join as a broadcast-nested-loop —
+    O(|points| x |intervals|) comparisons, hopeless at scale. The scalable
+    pattern is TIME BINNING: every interval is exploded to the fixed-width
+    buckets it overlaps, every point maps to exactly one bucket, and the
+    containment check runs only within the equi-joined bucket. Cost:
+    O(|intervals| x avg_span/bucket + matches) — and because a point lives
+    in exactly one bucket, each (point, interval) pair meets at most once,
+    so no dedup pass is needed. Choose ``bucket_seconds`` near the typical
+    interval length: too small explodes intervals, too large widens the
+    per-bucket candidate sets.
+
+    Returns all columns of both inputs (points' first on name conflicts are
+    the caller's responsibility to alias).
+    """
+    keys = list(keys)
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+
+    p = points.withColumn("__bucket__", F.floor(p_us / w))
+    i = intervals.withColumn(
+        "__bucket__",
+        # end is exclusive: the bucket of (end - 1 microsecond) is the last
+        F.explode(F.sequence(F.floor(s_us / w), F.floor((e_us - 1) / w))),
+    )
+    cond = [p["__bucket__"] == i["__bucket__"]] + [p[k] == i[k] for k in keys]
+    joined = p.join(i, cond).filter(
+        (p[point_ts] >= i[start_ts]) & (p[point_ts] < i[end_ts])
+    )
+    return joined.drop("__bucket__")

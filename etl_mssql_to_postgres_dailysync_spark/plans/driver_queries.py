@@ -1440,6 +1440,38 @@ def asof_join_query(spark, sf_dir):
 
 
 @register(
+    "range_join_incidents",
+    """
+    SELECT p.event_id, i.event_id AS incident_id
+    FROM (SELECT event_id, ts FROM events WHERE event_type <> 'error') p
+    JOIN (SELECT event_id, ts AS istart, ts + INTERVAL 30 MINUTE AS iend
+          FROM events WHERE event_type = 'error') i
+      ON p.ts >= i.istart AND p.ts < i.iend
+    """,
+)
+def range_join_incidents(spark, sf_dir):
+    """Range/interval join: every event inside any error-incident window
+    [error_ts, error_ts + 30min). The engine operator bins intervals to
+    fixed-width buckets and equi-joins on bucket — O(matches), not the
+    O(|points| x |intervals|) nested loop Spark would plan for the raw theta
+    join. Oracle: DuckDB's native interval theta join."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.joins import range_join
+
+    events = _t(spark, sf_dir, "events")
+    points = events.filter(F.col("event_type") != "error").select("event_id", "ts")
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("istart"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iend"),
+    )
+    out = range_join(
+        points, incidents,
+        point_ts="ts", start_ts="istart", end_ts="iend", bucket_seconds=1800,
+    )
+    return out.select("event_id", "incident_id")
+
+
+@register(
     "shipping_priority",
     f"""
     SELECT o.o_orderkey,

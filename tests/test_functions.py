@@ -150,6 +150,31 @@ def test_asof_join_backward_inclusive(spark):
     assert out[(2, "c")] is None   # no right row at-or-before -> left join NULL
 
 
+def test_range_join_boundaries_and_multi_bucket(spark):
+    from datetime import datetime
+
+    from etl_mssql_to_postgres_dailysync_spark.operators.joins import range_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    points = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00")),   # == start: included
+         (2, t("2024-01-01T11:59")),   # inside, different bucket than start
+         (3, t("2024-01-01T12:00")),   # == end: excluded
+         (4, t("2024-01-01T09:59"))],  # before start
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(100, t("2024-01-01T10:00"), t("2024-01-01T12:00"))],  # spans 4 buckets @1800s
+        ["iid", "istart", "iend"],
+    )
+    out = range_join(
+        points, intervals, point_ts="ts", start_ts="istart", end_ts="iend",
+        bucket_seconds=1800,
+    )
+    matched = sorted(r["pid"] for r in out.collect())
+    assert matched == [1, 2]  # start-inclusive, end-exclusive, no duplicates
+
+
 def test_ivf_topk_finds_close_vector(spark, vectors):
     centroids = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cell_id", "embedding"]
