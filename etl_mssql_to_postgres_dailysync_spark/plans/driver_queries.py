@@ -1210,6 +1210,86 @@ def event_window_agg(spark, sf_dir):
 
 
 @register(
+    "hypertable_rollup",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(date_trunc('day', h) AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the DAILY rollup is derived by
+    RE-AGGREGATING the hourly rollup (sums of sums), never re-scanning raw
+    events — the tiered-materialization pattern where each resolution is
+    ~1/1000th the size of the tier below. Exact integer cents make every
+    tier losslessly re-aggregatable."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    # at scale `hourly` is a materialized table; the daily tier reads IT
+    return hourly.groupBy(
+        F.to_date(F.date_trunc("day", "h")).cast("string").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n_events"), F.sum("cents").alias("total_cents"))
+
+
+_KMV_K = 64
+# 52-bit hash space (13 hex chars): (k-1) * 2^52 stays well inside int64
+_KMV_HASH = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)"
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH h AS (SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+          FROM h),
+    kth AS (SELECT event_type, max(h) AS kth, count(*) AS n_kept
+            FROM r WHERE rn <= {_KMV_K} GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                ELSE ({_KMV_K} - 1) * (CAST(1 AS BIGINT) << 52) // kth END AS est_distinct
+    FROM kth
+    """,
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    52-bit hashes per group; estimate = (k-1) * 2^52 / kth_min. A mergeable
+    sketch like HLL, but built from engine-portable md5 + integer arithmetic
+    so the ORACLE CHECKS THE SKETCH ITSELF — under k distinct values it is
+    exact by construction."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    return kth.select(
+        "event_type",
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
+        .otherwise(F.expr(f"({_KMV_K} - 1) * (CAST(1 AS BIGINT) << 52) div kth"))
+        .alias("est_distinct"),
+    )
+
+
+@register(
     "sessionize",
     """
     WITH l AS (
