@@ -47,6 +47,11 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "asof_join",
+    "range_join_incidents",
+    "hypertable_rollup",
+    "kmv_distinct_sketch",
+    "quality_filter_pipeline",
+    "event_funnel",
     "multimodal_meta",
 ]
 
