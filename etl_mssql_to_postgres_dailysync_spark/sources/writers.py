@@ -40,6 +40,47 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def merge_into_partitioned_parquet(
+    spark,
+    path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    **merge_kwargs,
+) -> list:
+    """The 100 TB upsert: merge ``batch`` into a date-partitioned parquet
+    target, touching ONLY the partitions present in the batch.
+
+    1. enumerate the batch's partition values (tiny: a daily delta spans a
+       handful of dates);
+    2. read just those partitions of the target (partition pruning — the
+       other 99.9% of the table is never opened);
+    3. run the relational merge on that slice;
+    4. rewrite with dynamic partition overwrite, which replaces exactly the
+       affected directories and leaves every other partition's files intact.
+
+    The merged slice is materialized (localCheckpoint) before the write
+    because the write target is also the read source; a transactional table
+    format (Delta/Iceberg) replaces this with a real commit at production
+    scale. Returns the list of partition values rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge as merge_op
+
+    parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    target_slice = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    merged = merge_op(target_slice, batch, keys, **merge_kwargs).df
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return parts
+
+
 def snapshot_overwrite(df: DataFrame, path: str) -> None:
     """S9 — TRUNCATE + full reload (dags/…_orders_daily.py:492-503) as an
     atomic overwrite."""

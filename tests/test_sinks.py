@@ -62,6 +62,45 @@ def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmpdir
     )
 
 
+def test_merge_into_partitioned_parquet_touches_only_batch_partitions(spark, tmpdir):
+    import glob
+    import os
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.writers import (
+        merge_into_partitioned_parquet,
+    )
+
+    src = fake_orders(spark, 800).filter(F.col("OrderCreatedAt").isNotNull())
+    src = src.withColumn("order_date", F.to_date("OrderCreatedAt"))
+    write_parquet_partitioned(src, f"{tmpdir}/t", ["order_date"])
+    total = src.count()
+
+    # delta: updates + inserts confined to ONE day
+    some_date = src.groupBy("order_date").count().orderBy(F.desc("count")).first()["order_date"]
+    day = src.filter(F.col("order_date") == F.lit(some_date))
+    marked = day.withColumn("Product", F.lit("UPDATED"))
+    inserts = marked.withColumn("OrderID", F.col("OrderID") + 1_000_000)
+    batch = marked.unionByName(inserts)
+
+    untouched = {
+        d: os.path.getmtime(d)
+        for d in glob.glob(f"{tmpdir}/t/order_date=*")
+        if d != f"{tmpdir}/t/order_date={some_date}"
+    }
+    parts = merge_into_partitioned_parquet(
+        spark, f"{tmpdir}/t", batch, ["OrderID"], "order_date"
+    )
+    assert parts == [some_date]
+
+    back = spark.read.parquet(f"{tmpdir}/t")
+    assert back.count() == total + day.count()  # inserts landed
+    changed = back.filter(F.col("order_date") == F.lit(some_date))
+    assert changed.filter(F.col("Product") != "UPDATED").count() == 0
+    # every other partition's files are byte-untouched
+    for d, mtime in untouched.items():
+        assert os.path.getmtime(d) == mtime, f"partition {d} was rewritten"
+
+
 def test_snapshot_overwrite_replaces_state(spark, tmpdir):
     a = fake_orders(spark, 100)
     b = fake_orders(spark, 50)
