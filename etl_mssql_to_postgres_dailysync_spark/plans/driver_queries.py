@@ -561,6 +561,36 @@ def fake_orders_generator(spark, sf_dir):
     return df.withColumn("Amount", F.round(F.col("Amount").cast("double"), 2))
 
 
+_DS_DATE = "2025-03-15"
+
+
+@register(
+    "daily_sync_pipeline",
+    f"""
+    WITH gen AS ({ORACLES["fake_orders_generator"].replace("range(1000)", "range(10000)")})
+    SELECT OrderID, UserID, AddedToCartAt, OrderCreatedAt, Amount, Product, IsDelivered
+    FROM gen
+    WHERE OrderCreatedAt >= TIMESTAMP '{_DS_DATE} 00:00:00'
+      AND OrderCreatedAt < TIMESTAMP '{_DS_DATE} 00:00:00' + INTERVAL 1 DAY
+    """,
+)
+def daily_sync_pipeline(spark, sf_dir):
+    """E1 — the flagship pipeline end-to-end as ONE plan: generate the
+    source, run daily_sync (date-partition extract, NULL-key split, key
+    drop, small-source merge, reconciliation) against an empty target, and
+    return the post-merge target state. With an empty target that state ==
+    the complete partition for the run date, which the oracle derives from
+    the generator SQL directly."""
+    from etl_mssql_to_postgres_dailysync_spark.plans.daily_sync import daily_sync
+
+    src = fake_orders(spark, 10000)
+    target = src.filter(F.lit(False))
+    res = daily_sync(src, target, _DS_DATE)
+    return res.merged_target.withColumn(
+        "Amount", F.round(F.col("Amount").cast("double"), 2)
+    )
+
+
 @register(
     "csv_roundtrip",
     ORACLES["fake_orders_generator"],

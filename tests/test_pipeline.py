@@ -64,6 +64,16 @@ def test_per_date_counts_sum(spark):
     assert total == src.filter(F.col("OrderCreatedAt").isNotNull()).count()
 
 
+def test_observe_count_rides_along(spark):
+    """A2 — the extract counter as an observe() side effect: no second scan."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.validate import observe_count
+
+    src = fake_orders(spark, 200)
+    observed, obs = observe_count(src.filter(F.col("OrderCreatedAt").isNotNull()), "extract")
+    n_action = observed.count()  # ONE action drives both the count and the metric
+    assert obs.get["rows"] == n_action
+
+
 def test_projection_ops(spark):
     from etl_mssql_to_postgres_dailysync_spark.schemas import ORDERS_SCHEMA
 
