@@ -1764,6 +1764,114 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "cube_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (CAST(year(o_orderdate) AS INT), o_orderstatus)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations of year x status) —
+    one pass, partial-aggregated like any groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .cube("order_year", "o_orderstatus")
+        .agg(F.sum("cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_orders",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           {", ".join(
+               f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s}" for s in _PIVOT_STATUSES
+           )}
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_orders(spark, sf_dir):
+    """Pivot: order counts by year with one column per status. Explicit pivot
+    values keep it a single pass (no distinct-values pre-scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("order_year"), "o_orderstatus"
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "order_year", *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES]
+    )
+    return renamed
+
+
+@register(
+    "unpivot_orders",
+    f"""
+    WITH p AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               {", ".join(
+                   f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS n_{s}" for s in _PIVOT_STATUSES
+               )}
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, status, n FROM p
+    UNPIVOT (n FOR status IN (n_F AS 'F', n_O AS 'O', n_P AS 'P'))
+    """,
+)
+def unpivot_orders(spark, sf_dir):
+    """Unpivot/melt: the wide per-status counts back to long form —
+    map-side only, no shuffle beyond the upstream aggregate."""
+    wide = pivot_orders(spark, sf_dir)
+    return wide.unpivot(
+        "order_year",
+        [f"n_{s}" for s in _PIVOT_STATUSES],
+        "status_col",
+        "n",
+    ).select(
+        "order_year",
+        F.substring("status_col", 3, 1).alias("status"),
+        "n",
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (both engines use linear
+    interpolation; rounded to 4 dp). At 100 TB swap to approx_percentile
+    (t-digest-style sketch) — kept exact here for oracle parity."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
     "running_total",
     """
     SELECT o_custkey, o_orderkey,
