@@ -501,6 +501,39 @@ def coercion_accounting(spark, sf_dir):
 
 
 @register(
+    "json_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           CAST(json_array_length(json_extract(('[' || json_extract_string(props, '$.k') || ',2]'), '$')) AS INT) AS arr_len,
+           json_extract_string('{"missing": 1}', '$.k') AS absent
+    FROM events
+    """,
+)
+def json_functions(spark, sf_dir):
+    """Semi-structured extraction over a JSON string column: typed field
+    extraction (from_json with schema — JVM-side Jackson parse, one pass),
+    validity probe, array construction + length, missing-path NULL."""
+    from pyspark.sql import types as T
+
+    events = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return events.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        parsed.isNotNull().alias("is_valid"),
+        F.size(
+            F.from_json(
+                F.concat(F.lit("["), F.get_json_object("props", "$.k"), F.lit(",2]")),
+                T.ArrayType(T.LongType()),
+            )
+        ).cast("int").alias("arr_len"),
+        F.get_json_object(F.lit('{"missing": 1}'), "$.k").alias("absent"),
+    )
+
+
+@register(
     "null_counts",
     """
     SELECT count(*) FILTER (WHERE (CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END) IS NULL) AS user_key_nulls,
@@ -1102,6 +1135,38 @@ def embedding_norms(spark, sf_dir):
         "vec_id",
         F.round(vectors.norm(F.col("embedding")), 6).alias("l2_norm"),
         F.round(comp_sum, 6).alias("comp_sum"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           array_to_string(list_transform(embedding[1:3]::DOUBLE[],
+                           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), '|') AS head3,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array/higher-order function surface over array<float>: size, slice +
+    per-element transform, predicate filter, max — all JVM-side, no UDFs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        # serialized as integer micro-units: array-typed outputs break
+        # pandas-based comparators, and double->string diverges cross-engine
+        # (Spark uses scientific notation below 1e-3)
+        F.concat_ws(
+            "|",
+            F.transform(F.slice(d, 1, 3), lambda x: F.round(x * 1_000_000).cast("bigint").cast("string")),
+        ).alias("head3"),
+        F.size(F.filter(d, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(F.array_max(d), 6).alias("max_val"),
     )
 
 
