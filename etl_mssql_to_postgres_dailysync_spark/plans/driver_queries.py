@@ -1829,6 +1829,94 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "set_operations",
+    """
+    WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+         b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT (SELECT count(*) FROM (SELECT o_orderkey FROM a UNION SELECT o_orderkey FROM b)) AS n_union,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM a INTERSECT SELECT o_orderkey FROM b)) AS n_intersect,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM a EXCEPT SELECT o_orderkey FROM b)) AS n_except,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM a UNION ALL SELECT o_orderkey FROM b)) AS n_union_all
+    """,
+)
+def set_operations(spark, sf_dir):
+    """Set operations (§2.5): union/intersect/except distinct + union all —
+    each a hash-partitioned distinct under the hood except union-all (which
+    is a zero-shuffle concatenation of partitions)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 0)
+    return (
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+        .crossJoin(a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect")))
+        .crossJoin(a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n_except")))
+        .crossJoin(a.union(b).agg(F.count(F.lit(1)).alias("n_union_all")))
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_upper,
+           trim(concat('  ', lang, '  ')) AS trimmed,
+           substr(source, 1, 3) AS src3,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           levenshtein(lang, 'en') AS lev_en,
+           CAST(length(source) AS INT) AS src_len,
+           replace(source, '-', '_') AS src_snake
+    FROM documents
+    """,
+)
+def string_functions(spark, sf_dir):
+    """String function surface (C8 generalized): case, trim, substring, pad,
+    edit distance, replace — all whole-stage-codegen'd expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+        F.substring("source", 1, 3).alias("src3"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.levenshtein("lang", F.lit("en")).alias("lev_en"),
+        F.length("source").cast("int").alias("src_len"),
+        F.replace(F.col("source"), F.lit("-"), F.lit("_")).alias("src_snake"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sunday1,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def datetime_functions(spark, sf_dir):
+    """Date/time function surface: extraction, truncation, arithmetic.
+    Cross-engine conventions normalized explicitly: Spark dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday (+1), and datediff argument order
+    is (end, start) in Spark vs (unit, start, end) in DuckDB."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sunday1"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+    )
+
+
+@register(
     "cube_revenue",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
