@@ -2108,3 +2108,330 @@ def agg_distinct_users(spark, sf_dir):
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavor optimizer workouts: subquery shapes (EXISTS / NOT EXISTS /
+# IN / NOT IN / scalar-correlated) re-expressed as Spark join strategies
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-07-01' AND DATE '1995-09-30'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark, sf_dir):
+    """TPC-H Q4 flavor — correlated EXISTS as a LEFT SEMI join. Catalyst
+    splits the condition: the equi part (l_orderkey = o_orderkey) drives the
+    hash join, the non-equi ship-lag part is applied as a join residual, so
+    no theta-join blowup. The date range on orders is sargable and pushed to
+    the scan; lineitem is column-pruned to 2 columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-07-01", "1995-09-30")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 flavor — order-count distribution. Instead of the naive
+    outer-join-then-count (joins every order row before aggregating), orders
+    are pre-aggregated per customer FIRST (map-side partial agg shrinks the
+    shuffle to one row per customer), then outer-joined to customer and
+    null-filled — at 100 TB this turns a fact-sized shuffle into a dim-sized
+    one."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    counts = cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer").select(
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 flavor — scalar correlated subquery (per-part average) as a
+    broadcast self-join: aggregate the brand-filtered fact once per part,
+    broadcast the tiny per-part threshold table back onto the same fact.
+    Parity note: quantities are whole-number doubles, so avg = exact-sum /
+    count is IEEE-deterministic across engines; money compared in integer
+    cents."""
+    part_b = (
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_items = li.join(F.broadcast(part_b), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = brand_items.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        brand_items.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
+         ON o_orderkey = l_orderkey
+    """,
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 flavor — IN (GROUP BY … HAVING) as aggregate-then-join. The
+    heavy fact aggregation happens once with map-side combine; the HAVING
+    filter shrinks it to a handful of keys, so the joins back to orders and
+    customer are broadcast-able (AQE converts them at runtime)."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "global_sales_opportunity",
+    """
+    WITH bal AS (SELECT c_custkey, c_name, c_acctbal,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                 FROM customer),
+         avg_bal AS (SELECT avg(bal_cents) AS ab FROM bal WHERE c_acctbal > 0)
+    SELECT right(c_name, 2) AS cseg,
+           count(*) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM bal, avg_bal
+    WHERE bal_cents > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE)
+                            BETWEEN DATE '1995-01-01' AND DATE '1995-12-31')
+    GROUP BY cseg
+    """,
+)
+def global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 flavor — uncorrelated scalar subquery (global average
+    balance) as a 1-row broadcast cross join, NOT EXISTS as a LEFT ANTI join
+    against the date-pruned orders scan. Averaging integer cents (not raw
+    doubles) keeps the threshold bit-identical across engines."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("bal_cents").alias("ab"))
+    orders95 = (
+        _t(spark, sf_dir, "orders")
+        .filter(filters.date_range_partition("o_orderdate", "1995-01-01", "1995-12-31"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_cents") > F.col("ab"))
+        .join(orders95, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.expr("right(c_name, 2)").alias("cseg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").cast("bigint").alias("totacctbal_cents"),
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS BIGINT) AS total_revenue_centipct
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def top_supplier(spark, sf_dir):
+    """TPC-H Q15 flavor — scalar MAX subquery over a derived view. The
+    revenue aggregation runs ONCE; its 1-row max is broadcast back (argmax
+    without a global sort), and the supplier dim joins broadcast. Revenue in
+    integer centi-percent units so max/equality are exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        filters.date_range_partition("l_shipdate", "1996-01-01", "1996-03-31")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("total_rev").alias("total_revenue_centipct"))
+    )
+
+
+@register(
+    "supplier_part_variety",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 4, 7)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 flavor — NOT IN rewritten as LEFT ANTI (sound because
+    s_suppkey is non-null; a nullable NOT IN needs null-aware anti join,
+    which Catalyst plans from the SQL form automatically). Both the excluded
+    suppliers and the filtered part dim are broadcast, so the only shuffle
+    is the final distinct-count aggregation."""
+    bad_supp = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").like("PROMO%"))
+            & (F.col("p_size").isin(1, 4, 7))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "waiting_supplier_orders",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+    GROUP BY s_name
+    """,
+)
+def waiting_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 flavor — the classic double-correlated EXISTS / NOT EXISTS
+    pair re-expressed as ONE per-order aggregate: an order qualifies for a
+    late lineitem iff it has >=2 distinct suppliers and exactly 1 distinct
+    LATE supplier. Two correlated-subquery rescans of the fact collapse into
+    a single groupBy over the already-joined rows — one fact shuffle total,
+    instead of three in the naive plan."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
