@@ -18,7 +18,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_mssql_to_postgres_dailysync_spark.functions import dedup, multimodal, similarity, text
+from etl_mssql_to_postgres_dailysync_spark.functions import dedup, multimodal, similarity, sketches, text
 from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
 from etl_mssql_to_postgres_dailysync_spark.operators import coerce, filters
 from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge
@@ -2434,4 +2434,113 @@ def waiting_supplier_orders(spark, sf_dir):
         qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CountMin frequency sketch (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+_CMS_PROBE_COORDS = " UNION ALL ".join(
+    f"SELECT user_id, exact_cnt, {s} AS seed, "
+    + sketches.md5_long_sql("CAST(user_id AS VARCHAR)", s)
+    + f" % {sketches.CMS_WIDTH} AS bucket FROM probes"
+    for s in range(sketches.CMS_DEPTH)
+)
+
+@register(
+    "cms_frequency_sketch",
+    f"""
+    WITH pairs AS ({sketches.cms_oracle_pairs_sql("events", "CAST(user_id AS VARCHAR)")}),
+    sketch AS (SELECT seed, bucket, count(*) AS counter FROM pairs GROUP BY 1, 2),
+    probes AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+               ORDER BY exact_cnt DESC, user_id ASC LIMIT 10),
+    coords AS ({_CMS_PROBE_COORDS}),
+    est AS (SELECT user_id, exact_cnt, CAST(min(coalesce(counter, 0)) AS BIGINT) AS cms_est
+            FROM coords LEFT JOIN sketch USING (seed, bucket) GROUP BY 1, 2)
+    SELECT user_id, exact_cnt, cms_est FROM est
+    """,
+)
+def cms_frequency_sketch(spark, sf_dir):
+    """CountMin frequency sketch over event user_ids, probed at the exact
+    top-10 heavy hitters.  The oracle recomputes the SKETCH ITSELF (same md5
+    bucket functions, integer counters) — so this checks the full pipeline:
+    build (one scan, d*w-bounded shuffle), broadcast estimate, and the
+    CMS >= exact overestimate guarantee, bit-for-bit.  The sketch stays
+    ~depth*width rows at any input scale; merging day-sketches is a counter
+    SUM (sketches.cms_merge)."""
+    events = _t(spark, sf_dir, "events")
+    sketch = sketches.cms_build(events, "user_id")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    est = sketches.cms_estimate(sketch, exact.select("user_id"), "user_id")
+    return exact.join(F.broadcast(est), ["user_id"]).select("user_id", "exact_cnt", "cms_est")
+
+
+# ---------------------------------------------------------------------------
+# Transactional table format (sources/txn_table.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "txn_table_snapshot",
+    f"""
+    WITH base AS (SELECT * FROM orders
+                  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'),
+    final AS (SELECT o_orderkey, o_orderdate,
+                     CASE WHEN CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+                          THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+                          THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+              FROM base)
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1, 2
+    """,
+)
+def txn_table_snapshot(spark, sf_dir):
+    """ACID table format end-to-end: append March 1995, append April 1995
+    (both range-clustered on o_orderdate for zone-map pruning), then a
+    copy-on-write MERGE that bumps the run date's orders — three atomic
+    commits in a Delta-style commit log — and read the head snapshot back.
+    The oracle recomputes the same final state relationally, so this checks
+    commit replay + merge semantics + snapshot read in one pass. Time
+    travel / concurrency / vacuum are covered in tests/test_txn_table.py."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+
+    path = f"/tmp/spark_graft_txn_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    t = TxnTable(spark, path, stats_cols=["o_orderdate"])
+    t.append(
+        orders.filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")),
+        cluster_by=["o_orderdate"],
+    )
+    t.append(
+        orders.filter(filters.date_range_partition("o_orderdate", "1995-04-01", "1995-04-30")),
+        cluster_by=["o_orderdate"],
+    )
+    src = (
+        orders.filter(filters.daily_partition("o_orderdate", RUN_DATE))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    t.merge(src, ["o_orderkey"])
+    return (
+        t.read()
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
     )

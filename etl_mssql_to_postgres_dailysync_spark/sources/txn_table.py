@@ -1,0 +1,320 @@
+"""TxnTable — a minimal ACID table format over parquet (Delta-protocol style).
+
+The reference gets atomicity from the target database (one transaction around
+the staging TRUNCATE/append + MERGE, csv_to_mssqldb.py:447-466; rollback on
+load error, dags/mssql_to_postgresql_orders_daily.py:322,340-343).  When the
+engine of record is a parquet lake there is no database to lean on, so this
+module supplies the same guarantees the lake-table formats (Delta Lake,
+Iceberg — public protocol designs) do, in miniature:
+
+  * **Commit log**: `_txn_log/<version>.json`, one JSON document per commit
+    holding `add`/`remove` file actions + operation metadata.  The table
+    state at version V is the replay of actions 0..V — data files are
+    immutable and never listed from the filesystem (object-store LIST is
+    both slow and eventually consistent at 100 TB).
+  * **Atomic, optimistically-concurrent commits**: a commit materializes as
+    an atomic hard-link of a fully-written temp file into the next version
+    slot; the link fails if the slot is taken.  Blind appends retry on top
+    of the new head (they commute); read-modify-write ops (overwrite /
+    merge / compact) raise `ConcurrentWriteError` because their snapshot is
+    stale — the caller re-runs on the new head.  (On S3-like stores the
+    exclusive-create becomes a CAS against a log service, as in Delta's
+    commit coordinators; the protocol is unchanged.)
+  * **File-level stats pruning (zone maps)**: each `add` records per-file
+    min/max/null-count for the indexed columns, computed with ONE Spark job
+    over the freshly written files.  `read(prune=("col", lo, hi))` skips
+    files whose range cannot overlap — the metadata-driven analog of hive
+    partition pruning, but it also works for value-clustered columns
+    (`cluster_by=` range-partitions the write so ranges stay tight).
+  * **Time travel**: `read(version=k)` replays the log only to k.
+  * **Checkpoints**: every `checkpoint_interval` commits the full live set
+    is written to `<version>.checkpoint.json`, so snapshot construction is
+    O(interval) log reads, not O(history).
+  * **Compaction & vacuum**: `compact()` rewrites the live set into few
+    large files as a normal commit (history intact); `vacuum()` physically
+    deletes files unreferenced by every retained version.
+
+Scale notes: the log holds file *metadata* only (a 100 TB table at 1 GB
+files is ~100k add-actions — megabytes of JSON, checkpointed); data moves
+through ordinary parquet scans, so every Catalyst optimization (pushdown,
+pruning, vectorized read) applies unchanged to `read()` output.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_txn_log"
+LOG_WIDTH = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A read-modify-write commit lost the race; re-run on the new head."""
+
+
+@dataclass
+class AddFile:
+    path: str  # relative to table root
+    rows: int
+    stats: dict  # col -> {"min": v, "max": v, "nulls": n}
+
+
+def _version_path(log: str, v: int, checkpoint: bool = False) -> str:
+    suffix = ".checkpoint.json" if checkpoint else ".json"
+    return os.path.join(log, f"{v:0{LOG_WIDTH}d}{suffix}")
+
+
+class TxnTable:
+    def __init__(self, spark: SparkSession, path: str, stats_cols: Sequence[str] = (),
+                 checkpoint_interval: int = 10):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log = os.path.join(self.path, LOG_DIR)
+        self.stats_cols = list(stats_cols)
+        self.checkpoint_interval = checkpoint_interval
+        os.makedirs(self.log, exist_ok=True)
+
+    # ---------------------------------------------------------------- log --
+
+    def version(self) -> int:
+        """Head version, -1 if the table has no commits."""
+        vs = [int(os.path.basename(p).split(".")[0])
+              for p in glob.glob(os.path.join(self.log, "*.json"))
+              if not p.endswith(".checkpoint.json")]
+        return max(vs, default=-1)
+
+    def _read_commit(self, v: int) -> dict:
+        with open(_version_path(self.log, v)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [
+            {k: c[k] for k in ("version", "op", "meta")}
+            for v in range(self.version() + 1)
+            for c in [self._read_commit(v)]
+        ]
+
+    def _snapshot(self, version: int | None = None) -> tuple[dict[str, dict], dict | None]:
+        """Replay the log to ``version``: {rel_path: add_action}, schema."""
+        head = self.version()
+        if version is None:
+            version = head
+        if version > head or version < -1:
+            raise ValueError(f"version {version} out of range (head={head})")
+        start, live, schema = 0, {}, None
+        # start from the newest checkpoint at or below the target version
+        for v in range(version, -1, -1):
+            cp = _version_path(self.log, v, checkpoint=True)
+            if os.path.exists(cp):
+                with open(cp) as f:
+                    snap = json.load(f)
+                live = {a["path"]: a for a in snap["live"]}
+                schema = snap["schema"]
+                start = v + 1
+                break
+        for v in range(start, version + 1):
+            c = self._read_commit(v)
+            if c.get("schema"):
+                schema = c["schema"]
+            for action in c["actions"]:
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        return live, schema
+
+    def _commit(self, op: str, actions: list[dict], expected_version: int,
+                schema: dict | None, meta: dict | None = None) -> int:
+        tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}")
+        doc = {"op": op, "actions": actions, "schema": schema, "meta": meta or {}}
+        v = expected_version
+        try:
+            while True:
+                doc["version"] = v
+                with open(tmp, "w") as f:
+                    json.dump(doc, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, _version_path(self.log, v))  # atomic exclusive publish
+                    break
+                except FileExistsError:
+                    if op == "append":
+                        v += 1  # blind appends commute: retry on the new head
+                    else:
+                        raise ConcurrentWriteError(
+                            f"{op} at version {v} lost the race; snapshot is stale"
+                        )
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        if v % self.checkpoint_interval == 0 and v > 0:
+            live, schema_now = self._snapshot(v)
+            cp_doc = {"version": v, "live": list(live.values()), "schema": schema_now}
+            cp_tmp = tmp + ".cp"
+            with open(cp_tmp, "w") as f:
+                json.dump(cp_doc, f)
+            os.replace(cp_tmp, _version_path(self.log, v, checkpoint=True))
+        return v
+
+    # -------------------------------------------------------------- write --
+
+    def _write_files(self, df: DataFrame, cluster_by: Sequence[str] | None) -> list[dict]:
+        """Write df as immutable parquet files under a fresh commit dir and
+        return their add-actions with per-file stats (one Spark job each)."""
+        commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        out = df
+        if cluster_by:
+            # range-partition so each file covers a tight value range: this
+            # is what makes min/max pruning selective. The partition count is
+            # pinned explicitly so AQE doesn't coalesce small test inputs
+            # into one file (at scale, pick ~table_bytes / 1 GB).
+            n = max(df.rdd.getNumPartitions(), 2)
+            out = out.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+        out.write.mode("error").parquet(commit_dir)
+        written = self.spark.read.parquet(commit_dir)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in self.stats_cols:
+            if c in written.columns:
+                aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"),
+                         F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")]
+        per_file = (
+            written.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        )
+        actions = []
+        for row in per_file:
+            local = "/" + row["__file"].removeprefix("file:").lstrip("/")
+            rel = os.path.relpath(local, self.path)
+            stats = {
+                c: {
+                    "min": _json_safe(row[f"__min_{c}"]),
+                    "max": _json_safe(row[f"__max_{c}"]),
+                    "nulls": row[f"__nulls_{c}"],
+                }
+                for c in self.stats_cols
+                if f"__min_{c}" in row.asDict()
+            }
+            actions.append({"add": {"path": rel, "rows": row["__rows"], "stats": stats}})
+        return actions
+
+    def append(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
+               meta: dict | None = None) -> int:
+        adds = self._write_files(df, cluster_by)
+        return self._commit("append", adds, self.version() + 1, df.schema.jsonValue(), meta)
+
+    def overwrite(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
+                  meta: dict | None = None) -> int:
+        base = self.version()
+        live, _ = self._snapshot(base)
+        actions = [{"remove": {"path": p}} for p in live]
+        actions += self._write_files(df, cluster_by)
+        return self._commit("overwrite", actions, base + 1, df.schema.jsonValue(), meta)
+
+    def merge(self, source: DataFrame, keys: Sequence[str],
+              cluster_by: Sequence[str] | None = None, **merge_kwargs) -> int:
+        """Copy-on-write MERGE: snapshot-read the target, run the relational
+        merge (operators/merge.py — the engine's S6-S8 semantics), publish
+        the result atomically.  Partition-scoped variants (touch only
+        affected date partitions) compose by pre-filtering + two commits."""
+        from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge as rel_merge
+
+        base = self.version()
+        target = self.read()
+        merged = rel_merge(target, source, keys, **merge_kwargs).df
+        live, _ = self._snapshot(base)
+        actions = [{"remove": {"path": p}} for p in live]
+        actions += self._write_files(merged, cluster_by)
+        return self._commit("merge", actions, base + 1, merged.schema.jsonValue(),
+                            {"keys": list(keys)})
+
+    def compact(self, num_files: int = 1) -> int:
+        """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);
+        a normal commit, so time travel before it still works."""
+        base = self.version()
+        df = self.read().coalesce(num_files)
+        live, _ = self._snapshot(base)
+        actions = [{"remove": {"path": p}} for p in live]
+        actions += self._write_files(df, None)
+        return self._commit("compact", actions, base + 1, df.schema.jsonValue())
+
+    # --------------------------------------------------------------- read --
+
+    def files(self, version: int | None = None,
+              prune: tuple | list | None = None) -> list[AddFile]:
+        """Live files at ``version``, optionally zone-map-pruned by
+        ``(col, lo, hi)`` predicates (lo/hi inclusive, None = unbounded)."""
+        live, _ = self._snapshot(version)
+        preds = []
+        if prune:
+            preds = [prune] if isinstance(prune, tuple) else list(prune)
+        out = []
+        for a in live.values():
+            keep = True
+            for col, lo, hi in preds:
+                st = a.get("stats", {}).get(col)
+                if st is None or st["min"] is None:
+                    continue  # no stats -> cannot prune, must read
+                if (hi is not None and str_cmp(st["min"], hi) > 0) or (
+                    lo is not None and str_cmp(st["max"], lo) < 0
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(AddFile(a["path"], a["rows"], a.get("stats", {})))
+        return out
+
+    def read(self, version: int | None = None, prune=None) -> DataFrame:
+        live, schema = self._snapshot(version)
+        fs = self.files(version, prune)
+        if not fs:
+            st = StructType.fromJson(schema) if schema else StructType([])
+            return self.spark.createDataFrame([], st)
+        return self.spark.read.parquet(*[os.path.join(self.path, f.path) for f in fs])
+
+    # ------------------------------------------------------------- vacuum --
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Delete data files unreferenced by every version in
+        [head - retain_versions, head].  Destroys time travel before that
+        horizon (like Delta VACUUM's retention window)."""
+        head = self.version()
+        referenced: set[str] = set()
+        for v in range(max(0, head - retain_versions), head + 1):
+            live, _ = self._snapshot(v)
+            referenced.update(live.keys())
+        deleted = []
+        for f in glob.glob(os.path.join(self.path, "data", "*", "*.parquet")):
+            rel = os.path.relpath(f, self.path)
+            if rel not in referenced:
+                os.unlink(f)
+                deleted.append(rel)
+        for d in glob.glob(os.path.join(self.path, "data", "*")):
+            if os.path.isdir(d) and not os.listdir(d):
+                shutil.rmtree(d)
+        return deleted
+
+
+def _json_safe(v):
+    """Stats values must survive a JSON round trip; order-comparable form."""
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    return str(v)
+
+
+def str_cmp(a, b) -> int:
+    """Compare two stats values; JSON round-trips timestamps to ISO strings,
+    which order the same lexically as temporally."""
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (a > b) - (a < b)
+    a, b = str(a), str(b)
+    return (a > b) - (a < b)

@@ -186,3 +186,28 @@ def test_ivf_topk_finds_close_vector(spark, vectors):
     # vec 2 shares vec 1's cell (x-axis orthant); vec 3 lives in the y cell
     assert rows[0]["neighbor_id"] == 2
     assert all(r["neighbor_id"] != 3 for r in rows)
+
+
+class TestCountMinSketch:
+    def test_merge_equals_whole(self, spark, sf_dir):
+        from etl_mssql_to_postgres_dailysync_spark.functions import sketches
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        half_a = events.filter(F.col("event_id") % 2 == 0)
+        half_b = events.filter(F.col("event_id") % 2 == 1)
+        whole = sketches.cms_build(events, "user_id")
+        merged = sketches.cms_merge(
+            sketches.cms_build(half_a, "user_id"), sketches.cms_build(half_b, "user_id")
+        )
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_overestimate_guarantee(self, spark, sf_dir):
+        from etl_mssql_to_postgres_dailysync_spark.functions import sketches
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sketch = sketches.cms_build(events, "user_id")
+        exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        est = sketches.cms_estimate(sketch, exact.select("user_id"), "user_id")
+        joined = exact.join(est, ["user_id"])
+        assert joined.filter(F.col("cms_est") < F.col("exact_cnt")).count() == 0

@@ -1,0 +1,136 @@
+"""TxnTable (sources/txn_table.py): ACID commit log over parquet.
+
+Covers the guarantees the reference delegates to its target databases
+(transaction + rollback, csv_to_mssqldb.py:447-466): atomic visibility,
+optimistic concurrency, snapshot isolation / time travel, stats pruning,
+compaction and vacuum."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import (
+    ConcurrentWriteError,
+    TxnTable,
+    _version_path,
+)
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+class TestCommitProtocol:
+    def test_append_read_roundtrip(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        a = _orders(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+        b = _orders(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 1)
+        assert t.append(a) == 0
+        assert t.append(b) == 1
+        assert t.read().count() == _orders(spark, sf_dir).count()
+
+    def test_overwrite_replaces(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir))
+        small = _orders(spark, sf_dir).limit(10)
+        t.overwrite(small)
+        assert t.read().count() == 10
+
+    def test_time_travel_and_history(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(5))
+        t.append(_orders(spark, sf_dir).limit(7))
+        t.overwrite(_orders(spark, sf_dir).limit(3))
+        assert t.read(version=0).count() == 5
+        assert t.read(version=1).count() == 12
+        assert t.read().count() == 3
+        assert [h["op"] for h in t.history()] == ["append", "append", "overwrite"]
+
+    def test_append_retries_past_conflict(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(5))
+        # another writer takes version 1 out from under us
+        with open(_version_path(t.log, 1), "w") as f:
+            json.dump({"version": 1, "op": "append", "actions": [], "schema": None,
+                       "meta": {}}, f)
+        v = t.append(_orders(spark, sf_dir).limit(5))
+        assert v == 2 and t.read().count() == 10
+
+    def test_read_modify_write_conflict_raises(self, spark, sf_dir, tdir):
+        t1 = TxnTable(spark, tdir)
+        t1.append(_orders(spark, sf_dir).limit(5))
+        t2 = TxnTable(spark, tdir)
+        snapshot_head = t2.version()
+        t1.append(_orders(spark, sf_dir).limit(5))  # intervening commit
+        live, _ = t2._snapshot(snapshot_head)
+        actions = [{"remove": {"path": p}} for p in live]
+        with pytest.raises(ConcurrentWriteError):
+            t2._commit("overwrite", actions, snapshot_head + 1, None)
+
+
+class TestMerge:
+    def test_merge_upsert_semantics(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        base = _orders(spark, sf_dir).filter(F.col("o_orderkey") < 1000)
+        t.append(base)
+        src = (
+            _orders(spark, sf_dir)
+            .filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+            .withColumn("o_orderstatus", F.lit("U"))
+        )
+        t.merge(src, ["o_orderkey"])
+        out = t.read()
+        expected = base.filter(F.col("o_orderkey") < 500).count() + src.count()
+        assert out.count() == expected
+        assert out.filter(F.col("o_orderkey") >= 500).filter(
+            F.col("o_orderstatus") != "U"
+        ).count() == 0
+
+
+class TestPruningCompactVacuum:
+    def test_stats_pruning_skips_files(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey"])
+        df = _orders(spark, sf_dir).repartition(8)
+        t.append(df, cluster_by=["o_orderkey"])
+        all_files = t.files()
+        pruned = t.files(prune=("o_orderkey", 0, 10))
+        assert len(pruned) < len(all_files)
+        assert t.read(prune=("o_orderkey", 0, 10)).filter(
+            F.col("o_orderkey") <= 10
+        ).count() == df.filter(F.col("o_orderkey") <= 10).count()
+
+    def test_compact_preserves_data_and_history(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(20).repartition(4))
+        t.append(_orders(spark, sf_dir).limit(40).repartition(4))
+        n_before = t.read().count()
+        files_before = len(t.files())
+        t.compact()
+        assert t.read().count() == n_before
+        assert len(t.files()) < files_before
+        assert t.read(version=1).count() == n_before  # time travel intact
+
+    def test_vacuum_deletes_dead_files_only(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(20))
+        t.overwrite(_orders(spark, sf_dir).limit(5))
+        deleted = t.vacuum(retain_versions=0)
+        assert deleted  # version-0 files are dead at head
+        assert t.read().count() == 5
+        for f in t.files():
+            assert os.path.exists(os.path.join(t.path, f.path))
+
+    def test_checkpoint_used_for_snapshot(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, checkpoint_interval=3)
+        for i in range(5):
+            t.append(_orders(spark, sf_dir).limit(2))
+        assert os.path.exists(_version_path(t.log, 3, checkpoint=True))
+        assert t.read().count() == 10
+        assert t.read(version=2).count() == 6
