@@ -199,3 +199,149 @@ def lsh_bucketed_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Trained k-means for the IVF tier (integer-exact Lloyd)
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize_vec(vec):
+    """array<float> -> array<long> micro-units. All downstream k-means math
+    is int64 (squared distances <= ~7e13, sums far below 2^63), so results
+    are bit-identical regardless of partitioning or engine — which makes the
+    TRAINING itself oracle-checkable, not just the final search."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def int_sqdist(a, b):
+    """Exact squared L2 distance between two array<long> columns (JVM-side
+    zip_with/aggregate fold — no Python, no floats)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_int(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (ties to the lower cell id). Centroids
+    broadcast; the only shuffle is the per-vector argmin window."""
+    scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__d__", int_sqdist(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("__d__").asc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("vid", "qv", "cell_id")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized vectors.
+
+    * seeding: the k vectors with the smallest md5(id) — deterministic and
+      engine-portable (no RNG);
+    * assignment: broadcast centroids, exact int64 distances;
+    * update: per-(cell, position) integer mean via posexplode + groupBy —
+      ``sum div count`` truncating division (identical to DuckDB's ``//``),
+      so every iteration is order-independent and cross-engine exact;
+    * empty cells keep their previous centroid.
+
+    Only the k x dim centroid table ever reaches the driver (metadata-sized,
+    like any index descriptor); each iteration is one broadcast pass + one
+    aggregation over the corpus. At 100 TB you fit on a sample with more
+    iterations — the operator is unchanged.
+    """
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+
+    spark = df.sparkSession
+    q = df.select(F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col)).alias("qv"))
+    seeds = q.orderBy(md5_long(F.col("vid")).asc(), F.col("vid").asc()).limit(k).collect()
+    cent = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cent, "cell_id int, cv array<bigint>")
+        assigned = _assign_int(q, cdf)
+        upd = (
+            assigned.select("cell_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.expr("sum(val) div count(1)").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {r["cell_id"]: list(r["cv"]) for r in upd}
+        cent = [(i, new.get(i, v)) for i, v in cent]
+    return spark.createDataFrame(cent, "cell_id int, cv array<bigint>")
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    num_cells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF search over TRAINED cells: fit integer k-means on the corpus,
+    assign corpus (1 cell) and queries (nprobe cells) in exact int space,
+    then cosine top-k within the probed cells (double cosine, rounded at
+    6dp exactly like the other similarity tiers)."""
+    cent = kmeans_fit(corpus, id_col=id_col, vec_col=vec_col, k=num_cells, iters=iters)
+
+    def with_cells(df: DataFrame, n: int, out_id: str) -> DataFrame:
+        q = df.select(
+            F.col(id_col).alias("vid"),
+            quantize_vec(F.col(vec_col)).alias("qv"),
+            F.col(vec_col).alias("__v__"),
+            norm(F.col(vec_col)).alias("__n__"),
+        )
+        scored = q.crossJoin(F.broadcast(cent)).withColumn(
+            "__d__", int_sqdist(F.col("qv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("__d__").asc(), F.col("cell_id").asc())
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n)
+            .select(
+                F.col("vid").alias(out_id),
+                F.col("__v__").alias(f"{out_id}_v"),
+                F.col("__n__").alias(f"{out_id}_n"),
+                "cell_id",
+            )
+        )
+
+    corp = with_cells(corpus, 1, "neighbor_id")
+    qs = with_cells(queries, nprobe, "query_id")
+    scored = (
+        corp.join(F.broadcast(qs), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("query_id_v"),
+                F.col("neighbor_id_v"),
+                F.col("query_id_n"),
+                F.col("neighbor_id_n"),
+            ).alias("sim"),
+        )
+    )
+    return _topk_per_query(scored, k)

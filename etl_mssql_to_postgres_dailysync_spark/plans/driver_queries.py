@@ -2544,3 +2544,81 @@ def txn_table_snapshot(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-k-means IVF (functions/similarity.py kmeans_fit / ivf_topk_trained)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle_ctes(k: int, iters: int, dim: int = 64) -> str:
+    """The DuckDB twin of similarity.kmeans_fit, unrolled per iteration.
+    Exactness contract: micro-unit quantization, int64 distances, truncating
+    integer-mean update (DuckDB // == Spark div), md5 seeding — every step
+    bit-identical to the Spark operator."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long_sql
+
+    md5v = md5_long_sql("CAST(vid AS VARCHAR)")
+    dist = (f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])))")
+    out = f"""
+    q AS (SELECT vec_id AS vid, embedding,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(round(x * {similarity.QUANT_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings),
+    seeds AS (SELECT vid, qv FROM q ORDER BY {md5v}, vid LIMIT {k}),
+    cent0 AS (SELECT row_number() OVER (ORDER BY {md5v}, vid) - 1 AS cell_id, qv AS cv
+              FROM seeds)"""
+    for i in range(iters):
+        out += f""",
+    a{i} AS (SELECT vid, qv, cell_id FROM (
+         SELECT q.vid, q.qv, c.cell_id,
+                row_number() OVER (PARTITION BY q.vid ORDER BY {dist}, c.cell_id) AS rn
+         FROM q CROSS JOIN cent{i} c) WHERE rn = 1),
+    s{i} AS (SELECT cell_id, t.i AS pos, sum(qv[t.i]) AS s, count(*) AS n
+         FROM a{i}, generate_series(1, {dim}) t(i) GROUP BY 1, 2),
+    n{i} AS (SELECT cell_id, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+             FROM s{i} GROUP BY 1),
+    cent{i + 1} AS (SELECT c.cell_id, coalesce(n.cv, c.cv) AS cv
+                    FROM cent{i} c LEFT JOIN n{i} n USING (cell_id))"""
+    return out
+
+
+_KM_ITERS = 2
+_KM_DIST_FINAL = (f"list_sum(list_transform(generate_series(1, 64), "
+                  f"i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])))")
+
+@register(
+    "similarity_ann_ivf_trained",
+    f"""
+    WITH {_kmeans_oracle_ctes(8, _KM_ITERS)},
+    asgn AS (SELECT vid, embedding, cell_id, rn FROM (
+         SELECT q.vid, q.embedding, c.cell_id,
+                row_number() OVER (PARTITION BY q.vid ORDER BY {_KM_DIST_FINAL}, c.cell_id) AS rn
+         FROM q CROSS JOIN cent{_KM_ITERS} c)),
+    corpus AS (SELECT vid AS neighbor_id, embedding AS cve, cell_id FROM asgn WHERE rn = 1),
+    qa AS (SELECT vid AS query_id, embedding AS qv2, cell_id FROM asgn
+           WHERE vid < 10 AND rn <= 2),
+    scored AS (
+        SELECT qa.query_id, corpus.neighbor_id,
+               round(list_cosine_similarity(qa.qv2::DOUBLE[], corpus.cve::DOUBLE[]), 6) AS sim
+        FROM corpus JOIN qa ON corpus.cell_id = qa.cell_id
+        WHERE corpus.neighbor_id <> qa.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_ivf_trained(spark, sf_dir):
+    """IVF over TRAINED cells: distributed integer-exact Lloyd k-means
+    (md5 seeding, broadcast assignment, truncating integer-mean update)
+    followed by nprobe=2 cell-local cosine top-5. The oracle replays the
+    ENTIRE TRAINING LOOP in SQL and matches bit-for-bit — training, cell
+    assignment, and search are all checked, not just the output shape.
+    At 100 TB: fit on a sample, persist centroids, store the corpus
+    bucketed by cell_id; per-query cost is nprobe/num_cells of the data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_trained(
+        queries_df, emb, k=5, nprobe=2, num_cells=8, iters=_KM_ITERS
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -141,20 +141,37 @@ def jdbc_upsert_write(
     exclude_update_cols: Sequence[str] = (),
     matched_condition_sql: str | None = None,
     placeholder: str = "%s",
+    dialect=None,
 ) -> None:
     """S6/S7 — distributed ON CONFLICT upsert for real JDBC targets: each
     Spark partition opens its own connection (via the picklable ``connect``
     factory), executes batched upserts in one transaction, and rolls back on
     error — exactly the reference's loader
     (dags/…_orders_daily.py:296-343) but parallel per partition. Idempotent
-    per row, so partition-level retries are exactly-once in effect."""
+    per row, so partition-level retries are exactly-once in effect.
+
+    ``dialect`` (sources/dialects.py, a Dialect or its name) renders the
+    upsert in the target engine's native form — Postgres/SQLite ON CONFLICT,
+    MSSQL MERGE, MySQL ON DUPLICATE KEY; without it the legacy
+    placeholder-parameterized ON CONFLICT builder is used."""
     columns = df.columns
-    sql = make_on_conflict_sql(
-        table, columns, keys,
-        exclude_update_cols=exclude_update_cols,
-        matched_condition_sql=matched_condition_sql,
-        placeholder=placeholder,
-    )
+    if dialect is not None:
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        if isinstance(dialect, str):
+            dialect = get_dialect(dialect)
+        sql = dialect.upsert_sql(
+            table, columns, keys,
+            exclude_update_cols=exclude_update_cols,
+            matched_condition_sql=matched_condition_sql,
+        )
+    else:
+        sql = make_on_conflict_sql(
+            table, columns, keys,
+            exclude_update_cols=exclude_update_cols,
+            matched_condition_sql=matched_condition_sql,
+            placeholder=placeholder,
+        )
 
     def load_partition(rows) -> None:
         conn = connect()

@@ -211,3 +211,25 @@ class TestCountMinSketch:
         est = sketches.cms_estimate(sketch, exact.select("user_id"), "user_id")
         joined = exact.join(est, ["user_id"])
         assert joined.filter(F.col("cms_est") < F.col("exact_cnt")).count() == 0
+
+
+class TestKMeansIVF:
+    def test_kmeans_partitioning_invariant(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = similarity.kmeans_fit(emb.repartition(3), k=4, iters=2).collect()
+        b = similarity.kmeans_fit(emb.repartition(7), k=4, iters=2).collect()
+        assert {r["cell_id"]: list(r["cv"]) for r in a} == {
+            r["cell_id"]: list(r["cv"]) for r in b
+        }
+
+    def test_trained_ivf_recall_beats_random_cells(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = similarity.brute_force_topk(queries, emb, k=3)
+        approx = similarity.ivf_topk_trained(queries, emb, k=3, nprobe=2,
+                                             num_cells=4, iters=2)
+        hits = exact.select("query_id", "neighbor_id").intersect(
+            approx.select("query_id", "neighbor_id")
+        ).count()
+        total = exact.count()
+        assert hits / total >= 0.5  # nprobe=2 of 4 trained cells keeps most true neighbors

@@ -80,3 +80,76 @@ def test_upsert_is_idempotent(spark, db):
     con = sqlite3.connect(DB_PATH)
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
     con.close()
+
+
+class TestDialects:
+    """sources/dialects.py — per-engine upsert SQL generation."""
+
+    def test_postgres_on_conflict(self):
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        sql = get_dialect("postgres").upsert_sql(
+            "public.orders", ["order_id", "amount", "updated"], ["order_id"],
+            matched_condition_sql='public.orders."updated" IS NULL',
+        )
+        assert sql == (
+            'INSERT INTO public.orders ("order_id", "amount", "updated") '
+            "VALUES (%s, %s, %s) "
+            'ON CONFLICT ("order_id") DO UPDATE SET "amount" = EXCLUDED."amount", '
+            '"updated" = EXCLUDED."updated" WHERE public.orders."updated" IS NULL'
+        )
+
+    def test_mssql_merge_with_first_write_wins_mask(self):
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        d = get_dialect("mssql")
+        sql = d.upsert_sql(
+            "dbo.orders", ["OrderID", "Amount", "OrderCreatedAt"], ["OrderID"],
+            exclude_update_cols=["OrderCreatedAt"],  # csv_to_mssqldb.py:421
+        )
+        assert "MERGE dbo.orders AS t" in sql
+        assert "t.[OrderID] = s.[OrderID]" in sql
+        assert "t.[Amount] = s.[Amount]" in sql
+        assert "t.[OrderCreatedAt] = s.[OrderCreatedAt]" not in sql
+        assert "WHEN NOT MATCHED BY TARGET THEN INSERT" in sql
+        staged = d.staging_merge_sql(
+            "dbo.orders", "dbo.orders_staging",
+            ["OrderID", "Amount", "OrderCreatedAt"], ["OrderID"],
+            exclude_update_cols=["OrderCreatedAt"],
+        )
+        assert "USING dbo.orders_staging AS s" in staged
+
+    def test_mysql_on_duplicate_key(self):
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        sql = get_dialect("mysql").upsert_sql("orders", ["k", "v"], ["k"])
+        assert sql == (
+            "INSERT INTO orders (`k`, `v`) VALUES (%s, %s) "
+            "ON DUPLICATE KEY UPDATE `v` = VALUES(`v`)"
+        )
+
+    def test_truncate_fallback(self):
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        assert get_dialect("sqlite").truncate_sql("t") == "DELETE FROM t"
+        assert (
+            get_dialect("postgres").truncate_sql("t", restart_identity=True)
+            == "TRUNCATE TABLE t RESTART IDENTITY"
+        )
+
+    def test_sqlite_dialect_end_to_end(self, spark, db):
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        df = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k int, v string, ver int"
+        ).coalesce(1)
+        jdbc_upsert_write(df, _connect_factory(), "t", ["k"], dialect="sqlite")
+        upd = spark.createDataFrame(
+            [(2, "B", 2), (3, "c", 1)], "k int, v string, ver int"
+        ).coalesce(1)
+        jdbc_upsert_write(upd, _connect_factory(), "t", ["k"], dialect=get_dialect("sqlite"))
+        con = sqlite3.connect(db)
+        assert sorted(con.execute("SELECT k, v, ver FROM t").fetchall()) == [
+            (1, "a", 1), (2, "B", 2), (3, "c", 1)
+        ]
+        con.close()
