@@ -53,6 +53,14 @@ HEADLINE = [
     "quality_filter_pipeline",
     "event_funnel",
     "multimodal_meta",
+    # round-1 additions: subquery-shape joins, sketches, trained IVF, ACID table
+    "order_priority_count",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "waiting_supplier_orders",
+    "cms_frequency_sketch",
+    "similarity_ann_ivf_trained",
+    "txn_table_snapshot",
 ]
 
 
