@@ -288,3 +288,56 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000)).select(
         "id_a", "id_b", "jaccard", "jaccard_ppm"
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate-
+    pair graph (LSH/SimHash/Jaccard pairs), hash-min label propagation.
+
+    Each vertex starts labeled with its own id; every iteration takes the
+    min label over itself and its neighbors (one join + one groupBy-min, all
+    int64 — deterministic on any partitioning) until a fixed point. Labels
+    are persisted per round and the loop stops on a converged change-count,
+    so the plan doesn't snowball. At 100 TB scale the same loop runs with
+    the large-star/small-star optimization (alternate joining only
+    higher->lower degree directions) to cap skew from giant components;
+    components here are near-dup clusters, which stay small by construction.
+
+    Returns (id_col, component) where component = min doc id in the cluster
+    — the canonical representative choice used by dedup_keep_representatives.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("n")
+    ).union(
+        edges.select(F.col(dst_col).cast("long").alias("u"), F.col(src_col).cast("long").alias("n"))
+    )
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("u"), F.col(id_col).cast("long").alias("comp")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr = sym.alias("e").join(
+            labels.alias("l"), F.col("e.n") == F.col("l.u")
+        ).select(F.col("e.u").alias("u"), F.col("l.comp").alias("comp"))
+        new_labels = (
+            labels.union(nbr).groupBy("u").agg(F.min("comp").alias("comp")).persist()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "u")
+            .filter(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), F.col("comp").alias("component"))

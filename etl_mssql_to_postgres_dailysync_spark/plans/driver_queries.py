@@ -2622,3 +2622,195 @@ def similarity_ann_ivf_trained(spark, sf_dir):
     return similarity.ivf_topk_trained(
         queries_df, emb, k=5, nprobe=2, num_cells=8, iters=_KM_ITERS
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / null-aware anti join / regexp / deterministic sampling
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT n_name, o_orderpriority,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
+"""
+
+@register("grouping_sets_revenue", _GROUPING_SETS_SQL)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS beyond rollup/cube: four explicit grouping combinations
+    in ONE expand+aggregate pass (Catalyst's Expand operator replicates each
+    input row once per set, then a single hash aggregate) — vs four separate
+    scans unioned. grouping() flags disambiguate NULL-as-subtotal from
+    NULL-as-value. The identical SQL text runs on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_NULL_NOT_IN_SQL = """
+    SELECT l_returnflag, count(*) AS n_items
+    FROM (SELECT l_returnflag, nullif(l_suppkey % 97, 13) AS supp_bucket FROM lineitem)
+    WHERE supp_bucket NOT IN (SELECT s_suppkey % 97 FROM supplier WHERE s_acctbal < -900)
+    GROUP BY l_returnflag
+"""
+
+@register("null_aware_not_in", _NULL_NOT_IN_SQL)
+def null_aware_not_in(spark, sf_dir):
+    """NOT IN over a NULLABLE column — three-valued logic: rows whose probe
+    value is NULL are dropped (NULL NOT IN S is never TRUE). Catalyst plans
+    this as a null-aware anti join (BroadcastHashJoin LeftAnti with
+    isNullAwareAntiJoin=true), which a plain left_anti DataFrame join does
+    NOT reproduce — so this entry goes through spark.sql deliberately."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_NULL_NOT_IN_SQL)
+
+
+@register(
+    "regexp_functions",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(source, '^(web|wiki)') AS INT) AS is_webish
+    FROM documents
+    """,
+)
+def regexp_functions(spark, sf_dir):
+    """Regexp surface: extract / extract-all / global replace / match-test.
+    Cross-engine notes: Spark's regexp_replace is global by default while
+    DuckDB needs the 'g' flag; DuckDB's regexp_matches is Spark's rlike.
+    Patterns restricted to the RE2-and-Java-common subset."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).cast("int").alias("n_numbers"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "_").alias("devoweled"),
+        F.col("source").rlike("^(web|wiki)").cast("int").alias("is_webish"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sampled
+    FROM lineitem
+    WHERE {{h}} % 100 < 10
+    GROUP BY l_returnflag
+    """.format(h=__import__("etl_mssql_to_postgres_dailysync_spark.functions.hashing",
+                            fromlist=["md5_long_sql"]).md5_long_sql(
+                                "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")),
+)
+def deterministic_sample(spark, sf_dir):
+    """Reproducible ~10% sample via key hashing — the scale-path replacement
+    for TABLESAMPLE/F.rand sampling, which is neither engine-portable nor
+    stable under retries/repartitioning. Hash-mod sampling pushes to every
+    executor with no coordination, keeps the SAME rows on re-run (critical
+    for training-data reproducibility), and supports stratification by
+    hashing within groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = md5_long(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    return (
+        li.filter(h % 100 < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})),
+    e AS (SELECT id_a AS u, id_b AS n FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.n AS id, reach.r FROM reach JOIN e ON e.u = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT c.doc_id, c.component, s.cluster_size
+    FROM comp c JOIN (SELECT component, count(*) AS cluster_size
+                      FROM comp GROUP BY component) s USING (component)
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERING (not just pairs): connected components over the
+    MinHash-LSH candidate graph via hash-min label propagation, iterated to
+    a checked fixed point. The oracle computes true components with a
+    recursive transitive closure — convergence of the distributed loop is
+    therefore verified exactly, doc by doc. component = min doc_id in the
+    cluster (the canonical representative); cluster_size joins back on."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    comp = dedup.connected_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(F.broadcast(sizes), ["component"]).select(
+        "doc_id", "component", "cluster_size"
+    )
+
+
+@register(
+    "txn_table_changes",
+    f"""
+    WITH apr AS (SELECT * FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-04-01' AND DATE '1995-04-03'),
+    upd AS (SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}')
+    SELECT 'insert' AS _change_type, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM apr
+    UNION ALL
+    SELECT 'update_postimage', count(*),
+           CAST(sum(CAST(round((o_totalprice + 10.0) * 100) AS BIGINT)) AS BIGINT)
+    FROM upd
+    """,
+)
+def txn_table_changes(spark, sf_dir):
+    """CDC over the transactional table — the capability the reference
+    explicitly lacks (README.md:78: in-place updates missed by daily
+    partition re-extract). Version 0 = March orders; version 1 = a merge
+    that updates the run date (+10.00, status 'U') and inserts April 1-3.
+    table_changes(0, 1) recovers exactly that changeset as typed
+    insert/update rows via one key-partitioned full-outer snapshot diff."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable, table_changes
+
+    path = f"/tmp/spark_graft_cdc_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    t = TxnTable(spark, path)
+    t.append(orders.filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")))
+    src = (
+        orders.filter(filters.daily_partition("o_orderdate", RUN_DATE))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    ).unionByName(
+        orders.filter(filters.date_range_partition("o_orderdate", "1995-04-01", "1995-04-03"))
+    )
+    t.merge(src, ["o_orderkey"])
+    return (
+        table_changes(t, 0, 1, ["o_orderkey"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"),
+        )
+    )

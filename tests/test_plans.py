@@ -96,3 +96,56 @@ def test_whole_stage_codegen_covers_scan_filter_agg(orders):
     # codegen stages appear as `*(n)` markers; the scan->filter->partial-agg
     # pipeline must sit inside one
     assert "*(1) HashAggregate" in plan or "*(1) Filter" in plan, plan
+
+
+class TestSubqueryShapePlans:
+    """The TPC-H-flavor subquery rewrites must plan as the join strategies
+    they claim — semi/anti/null-aware/broadcast — not as nested loops."""
+
+    def test_exists_plans_as_left_semi_with_residual(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+            order_priority_count,
+        )
+
+        plan = plan_of(order_priority_count(spark, SF_DIR))
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_not_in_plans_null_aware_anti_join(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+            null_aware_not_in,
+        )
+
+        plan = plan_of(null_aware_not_in(spark, SF_DIR))
+        assert "LeftAnti" in plan, plan
+
+    def test_variety_query_broadcasts_both_dims(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+            supplier_part_variety,
+        )
+
+        plan = plan_of(supplier_part_variety(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_grouping_sets_uses_single_expand(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+            grouping_sets_revenue,
+        )
+
+        plan = plan_of(grouping_sets_revenue(spark, SF_DIR))
+        assert "Expand" in plan, plan
+        # one expand+aggregate, not a union of per-set scans
+        assert plan.count("Expand") == 1, plan
+
+    def test_q13_preaggregates_before_outer_join(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+            customer_order_distribution,
+        )
+
+        plan = plan_of(customer_order_distribution(spark, SF_DIR))
+        # partial aggregate on orders must appear below the outer join
+        join_pos = plan.find("SortMergeJoin")
+        if join_pos == -1:
+            join_pos = plan.find("BroadcastHashJoin")
+        agg_pos = plan.rfind("HashAggregate")
+        assert join_pos != -1 and agg_pos > join_pos, plan

@@ -134,3 +134,29 @@ class TestPruningCompactVacuum:
         assert os.path.exists(_version_path(t.log, 3, checkpoint=True))
         assert t.read().count() == 10
         assert t.read(version=2).count() == 6
+
+
+class TestChanges:
+    def test_cdc_insert_update_delete(self, spark, sf_dir, tdir):
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import table_changes
+
+        t = TxnTable(spark, tdir)
+        base = _orders(spark, sf_dir).filter(F.col("o_orderkey") < 100)
+        t.append(base)  # v0
+        src = (
+            _orders(spark, sf_dir)
+            .filter((F.col("o_orderkey") >= 50) & (F.col("o_orderkey") < 150))
+            .withColumn("o_orderstatus", F.lit("U"))
+        )
+        t.merge(src, ["o_orderkey"])  # v1: updates 50-99, inserts 100-149
+        t.overwrite(t.read().filter(F.col("o_orderkey") >= 25))  # v2: deletes < 25
+        c01 = table_changes(t, 0, 1, ["o_orderkey"])
+        by_type = {r["_change_type"]: r["n"] for r in
+                   c01.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_upd = base.filter((F.col("o_orderkey") >= 50) & (F.col("o_orderstatus") != "U")).count()
+        assert by_type.get("insert", 0) == src.filter(F.col("o_orderkey") >= 100).count()
+        assert by_type.get("update_postimage", 0) == n_upd
+        assert "delete" not in by_type
+        c12 = table_changes(t, 1, 2, ["o_orderkey"])
+        assert {r["_change_type"] for r in c12.select("_change_type").distinct().collect()} == {"delete"}
+        assert c12.count() == 25
