@@ -2814,3 +2814,117 @@ def txn_table_changes(spark, sf_dir):
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling and histogramming
+# ---------------------------------------------------------------------------
+
+@register(
+    "gap_fill_daily",
+    """
+    WITH days AS (SELECT CAST(unnest(generate_series(DATE '1995-03-01', DATE '1995-03-31',
+                                                     INTERVAL 1 DAY)) AS DATE) AS d),
+    nat AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5),
+    counts AS (SELECT c_nationkey, CAST(o_orderdate AS DATE) AS d,
+                      count(*) AS cnt,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+               GROUP BY 1, 2),
+    spine AS (SELECT n_name, n_nationkey, d FROM nat CROSS JOIN days),
+    filled AS (SELECT s.n_name, s.d,
+                      coalesce(c.cnt, 0) AS n_orders,
+                      c.cents
+               FROM spine s LEFT JOIN counts c
+                    ON c.c_nationkey = s.n_nationkey AND c.d = s.d)
+    SELECT n_name, CAST(d AS VARCHAR) AS day, n_orders,
+           coalesce(last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY n_name ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS last_rev_cents
+    FROM filled
+    """,
+)
+def gap_fill_daily(spark, sf_dir):
+    """Time-series gap filling: a generated date spine (F.sequence, no table
+    scan) cross-joined with the dimension, zero-fill via outer join, and
+    forward-fill via last_value(IGNORE NULLS) over an ordered frame — the
+    standard hypertable `time_bucket_gapfill`/`locf` pattern. The spine is
+    metadata-sized, so it broadcasts; the fact side aggregates BEFORE the
+    join (dim-sized shuffle only)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-03-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 5)
+        .select("n_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    counts = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    spine = nat.crossJoin(F.broadcast(days))
+    filled = spine.join(
+        counts,
+        (F.col("c_nationkey") == F.col("n_nationkey")) & (counts["d"] == spine["d"]),
+        "left",
+    ).select(
+        "n_name", spine["d"].alias("d"), F.coalesce("cnt", F.lit(0)).alias("n_orders"), "cents"
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "n_name",
+        F.col("d").cast("string").alias("day"),
+        "n_orders",
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0)).alias("last_rev_cents"),
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) * 12 // 60000000 + 1 AS INT) AS bucket,
+           count(*) AS n_orders,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_prices(spark, sf_dir):
+    """Equal-width histogram (width_bucket semantics) in pure integer
+    arithmetic — ``cents * n_buckets div range + 1`` with truncating int
+    division on both engines, so bin edges are exact (a double-valued
+    width_bucket would diverge at boundaries; DuckDB also lacks the
+    function). One map-side-combined aggregation."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT) * 12 div 60000000 + 1").cast("int").alias("bucket"), cents.alias("c"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").cast("bigint").alias("min_cents"),
+            F.max("c").cast("bigint").alias("max_cents"),
+        )
+    )

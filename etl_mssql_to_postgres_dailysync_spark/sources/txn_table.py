@@ -169,12 +169,22 @@ class TxnTable:
 
     # -------------------------------------------------------------- write --
 
-    def _write_files(self, df: DataFrame, cluster_by: Sequence[str] | None) -> list[dict]:
+    def _write_files(self, df: DataFrame, cluster_by: Sequence[str] | None,
+                     zorder_by: Sequence[str] | None = None) -> list[dict]:
         """Write df as immutable parquet files under a fresh commit dir and
         return their add-actions with per-file stats (one Spark job each)."""
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         out = df
-        if cluster_by:
+        if zorder_by:
+            n = max(df.rdd.getNumPartitions(), 2)
+            zk = zorder_key(df, list(zorder_by))
+            out = (
+                df.withColumn("__zkey__", zk)
+                .repartitionByRange(n, F.col("__zkey__"))
+                .sortWithinPartitions("__zkey__")
+                .drop("__zkey__")
+            )
+        elif cluster_by:
             # range-partition so each file covers a tight value range: this
             # is what makes min/max pruning selective. The partition count is
             # pinned explicitly so AQE doesn't coalesce small test inputs
@@ -208,8 +218,8 @@ class TxnTable:
         return actions
 
     def append(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
-               meta: dict | None = None) -> int:
-        adds = self._write_files(df, cluster_by)
+               meta: dict | None = None, zorder_by: Sequence[str] | None = None) -> int:
+        adds = self._write_files(df, cluster_by, zorder_by)
         return self._commit("append", adds, self.version() + 1, df.schema.jsonValue(), meta)
 
     def overwrite(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
@@ -350,3 +360,36 @@ def table_changes(table: TxnTable, v_from: int, v_to: int,
         .filter(F.col("_change_type").isNotNull())
         .select(*keys, *[picked[c].alias(c) for c in non_keys], "_change_type")
     )
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) key over numeric columns: each value is min-max
+    scaled to ``bits`` bits (one tiny stats aggregation), then bit-planes
+    are interleaved — points close in EVERY dimension get close keys, so
+    range-clustering the write by this key keeps per-file min/max tight on
+    ALL the z-ordered columns at once.  Linear cluster_by gives perfect
+    pruning on one column and none on the others; Z-order trades a little
+    of the first for usable pruning on each (the standard lakehouse
+    OPTIMIZE ZORDER BY design).  Returns (column_expr, stats_row)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    st = df.agg(*aggs).first()
+    planes = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        lo, hi = st[f"__lo_{c}"], st[f"__hi_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            ((F.col(c).cast("double") - F.lit(lo)) * top / F.lit(span)).cast("long"),
+        )
+        for b in range(bits):
+            planes.append(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    key = planes[0]
+    for p in planes[1:]:
+        key = key + p
+    return key

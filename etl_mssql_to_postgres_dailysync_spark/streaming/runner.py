@@ -102,3 +102,43 @@ def sessionized(
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (keys older than the watermark are evicted, so
+    state doesn't grow with the stream — the streaming twin of
+    operators.merge.dedupe_last_wins / exact_dedup for at-least-once
+    sources that can replay events)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+
+def jdbc_upsert_sink(
+    connect: Callable[[], object],
+    table: str,
+    keys: Sequence[str],
+    *,
+    dialect: str = "postgres",
+    single_writer: bool = False,
+    **upsert_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink pushing each micro-batch through the
+    distributed dialect-aware upsert (sources/writers.jdbc_upsert_write).
+    Upserts are idempotent per key, so micro-batch replays after a failure
+    converge — effective exactly-once on the JDBC target, which is the
+    reference's daily-rerun guarantee in streaming form.
+    ``single_writer`` serializes partitions for targets like SQLite."""
+    from etl_mssql_to_postgres_dailysync_spark.sources.writers import jdbc_upsert_write
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if single_writer:
+            batch = batch.coalesce(1)
+        jdbc_upsert_write(batch, connect, table, keys, dialect=dialect, **upsert_kwargs)
+
+    return apply_batch

@@ -160,3 +160,25 @@ class TestChanges:
         c12 = table_changes(t, 1, 2, ["o_orderkey"])
         assert {r["_change_type"] for r in c12.select("_change_type").distinct().collect()} == {"delete"}
         assert c12.count() == 25
+
+
+class TestZOrder:
+    def test_zorder_prunes_on_both_dimensions(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey", "o_custkey"])
+        df = _orders(spark, sf_dir).repartition(16)
+        t.append(df, zorder_by=["o_orderkey", "o_custkey"])
+        n_all = len(t.files())
+        lo_k = df.agg(F.min("o_orderkey")).first()[0]
+        lo_c = df.agg(F.min("o_custkey")).first()[0]
+        pruned_k = t.files(prune=("o_orderkey", lo_k, lo_k + 20))
+        pruned_c = t.files(prune=("o_custkey", lo_c, lo_c + 20))
+        # z-order keeps BOTH columns' per-file ranges tight: pruning works on each
+        assert len(pruned_k) < n_all
+        assert len(pruned_c) < n_all
+        # and reads stay correct
+        n = t.read(prune=("o_custkey", lo_c, lo_c + 20)).filter(
+            (F.col("o_custkey") >= lo_c) & (F.col("o_custkey") <= lo_c + 20)
+        ).count()
+        assert n == df.filter(
+            (F.col("o_custkey") >= lo_c) & (F.col("o_custkey") <= lo_c + 20)
+        ).count()
