@@ -2928,3 +2928,137 @@ def histogram_prices(spark, sf_dir):
             F.max("c").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    f"""
+    WITH mar AS (SELECT * FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+    apr AS (SELECT * FROM orders
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-04-01' AND DATE '1995-04-03'),
+    final AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        FROM mar
+        UNION ALL SELECT o_orderkey, o_orderdate, o_totalprice FROM apr)
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1
+    """,
+)
+def incremental_rollup_maintenance(spark, sf_dir):
+    """Incremental view maintenance: a daily rollup updated from the CDC
+    changeset ALONE — inserts add, deletes retract, updates retract the
+    pre-image and add the post-image — then merged into the stored rollup.
+    The 100 TB property: maintaining the aggregate costs O(|delta|), never
+    a re-scan of the base table; the oracle recomputes the same rollup from
+    scratch, proving delta-application == full recompute."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable, table_changes
+
+    path = f"/tmp/spark_graft_ivm_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    t = TxnTable(spark, path)
+    t.append(orders.filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")))
+
+    # the stored rollup at v0 (normally persisted; recomputed here once)
+    day = F.to_date("o_orderdate").cast("string").alias("day")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rollup_v0 = (
+        t.read()
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("revenue_cents"))
+    )
+
+    src = (
+        orders.filter(filters.daily_partition("o_orderdate", RUN_DATE))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    ).unionByName(
+        orders.filter(filters.date_range_partition("o_orderdate", "1995-04-01", "1995-04-03"))
+    )
+    t.merge(src, ["o_orderkey"])
+
+    # delta-apply: signed contributions per change row, aggregated per day
+    ch = table_changes(t, 0, 1, ["o_orderkey"], include_preimage=True)
+    sign = F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    deltas = ch.groupBy(day).agg(
+        F.sum(sign).alias("d_n"), F.sum(sign * cents).alias("d_cents")
+    )
+    merged = (
+        rollup_v0.join(deltas, ["day"], "full_outer")
+        .select(
+            "day",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+            (F.coalesce("revenue_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged
+
+
+@register(
+    "tfidf_top_terms",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with top-3 terms per document — the standard relevance/
+    keyword-extraction primitive. Shuffle shape: tf is one (doc, term)
+    aggregation; df re-aggregates the ALREADY-REDUCED tf table (never the
+    raw token stream); the df table (one row per distinct term) broadcasts
+    back. ln() is IEEE-identical here because both engines feed it the same
+    exact double (integer N / integer df) and round at 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint"), F.col("df").cast("bigint"),
+                "tfidf", F.col("rnk").cast("int"))
+    )

@@ -331,15 +331,17 @@ def str_cmp(a, b) -> int:
 
 
 def table_changes(table: TxnTable, v_from: int, v_to: int,
-                  keys: Sequence[str]) -> DataFrame:
+                  keys: Sequence[str], include_preimage: bool = False) -> DataFrame:
     """CDC between two snapshots: row-level insert/update/delete changeset.
 
     The reference explicitly scopes CDC out (README.md:78, "UpdatedDateUtc
     changes missed"; dags/…_orders_daily.py:33-36) — its daily partition
     re-extract misses in-place updates.  With a transactional table the
     changeset is derivable from any two versions: one full-outer join on the
-    key, structs compared null-safely.  Updates emit the post-image (add a
-    pre-image branch if a consumer needs it); at scale the join is key-
+    key, structs compared null-safely.  Updates emit the post-image, plus the
+    pre-image as a separate ``update_preimage`` row when
+    ``include_preimage=True`` (the Delta CDF contract — what incremental
+    view maintenance needs to retract old contributions); at scale the join is key-
     partitioned and version snapshots share unchanged files, so only
     rewritten files actually differ in content.
     """
@@ -355,11 +357,26 @@ def table_changes(table: TxnTable, v_from: int, v_to: int,
         .when(~F.col("__a__").eqNullSafe(F.col("__b__")), F.lit("update_postimage"))
     )
     picked = F.coalesce(F.col("__b__"), F.col("__a__"))
-    return (
+    out = (
         j.withColumn("_change_type", change)
         .filter(F.col("_change_type").isNotNull())
         .select(*keys, *[picked[c].alias(c) for c in non_keys], "_change_type")
     )
+    if include_preimage:
+        pre = (
+            j.filter(
+                F.col("__a__").isNotNull()
+                & F.col("__b__").isNotNull()
+                & ~F.col("__a__").eqNullSafe(F.col("__b__"))
+            )
+            .select(
+                *keys,
+                *[F.col("__a__")[c].alias(c) for c in non_keys],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+        )
+        out = out.unionByName(pre)
+    return out
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):

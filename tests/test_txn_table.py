@@ -182,3 +182,19 @@ class TestZOrder:
         assert n == df.filter(
             (F.col("o_custkey") >= lo_c) & (F.col("o_custkey") <= lo_c + 20)
         ).count()
+
+    def test_cdc_preimage_rows(self, spark, sf_dir, tdir):
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import table_changes
+
+        t = TxnTable(spark, tdir)
+        base = _orders(spark, sf_dir).filter(F.col("o_orderkey") < 50)
+        t.append(base)
+        t.merge(base.withColumn("o_orderstatus", F.lit("U")), ["o_orderkey"])
+        ch = table_changes(t, 0, 1, ["o_orderkey"], include_preimage=True)
+        n_changed = base.filter(F.col("o_orderstatus") != "U").count()
+        pre = ch.filter(F.col("_change_type") == "update_preimage")
+        post = ch.filter(F.col("_change_type") == "update_postimage")
+        assert pre.count() == n_changed and post.count() == n_changed
+        # pre-images carry the OLD values, post-images the new
+        assert pre.filter(F.col("o_orderstatus") == "U").count() == 0
+        assert post.filter(F.col("o_orderstatus") != "U").count() == 0
