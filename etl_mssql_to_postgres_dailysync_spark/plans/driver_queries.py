@@ -3062,3 +3062,42 @@ def tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", F.col("tf").cast("bigint"), F.col("df").cast("bigint"),
                 "tfidf", F.col("rnk").cast("int"))
     )
+
+
+@register(
+    "map_functions",
+    """
+    WITH cnts AS (SELECT user_id, event_type, count(*) AS cnt
+                  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+    m AS (SELECT user_id,
+                 map_from_entries(list(struct_pack(k := event_type, v := cnt)
+                                       ORDER BY event_type)) AS em
+          FROM cnts GROUP BY user_id)
+    SELECT user_id,
+           CAST(coalesce(em['click'][1], 0) AS BIGINT) AS clicks,
+           CAST(coalesce(em['view'][1], 0) AS BIGINT) AS views,
+           CAST(coalesce(em['purchase'][1], 0) AS BIGINT) AS purchases,
+           CAST(cardinality(em) AS INT) AS n_types
+    FROM m
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map-typed column surface: build map<event_type, count> per user from
+    an aggregation (map_from_entries over a sorted entry array — canonical
+    key order), then key-lookup + cardinality. Extraction semantics differ
+    across engines (DuckDB map[k] yields a LIST; Spark element_at yields the
+    value or NULL) — normalized via coalesce on both sides."""
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    cnts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = cnts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("cnt").alias("v"))))
+        ).alias("em")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("em", F.lit("click")), F.lit(0)).cast("bigint").alias("clicks"),
+        F.coalesce(F.element_at("em", F.lit("view")), F.lit(0)).cast("bigint").alias("views"),
+        F.coalesce(F.element_at("em", F.lit("purchase")), F.lit(0)).cast("bigint").alias("purchases"),
+        F.size("em").cast("int").alias("n_types"),
+    )
