@@ -2507,6 +2507,8 @@ def txn_table_snapshot(spark, sf_dir):
     (both range-clustered on o_orderdate for zone-map pruning), then a
     copy-on-write MERGE that bumps the run date's orders — three atomic
     commits in a Delta-style commit log — and read the head snapshot back.
+    The merge is file-granular (prune_col="o_orderdate"): zone maps keep
+    April's files byte-untouched while March rewrites.
     The oracle recomputes the same final state relationally, so this checks
     commit replay + merge semantics + snapshot read in one pass. Time
     travel / concurrency / vacuum are covered in tests/test_txn_table.py."""
@@ -2531,7 +2533,7 @@ def txn_table_snapshot(spark, sf_dir):
         .withColumn("o_orderstatus", F.lit("U"))
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
     )
-    t.merge(src, ["o_orderkey"])
+    t.merge(src, ["o_orderkey"], prune_col="o_orderdate")
     return (
         t.read()
         .groupBy(

@@ -231,21 +231,46 @@ class TxnTable:
         return self._commit("overwrite", actions, base + 1, df.schema.jsonValue(), meta)
 
     def merge(self, source: DataFrame, keys: Sequence[str],
-              cluster_by: Sequence[str] | None = None, **merge_kwargs) -> int:
-        """Copy-on-write MERGE: snapshot-read the target, run the relational
-        merge (operators/merge.py — the engine's S6-S8 semantics), publish
-        the result atomically.  Partition-scoped variants (touch only
-        affected date partitions) compose by pre-filtering + two commits."""
+              cluster_by: Sequence[str] | None = None,
+              prune_col: str | None = None, **merge_kwargs) -> int:
+        """Copy-on-write MERGE: run the relational merge (operators/merge.py
+        — the engine's S6-S8 semantics) against the target snapshot and
+        publish atomically.
+
+        With ``prune_col`` (a stats column), the rewrite is FILE-GRANULAR:
+        the batch's [min, max] on that column (one tiny aggregation) selects
+        only the target files whose zone maps overlap; untouched files stay
+        in the snapshot as-is — the Delta/Iceberg merge-on-read-competitive
+        path.  A daily delta against a date-clustered 100 TB table rewrites
+        one day's files, not the table.  Rows outside the touched files are
+        untouched by construction: their key ranges cannot intersect the
+        batch.  Without ``prune_col``, the whole live set rewrites."""
         from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge as rel_merge
 
         base = self.version()
-        target = self.read()
-        merged = rel_merge(target, source, keys, **merge_kwargs).df
         live, _ = self._snapshot(base)
-        actions = [{"remove": {"path": p}} for p in live]
+        if prune_col is not None:
+            lohi = source.agg(
+                F.min(F.col(prune_col)).alias("lo"), F.max(F.col(prune_col)).alias("hi")
+            ).first()
+            touched = {f.path for f in self.files(base, prune=(prune_col,
+                       _json_safe(lohi["lo"]), _json_safe(lohi["hi"])))}
+            if touched:
+                target = self.spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in touched]
+                )
+            else:
+                _, schema = self._snapshot(base)
+                target = self.spark.createDataFrame([], StructType.fromJson(schema))
+        else:
+            touched = set(live.keys())
+            target = self.read(version=base)
+        merged = rel_merge(target, source, keys, **merge_kwargs).df
+        actions = [{"remove": {"path": p}} for p in touched]
         actions += self._write_files(merged, cluster_by)
         return self._commit("merge", actions, base + 1, merged.schema.jsonValue(),
-                            {"keys": list(keys)})
+                            {"keys": list(keys), "files_rewritten": len(touched),
+                             "files_kept": len(live) - len(touched)})
 
     def compact(self, num_files: int = 1) -> int:
         """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);

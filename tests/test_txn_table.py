@@ -198,3 +198,40 @@ class TestZOrder:
         # pre-images carry the OLD values, post-images the new
         assert pre.filter(F.col("o_orderstatus") == "U").count() == 0
         assert post.filter(F.col("o_orderstatus") != "U").count() == 0
+
+
+class TestFileGranularMerge:
+    def test_merge_rewrites_only_overlapping_files(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey"])
+        df = _orders(spark, sf_dir).repartition(8)
+        t.append(df, cluster_by=["o_orderkey"])
+        files_before = {f.path for f in t.files()}
+        lo = df.agg(F.min("o_orderkey")).first()[0]
+        src = (
+            df.filter(F.col("o_orderkey").between(lo, lo + 30))
+            .withColumn("o_orderstatus", F.lit("U"))
+        )
+        t.merge(src, ["o_orderkey"], cluster_by=["o_orderkey"], prune_col="o_orderkey")
+        files_after = {f.path for f in t.files()}
+        kept = files_before & files_after
+        # most files survive byte-identical (still referenced, never rewritten)
+        assert kept, "no files kept — merge rewrote everything"
+        assert files_before - files_after, "no files rewritten"
+        meta = t.history()[-1]["meta"]
+        assert meta["files_kept"] == len(kept)
+        # and the merged state is correct: updates applied, row count unchanged
+        out = t.read()
+        assert out.count() == df.count()
+        assert out.filter(F.col("o_orderkey").between(lo, lo + 30)).filter(
+            F.col("o_orderstatus") != "U"
+        ).count() == 0
+
+    def test_pruned_merge_into_untouched_range_inserts(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey"])
+        base = _orders(spark, sf_dir).filter(F.col("o_orderkey") < 500).repartition(4)
+        t.append(base, cluster_by=["o_orderkey"])
+        newrows = _orders(spark, sf_dir).filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1100)
+        )
+        t.merge(newrows, ["o_orderkey"], prune_col="o_orderkey")
+        assert t.read().count() == base.count() + newrows.count()
