@@ -142,3 +142,29 @@ def jdbc_upsert_sink(
         jdbc_upsert_write(batch, connect, table, keys, dialect=dialect, **upsert_kwargs)
 
     return apply_batch
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition — the
+    attribution pattern (e.g. click within 30 min of impression). Both sides
+    carry watermarks and the join condition bounds right_ts to
+    [left_ts, left_ts + within], so Spark can evict buffered state once the
+    watermark passes the interval: state is bounded, exactly the
+    range-join-with-horizon semantics of operators/joins.py in streaming
+    form."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {within}"
+    )
+    return l.alias("l").join(r.alias("r"), cond, "inner")

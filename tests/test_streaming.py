@@ -182,3 +182,39 @@ def test_streaming_jdbc_upsert_sink_sqlite(spark, tmpdir):
     con = sqlite3.connect(db)
     assert len(con.execute("SELECT k FROM t").fetchall()) == 2
     con.close()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    imps = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00"),
+         (3, "2024-01-01 12:00:00")],
+        "ad int, ts_s string",
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("imp_ts"))
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00"),   # within 30m of imp 1 -> match
+         (2, "2024-01-01 11:30:00"),   # 80m after imp 2 -> no match
+         (3, "2024-01-01 12:05:00")],  # within -> match
+        "ad int, ts_s string",
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("click_ts"))
+    imps.write.parquet(f"{tmpdir}/imps")
+    clicks.write.parquet(f"{tmpdir}/clicks")
+
+    li = runner.read_stream_parquet(spark, f"{tmpdir}/imps", imps.schema)
+    rc = runner.read_stream_parquet(spark, f"{tmpdir}/clicks", clicks.schema)
+    joined = runner.stream_stream_interval_join(
+        li, rc, "ad", left_ts="imp_ts", right_ts="click_ts", within="30 minutes"
+    )
+    q = (joined.select("l.ad", "imp_ts", "click_ts").writeStream.format("parquet")
+         .option("path", f"{tmpdir}/joined")
+         .option("checkpointLocation", f"{tmpdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{tmpdir}/joined")
+    batch = imps.join(
+        clicks,
+        (imps.ad == clicks.ad)
+        & (clicks.click_ts >= imps.imp_ts)
+        & (clicks.click_ts <= imps.imp_ts + F.expr("interval 30 minutes")),
+    )
+    assert out.count() == batch.count() == 2
+    assert sorted(r["ad"] for r in out.collect()) == [1, 3]
