@@ -15,6 +15,15 @@ Three tiers:
     by cell_id, and each query touches nprobe/num_cells of the data. Here
     the centroids are a deterministic subset so the whole path stays
     oracle-checkable.
+
+Scoring-path note (measured, tools/microbench_vectors.py, sf0.1, 20 queries
+x 5k corpus, local[32]): a vectorized Arrow pandas_udf cosine runs ~25%
+faster than the JVM zip_with/aggregate fold (0.83 vs 1.07 s/run) — numpy's
+batched FMA beats codegen'd per-element folds at this density. The JVM fold
+stays the default because its left-to-right fold order is bit-reproducible
+against the DuckDB oracle and it needs no Python workers; for a pure-Spark
+deployment at scale where bit-parity with an external engine is not a
+requirement, swap `cosine_prenormed` for the Arrow UDF.
 """
 
 from __future__ import annotations

@@ -3103,3 +3103,116 @@ def map_functions(spark, sf_dir):
         F.coalesce(F.element_at("em", F.lit("purchase")), F.lit(0)).cast("bigint").alias("purchases"),
         F.size("em").cast("int").alias("n_types"),
     )
+
+
+@register(
+    "conditional_aggregates",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+           CAST(bool_or(l_tax > 0.07) AS INT) AS any_high_tax,
+           CAST(bool_and(l_quantity > 0) AS INT) AS all_positive_qty,
+           CAST(min(CASE WHEN l_discount > 0.05
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT)
+               AS min_discounted_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_aggregates(spark, sf_dir):
+    """Conditional-aggregate surface: FILTERed counts, bool_or/bool_and
+    (any/every), and conditional min — all in ONE hash aggregate pass (no
+    per-condition scans). Booleans cast to INT for a stable cross-engine
+    hash representation."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 30).alias("n_bulk"),
+        F.bool_or(F.col("l_tax") > 0.07).cast("int").alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") > 0).cast("int").alias("all_positive_qty"),
+        F.min(F.when(F.col("l_discount") > 0.05, cents)).cast("bigint")
+        .alias("min_discounted_cents"),
+    )
+
+
+@register(
+    "array_set_ops",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY user_id),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b, a.types AS ta, b.types AS tb
+        FROM per_user a JOIN per_user b ON b.user_id = a.user_id + 1
+        WHERE a.user_id % 20 = 0)
+    SELECT user_a, user_b,
+           array_to_string(list_sort(list_intersect(ta, tb)), '|') AS common_types,
+           CAST(len(list_intersect(ta, tb)) AS INT) AS n_common,
+           CAST(len(list_distinct(list_concat(ta, tb))) AS INT) AS n_union,
+           CAST(len(list_filter(ta, x -> NOT list_contains(tb, x))) AS INT) AS n_only_a
+    FROM pairs
+    """,
+)
+def array_set_ops(spark, sf_dir):
+    """Array set algebra (intersect/union/except) over per-user event-type
+    profiles — collect_set is the single shuffle; the pairwise set ops are
+    in-row JVM expressions. Arrays sorted canonically on both engines before
+    comparison."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    a = per_user.filter(F.col("user_id") % 20 == 0).select(
+        F.col("user_id").alias("user_a"), F.col("types").alias("ta")
+    )
+    b = per_user.select((F.col("user_id") - 1).alias("user_a"), F.col("user_id").alias("user_b"),
+                        F.col("types").alias("tb"))
+    return a.join(b, "user_a").select(
+        "user_a",
+        "user_b",
+        F.array_join(F.array_sort(F.array_intersect("ta", "tb")), "|").alias("common_types"),
+        F.size(F.array_intersect("ta", "tb")).cast("int").alias("n_common"),
+        F.size(F.array_distinct(F.concat("ta", "tb"))).cast("int").alias("n_union"),
+        F.size(F.array_except("ta", "tb")).cast("int").alias("n_only_a"),
+    )
+
+
+@register(
+    "approx_percentile_bounds",
+    """
+    WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n FROM cents)
+    SELECT CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN c END) AS BIGINT) AS exact_p50,
+           CAST(max(CASE WHEN rn <= CAST(ceil(n * 0.95) AS BIGINT) THEN c END) AS BIGINT) AS exact_p95,
+           1 AS approx_p50_ok, 1 AS approx_p95_ok
+    FROM ranked
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    """The approximate-percentile path validated against the exact one IN
+    the query: percentile_approx (GK sketch, mergeable, one pass — the
+    100 TB path) must land within the configured rank tolerance of the
+    exact integer percentile; the oracle recomputes the exact values and
+    expects the bound checks to hold (columns ...._ok = 1). This is how
+    non-deterministic-by-algorithm operators stay oracle-checkable: assert
+    the CONTRACT, not the internals."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+    n = cents.count()
+    idx50 = (n + 1) // 2              # lower-median rank
+    idx95 = int(-(-(n * 0.95) // 1))  # ceil(n * 0.95)
+    tol = max(n // 10000, 1)          # percentile_approx accuracy=10000 -> rank error <= n/10000
+    stats = cents.agg(
+        F.expr("percentile_approx(c, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(c, 0.95, 10000)").alias("a95"),
+        F.sort_array(F.collect_list("c")).alias("sorted"),
+    )
+    rank_of = lambda val: F.size(F.filter("sorted", lambda x: x <= val))
+    return stats.select(
+        F.element_at("sorted", idx50).cast("bigint").alias("exact_p50"),
+        F.element_at("sorted", idx95).cast("bigint").alias("exact_p95"),
+        (F.abs(rank_of(F.col("a50")) - F.lit(idx50)) <= tol).cast("int").alias("approx_p50_ok"),
+        (F.abs(rank_of(F.col("a95")) - F.lit(idx95)) <= tol).cast("int").alias("approx_p95_ok"),
+    )
