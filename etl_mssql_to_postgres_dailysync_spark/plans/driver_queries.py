@@ -3216,3 +3216,117 @@ def approx_percentile_bounds(spark, sf_dir):
         (F.abs(rank_of(F.col("a50")) - F.lit(idx50)) <= tol).cast("int").alias("approx_p50_ok"),
         (F.abs(rank_of(F.col("a95")) - F.lit(idx95)) <= tol).cast("int").alias("approx_p95_ok"),
     )
+
+
+@register(
+    "top_session_paths",
+    """
+    WITH l AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s FROM l),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               count(*) AS path_len
+        FROM s GROUP BY user_id, sid),
+    counted AS (SELECT path, count(*) AS n_sessions FROM paths
+                WHERE path_len <= 4 GROUP BY path)
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def top_session_paths(spark, sf_dir):
+    """Path analysis: the most common within-session event sequences
+    (sessionize -> ordered path string -> top-k). The path assembly is ONE
+    ordered string aggregation per session on the already-sessionized rows;
+    top-k is TakeOrdered (no global sort). Paths capped at 4 events so the
+    path-space stays bounded — the standard guard at 100 TB where unbounded
+    paths explode combinatorially."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type", F.lag("ts").over(w).alias("prev")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+        .filter(F.col("path_len") <= 4)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+    cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', first_day) AS DATE) AS cohort_week
+        FROM firsts),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS active_week
+        FROM events e)
+    SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.active_week) AS INT) AS weeks_since,
+           count(DISTINCT a.user_id) AS n_active
+    FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+    WHERE date_diff('week', c.cohort_week, a.active_week) BETWEEN 0 AND 8
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted active in
+    each subsequent week. Two aggregations over the fact (first-touch, then
+    distinct user-weeks — both map-side-combined); the cohort dim joins back
+    on user_id. Week arithmetic normalized: Spark weekly date_trunc anchors
+    Monday, as does DuckDB; week distance computed on day diffs div 7 to
+    avoid engine-specific week-boundary counting."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    cohorts = firsts.select(
+        "user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("active_week")
+    ).distinct()
+    joined = cohorts.join(activity, "user_id").withColumn(
+        "weeks_since",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
+    )
+    return (
+        joined.filter(F.col("weeks_since").between(0, 8))
+        .groupBy(F.col("cohort_week").cast("string").alias("cohort_week"), "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
