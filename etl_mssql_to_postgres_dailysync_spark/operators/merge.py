@@ -86,7 +86,15 @@ def dedupe_last_wins(
     (max by monotonically increasing id is NOT deterministic across runs, so
     we order by all columns for stability)."""
     if order_col is not None:
-        order = [F.col(order_col).desc_nulls_last()]
+        # order_col leads, but the remaining columns complete a TOTAL order:
+        # two source rows with the same key AND same version must still pick
+        # one winner deterministically on any partitioning (property-tested
+        # in tests/test_merge_properties.py).
+        order = [F.col(order_col).desc_nulls_last()] + [
+            F.col(c).desc_nulls_last()
+            for c in df.columns
+            if c not in keys and c != order_col
+        ]
     else:
         order = [F.col(c).desc_nulls_last() for c in df.columns if c not in keys]
     if not order:
