@@ -2080,16 +2080,34 @@ def window_functions(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events, 1 AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) — the 100 TB replacement for
     exact distinct counts (fixed-size sketch per group, mergeable across
-    partitions). Rows-only check: sketch estimates are engine-specific by
-    construction; the exact twin is agg_distinct_users."""
+    partitions). HLL internals are engine-specific, so the oracle checks the
+    CONTRACT: the estimate must land within 5% of the exact count (rsd=0.02
+    gives ~2 sigma headroom), emitted as a boolean the oracle expects TRUE —
+    the same pattern as approx_percentile_bounds."""
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= F.greatest(F.count_distinct("user_id") * 0.05, F.lit(1.0))
+        )
+        .cast("int")
+        .alias("approx_within_5pct"),
     )
 
 

@@ -168,3 +168,22 @@ def stream_stream_interval_join(
         f"AND r.{right_ts} <= l.{left_ts} + interval {within}"
     )
     return l.alias("l").join(r.alias("r"), cond, "inner")
+
+
+def txn_merge_sink(table_path: str, keys: Sequence[str], **merge_kwargs):
+    """``foreachBatch`` sink merging each micro-batch into a TxnTable
+    (sources/txn_table.py): streaming ingestion with ACID visibility — every
+    micro-batch is one atomic commit, readers only ever see complete
+    batches, and a replayed batch re-merges idempotently (the checkpoint +
+    idempotent-commit pair is the streaming exactly-once contract in
+    lake-table form)."""
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        t = TxnTable(batch.sparkSession, table_path)
+        if t.version() < 0:
+            t.append(batch, meta={"epoch": epoch_id})
+        else:
+            t.merge(batch, keys, **merge_kwargs)
+
+    return apply_batch

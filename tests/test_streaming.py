@@ -218,3 +218,25 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
     )
     assert out.count() == batch.count() == 2
     assert sorted(r["ad"] for r in out.collect()) == [1, 3]
+
+
+def test_streaming_txn_table_sink(spark, tmpdir):
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+
+    src = fake_orders(spark, 200).filter(F.col("OrderCreatedAt").isNotNull())
+    src.write.parquet(f"{tmpdir}/in")
+    stream = runner.read_stream_parquet(spark, f"{tmpdir}/in", src.schema)
+    runner.run_available_now(
+        stream, runner.txn_merge_sink(f"{tmpdir}/tbl", ["OrderID"]), f"{tmpdir}/ckpt"
+    )
+    t = TxnTable(spark, f"{tmpdir}/tbl")
+    expected = dedupe_last_wins(src, ["OrderID"]).count()
+    assert t.read().count() == expected
+    # replay the same data through a fresh checkpoint: converges, one more commit
+    v_before = t.version()
+    stream2 = runner.read_stream_parquet(spark, f"{tmpdir}/in", src.schema)
+    runner.run_available_now(
+        stream2, runner.txn_merge_sink(f"{tmpdir}/tbl", ["OrderID"]), f"{tmpdir}/ckpt2"
+    )
+    assert t.read().count() == expected
+    assert t.version() > v_before  # atomic commits recorded, state unchanged
