@@ -3348,3 +3348,112 @@ def cohort_retention(spark, sf_dir):
         .groupBy(F.col("cohort_week").cast("string").alias("cohort_week"), "weeks_since")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "ohlc_daily",
+    f"""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+    r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY o_orderkey ASC) AS rn_a,
+                    row_number() OVER (PARTITION BY d ORDER BY o_orderkey DESC) AS rn_d
+          FROM o)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           count(*) AS n_orders
+    FROM r GROUP BY d
+    """,
+)
+def ohlc_daily(spark, sf_dir):
+    """OHLC bars (open/high/low/close) per day — the time-series rollup
+    shape. Open/close are first/last by a TOTAL order (orderkey; the
+    fixture's timestamps are midnight-equal, so arg_min on ts alone would be
+    non-deterministic); both row_number directions ride ONE window shuffle,
+    then a single aggregate finishes. At scale this runs per
+    (symbol, day) partition with the same plan."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31"))
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    wa = Window.partitionBy("d").orderBy(F.col("o_orderkey").asc())
+    wd = Window.partitionBy("d").orderBy(F.col("o_orderkey").desc())
+    r = o.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "manual_corr_stats",
+    """
+    WITH b AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS x,
+                      CAST(round(l_discount * 100) AS BIGINT) AS y
+               FROM lineitem),
+    s AS (SELECT l_returnflag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                 sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM b GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_disc,
+           round(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+                      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS stddev_qty
+    FROM s
+    """,
+)
+def manual_corr_stats(spark, sf_dir):
+    """Correlation and stddev computed from EXACT integer sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy as int64 — one aggregate pass) and a
+    fixed IEEE expression on top. Spark's built-in corr/stddev use
+    incremental co-moment updates whose rounding is engine- and
+    partition-order-specific; this formulation is the cross-engine-exact
+    (and perfectly partition-parallel) alternative — the sums are also the
+    MERGEABLE form you'd keep in a 100 TB statistics rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_qty_disc"),
+        F.round(
+            F.sqrt((nd * F.col("sxx") - sxd * F.col("sx")) / (nd * (nd - F.lit(1.0)))), 6
+        ).alias("stddev_qty"),
+    )
