@@ -217,8 +217,27 @@ class TxnTable:
             actions.append({"add": {"path": rel, "rows": row["__rows"], "stats": stats}})
         return actions
 
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        """Delta-style strictness: widening the schema (new columns) needs an
+        explicit ``merge_schema=True``; silent drift is an error. Removed
+        columns are always rejected (old files can't grow data back)."""
+        _, stored = self._snapshot()
+        if stored is None:
+            return
+        old_cols = {f["name"] for f in stored["fields"]}
+        new_cols = set(df.columns)
+        if old_cols - new_cols:
+            raise ValueError(f"schema removes columns {sorted(old_cols - new_cols)}")
+        if (new_cols - old_cols) and not merge_schema:
+            raise ValueError(
+                f"schema adds columns {sorted(new_cols - old_cols)}; "
+                "pass merge_schema=True to evolve"
+            )
+
     def append(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
-               meta: dict | None = None, zorder_by: Sequence[str] | None = None) -> int:
+               meta: dict | None = None, zorder_by: Sequence[str] | None = None,
+               merge_schema: bool = False) -> int:
+        self._check_schema(df, merge_schema)
         adds = self._write_files(df, cluster_by, zorder_by)
         return self._commit("append", adds, self.version() + 1, df.schema.jsonValue(), meta)
 
@@ -314,7 +333,22 @@ class TxnTable:
         if not fs:
             st = StructType.fromJson(schema) if schema else StructType([])
             return self.spark.createDataFrame([], st)
-        return self.spark.read.parquet(*[os.path.join(self.path, f.path) for f in fs])
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f.path) for f in fs]
+        )
+        # project to the committed schema at this version: columns added by a
+        # later schema evolution read as NULL from pre-evolution files, and
+        # column ORDER is the logged one, not parquet-footer order
+        if schema:
+            cols = [f["name"] for f in schema["fields"]]
+            df = df.select(*[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(
+                    StructType.fromJson(schema)[c].dataType
+                ).alias(c)
+                for c in cols
+            ])
+        return df
 
     # ------------------------------------------------------------- vacuum --
 

@@ -235,3 +235,33 @@ class TestFileGranularMerge:
         )
         t.merge(newrows, ["o_orderkey"], prune_col="o_orderkey")
         assert t.read().count() == base.count() + newrows.count()
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_widens_and_backfills_null(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        base = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice").limit(10)
+        t.append(base)
+        widened = (
+            _orders(spark, sf_dir)
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") >= 1000)
+            .limit(5)
+            .withColumn("channel", F.lit("web"))
+        )
+        with pytest.raises(ValueError, match="merge_schema"):
+            t.append(widened)
+        t.append(widened, merge_schema=True)
+        out = t.read()
+        assert out.columns == ["o_orderkey", "o_totalprice", "channel"]
+        assert out.count() == 15
+        assert out.filter(F.col("channel").isNull()).count() == 10
+        # time travel sees the OLD schema
+        assert t.read(version=0).columns == ["o_orderkey", "o_totalprice"]
+
+    def test_column_removal_always_rejected(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).select("o_orderkey", "o_totalprice").limit(5))
+        with pytest.raises(ValueError, match="removes"):
+            t.append(_orders(spark, sf_dir).select("o_orderkey").limit(5),
+                     merge_schema=True)
