@@ -3457,3 +3457,41 @@ def manual_corr_stats(spark, sf_dir):
             F.sqrt((nd * F.col("sxx") - sxd * F.col("sx")) / (nd * (nd - F.lit(1.0)))), 6
         ).alias("stddev_qty"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS (SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the near-dup candidate graph — the standard
+    graph-density primitive (clustering coefficient numerator). Edges are
+    canonically ordered (a < b from the LSH pair generator), so each
+    triangle is counted exactly once by the two-hop join + closing-edge
+    semi-check. Both joins are equi-joins on vertex ids (8-byte longs); at
+    scale the classic degree-ordered optimization bounds the join fan-out.
+    Exact integer result — bit-checkable against the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    two_hop = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .select(F.col("e1.a").alias("ta"), F.col("e1.b").alias("tb"), F.col("e2.b").alias("tc"))
+    )
+    tri = two_hop.join(
+        e.alias("e3"), (F.col("e3.a") == F.col("ta")) & (F.col("e3.b") == F.col("tc"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
