@@ -3495,3 +3495,65 @@ def graph_triangle_count(spark, sf_dir):
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         e.agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+_PR_ITERS = 3
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer PageRank twin: mass in micro-units, contributions by
+    truncating division (DuckDB // == Spark div), damping 850/1000 in
+    integer arithmetic — bit-identical to the Spark loop on any engine."""
+    its = ""
+    for i in range(_PR_ITERS):
+        its += f""",
+    inflow{i} AS (
+        SELECT e.b AS v, sum(m.mass // d.deg) AS infl
+        FROM e JOIN mass{i} m ON m.v = e.a JOIN deg d ON d.v = e.a
+        GROUP BY e.b),
+    mass{i + 1} AS (
+        SELECT d.v, 150000 + (850 * coalesce(i.infl, 0)) // 1000 AS mass
+        FROM deg d LEFT JOIN inflow{i} i ON i.v = d.v)"""
+    return f"""
+    WITH pairs AS (SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a AS v, count(*) AS deg FROM e GROUP BY a),
+    mass0 AS (SELECT v, CAST(1000000 AS BIGINT) AS mass FROM deg){its}
+    SELECT v AS doc_id, CAST(mass AS BIGINT) AS rank_mass
+    FROM mass{_PR_ITERS}
+    ORDER BY rank_mass DESC, doc_id ASC LIMIT 20
+    """
+
+
+@register("pagerank_neardup_graph", _pagerank_oracle())
+def pagerank_neardup_graph(spark, sf_dir):
+    """PageRank (3 iterations, damping 0.85) over the near-dup candidate
+    graph in INTEGER micro-mass — each iteration is one join + one aggregate,
+    and because contributions use truncating integer division the entire
+    trajectory is deterministic on any partitioning AND bit-identical to the
+    SQL oracle's unrolled replay. The centrality signal ranks 'hub'
+    documents inside duplicate clusters (useful for picking canonical docs).
+    At scale: same loop, edges pre-partitioned by source vertex."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).union(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    ).persist()
+    deg = e.groupBy(F.col("a").alias("dv")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    mass = deg.select(F.col("dv").alias("mv"), F.lit(1000000).cast("bigint").alias("mass"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(mass, F.col("a") == F.col("mv"))
+            .join(deg, F.col("a") == F.col("dv"))
+            .select(F.col("b").alias("tv"), F.expr("mass div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("tv").agg(F.sum("c").alias("infl"))
+        mass = deg.join(inflow, F.col("dv") == F.col("tv"), "left").select(
+            F.col("dv").alias("mv"),
+            (F.lit(150000) + F.expr("(850 * coalesce(infl, 0)) div 1000"))
+            .cast("bigint")
+            .alias("mass"),
+        )
+    return mass.select(F.col("mv").alias("doc_id"), F.col("mass").alias("rank_mass")).orderBy(
+        F.col("rank_mass").desc(), F.col("doc_id").asc()
+    ).limit(20)
