@@ -3557,3 +3557,64 @@ def pagerank_neardup_graph(spark, sf_dir):
     return mass.select(F.col("mv").alias("doc_id"), F.col("mass").alias("rank_mass")).orderBy(
         F.col("rank_mass").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Interchange formats beyond CSV/parquet: ORC and JSON-lines round trips
+# ---------------------------------------------------------------------------
+
+@register(
+    "orc_roundtrip",
+    f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+    GROUP BY o_orderstatus
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC interchange: write the daily partition as ORC (zstd), read it
+    back with the explicit schema, aggregate — proving the ORC source/sink
+    is lossless for the engine's types. The oracle aggregates the original
+    parquet directly, so any round-trip corruption hash-mismatches."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_orc_") + "/orders_day"
+    day = _t(spark, sf_dir, "orders").filter(filters.daily_partition("o_orderdate", RUN_DATE))
+    day.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.schema(day.schema).orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"),
+    )
+
+
+@register(
+    "jsonl_roundtrip",
+    f"""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+    FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+    """,
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines interchange: the daily partition out to .jsonl and back
+    with an explicit schema (timestamps ISO-formatted; money as integer
+    cents so the double never transits a decimal string). Schema-on-read
+    with explicit StructType — never inferSchema in production paths."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_") + "/orders_day"
+    day = (
+        _t(spark, sf_dir, "orders")
+        .filter(filters.daily_partition("o_orderdate", RUN_DATE))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+        )
+    )
+    day.write.mode("overwrite").json(path)
+    return spark.read.schema(day.schema).json(path)

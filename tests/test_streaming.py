@@ -240,3 +240,60 @@ def test_streaming_txn_table_sink(spark, tmpdir):
     )
     assert t.read().count() == expected
     assert t.version() > v_before  # atomic commits recorded, state unchanged
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmpdir):
+    """Left-outer stream-stream join: unmatched left rows must be emitted
+    with NULL right side once the watermark passes the join horizon —
+    bounded-state attribution including the 'never converted' rows."""
+    imps = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00")],
+        "ad int, ts_s string",
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("imp_ts"))
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"),
+         (9, "2024-01-01 23:00:00")],  # late sentinel advances the watermark
+        "ad int, ts_s string",
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("click_ts"))
+    imps.write.parquet(f"{tmpdir}/imps")
+    clicks.write.parquet(f"{tmpdir}/clicks")
+    li = runner.read_stream_parquet(spark, f"{tmpdir}/imps", imps.schema).withWatermark(
+        "imp_ts", "10 minutes"
+    )
+    rc = runner.read_stream_parquet(spark, f"{tmpdir}/clicks", clicks.schema).withWatermark(
+        "click_ts", "10 minutes"
+    )
+    joined = li.alias("l").join(
+        rc.alias("r"),
+        F.expr("l.ad = r.ad AND r.click_ts >= l.imp_ts "
+               "AND r.click_ts <= l.imp_ts + interval 30 minutes"),
+        "left_outer",
+    )
+    def run_once():
+        qq = (joined.select("l.ad", "imp_ts", "click_ts").writeStream.format("parquet")
+              .option("path", f"{tmpdir}/out")
+              .option("checkpointLocation", f"{tmpdir}/ckpt")
+              .trigger(availableNow=True).start())
+        qq.awaitTermination(120)
+
+    run_once()
+    # The GLOBAL watermark is the MIN over both streams, and outer-join NULL
+    # results flush on the trigger AFTER it passes the horizon — so BOTH
+    # sides need later data before the unmatched row can be emitted (an
+    # always-on production stream gets this for free with every batch).
+    spark.createDataFrame(
+        [(9, "2024-01-02 12:00:00")], "ad int, ts_s string"
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("click_ts")).write.mode(
+        "append"
+    ).parquet(f"{tmpdir}/clicks")
+    spark.createDataFrame(
+        [(9, "2024-01-02 12:00:00")], "ad int, ts_s string"
+    ).select("ad", F.col("ts_s").cast("timestamp").alias("imp_ts")).write.mode(
+        "append"
+    ).parquet(f"{tmpdir}/imps")
+    run_once()
+    run_once()  # one more trigger to flush state evicted at the new watermark
+    out = spark.read.parquet(f"{tmpdir}/out")
+    rows = {r["ad"]: r["click_ts"] for r in out.collect()}
+    assert rows[1] is not None      # matched within horizon
+    assert rows.get(2, "missing") is None  # emitted as unmatched after watermark
