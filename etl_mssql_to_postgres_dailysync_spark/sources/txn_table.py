@@ -192,29 +192,42 @@ class TxnTable:
             n = max(df.rdd.getNumPartitions(), 2)
             out = out.repartitionByRange(n, *[F.col(c) for c in cluster_by])
         out.write.mode("error").parquet(commit_dir)
-        written = self.spark.read.parquet(commit_dir)
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in self.stats_cols:
-            if c in written.columns:
-                aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"),
-                         F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")]
-        per_file = (
-            written.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
-        )
+        # Per-file rows + min/max/null-count come from the parquet FOOTERS on
+        # the driver — zero extra Spark jobs per commit (Delta does the same
+        # via write-task stats). On an object store this is one ranged GET of
+        # each footer, still metadata-scale.
+        import pyarrow.parquet as pq
+
         actions = []
-        for row in per_file:
-            local = "/" + row["__file"].removeprefix("file:").lstrip("/")
-            rel = os.path.relpath(local, self.path)
-            stats = {
-                c: {
-                    "min": _json_safe(row[f"__min_{c}"]),
-                    "max": _json_safe(row[f"__max_{c}"]),
-                    "nulls": row[f"__nulls_{c}"],
-                }
-                for c in self.stats_cols
-                if f"__min_{c}" in row.asDict()
-            }
-            actions.append({"add": {"path": rel, "rows": row["__rows"], "stats": stats}})
+        for fname in sorted(os.listdir(commit_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(commit_dir, fname)
+            md = pq.ParquetFile(fpath).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats = {}
+            for c in self.stats_cols:
+                if c not in col_idx:
+                    continue
+                lo = hi = None
+                nulls = 0
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    nulls += st.null_count or 0
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+                if ok:
+                    stats[c] = {"min": _json_safe(lo), "max": _json_safe(hi),
+                                "nulls": nulls}
+            actions.append({"add": {
+                "path": os.path.relpath(fpath, self.path),
+                "rows": md.num_rows,
+                "stats": stats,
+            }})
         return actions
 
     def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
