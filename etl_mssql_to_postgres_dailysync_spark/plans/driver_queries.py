@@ -3618,3 +3618,48 @@ def jsonl_roundtrip(spark, sf_dir):
     )
     day.write.mode("overwrite").json(path)
     return spark.read.schema(day.schema).json(path)
+
+
+@register(
+    "data_quality_expectations",
+    f"""
+    WITH gen AS ({ORACLES["fake_orders_generator"]}),
+    f AS (SELECT (OrderCreatedAt IS NOT NULL) AS ok1,
+                 (Amount IS NOT NULL AND Amount >= 100 AND Amount <= 1050) AS ok2,
+                 (Product IN {tuple(PRODUCTS[:-1])!r}) AS ok3,
+                 (UserID % 7 <> 0) AS ok4
+          FROM gen)
+    SELECT count(*) AS total,
+           count(*) FILTER (ok1 AND ok2 AND ok3 AND ok4) AS passed,
+           count(*) FILTER (NOT ok1) AS viol_not_null_OrderCreatedAt,
+           count(*) FILTER (NOT ok2) AS viol_range_Amount,
+           count(*) FILTER (NOT ok3) AS viol_one_of_Product,
+           count(*) FILTER (NOT ok4) AS viol_fk_UserID
+    FROM f
+    """,
+)
+def data_quality_expectations(spark, sf_dir):
+    """Declarative expectations (operators/expectations.py) — the
+    reference's validation + quarantine generalized: four named rules
+    (not-null event time, amount range, product domain, FK-to-users via
+    broadcast mark join) evaluated in ONE scan; output is the per-rule
+    violation report the reference logs as XCom metrics. The pass/fail
+    split and the metrics share the same flag columns — nothing re-scans."""
+    from etl_mssql_to_postgres_dailysync_spark.operators import expectations as X
+
+    src = fake_orders(spark, 1000).withColumn(
+        "Amount", F.round(F.col("Amount").cast("double"), 2)
+    )
+    users = spark.range(1000, 10000).filter(F.col("id") % 7 != 0).select(
+        F.col("id").alias("user_id")
+    )
+    good, quarantined, metrics = X.apply_expectations(
+        src,
+        [
+            X.not_null(["OrderCreatedAt"]),
+            X.in_range("Amount", 100, 1050),
+            X.one_of("Product", PRODUCTS[:-1]),
+        ],
+        fk={"UserID": users},
+    )
+    return metrics

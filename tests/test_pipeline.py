@@ -85,3 +85,27 @@ def test_projection_ops(spark):
     aligned = project.align_columns(low.drop("amount"), ORDERS_SCHEMA)
     assert aligned.columns == [f.name for f in ORDERS_SCHEMA.fields]
     assert aligned.select("Amount").distinct().collect()[0][0] is None
+
+
+class TestExpectations:
+    def test_split_and_violation_labels(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.operators import expectations as X
+
+        df = spark.createDataFrame(
+            [(1, 50, "a"), (2, None, "b"), (3, 200, "zz"), (4, 120, "a")],
+            "id int, amount int, code string",
+        )
+        dim = spark.createDataFrame([(1,), (2,), (4,)], "id int")
+        good, quarantined, metrics = X.apply_expectations(
+            df,
+            [X.in_range("amount", 100, 300), X.matches("code", "^[ab]$")],
+            fk={"id": dim},
+        )
+        assert [r["id"] for r in good.collect()] == [4]
+        q = {r["id"]: set(r["_violations"]) for r in quarantined.collect()}
+        assert q[1] == {"range_amount"}
+        assert q[2] == {"range_amount"}  # NULL fails the range rule
+        assert q[3] == {"regex_code", "fk_id"}
+        m = metrics.collect()[0]
+        assert m["total"] == 4 and m["passed"] == 1
+        assert m["viol_range_amount"] == 2 and m["viol_fk_id"] == 1
