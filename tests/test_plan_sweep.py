@@ -1,0 +1,50 @@
+"""Global plan-regression guard over EVERY driver query.
+
+A BroadcastNestedLoopJoin or CartesianProduct sneaking into a query is
+invisible at sf0.001 and a cluster-killer at 100 TB. The only sanctioned
+nested-loop shape is the scalar-subquery pattern: crossJoin of a ONE-ROW
+aggregate (global average / max / count), which is O(n) work with a 1-row
+broadcast side. Those queries are whitelisted explicitly; everything else
+must plan hash/sort-merge joins.
+"""
+
+import pytest
+
+from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plan intentionally crossJoins a 1-row aggregate (scalar
+# subquery) or a metadata-sized generated spine
+ALLOWED_NESTED_LOOP = {
+    "set_operations",          # four 1-row aggregate counts combined
+    "global_sales_opportunity",  # global avg balance, 1 row
+    "kmv_distinct_sketch",     # k-th order statistic scalar
+    "approx_percentile_bounds",  # 1-row stats vector
+    "gap_fill_daily",          # generated date spine (31 rows) x dim
+    "graph_triangle_count",    # 1-row triangle count x 1-row edge count
+    "cms_frequency_sketch",    # broadcast estimate joined to 10-row top-k
+    "tfidf_top_terms",         # 1-row corpus size N
+    "daily_sync_pipeline",     # reconciliation counts (1-row observe twin)
+    "event_funnel",            # three 1-row stage counts combined
+    "similarity_brute_topk",   # by design: corpus x broadcast(10 queries)
+    "similarity_ann_ivf",      # corpus x broadcast(8 centroids) assignment
+}
+
+# queries with driver-side setup that writes real files; cheap at sf0.001
+# but excluded here because building the plan EXECUTES commits/writes —
+# their plan shapes are covered by their own module tests
+SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
+        "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip",
+        "similarity_ann_ivf_trained",  # training loop collects per iteration
+        "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
+        }
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_unplanned_nested_loop_join(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in ALLOWED_NESTED_LOOP:
+        return  # sanctioned scalar/spine cross joins
+    assert not has_nlj, f"{name} plans a nested-loop join:\n{plan[:2000]}"
