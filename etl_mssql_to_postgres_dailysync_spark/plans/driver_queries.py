@@ -3663,3 +3663,241 @@ def data_quality_expectations(spark, sf_dir):
         fk={"UserID": users},
     )
     return metrics
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_centipct
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 flavor — bidirectional nation-pair trade volume. The two
+    nation dims broadcast twice under different roles; the OR-pair predicate
+    prunes AFTER the cheap broadcast joins, so the fact shuffles only for
+    the orders join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        filters.date_range_partition("l_shipdate", "1995-01-01", "1996-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("revenue_centipct")
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+             n_name
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN n_name = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 flavor — one nation's share of total volume per year: a
+    conditional-sum ratio in ONE aggregation (no self-join of totals), exact
+    integer sums divided once at the end (single IEEE op, cross-engine
+    deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-01-01", "1996-12-31")
+    ).select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol.alias("vol"), "n_name")
+    )
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_5", F.col("vol")).otherwise(0)).cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-10-01' AND DATE '1995-12-31'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 flavor — top customers by returned-item revenue. Return
+    flag + date filters reach the scans; top-20 is TakeOrdered on the
+    aggregated (customer-sized) relation, never a global sort of the fact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-10-01", "1995-12-31")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "priority_line_summary",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    GROUP BY l_returnflag
+    """,
+)
+def priority_line_summary(spark, sf_dir):
+    """TPC-H Q12 flavor — CASE-pivot counts by priority class in one
+    aggregation after a single fact-fact equi-join (both sides date/flag
+    pruned before the exchange)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        filters.date_range_partition("l_shipdate", "1995-01-01", "1995-12-31")
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "discounted_revenue_or",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def discounted_revenue_or(spark, sf_dir):
+    """TPC-H Q19 flavor — disjunction of brand/size/quantity triples across
+    the join. Catalyst factors the OR into per-side conjuncts (p_brand IN
+    (...) pushes to the part scan, quantity range to lineitem) before
+    applying the full predicate post-join — the classic CNF-extraction
+    workout; the part side stays broadcastable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
