@@ -3901,3 +3901,54 @@ def discounted_revenue_or(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "governed_ingest",
+    f"""
+    WITH gen AS ({ORACLES["fake_orders_generator"]})
+    SELECT count(*) FILTER (OrderCreatedAt IS NOT NULL AND Amount <= 1900) AS rows_loaded,
+           count(*) FILTER (OrderCreatedAt IS NULL OR Amount > 1900) AS rows_quarantined,
+           count(*) FILTER (OrderCreatedAt IS NULL) AS viol_not_null,
+           count(*) FILTER (Amount > 1900) AS viol_amount,
+           count(*) AS rows_seen
+    FROM gen
+    """,
+)
+def governed_ingest(spark, sf_dir):
+    """The governed-ingest composition — the engine's three pillars in one
+    pipeline: expectations gate (one-scan rules), ACID merge of passing rows
+    into a TxnTable (atomic visibility), quarantine side table for the rest
+    (the reference's incomplete_orders generalized), and a reconciliation
+    row proving loaded + quarantined == seen. The oracle recomputes every
+    count relationally, so gating, merge and reconciliation all check."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.operators import expectations as X
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+
+    base = f"/tmp/spark_graft_govern_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = fake_orders(spark, 1000).withColumn(
+        "Amount", F.round(F.col("Amount").cast("double"), 2)
+    )
+    good, quarantined, _ = X.apply_expectations(
+        src,
+        [X.not_null(["OrderCreatedAt"]), X.in_range("Amount", None, 1900)],
+    )
+    t = TxnTable(spark, f"{base}/orders")
+    t.append(good)
+    quarantined.write.mode("overwrite").parquet(f"{base}/quarantine")
+    loaded = t.read().agg(F.count(F.lit(1)).alias("rows_loaded"))
+    quar = spark.read.parquet(f"{base}/quarantine")
+    viol = quar.agg(
+        F.count(F.lit(1)).alias("rows_quarantined"),
+        F.count_if(F.array_contains("_violations", "not_null_OrderCreatedAt")).alias(
+            "viol_not_null"
+        ),
+        F.count_if(F.array_contains("_violations", "range_Amount")).alias("viol_amount"),
+    )
+    return (
+        loaded.crossJoin(viol)
+        .withColumn("rows_seen", F.col("rows_loaded") + F.col("rows_quarantined"))
+    )

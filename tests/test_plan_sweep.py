@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP = {
 # but excluded here because building the plan EXECUTES commits/writes —
 # their plan shapes are covered by their own module tests
 SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
+        "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
         "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip",
         "similarity_ann_ivf_trained",  # training loop collects per iteration
         "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
