@@ -3952,3 +3952,215 @@ def governed_ingest(spark, sf_dir):
         loaded.crossJoin(viol)
         .withColumn("rows_seen", F.col("rows_loaded") + F.col("rows_quarantined"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 3 — Q2 / Q9 / Q11 / Q20 flavors. The fixture set has no
+# partsupp table, so lineitem plays the part-supplier relation: a supplier's
+# "offer" for a part is the minimum line price it ever shipped that part at.
+# ---------------------------------------------------------------------------
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost_cents
+      FROM costs
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_type = 'ECONOMY' AND p_size <= 15 AND r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost_cents
+    FROM eligible e
+    WHERE cost_cents = (SELECT min(cost_cents) FROM eligible e2
+                        WHERE e2.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC LIMIT 100
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 flavor — cheapest eligible supplier per part (correlated
+    scalar-min subquery). Decorrelated Spark-first: one composite-key
+    aggregation builds the (part, supplier) offer table, the per-part min is
+    a second part-keyed aggregation broadcast back as a filter (the
+    qualifying-part side is dimension-sized after the type/size/region
+    filters, so the join-back never shuffles the offers again). Top-100 is
+    TakeOrdered, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    euro_nations = nation.join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cost_cents")
+    )
+    eligible = (
+        costs.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(euro_nations), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost_cents")
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("cost_cents").alias("b_cost")
+    )
+    return (
+        eligible.join(
+            F.broadcast(best),
+            (F.col("b_partkey") == F.col("p_partkey")) & (F.col("b_cost") == F.col("cost_cents")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "cost_cents")
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_centipct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def product_type_profit(spark, sf_dir):
+    """TPC-H Q9 flavor — profit by supplier nation × order year for parts
+    matching a name pattern (retail price stands in for ps_supplycost).
+    The LIKE filter prunes part BEFORE the broadcast, so the fact-side
+    part join doubles as the selective filter; only the orders join
+    shuffles. Exact integer cents×pct arithmetic end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        - F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.lit(100)
+        * F.col("l_quantity").cast("bigint")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.sum(profit).cast("bigint").alias("profit_centipct"))
+
+
+@register(
+    "important_part_value",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_4'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM pv
+    WHERE value_cents * 10000 > (SELECT SUM(value_cents) FROM pv)
+    """,
+)
+def important_part_value(spark, sf_dir):
+    """TPC-H Q11 flavor — parts whose shipped value through one nation's
+    suppliers exceeds a fixed fraction of that nation's total. The global
+    total is a scalar aggregate broadcast via crossJoin (never a
+    single-partition window); the threshold compare is integer-exact
+    (value*10000 > total, no division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4").select(
+        "n_nationkey"
+    )
+    pv = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("value_cents"))
+    )
+    total = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+@register(
+    "promotion_part_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty_total,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                        BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1995
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (SELECT l_suppkey FROM sq WHERE qty_1995 * 2 > qty_total)
+    """,
+)
+def promotion_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 flavor — suppliers in one nation who concentrated more than
+    half their all-time shipments of pattern-named parts into 1995 (the
+    availqty>half-year-demand correlation, reformulated without partsupp).
+    Decorrelated: conditional sums compute both the correlated scalar and
+    the outer quantity in ONE (supplier, part) aggregation; the IN becomes
+    a LEFT SEMI join against the distinct qualifying suppliers."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select(
+        "n_nationkey"
+    )
+    in_1995 = F.col("l_shipdate").cast("date").between("1995-01-01", "1995-12-31")
+    sq = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+            F.sum(F.when(in_1995, F.col("l_quantity").cast("bigint")).otherwise(0)).alias(
+                "qty_1995"
+            ),
+        )
+        .filter(F.col("qty_1995") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(sq, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -29,6 +29,7 @@ ALLOWED_NESTED_LOOP = {
     "event_funnel",            # three 1-row stage counts combined
     "similarity_brute_topk",   # by design: corpus x broadcast(10 queries)
     "similarity_ann_ivf",      # corpus x broadcast(8 centroids) assignment
+    "important_part_value",    # Q11 scalar: global value total, 1 row
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
