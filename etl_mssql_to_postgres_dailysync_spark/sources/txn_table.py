@@ -67,6 +67,8 @@ class AddFile:
     path: str  # relative to table root
     rows: int
     stats: dict  # col -> {"min": v, "max": v, "nulls": n}
+    partition_values: dict | None = None  # identity-partition col -> value
+    bucket: int | None = None  # hash-bucket id under bucket_spec
 
 
 def _version_path(log: str, v: int, checkpoint: bool = False) -> str:
@@ -106,12 +108,23 @@ class TxnTable:
 
     def _snapshot(self, version: int | None = None) -> tuple[dict[str, dict], dict | None]:
         """Replay the log to ``version``: {rel_path: add_action}, schema."""
+        live, schema, _ = self._snapshot_full(version)
+        return live, schema
+
+    def _snapshot_full(
+        self, version: int | None = None
+    ) -> tuple[dict[str, dict], dict | None, dict]:
+        """Replay to ``version``: (live files, schema, table properties).
+
+        Properties carry the CURRENT partition/bucket spec (Iceberg-style
+        spec evolution: the latest commit that declared a spec wins, but
+        files keep the metadata of the spec they were written under)."""
         head = self.version()
         if version is None:
             version = head
         if version > head or version < -1:
             raise ValueError(f"version {version} out of range (head={head})")
-        start, live, schema = 0, {}, None
+        start, live, schema, props = 0, {}, None, {}
         # start from the newest checkpoint at or below the target version
         for v in range(version, -1, -1):
             cp = _version_path(self.log, v, checkpoint=True)
@@ -120,23 +133,35 @@ class TxnTable:
                     snap = json.load(f)
                 live = {a["path"]: a for a in snap["live"]}
                 schema = snap["schema"]
+                props = snap.get("props", {})
                 start = v + 1
                 break
         for v in range(start, version + 1):
             c = self._read_commit(v)
             if c.get("schema"):
                 schema = c["schema"]
+            props.update(c.get("props") or {})
             for action in c["actions"]:
                 if "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-        return live, schema
+        return live, schema, props
+
+    def partition_spec(self, version: int | None = None) -> list[str]:
+        """Current identity-partition columns ([] = unpartitioned)."""
+        return self._snapshot_full(version)[2].get("partition_spec", [])
+
+    def bucket_spec(self, version: int | None = None) -> dict | None:
+        """Current hash-bucket layout, e.g. {"col": "k", "n": 8}, or None."""
+        return self._snapshot_full(version)[2].get("bucket_spec")
 
     def _commit(self, op: str, actions: list[dict], expected_version: int,
-                schema: dict | None, meta: dict | None = None) -> int:
+                schema: dict | None, meta: dict | None = None,
+                props: dict | None = None) -> int:
         tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}")
-        doc = {"op": op, "actions": actions, "schema": schema, "meta": meta or {}}
+        doc = {"op": op, "actions": actions, "schema": schema, "meta": meta or {},
+               "props": props or {}}
         v = expected_version
         try:
             while True:
@@ -159,8 +184,9 @@ class TxnTable:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         if v % self.checkpoint_interval == 0 and v > 0:
-            live, schema_now = self._snapshot(v)
-            cp_doc = {"version": v, "live": list(live.values()), "schema": schema_now}
+            live, schema_now, props_now = self._snapshot_full(v)
+            cp_doc = {"version": v, "live": list(live.values()), "schema": schema_now,
+                      "props": props_now}
             cp_tmp = tmp + ".cp"
             with open(cp_tmp, "w") as f:
                 json.dump(cp_doc, f)
@@ -170,9 +196,20 @@ class TxnTable:
     # -------------------------------------------------------------- write --
 
     def _write_files(self, df: DataFrame, cluster_by: Sequence[str] | None,
-                     zorder_by: Sequence[str] | None = None) -> list[dict]:
+                     zorder_by: Sequence[str] | None = None,
+                     partition_by: Sequence[str] | None = None,
+                     bucket_by: dict | None = None) -> list[dict]:
         """Write df as immutable parquet files under a fresh commit dir and
-        return their add-actions with per-file stats (one Spark job each)."""
+        return their add-actions with per-file stats (one Spark job each).
+
+        ``partition_by`` writes hive-layout identity partitions; each file's
+        partition values are parsed from its path into the add-action, so
+        reads/pruning never re-list or re-parse directories (the
+        Iceberg-manifest approach: partition data lives in table metadata).
+        ``bucket_by`` ({"col": c, "n": n}) hash-partitions rows with Spark's
+        own HashPartitioning (pmod(murmur3, n)) and records each file's
+        bucket id — the part-file index IS the partition id on a
+        deterministic one-stage write."""
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         out = df
         if zorder_by:
@@ -184,6 +221,8 @@ class TxnTable:
                 .sortWithinPartitions("__zkey__")
                 .drop("__zkey__")
             )
+        elif bucket_by:
+            out = df.repartition(int(bucket_by["n"]), F.col(bucket_by["col"]))
         elif cluster_by:
             # range-partition so each file covers a tight value range: this
             # is what makes min/max pruning selective. The partition count is
@@ -191,18 +230,25 @@ class TxnTable:
             # into one file (at scale, pick ~table_bytes / 1 GB).
             n = max(df.rdd.getNumPartitions(), 2)
             out = out.repartitionByRange(n, *[F.col(c) for c in cluster_by])
-        out.write.mode("error").parquet(commit_dir)
+        writer = out.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(commit_dir)
         # Per-file rows + min/max/null-count come from the parquet FOOTERS on
         # the driver — zero extra Spark jobs per commit (Delta does the same
         # via write-task stats). On an object store this is one ranged GET of
         # each footer, still metadata-scale.
         import pyarrow.parquet as pq
+        from urllib.parse import unquote
 
+        files = sorted(
+            os.path.join(r, fn)
+            for r, _, fns in os.walk(commit_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
         actions = []
-        for fname in sorted(os.listdir(commit_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(commit_dir, fname)
+        for fpath in files:
             md = pq.ParquetFile(fpath).metadata
             col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             stats = {}
@@ -223,11 +269,26 @@ class TxnTable:
                 if ok:
                     stats[c] = {"min": _json_safe(lo), "max": _json_safe(hi),
                                 "nulls": nulls}
-            actions.append({"add": {
+            add = {
                 "path": os.path.relpath(fpath, self.path),
                 "rows": md.num_rows,
                 "stats": stats,
-            }})
+            }
+            if partition_by:
+                pv = {}
+                rel = os.path.relpath(fpath, commit_dir)
+                for seg in rel.split(os.sep)[:-1]:
+                    col, _, raw = seg.partition("=")
+                    pv[col] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _coerce_scalar(unquote(raw))
+                    )
+                add["partition_values"] = pv
+            if bucket_by:
+                # part-00037-<uuid>.parquet -> partition (= bucket) id 37
+                add["bucket"] = int(os.path.basename(fpath).split("-")[1])
+                add["bucket_spec"] = {"col": bucket_by["col"], "n": int(bucket_by["n"])}
+            actions.append({"add": add})
         return actions
 
     def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
@@ -249,18 +310,54 @@ class TxnTable:
 
     def append(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
                meta: dict | None = None, zorder_by: Sequence[str] | None = None,
-               merge_schema: bool = False) -> int:
+               merge_schema: bool = False,
+               partition_by: Sequence[str] | None = None,
+               bucket_by: dict | None = None) -> int:
+        """Append; ``partition_by``/``bucket_by`` both layout THIS write and
+        evolve the table's current spec (recorded in commit props — old files
+        keep the spec they were written under, Iceberg-style). Omitting them
+        keeps the current spec: an existing partition spec is applied to the
+        incoming batch automatically."""
         self._check_schema(df, merge_schema)
-        adds = self._write_files(df, cluster_by, zorder_by)
-        return self._commit("append", adds, self.version() + 1, df.schema.jsonValue(), meta)
+        props = {}
+        if partition_by is not None:
+            props["partition_spec"] = list(partition_by)
+        if bucket_by is not None:
+            props["bucket_spec"] = {"col": bucket_by["col"], "n": int(bucket_by["n"])}
+        cur = self._snapshot_full()[2]
+        eff_partition = (
+            list(partition_by) if partition_by is not None
+            else cur.get("partition_spec", [])
+        )
+        eff_bucket = bucket_by if bucket_by is not None else cur.get("bucket_spec")
+        adds = self._write_files(df, cluster_by, zorder_by,
+                                 partition_by=eff_partition or None,
+                                 bucket_by=eff_bucket)
+        return self._commit("append", adds, self.version() + 1,
+                            df.schema.jsonValue(), meta, props or None)
 
     def overwrite(self, df: DataFrame, cluster_by: Sequence[str] | None = None,
-                  meta: dict | None = None) -> int:
+                  meta: dict | None = None,
+                  partition_by: Sequence[str] | None = None,
+                  bucket_by: dict | None = None) -> int:
         base = self.version()
-        live, _ = self._snapshot(base)
+        live, _, cur = self._snapshot_full(base)
+        props = {}
+        if partition_by is not None:
+            props["partition_spec"] = list(partition_by)
+        if bucket_by is not None:
+            props["bucket_spec"] = {"col": bucket_by["col"], "n": int(bucket_by["n"])}
+        eff_partition = (
+            list(partition_by) if partition_by is not None
+            else cur.get("partition_spec", [])
+        )
+        eff_bucket = bucket_by if bucket_by is not None else cur.get("bucket_spec")
         actions = [{"remove": {"path": p}} for p in live]
-        actions += self._write_files(df, cluster_by)
-        return self._commit("overwrite", actions, base + 1, df.schema.jsonValue(), meta)
+        actions += self._write_files(df, cluster_by,
+                                     partition_by=eff_partition or None,
+                                     bucket_by=eff_bucket)
+        return self._commit("overwrite", actions, base + 1, df.schema.jsonValue(),
+                            meta, props or None)
 
     def merge(self, source: DataFrame, keys: Sequence[str],
               cluster_by: Sequence[str] | None = None,
@@ -276,42 +373,72 @@ class TxnTable:
         path.  A daily delta against a date-clustered 100 TB table rewrites
         one day's files, not the table.  Rows outside the touched files are
         untouched by construction: their key ranges cannot intersect the
-        batch.  Without ``prune_col``, the whole live set rewrites."""
+        batch.  Without ``prune_col``, the whole live set rewrites.
+
+        On a bucketed table whose bucket column is one of ``keys``, pruning
+        is automatic: the source's distinct bucket ids (pmod(murmur3, n) —
+        Spark's own HashPartitioning function, so file bucket ids and the
+        computed ids agree by construction) select the touched files; files
+        from before the bucket spec (no bucket metadata) are always
+        rewritten.  A small delta against a 1000-bucket table rewrites only
+        the buckets its keys hash into."""
         from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge as rel_merge
 
         base = self.version()
-        live, _ = self._snapshot(base)
-        if prune_col is not None:
+        live, _, props = self._snapshot_full(base)
+        bspec = props.get("bucket_spec")
+        pspec = props.get("partition_spec", [])
+        if prune_col is None and bspec and bspec["col"] in keys:
+            ids = {
+                r[0]
+                for r in source.select(
+                    F.pmod(F.hash(F.col(bspec["col"])), F.lit(int(bspec["n"])))
+                ).distinct().collect()
+            }
+            touched = {
+                p for p, a in live.items()
+                if a.get("bucket") is None
+                or a.get("bucket_spec") != bspec
+                or a["bucket"] in ids
+            }
+            target = self._read_add_files(
+                [live[p] for p in touched], self._snapshot(base)[1]
+            )
+        elif prune_col is not None:
             lohi = source.agg(
                 F.min(F.col(prune_col)).alias("lo"), F.max(F.col(prune_col)).alias("hi")
             ).first()
             touched = {f.path for f in self.files(base, prune=(prune_col,
                        _json_safe(lohi["lo"]), _json_safe(lohi["hi"])))}
-            if touched:
-                target = self.spark.read.parquet(
-                    *[os.path.join(self.path, p) for p in touched]
-                )
-            else:
-                _, schema = self._snapshot(base)
-                target = self.spark.createDataFrame([], StructType.fromJson(schema))
+            target = self._read_add_files(
+                [live[p] for p in touched], self._snapshot(base)[1]
+            )
         else:
             touched = set(live.keys())
             target = self.read(version=base)
         merged = rel_merge(target, source, keys, **merge_kwargs).df
         actions = [{"remove": {"path": p}} for p in touched]
-        actions += self._write_files(merged, cluster_by)
+        actions += self._write_files(merged, cluster_by,
+                                     partition_by=pspec or None, bucket_by=bspec)
         return self._commit("merge", actions, base + 1, merged.schema.jsonValue(),
                             {"keys": list(keys), "files_rewritten": len(touched),
                              "files_kept": len(live) - len(touched)})
 
     def compact(self, num_files: int = 1) -> int:
         """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);
-        a normal commit, so time travel before it still works."""
+        a normal commit, so time travel before it still works. A partition/
+        bucket spec survives compaction (bucketed tables compact per bucket —
+        the layout IS the file count)."""
         base = self.version()
-        df = self.read().coalesce(num_files)
-        live, _ = self._snapshot(base)
+        live, _, props = self._snapshot_full(base)
+        pspec = props.get("partition_spec", [])
+        bspec = props.get("bucket_spec")
+        df = self.read()
+        if not bspec:
+            df = df.coalesce(num_files)
         actions = [{"remove": {"path": p}} for p in live]
-        actions += self._write_files(df, None)
+        actions += self._write_files(df, None, partition_by=pspec or None,
+                                     bucket_by=bspec)
         return self._commit("compact", actions, base + 1, df.schema.jsonValue())
 
     # --------------------------------------------------------------- read --
@@ -328,6 +455,16 @@ class TxnTable:
         for a in live.values():
             keep = True
             for col, lo, hi in preds:
+                pv = a.get("partition_values") or {}
+                if col in pv and pv[col] is not None:
+                    # identity-partition value: exact containment check
+                    v = pv[col]
+                    if (hi is not None and str_cmp(v, hi) > 0) or (
+                        lo is not None and str_cmp(v, lo) < 0
+                    ):
+                        keep = False
+                        break
+                    continue
                 st = a.get("stats", {}).get(col)
                 if st is None or st["min"] is None:
                     continue  # no stats -> cannot prune, must read
@@ -337,22 +474,56 @@ class TxnTable:
                     keep = False
                     break
             if keep:
-                out.append(AddFile(a["path"], a["rows"], a.get("stats", {})))
+                out.append(AddFile(a["path"], a["rows"], a.get("stats", {}),
+                                   a.get("partition_values"), a.get("bucket")))
         return out
 
-    def read(self, version: int | None = None, prune=None) -> DataFrame:
-        live, schema = self._snapshot(version)
-        fs = self.files(version, prune)
+    def _read_add_files(self, adds: list, schema: dict | None) -> DataFrame:
+        """Scan a set of add-actions/AddFiles as one DataFrame.
+
+        Hive-layout files don't store their partition columns in the data;
+        re-attach them as literals from LOG metadata (never by re-parsing
+        paths at scan time). One scan per distinct partition tuple — a
+        spec-evolution read unions the per-spec scans, so each branch still
+        gets pushdown/pruning independently."""
+        fs = [
+            a if isinstance(a, AddFile)
+            else AddFile(a["path"], a["rows"], a.get("stats", {}),
+                         a.get("partition_values"), a.get("bucket"))
+            for a in adds
+        ]
         if not fs:
             st = StructType.fromJson(schema) if schema else StructType([])
             return self.spark.createDataFrame([], st)
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f.path) for f in fs]
-        )
+        groups: dict[tuple, list[AddFile]] = {}
+        for f in fs:
+            key = tuple(sorted((f.partition_values or {}).items()))
+            groups.setdefault(key, []).append(f)
+        stype = StructType.fromJson(schema) if schema else None
+        parts = []
+        for key, members in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, m.path) for m in members]
+            )
+            for col, val in key:
+                if col not in df.columns:
+                    typ = stype[col].dataType if stype and col in stype.names else None
+                    lit = F.lit(val)
+                    df = df.withColumn(col, lit.cast(typ) if typ else lit)
+            parts.append(df)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    def read(self, version: int | None = None, prune=None) -> DataFrame:
+        _, schema = self._snapshot(version)
+        fs = self.files(version, prune)
+        df = self._read_add_files(fs, schema)
         # project to the committed schema at this version: columns added by a
         # later schema evolution read as NULL from pre-evolution files, and
         # column ORDER is the logged one, not parquet-footer order
-        if schema:
+        if schema and fs:
             cols = [f["name"] for f in schema["fields"]]
             df = df.select(*[
                 F.col(c) if c in df.columns
@@ -375,15 +546,33 @@ class TxnTable:
             live, _ = self._snapshot(v)
             referenced.update(live.keys())
         deleted = []
-        for f in glob.glob(os.path.join(self.path, "data", "*", "*.parquet")):
-            rel = os.path.relpath(f, self.path)
-            if rel not in referenced:
-                os.unlink(f)
-                deleted.append(rel)
-        for d in glob.glob(os.path.join(self.path, "data", "*")):
-            if os.path.isdir(d) and not os.listdir(d):
-                shutil.rmtree(d)
+        data_root = os.path.join(self.path, "data")
+        for r, _, fns in os.walk(data_root):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                f = os.path.join(r, fn)
+                rel = os.path.relpath(f, self.path)
+                if rel not in referenced:
+                    os.unlink(f)
+                    deleted.append(rel)
+        # drop now-empty commit/partition dirs bottom-up
+        for r, dirs, fns in os.walk(data_root, topdown=False):
+            if r != data_root and not os.listdir(r):
+                shutil.rmtree(r)
         return deleted
+
+
+def _coerce_scalar(raw: str):
+    """Partition values parsed from a hive path are strings; store ints/
+    floats natively so pruning compares numerically, not lexically."""
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
 
 
 def _json_safe(v):

@@ -265,3 +265,151 @@ class TestSchemaEvolution:
         with pytest.raises(ValueError, match="removes"):
             t.append(_orders(spark, sf_dir).select("o_orderkey").limit(5),
                      merge_schema=True)
+
+
+class TestPartitionLayout:
+    def test_partitioned_append_records_values_and_roundtrips(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(200).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        t.append(orders, partition_by=["status"])
+        assert t.partition_spec() == ["status"]
+        fs = t.files()
+        assert all(f.partition_values and "status" in f.partition_values for f in fs)
+        got = t.read()
+        # partition column is re-attached from log metadata with its type
+        assert got.schema["status"].dataType.simpleString() == "string"
+        assert got.count() == 200
+        assert (
+            got.groupBy("status").count().orderBy("status").collect()
+            == orders.groupBy("status").count().orderBy("status").collect()
+        )
+
+    def test_partition_pruning_exact(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(500).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        t.append(orders, partition_by=["status"])
+        all_files = t.files()
+        pruned = t.files(prune=("status", "F", "F"))
+        assert 0 < len(pruned) < len(all_files)
+        assert all(f.partition_values["status"] == "F" for f in pruned)
+        got = t.read(prune=("status", "F", "F"))
+        assert got.count() == orders.filter(F.col("status") == "F").count()
+
+    def test_partition_spec_evolution_mixed_read(self, spark, sf_dir, tdir):
+        """Iceberg-style spec evolution: commit 0 unpartitioned, commit 1
+        partitioned; old files keep their layout, reads union both, and the
+        implicit spec applies to later appends that don't re-declare it."""
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(300).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        a = orders.filter(F.col("o_orderkey") % 3 == 0)
+        b = orders.filter(F.col("o_orderkey") % 3 == 1)
+        c = orders.filter(F.col("o_orderkey") % 3 == 2)
+        t.append(a)                                 # unpartitioned
+        assert t.partition_spec() == []
+        t.append(b, partition_by=["status"])        # evolve
+        t.append(c)                                 # inherits evolved spec
+        assert t.partition_spec() == ["status"]
+        spec_of = {f.path: f.partition_values for f in t.files()}
+        assert any(v is None for v in spec_of.values())        # old layout
+        assert any(v is not None for v in spec_of.values())    # new layout
+        assert t.read().count() == 300
+        # pruning still prunes new-layout files and keeps old (no metadata)
+        pruned = {f.path for f in t.files(prune=("status", "F", "F"))}
+        for path, pv in spec_of.items():
+            if pv is None:
+                assert path in pruned  # unprunable -> must read
+            elif pv["status"] != "F":
+                assert path not in pruned
+
+    def test_partitioned_merge_preserves_layout(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(100).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        t.append(orders, partition_by=["status"])
+        delta = orders.limit(10).withColumn("o_totalprice", F.lit(0.0))
+        t.merge(delta, keys=["o_orderkey"])
+        assert t.read().count() == 100
+        assert t.read().filter(F.col("o_totalprice") == 0.0).count() == 10
+        # rewrite kept hive layout: every live file still has partition values
+        assert all(f.partition_values is not None for f in t.files())
+
+
+class TestBucketLayout:
+    def test_bucketed_append_records_bucket_ids(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(400)
+        t.append(orders, bucket_by={"col": "o_orderkey", "n": 8})
+        assert t.bucket_spec() == {"col": "o_orderkey", "n": 8}
+        fs = t.files()
+        assert {f.bucket for f in fs} <= set(range(8))
+        assert len(fs) > 1
+        assert t.read().count() == 400
+
+    def test_bucket_ids_match_spark_hash_partitioning(self, spark, sf_dir, tdir):
+        """File bucket id == pmod(murmur3(key), n) for every row it holds —
+        the invariant bucket-pruned merge relies on."""
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(400)
+        n = 8
+        t.append(orders, bucket_by={"col": "o_orderkey", "n": n})
+        for f in t.files():
+            df = spark.read.parquet(os.path.join(t.path, f.path))
+            ids = {
+                r[0]
+                for r in df.select(
+                    F.pmod(F.hash(F.col("o_orderkey")), F.lit(n))
+                ).distinct().collect()
+            }
+            assert ids <= {f.bucket}
+
+    def test_bucket_pruned_merge_rewrites_only_touched_buckets(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(1000)
+        t.append(orders, bucket_by={"col": "o_orderkey", "n": 8})
+        n_files = len(t.files())
+        keys = [r[0] for r in orders.select("o_orderkey").limit(3).collect()]
+        delta = orders.filter(F.col("o_orderkey").isin(keys)).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        t.merge(delta, keys=["o_orderkey"])
+        meta = t.history()[-1]["meta"]
+        assert meta["files_rewritten"] < n_files
+        assert meta["files_kept"] > 0
+        got = t.read()
+        assert got.count() == 1000
+        assert got.filter(F.col("o_totalprice") == -1.0).count() == 3
+        # result identical to an unpruned merge on a twin table
+        assert t.read().filter(F.col("o_orderkey").isin(keys)).count() == 3
+
+    def test_pre_bucket_files_always_rewritten(self, spark, sf_dir, tdir):
+        """Files from before the bucket spec have no bucket metadata and must
+        be included in every bucket-pruned merge."""
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(200)
+        a = orders.filter(F.col("o_orderkey") % 2 == 0)
+        b = orders.filter(F.col("o_orderkey") % 2 == 1)
+        t.append(a)                                        # unbucketed
+        t.append(b, bucket_by={"col": "o_orderkey", "n": 4})
+        one = orders.limit(1).withColumn("o_totalprice", F.lit(-2.0))
+        t.merge(one, keys=["o_orderkey"])
+        got = t.read()
+        assert got.count() == 200
+        assert got.filter(F.col("o_totalprice") == -2.0).count() == 1
+
+    def test_compact_preserves_bucket_layout(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(300)
+        t.append(orders, bucket_by={"col": "o_orderkey", "n": 4})
+        t.append(orders.limit(0), bucket_by={"col": "o_orderkey", "n": 4})
+        t.compact()
+        fs = t.files()
+        assert all(f.bucket is not None for f in fs)
+        assert t.read().count() == 300
+        assert t.bucket_spec() == {"col": "o_orderkey", "n": 4}
