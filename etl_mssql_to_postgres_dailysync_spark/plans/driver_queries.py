@@ -4196,3 +4196,77 @@ def promotion_part_suppliers(spark, sf_dir):
         .join(sq, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "streaming_cdc_rollup",
+    f"""
+    WITH mar AS (SELECT * FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+    apr AS (SELECT * FROM orders
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-04-01' AND DATE '1995-04-03'),
+    final AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN CAST(o_orderdate AS DATE) = DATE '{RUN_DATE}'
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        FROM mar
+        UNION ALL SELECT o_orderkey, o_orderdate, o_totalprice FROM apr)
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1
+    """,
+)
+def streaming_cdc_rollup(spark, sf_dir):
+    """STREAMING incremental view maintenance, end to end: a Spark 4 Python
+    Data Source (streaming/cdc_source.py) tails the TxnTable commit log and
+    emits signed row deltas (added file rows +1, removed file rows -1, one
+    input partition per changed file); a foreachBatch maintainer folds them
+    into a stored rollup. Two availableNow passes run here — initial load,
+    then a merge of price updates + new days — with a shared checkpoint, so
+    the second pass processes ONLY the merge commit (exactly-once offsets =
+    commit versions). The oracle recomputes the rollup from the final table
+    state: delta-maintained state == recompute, at O(|changed files|) cost
+    per refresh instead of a base-table rescan."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+    from etl_mssql_to_postgres_dailysync_spark.streaming.cdc_source import (
+        TxnTableCdcDataSource,
+        rollup_maintainer,
+    )
+
+    base = f"/tmp/spark_graft_scdc_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    spark.dataSource.register(TxnTableCdcDataSource)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    t = TxnTable(spark, f"{base}/tbl")
+    t.append(orders.filter(filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")))
+
+    def run_stream():
+        fb = rollup_maintainer(
+            spark, f"{base}/state", ["day"],
+            {"revenue_cents": "CAST(round(o_totalprice * 100) AS BIGINT)"},
+        )
+        s = (
+            spark.readStream.format("txntable_cdc").option("path", f"{base}/tbl").load()
+            .withColumn("day", F.to_date("o_orderdate").cast("string"))
+        )
+        q = (
+            s.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    src = (
+        orders.filter(filters.daily_partition("o_orderdate", RUN_DATE))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    ).unionByName(
+        orders.filter(filters.date_range_partition("o_orderdate", "1995-04-01", "1995-04-03"))
+    )
+    t.merge(src, ["o_orderkey"])
+    run_stream()
+    return spark.read.parquet(f"{base}/state").select("day", "n_rows", "revenue_cents")

@@ -352,7 +352,7 @@ class TxnTable:
             else cur.get("partition_spec", [])
         )
         eff_bucket = bucket_by if bucket_by is not None else cur.get("bucket_spec")
-        actions = [{"remove": {"path": p}} for p in live]
+        actions = [{"remove": _remove_action(a)} for a in live.values()]
         actions += self._write_files(df, cluster_by,
                                      partition_by=eff_partition or None,
                                      bucket_by=eff_bucket)
@@ -417,7 +417,7 @@ class TxnTable:
             touched = set(live.keys())
             target = self.read(version=base)
         merged = rel_merge(target, source, keys, **merge_kwargs).df
-        actions = [{"remove": {"path": p}} for p in touched]
+        actions = [{"remove": _remove_action(live[p])} for p in touched]
         actions += self._write_files(merged, cluster_by,
                                      partition_by=pspec or None, bucket_by=bspec)
         return self._commit("merge", actions, base + 1, merged.schema.jsonValue(),
@@ -436,7 +436,7 @@ class TxnTable:
         df = self.read()
         if not bspec:
             df = df.coalesce(num_files)
-        actions = [{"remove": {"path": p}} for p in live]
+        actions = [{"remove": _remove_action(a)} for a in live.values()]
         actions += self._write_files(df, None, partition_by=pspec or None,
                                      bucket_by=bspec)
         return self._commit("compact", actions, base + 1, df.schema.jsonValue())
@@ -561,6 +561,17 @@ class TxnTable:
             if r != data_root and not os.listdir(r):
                 shutil.rmtree(r)
         return deleted
+
+
+def _remove_action(add: dict) -> dict:
+    """Remove-actions echo the file's layout metadata so downstream CDC
+    readers can reconstruct hive-partition columns for retracted rows."""
+    out = {"path": add["path"]}
+    if add.get("partition_values") is not None:
+        out["partition_values"] = add["partition_values"]
+    if add.get("bucket") is not None:
+        out["bucket"] = add["bucket"]
+    return out
 
 
 def _coerce_scalar(raw: str):

@@ -36,6 +36,7 @@ ALLOWED_NESTED_LOOP = {
 # but excluded here because building the plan EXECUTES commits/writes —
 # their plan shapes are covered by their own module tests
 SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
+        "streaming_cdc_rollup",  # runs two availableNow streams at build time
         "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
         "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip",
         "similarity_ann_ivf_trained",  # training loop collects per iteration

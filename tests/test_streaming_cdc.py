@@ -1,0 +1,156 @@
+"""Streaming CDC source (streaming/cdc_source.py): a Spark 4 Python Data
+Source that tails a TxnTable commit log and emits signed row deltas, plus
+the foreachBatch rollup maintainer (incremental view maintenance).
+
+The invariant under test everywhere: maintained state == full recompute from
+the table head, after any sequence of append/merge/overwrite commits."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+from etl_mssql_to_postgres_dailysync_spark.streaming.cdc_source import (
+    TxnTableCdcDataSource,
+    rollup_maintainer,
+)
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path)
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def _register(spark):
+    spark.dataSource.register(TxnTableCdcDataSource)
+
+
+def _run_stream(spark, table_path, state_path, ckpt):
+    fb = rollup_maintainer(
+        spark, state_path, ["day"],
+        {"revenue_cents": "CAST(round(o_totalprice * 100) AS BIGINT)"},
+    )
+    s = (
+        spark.readStream.format("txntable_cdc").option("path", table_path).load()
+        .withColumn("day", F.to_date("o_orderdate").cast("string"))
+    )
+    q = (
+        s.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _recompute(t):
+    return t.read().groupBy(F.to_date("o_orderdate").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"),
+    )
+
+
+def _assert_state_matches(spark, state_path, t):
+    got = spark.read.parquet(state_path)
+    exp = _recompute(t)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+class TestCdcSource:
+    def test_batch_source_emits_signed_rows(self, spark, sf_dir, base):
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        t.append(_orders(spark, sf_dir).limit(20))
+        t.merge(
+            _orders(spark, sf_dir).limit(5).withColumn("o_totalprice", F.lit(1.0)),
+            ["o_orderkey"],
+        )
+        s = (
+            spark.readStream.format("txntable_cdc").option("path", f"{base}/tbl").load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{base}/out")
+        assert set(out.columns) >= {"o_orderkey", "_sign", "_version"}
+        # v0 adds 20 rows; v1 retracts the old 20 and adds the merged 20
+        assert out.filter("_version = 0").count() == 20
+        assert out.filter("_version = 1 AND _sign = -1").count() == 20
+        assert out.filter("_version = 1 AND _sign = 1").count() == 20
+        # net signed count == live row count
+        assert out.agg(F.sum("_sign")).first()[0] == 20
+
+    def test_maintained_rollup_equals_recompute_after_merge(self, spark, sf_dir, base):
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        orders = _orders(spark, sf_dir)
+        t.append(orders.filter(F.to_date("o_orderdate").between("1995-03-01", "1995-03-31")))
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        _assert_state_matches(spark, f"{base}/state", t)
+
+        delta = orders.filter(F.to_date("o_orderdate") == "1995-03-15").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10.0
+        ).unionByName(
+            orders.filter(F.to_date("o_orderdate").between("1995-04-01", "1995-04-03"))
+        )
+        t.merge(delta, ["o_orderkey"])
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        _assert_state_matches(spark, f"{base}/state", t)
+
+    def test_checkpoint_exactly_once_no_new_commits(self, spark, sf_dir, base):
+        """Re-running the stream with no new commits must not double-count."""
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        t.append(_orders(spark, sf_dir).limit(50))
+        for _ in range(3):
+            _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        _assert_state_matches(spark, f"{base}/state", t)
+
+    def test_overwrite_retracts_previous_state(self, spark, sf_dir, base):
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        orders = _orders(spark, sf_dir)
+        t.append(orders.limit(100))
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        t.overwrite(orders.limit(7))
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        _assert_state_matches(spark, f"{base}/state", t)
+        assert spark.read.parquet(f"{base}/state").agg(F.sum("n_rows")).first()[0] == 7
+
+    def test_partitioned_table_cdc_reconstructs_partition_column(self, spark, sf_dir, base):
+        """Hive-layout files lack the partition column in-file; the source
+        reattaches it from commit metadata for adds AND removes."""
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        orders = _orders(spark, sf_dir).withColumn(
+            "day", F.to_date("o_orderdate").cast("string")
+        ).limit(200)
+        t.append(orders, partition_by=["day"])
+        fb = rollup_maintainer(
+            spark, f"{base}/state", ["day"],
+            {"revenue_cents": "CAST(round(o_totalprice * 100) AS BIGINT)"},
+        )
+        s = spark.readStream.format("txntable_cdc").option("path", f"{base}/tbl").load()
+        q = (
+            s.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(f"{base}/state")
+        assert got.filter(F.col("day").isNull()).count() == 0
+        _assert_state_matches(spark, f"{base}/state", t)
