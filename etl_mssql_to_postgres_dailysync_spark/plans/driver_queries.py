@@ -4270,3 +4270,338 @@ def streaming_cdc_rollup(spark, sf_dir):
     t.merge(src, ["o_orderkey"])
     run_stream()
     return spark.read.parquet(f"{base}/state").select("day", "n_rows", "revenue_cents")
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth batch (round 2): string similarity, sampling, binning,
+# distribution stats, time-weighted aggregation, anomaly flags, mode,
+# range-frame rolling windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "levenshtein_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM names a JOIN names b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name)
+    SELECT name_a, name_b, dist FROM blocked WHERE dist <= 4
+    """,
+)
+def levenshtein_name_pairs(spark, sf_dir):
+    """Fuzzy string-similarity self-join with blocking: DISTINCT names first
+    (the corpus-size reduction that makes edit-distance joins feasible —
+    dedupe before the quadratic step), then first-character blocking keeps
+    the pair join an EQUI hash join (never a nested-loop over the cross
+    product); levenshtein runs only inside blocks. Standard blocking
+    tradeoff: cross-block pairs are sacrificed for a plan that scales with
+    block sizes, not n^2."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"), F.substring("p_name", 1, 1).alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.substring("p_name", 1, 1).alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+        .filter(F.col("dist") <= 4)
+    )
+
+
+_STRATA_RATES = {"1-URGENT": 500, "2-HIGH": 250, "3-MEDIUM": 100, "4-NOT SPECIFIED": 50}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT o_orderpriority, count(*) AS n_sampled,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sampled_cents
+    FROM orders
+    WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#77'), 1, 15) AS BIGINT)
+          % 1000 <
+          CASE o_orderpriority
+            {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+            ELSE 0 END
+    GROUP BY o_orderpriority
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum rates (URGENT 50%,
+    HIGH 25%, MEDIUM 10%, rest 5%/0%) decided by a salted key hash — the
+    same row is sampled on every engine and every run (vs F.rand), the
+    filter is a pure per-row predicate (no shuffle, no state), and rates are
+    exact in expectation per stratum. The rate lookup is a broadcast-free
+    CASE over the stratum column."""
+    rate = F.lit(None).cast("int")
+    expr = None
+    for k, v in _STRATA_RATES.items():
+        expr = F.when(F.col("o_orderpriority") == k, F.lit(v)) if expr is None else expr.when(
+            F.col("o_orderpriority") == k, F.lit(v)
+        )
+    rate = expr.otherwise(F.lit(0))
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(md5_long(F.col("o_orderkey"), seed=77) % 1000 < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sampled_cents"),
+        )
+    )
+
+
+@register(
+    "ntile_binning",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS quartile
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+    """,
+)
+def ntile_binning(spark, sf_dir):
+    """Quantile binning via ntile(4) per priority stratum. The ORDER BY
+    carries the key as tiebreak so bin assignment is total-ordered and
+    engine-reproducible (ntile on a non-unique ordering is
+    implementation-defined at the boundaries)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-31")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey", "o_orderpriority", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
+@register(
+    "dist_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS s3,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           round((CAST(n AS DOUBLE) * s3 - 3.0 * s1 * s2
+                  + 2.0 * s1 * s1 * s1 / n)
+                 / (n * pow((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / n / n, 1.5)),
+                 6) AS skewness,
+           round(n * (CAST(n AS DOUBLE) * s4 - 4.0 * s1 * s3
+                      + 6.0 * s1 * s1 * s2 / n - 3.0 * s1 * s1 * s1 * s1 / n / n)
+                 / pow(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1, 2) - 3.0,
+                 6) AS kurtosis_excess
+    FROM s
+    """,
+)
+def dist_moments(spark, sf_dir):
+    """Skewness and excess kurtosis per return flag from INTEGER power sums
+    (sum x, x^2, x^3, x^4 — quantities <= 50 keep x^4 sums far inside
+    int64): the sufficient-statistics pattern for higher moments. The final
+    moment formulas run on doubles of exactly-representable integers with a
+    fixed operation order, so both engines produce bit-identical results
+    before the round(6). One aggregation, map-side partials, no second
+    pass for the mean (vs the naive two-pass algorithm)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    s1d = F.col("s1").cast("double")
+    var_num = n * s2 - s1d * s1  # n^2 * variance
+    skew = (n * s3 - 3.0 * s1 * s2 + 2.0 * s1 * s1 * s1 / F.col("n")) / (
+        F.col("n") * F.pow(var_num / F.col("n") / F.col("n"), 1.5)
+    )
+    kurt = F.col("n") * (
+        n * s4 - 4.0 * s1 * s3 + 6.0 * s1 * s1 * s2 / F.col("n")
+        - 3.0 * s1 * s1 * s1 * s1 / F.col("n") / F.col("n")
+    ) / F.pow(var_num, 2) - 3.0
+    return s.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts ASC, event_id ASC)
+               - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT event_type, day,
+           CAST(sum(v_cents * dt_us) AS BIGINT) AS weighted_sum,
+           CAST(sum(dt_us) AS BIGINT) AS total_us,
+           round(CAST(sum(v_cents * dt_us) AS DOUBLE) / sum(dt_us), 6) AS twa_cents
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (the timescaledb-style operator): each reading
+    is weighted by how long it was current (lead() to the next event in the
+    same (type, day) series; the day's last reading carries no weight).
+    Microsecond integer weights x integer cents stay exact; ONE division at
+    the end. The window partitions by (type, day) — series-parallel, no
+    global sort."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    w = Window.partitionBy("event_type", F.col("ts").cast("date")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        day,
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seq.groupBy("event_type", "day").agg(
+        F.sum(F.col("v_cents") * F.col("dt_us")).cast("bigint").alias("weighted_sum"),
+        F.sum("dt_us").cast("bigint").alias("total_us"),
+        F.round(
+            F.sum(F.col("v_cents") * F.col("dt_us")).cast("double") / F.sum("dt_us"), 6
+        ).alias("twa_cents"),
+    )
+
+
+@register(
+    "zscore_anomaly",
+    """
+    WITH v AS (SELECT event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+    st AS (SELECT event_type, count(*) AS n, SUM(v_cents) AS s1,
+                  SUM(v_cents * v_cents) AS s2
+           FROM v GROUP BY event_type)
+    SELECT event_id, v.event_type, v_cents
+    FROM v JOIN st ON st.event_type = v.event_type
+    WHERE pow(CAST(n AS DOUBLE) * v_cents - CAST(s1 AS DOUBLE), 2)
+          > 9.0 * (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+    """,
+)
+def zscore_anomaly(spark, sf_dir):
+    """|z| > 3 anomaly flags WITHOUT computing z: the threshold inequality
+    is cleared of divisions and square roots — (n*v - s1)^2 > 9*(n*s2 -
+    s1^2) — so the comparison runs on doubles of exactly-representable
+    integers (deterministic across engines; no epsilon at the boundary).
+    Per-type stats are a tiny aggregate broadcast back onto the stream; two
+    scans, no window."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v_cents")
+    )
+    st = v.groupBy(F.col("event_type").alias("st_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").alias("s1"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    j = v.join(F.broadcast(st), F.col("st_type") == F.col("event_type"))
+    return j.filter(
+        F.pow(n * F.col("v_cents") - s1d, 2) > 9.0 * (n * F.col("s2") - s1d * F.col("s1"))
+    ).select("event_id", "event_type", "v_cents")
+
+
+@register(
+    "mode_per_group",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_orderpriority),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority AS mode_priority, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM counts)
+    SELECT c_mktsegment, mode_priority, n AS n_orders
+    FROM ranked WHERE rk = 1
+    """,
+)
+def mode_per_group(spark, sf_dir):
+    """Deterministic mode (most frequent order priority per market segment):
+    count per (group, value), then argmax via min(struct(-n, value)) — a
+    PARTIAL-AGGREGABLE reduction (ties break to the smallest value), not a
+    row_number window over the counts. On high-cardinality groups the
+    two-aggregation shape shuffles counts once and never sorts."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = counts.groupBy("c_mktsegment").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority").alias("v"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "c_mktsegment",
+        F.col("b.v").alias("mode_priority"),
+        (-F.col("b.neg_n")).cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "rolling_revenue_7d",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
+      GROUP BY 1, 2, 3)
+    SELECT o_orderpriority, day,
+           CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY day_num
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_7d_cents
+    FROM daily
+    """,
+)
+def rolling_revenue_7d(spark, sf_dir):
+    """7-day rolling revenue per priority: aggregate to day grain FIRST
+    (shrinks the window input from orders to days), then a RANGE frame over
+    the integer day number — range frames handle calendar gaps correctly
+    where a 7-ROW frame would silently span them."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-03-01", "1995-05-31")
+    )
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.col("o_orderdate").cast("date").cast("string").alias("day"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority", "day", F.sum("cents").over(w).cast("bigint").alias("rolling_7d_cents")
+    )
