@@ -4605,3 +4605,122 @@ def rolling_revenue_7d(spark, sf_dir):
     return daily.select(
         "o_orderpriority", "day", F.sum("cents").over(w).cast("bigint").alias("rolling_7d_cents")
     )
+
+
+@register(
+    "revenue_forecast",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_centipct,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 — the pure scan-filter-aggregate: every predicate is
+    sargable and reaches the parquet scan (PushedFilters on shipdate), the
+    discount band compares INTEGER percent points (no float-equality traps),
+    and the whole query is one map-side-combined aggregation: zero joins,
+    one shuffle of one row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        filters.date_range_partition("l_shipdate", "1995-01-01", "1995-12-31")
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.filter(disc_pct.between(5, 7) & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint") * disc_pct)
+            .cast("bigint")
+            .alias("revenue_centipct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "xml_roundtrip",
+    ORACLES["fake_orders_generator"],
+)
+def xml_roundtrip(spark, sf_dir):
+    """XML interchange boundary (Spark 4 ships the former spark-xml as a
+    built-in source): write the orders batch as row-tagged XML, read it back
+    with an explicit schema, prove losslessness (oracle = the generator).
+    Same contract as the CSV/ORC/JSONL round trips — every interchange
+    format the engine claims is proven by a write-read-compare, not by
+    assertion."""
+    import tempfile
+
+    from etl_mssql_to_postgres_dailysync_spark.schemas import ORDERS_SCHEMA
+
+    path = f"{tempfile.gettempdir()}/spark_graft_xml_roundtrip"
+    src = fake_orders(spark, 1000)
+    (
+        src.write.mode("overwrite").format("xml")
+        .option("rootTag", "orders").option("rowTag", "order")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "order")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .schema(ORDERS_SCHEMA).load(path)
+    )
+    return back.withColumn("Amount", F.round(F.col("Amount").cast("double"), 2))
+
+
+@register(
+    "pii_redaction",
+    """
+    WITH contacts AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at ' || lower(replace(c_name, ' ', '.'))
+               || '@example.com or call 555-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' re account ' || c_name AS note
+      FROM customer),
+    red AS (
+      SELECT c_custkey, note,
+             regexp_replace(
+               regexp_replace(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                              '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM contacts)
+    SELECT c_custkey, redacted,
+           len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+             AS n_emails,
+           len(regexp_extract_all(note, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM red
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing for training-data curation: email/phone patterns are
+    counted AND redacted in one projection (no second scan for the audit
+    metrics); patterns are dialect-portable regex (no lookarounds). The
+    synthetic contact notes are derived deterministically from the customer
+    dim so the oracle constructs byte-identical input."""
+    cust = _t(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re account "), F.col("c_name"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    phone_re = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    notes = cust.select("c_custkey", note.alias("note"))
+    return notes.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("note"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("note"), F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("note"), F.lit(phone_re), F.lit(0))).alias("n_phones"),
+    )

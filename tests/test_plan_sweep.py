@@ -38,7 +38,7 @@ ALLOWED_NESTED_LOOP = {
 SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
         "streaming_cdc_rollup",  # runs two availableNow streams at build time
         "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
-        "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip",
+        "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
         "similarity_ann_ivf_trained",  # training loop collects per iteration
         "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
         }
