@@ -4724,3 +4724,196 @@ def pii_redaction(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("note"), F.lit(email_re), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(F.col("note"), F.lit(phone_re), F.lit(0))).alias("n_phones"),
     )
+
+
+@register(
+    "similarity_quantized_topk",
+    f"""
+    WITH dims AS (
+      SELECT i, min(embedding[i]::DOUBLE) AS lo, max(embedding[i]::DOUBLE) AS hi
+      FROM embeddings, range(1, 65) t(i) GROUP BY i),
+    arrs AS (SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dims),
+    q8s AS (
+      SELECT vec_id,
+             list_transform(embedding, (x, i) ->
+               CASE WHEN hi_a[i] = lo_a[i] THEN 0
+                    ELSE CAST(floor((x::DOUBLE - lo_a[i]) * 255.0 / (hi_a[i] - lo_a[i]))
+                              AS BIGINT) END) AS q8
+      FROM embeddings CROSS JOIN arrs),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[]) AS BIGINT) AS q_score
+      FROM q8s c CROSS JOIN q8s q
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY q_score DESC, neighbor_id ASC) AS qrank
+      FROM scored),
+    rerank AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.q_score,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[]), 6) AS sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      WHERE cand.qrank <= 20),
+    final AS (
+      SELECT query_id, neighbor_id, q_score, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rerank)
+    SELECT query_id, neighbor_id, q_score, sim, CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 5
+    """,
+)
+def similarity_quantized_topk(spark, sf_dir):
+    """Scalar-quantized ANN, the memory-bound tier of a vector index: each
+    dimension min-max-scales to int8 (0..255, floor — never round, whose
+    half-even vs half-up diverges across engines), candidate search runs on
+    64-byte codes with an INTEGER dot product (exact, engine-portable, 4x
+    smaller than float32 — at corpus scale the quantized sweep is what fits
+    in memory/cache), then the top-20 candidates re-rank by exact cosine on
+    the full vectors (the standard SQ + re-rank design, cf. Faiss SQ8). Dim
+    stats are one tiny aggregation; everything joins broadcast-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    lo = [r["lo"] for r in stats]
+    span = [r["hi"] - r["lo"] for r in stats]
+    lo_arr = F.array(*[F.lit(v).cast("double") for v in lo])
+    span_arr = F.array(*[F.lit(v).cast("double") for v in span])
+    centered = F.zip_with(
+        F.col("embedding"), lo_arr, lambda x, l: x.cast("double") - l
+    )
+    q8 = F.zip_with(
+        centered, span_arr,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(d * 255.0 / s).cast("bigint")
+        ),
+    )
+    codes = emb.select("vec_id", q8.alias("q8"), F.col("embedding"))
+    qs = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("qa"),
+        F.col("embedding").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q8"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            dot.alias("q_score"), "qv", F.col("embedding").alias("cv"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("q_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("qrank", F.row_number().over(wq)).filter(F.col("qrank") <= 20)
+    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import cosine_rounded
+
+    rerank = cand.select(
+        "query_id", "neighbor_id", "q_score",
+        cosine_rounded(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "q_score", "sim", "rank")
+    )
+
+
+@register(
+    "sequence_detection",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+      FROM events),
+    e2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_after
+      FROM e),
+    hits AS (
+      SELECT user_id, min(ts) AS converted_at
+      FROM e2
+      WHERE event_type = 'purchase' AND ts > first_click_after
+      GROUP BY user_id)
+    SELECT user_id, CAST(converted_at AS VARCHAR) AS converted_at FROM hits
+    """,
+)
+def sequence_detection(spark, sf_dir):
+    """Ordered-pattern detection (view -> click -> purchase, strictly in
+    time order) — the MATCH_RECOGNIZE-style funnel: two layered running-min
+    windows over ONE (user, ts) partitioning chain the 'earliest qualifying
+    previous stage' through the event stream, then the first purchase after
+    a qualifying click marks conversion. One shuffle by user; no self-joins
+    of the event table (the naive 3-way join shape)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = ev.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e2 = e.withColumn(
+        "first_click_after",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        e2.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click_after"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("string").alias("converted_at"))
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation for skewed keys: stage 1 groups by
+    (key, salt=hash(id)%16) so one hot key spreads over 16 reducers; stage 2
+    folds the 16 partials. For algebraic aggregates the rewrite is exact —
+    the oracle is the PLAIN single-stage aggregation. (Spark's partial
+    aggregation usually hides moderate skew, but when a single key dominates
+    a reducer — the 100 TB hot-partition case — explicit salting bounds the
+    largest reduce task; same pattern as test_skew's salted JOIN.)"""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.groupBy(
+        "event_type", (F.pmod(F.hash("event_id"), F.lit(16))).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("pc"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pc").cast("bigint").alias("total_cents"),
+    )
