@@ -4917,3 +4917,82 @@ def skew_salted_agg(spark, sf_dir):
         F.sum("pn").alias("n_events"),
         F.sum("pc").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "triangle_count_degree_ordered",
+    f"""
+    WITH pairs AS (SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a AS v, count(*) AS d FROM und GROUP BY a),
+    oriented AS (
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dst_d
+      FROM (SELECT a, b FROM und WHERE a < b) u
+      JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+    two_path AS (
+      SELECT e1.src, e1.dst AS v, e2.dst AS w
+      FROM oriented e1 JOIN oriented e2
+        ON e2.src = e1.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+    tri AS (
+      SELECT 1 FROM two_path t
+      JOIN oriented e3 ON e3.src = t.v AND e3.dst = t.w),
+    outd AS (SELECT src, count(*) AS od FROM oriented GROUP BY src)
+    SELECT (SELECT count(*) FROM tri) AS n_triangles,
+           (SELECT count(*) FROM oriented) AS n_edges,
+           (SELECT max(od) FROM outd) AS max_outdeg,
+           (SELECT CASE WHEN max(od) * max(od) <= 2 * (SELECT count(*) FROM oriented)
+                        THEN 1 ELSE 0 END FROM outd) AS outdeg_bound_holds
+    """,
+)
+def triangle_count_degree_ordered(spark, sf_dir):
+    """Degree-ordered triangle counting — the scale-robust variant of
+    graph_triangle_count: every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each triangle is counted exactly once
+    from its lowest vertex AND the two-path fan-out per vertex is bounded by
+    max out-degree <= sqrt(2m) (a theorem of this orientation — emitted as
+    the oracle-checked ``outdeg_bound_holds`` contract column). On
+    power-law graphs this is the difference between the hub vertex
+    exploding the join (d^2 pairs) and a provably bounded candidate set;
+    plain two-hop joins die on the first celebrity vertex at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    und = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(deg.select(F.col("v").alias("va"), F.col("d").alias("da")), F.col("va") == F.col("a"))
+        .join(deg.select(F.col("v").alias("vb"), F.col("d").alias("db")), F.col("vb") == F.col("b"))
+    )
+    a_first = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    lt = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    two_path = e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & lt).select(
+        F.col("e1.dst").alias("tv"), F.col("e2.dst").alias("tw")
+    )
+    tri = two_path.join(
+        oriented.alias("e3"), (F.col("e3.src") == F.col("tv")) & (F.col("e3.dst") == F.col("tw"))
+    )
+    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(oriented.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(outd.agg(F.max("od").alias("max_outdeg")))
+        .withColumn(
+            "outdeg_bound_holds",
+            F.when(
+                F.col("max_outdeg") * F.col("max_outdeg") <= 2 * F.col("n_edges"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+    )

@@ -23,6 +23,7 @@ ALLOWED_NESTED_LOOP = {
     "approx_percentile_bounds",  # 1-row stats vector
     "gap_fill_daily",          # generated date spine (31 rows) x dim
     "graph_triangle_count",    # 1-row triangle count x 1-row edge count
+    "triangle_count_degree_ordered",  # 1-row aggregate cross joins
     "cms_frequency_sketch",    # broadcast estimate joined to 10-row top-k
     "tfidf_top_terms",         # 1-row corpus size N
     "daily_sync_pipeline",     # reconciliation counts (1-row observe twin)
