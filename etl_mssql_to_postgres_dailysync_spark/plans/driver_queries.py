@@ -4996,3 +4996,99 @@ def triangle_count_degree_ordered(spark, sf_dir):
             ).otherwise(F.lit(0)),
         )
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day, count(*) AS new_users FROM first_seen GROUP BY first_day)
+    SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day WITHOUT a distinct-over-window
+    (which Spark rightly refuses — it would re-deduplicate an unbounded set
+    per row): reduce each user to their FIRST day (one user-keyed
+    aggregation), count first-appearances per day, running-sum the day-grain
+    series. The only global window runs over days, not events — constant-size
+    regardless of corpus scale. The first-touch reduction is the standard
+    web-analytics 'new vs returning' decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    )
+
+
+@register(
+    "robust_stats_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, m.med AS median_qty,
+           quantile_cont(abs(CAST(l.l_quantity AS BIGINT) - m.med), 0.5) AS mad_qty
+    FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def robust_stats_mad(spark, sf_dir):
+    """Median absolute deviation per group — the outlier-robust scale
+    estimator: exact interpolated median (Spark percentile == DuckDB
+    quantile_cont on integer inputs: halves are exact in binary), then the
+    median of absolute deviations from it. The group medians are a tiny
+    aggregate broadcast back for the second pass — two shuffles total, both
+    on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    med = li.groupBy(F.col("l_returnflag").alias("mflag")).agg(
+        F.percentile(q, F.lit(0.5)).alias("med")
+    )
+    j = li.join(F.broadcast(med), F.col("mflag") == F.col("l_returnflag"))
+    return j.groupBy("l_returnflag", F.col("med").alias("median_qty")).agg(
+        F.percentile(F.abs(q - F.col("med")), F.lit(0.5)).alias("mad_qty")
+    )
+
+
+@register(
+    "equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (quantile boundaries — equal row counts per
+    bucket, data-adaptive bin edges) complementing the equi-width
+    histogram_prices: ntile over a total order assigns buckets, then
+    per-bucket min/max/count are the boundary stats an optimizer or
+    drift-monitor consumes. The global sort is the honest cost of exact
+    equi-depth; the approximate path at scale is approx_percentile
+    boundaries + a broadcast bucket join (cf. approx_percentile_bounds)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    b = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(8).over(w).cast("int").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

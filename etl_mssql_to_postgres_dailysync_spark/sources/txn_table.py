@@ -534,6 +534,35 @@ class TxnTable:
             ])
         return df
 
+    # ----------------------------------------------------- metadata views --
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live file manifest as a DataFrame (Delta DESCRIBE DETAIL /
+        Iceberg ``.files`` analog): operational queries — size skew, bucket
+        balance, partition counts, stats coverage — run as ordinary Spark
+        over METADATA, never scanning data."""
+        rows = [
+            (
+                f.path,
+                f.rows,
+                f.bucket,
+                json.dumps(f.partition_values) if f.partition_values else None,
+                json.dumps(f.stats, sort_keys=True),
+            )
+            for f in self.files(version)
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, rows long, bucket int, partition_values string, stats string"
+        )
+
+    def history_df(self) -> DataFrame:
+        """The commit history as a DataFrame (DESCRIBE HISTORY analog)."""
+        rows = [
+            (h["version"], h["op"], json.dumps(h["meta"], sort_keys=True))
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(rows, "version long, op string, meta string")
+
     # ------------------------------------------------------------- vacuum --
 
     def vacuum(self, retain_versions: int = 0) -> list[str]:

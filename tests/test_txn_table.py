@@ -413,3 +413,19 @@ class TestBucketLayout:
         assert all(f.bucket is not None for f in fs)
         assert t.read().count() == 300
         assert t.bucket_spec() == {"col": "o_orderkey", "n": 4}
+
+
+class TestMetadataViews:
+    def test_files_df_and_history_df(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey"])
+        orders = _orders(spark, sf_dir).limit(100)
+        t.append(orders, bucket_by={"col": "o_orderkey", "n": 4})
+        t.merge(orders.limit(5).withColumn("o_totalprice", F.lit(0.0)), ["o_orderkey"])
+        fdf = t.files_df()
+        assert fdf.agg(F.sum("rows")).first()[0] == 100
+        assert fdf.filter(F.col("bucket").isNull()).count() == 0
+        assert fdf.filter(F.col("stats").contains("o_orderkey")).count() == fdf.count()
+        hdf = t.history_df()
+        assert [r["op"] for r in hdf.orderBy("version").collect()] == ["append", "merge"]
+        # time travel on the manifest too
+        assert t.files_df(version=0).count() >= 1
