@@ -5092,3 +5092,180 @@ def equidepth_histogram(spark, sf_dir):
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+@register(
+    "scd2_build",
+    """
+    WITH src AS (SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+                        o_orderkey
+                 FROM orders WHERE o_custkey < 500),
+    v AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(d AS VARCHAR) AS valid_from,
+             CAST(lead(d) OVER (PARTITION BY o_custkey
+                                ORDER BY d ASC, o_orderkey ASC) AS VARCHAR) AS valid_to
+      FROM src)
+    SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    """,
+)
+def scd2_build(spark, sf_dir):
+    """Build a type-2 slowly-changing dimension from a change stream: each
+    change event opens a version; ``lead()`` over (key, time) closes the
+    previous one (half-open [valid_from, valid_to) intervals, NULL = current)
+    — the standard warehouse SCD2 derivation as ONE key-partitioned window,
+    no self-join. Downstream point-in-time joins consume these intervals
+    (see scd2_temporal_join)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    src = orders.select(
+        "o_custkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"), "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("d").asc(), F.col("o_orderkey").asc())
+    return src.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("d").cast("string").alias("valid_from"),
+        F.lead("d").over(w).cast("string").alias("valid_to"),
+    ).withColumn(
+        "is_current", F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+@register(
+    "scd2_temporal_join",
+    """
+    WITH dim AS (
+      SELECT s_suppkey, s_acctbal AS bal, DATE '1990-01-01' AS valid_from,
+             DATE '1995-07-01' AS valid_to, 1 AS ver FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_acctbal + 100.0, DATE '1995-07-01', DATE '2999-01-01', 2
+      FROM supplier)
+    SELECT ver, count(*) AS n_lines,
+           CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents_sum
+    FROM lineitem
+    JOIN dim ON s_suppkey = l_suppkey
+            AND CAST(l_shipdate AS DATE) >= valid_from
+            AND CAST(l_shipdate AS DATE) < valid_to
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    GROUP BY ver
+    """,
+)
+def scd2_temporal_join(spark, sf_dir):
+    """Point-in-time (temporal) join against a versioned dimension: each
+    fact row joins the dim version whose [valid_from, valid_to) interval
+    contains its event date. The join is an EQUI hash join on the surrogate
+    key with the interval containment as residual predicate — never an
+    interval-only nested loop — and the dim (2 versions/supplier here)
+    broadcasts. This is how a 100 TB fact joins SCD2 dims without sorting
+    either side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        filters.date_range_partition("l_shipdate", "1995-01-01", "1995-12-31")
+    ).select("l_suppkey", F.col("l_shipdate").cast("date").alias("d"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    v1 = supp.select(
+        "s_suppkey", F.col("s_acctbal").alias("bal"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-07-01").cast("date").alias("valid_to"), F.lit(1).alias("ver"),
+    )
+    v2 = supp.select(
+        "s_suppkey", (F.col("s_acctbal") + 100.0).alias("bal"),
+        F.lit("1995-07-01").cast("date").alias("valid_from"),
+        F.lit("2999-01-01").cast("date").alias("valid_to"), F.lit(2).alias("ver"),
+    )
+    dim = v1.unionByName(v2)
+    j = li.join(
+        F.broadcast(dim),
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("d") >= F.col("valid_from"))
+        & (F.col("d") < F.col("valid_to")),
+    )
+    return j.groupBy("ver").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("bal") * 100).cast("bigint")).cast("bigint").alias("bal_cents_sum"),
+    )
+
+
+_CHUNK_LEN = 16
+_CHUNK_STRIDE = 12
+
+
+@register(
+    "document_chunking",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {_CHUNK_LEN - 1}, 1) + 1,
+                          {_CHUNK_STRIDE})) AS s
+      FROM t),
+    chunks AS (
+      SELECT doc_id, CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             array_to_string(toks[s : s + {_CHUNK_LEN - 1}], ' ') AS chunk_text,
+             least(CAST(len(toks) AS BIGINT) - s + 1, {_CHUNK_LEN}) AS n_tokens
+      FROM starts)
+    SELECT doc_id, chunk_id, n_tokens,
+           {_HASH15.format(x='chunk_text')} AS chunk_hash
+    FROM chunks
+    """,
+)
+def document_chunking(spark, sf_dir):
+    """Overlapping token-window chunking — the RAG/pretraining prep
+    operator: {_CHUNK_LEN}-token chunks at stride {_CHUNK_STRIDE} (4-token
+    overlap), emitted one row per chunk with an md5 fingerprint (the
+    dedupe/lineage key for chunk-level pipelines). Tokens materialize ONCE
+    per document; chunk starts are a generated sequence (no self-join, no
+    UDF); short docs yield their single whole-doc chunk. Chunk text is
+    hashed, not shuffled, once fingerprinted."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens(text.normalize(F.col("text"))).alias("toks"))
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(_CHUNK_LEN - 1), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    ex = toked.select("doc_id", "toks", F.explode(starts).alias("s"))
+    chunk_text = F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), _CHUNK_LEN))
+    return ex.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(n.cast("bigint") - F.col("s") + 1, F.lit(_CHUNK_LEN).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        md5_long(chunk_text).alias("chunk_hash"),
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    WITH scored AS (
+      SELECT o_orderkey, o_orderpriority,
+             ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#91'), 1, 15)
+                      AS BIGINT) % 2147483647 + 1) / 2147483647.0)
+               / (round(o_totalprice * 100) / 100.0) AS score
+      FROM orders)
+    SELECT o_orderkey, o_orderpriority, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): key_i = ln(u_i)/w_i with u_i a salted-hash uniform and
+    w_i the order value; the top-k keys ARE a weighted sample. One scan +
+    TakeOrdered — no per-stratum passes, no rejection loops, reproducible
+    across engines (hash-derived u, identical IEEE ln/div). The standard
+    one-pass distributed weighted-sampling design."""
+    orders = _t(spark, sf_dir, "orders")
+    u = (md5_long(F.col("o_orderkey"), seed=91) % 2147483647 + 1) / F.lit(2147483647.0)
+    w_ = F.round(F.col("o_totalprice") * 100) / F.lit(100.0)
+    scored = orders.select(
+        "o_orderkey", "o_orderpriority", (F.log(u) / w_).alias("score")
+    )
+    return (
+        scored.select("o_orderkey", "o_orderpriority", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
