@@ -5269,3 +5269,117 @@ def weighted_sample_topk(spark, sf_dir):
         .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark, sf_dir):
+    """Semi-structured payloads via Spark 4's VARIANT type: parse_json once
+    into a variant column (binary-encoded, no schema declared up front —
+    the open-content-model answer to rigid struct schemas), then typed
+    variant_get path extraction feeds ordinary aggregation. At scale
+    variant's binary encoding skips per-row JSON re-parsing in every
+    downstream expression — parse once, extract many."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.count_if(F.col("k") > 50).alias("n_high"),
+    )
+
+
+_CLOSURE_SQL_BODY = """
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM {pairs}
+        UNION ALL SELECT id_b, id_a FROM {pairs}),
+    reach(a, b, d) AS (
+        SELECT a, b, 1 FROM sym
+        UNION ALL
+        SELECT r.a, s.b, r.d + 1 FROM reach r JOIN sym s ON s.a = r.b
+        WHERE r.d < 6 AND s.b <> r.a),
+    labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT component, count(*) AS n_members, min(doc_id) AS rep
+    FROM labels GROUP BY component
+"""
+
+
+@register(
+    "components_recursive_sql",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({ORACLES["dedup_minhash_lsh"]})),
+    {_CLOSURE_SQL_BODY.format(pairs="pairs")}
+    """,
+)
+def components_recursive_sql(spark, sf_dir):
+    """Connected components of the near-dup graph via Spark 4's native
+    WITH RECURSIVE — the declarative twin of dedup_cluster_components'
+    driver-side loop: the transitive closure grows as a recursive UNION
+    (set-semantics dedupe bounds the fixpoint), labels are min-reachable-id.
+    The loop version remains the 100 TB path (closure materialization is
+    O(component^2) rows); this is the SQL-surface parity proof, and the
+    oracle runs the IDENTICAL recursive SQL in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    pairs.createOrReplaceTempView("__neardup_pairs")
+    return spark.sql(
+        "WITH RECURSIVE " + _CLOSURE_SQL_BODY.format(pairs="__neardup_pairs")
+    )
+
+
+@register(
+    "udtf_sentence_split",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        s -> trim(s)),
+                         s -> s <> '') AS sents
+      FROM documents),
+    st AS (SELECT doc_id,
+                  unnest(list_transform(sents,
+                         (x, i) -> {'s': x, 'i': i})) AS u
+           FROM t)
+    SELECT doc_id, CAST(u.i AS INT) AS sent_no, u.s AS sentence,
+           length(u.s) AS n_chars
+    FROM st
+    """,
+)
+def udtf_sentence_split(spark, sf_dir):
+    """Sentence segmentation through a Spark 4 Python UDTF — the
+    extension-point for dynamic-cardinality row generators (one doc in, N
+    sentences out) when logic outgrows expressions; here the segmentation
+    itself is regex-simple (the built-in path would be
+    explode(split(...)), cf. document_chunking which stays JVM-side) so
+    the UDTF's value is demonstrating the lateral-join surface with an
+    exact DuckDB oracle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no: int, sentence: string, n_chars: long")
+    class SentenceSplit:
+        def eval(self, text: str):
+            i = 0
+            for raw in re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if s:
+                    i += 1
+                    yield i, s, len(s)
+
+    spark.udtf.register("__sentence_split", SentenceSplit)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_no, s.sentence, s.n_chars "
+        "FROM __docs_for_udtf d, LATERAL __sentence_split(d.text) s"
+    )
