@@ -5383,3 +5383,96 @@ def udtf_sentence_split(spark, sf_dir):
         "SELECT d.doc_id, s.sent_no, s.sentence, s.n_chars "
         "FROM __docs_for_udtf d, LATERAL __sentence_split(d.text) s"
     )
+
+
+@register(
+    "window_rank_suite",
+    """
+    WITH s AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-07')
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY cents DESC, o_orderkey ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_best
+    FROM s
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ASC)
+    """,
+)
+def window_rank_suite(spark, sf_dir):
+    """The ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist / nth_value share ONE window definition, so
+    Spark evaluates them in a single sort per partition (the WINDOW clause
+    / shared WindowSpec pattern); the total order (value, key) makes every
+    output — including the rational-valued percent_rank — deterministic
+    cross-engine."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-03-01", "1995-03-07")
+    )
+    s = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_best"),
+    )
+
+
+@register(
+    "corrupt_json_handling",
+    """
+    WITH raw AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 0 THEN substr(props, 1, length(props) - 2)
+                  ELSE props END AS payload
+      FROM events),
+    parsed AS (
+      SELECT event_id, event_type, payload,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k
+      FROM raw)
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(k) AS n_parsed,
+           count(*) FILTER (k IS NULL) AS n_corrupt,
+           CAST(sum(k) AS BIGINT) AS k_sum
+    FROM parsed GROUP BY event_type
+    """,
+)
+def corrupt_json_handling(spark, sf_dir):
+    """The errors->NULL contract extended to semi-structured ingest: a 10%
+    corrupted payload stream parses with from_json in PERMISSIVE mode —
+    malformed rows yield NULL (never a job abort at row 3 billion), and the
+    corruption rate is accounted in the SAME aggregation that consumes the
+    parsed values (the reference's validation-count pattern, C-layer
+    semantics applied to JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_id", "event_type",
+        F.from_json(payload, "k bigint", {"mode": "PERMISSIVE"})["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_parsed"),
+        F.count_if(F.col("k").isNull()).alias("n_corrupt"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
