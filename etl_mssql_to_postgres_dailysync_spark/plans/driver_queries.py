@@ -5476,3 +5476,120 @@ def corrupt_json_handling(spark, sf_dir):
         F.count_if(F.col("k").isNull()).alias("n_corrupt"),
         F.sum("k").cast("bigint").alias("k_sum"),
     )
+
+
+@register(
+    "linear_regression_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, sx, sy, sxx, sxy,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+             AS intercept_cents
+    FROM s
+    """,
+)
+def linear_regression_stats(spark, sf_dir):
+    """Closed-form simple linear regression (price-per-quantity curve per
+    return flag) from INTEGER sufficient statistics — n, Σx, Σy, Σx², Σxy in
+    one map-side-combined aggregation, slope/intercept by the normal
+    equations on doubles of exactly-representable integers (fixed op order →
+    cross-engine bit-equal before round(6)). The distributed-ML pattern:
+    sufficient stats shuffle, never rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / (n * F.col("sxx") - sx * F.col("sx"))
+    intercept = (sy - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxx", "sxy",
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0, 60000_00  # cents
+
+
+@register(
+    "drift_psi",
+    f"""
+    WITH binned AS (
+      SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-04-01' THEN 'base'
+                  ELSE 'cur' END AS period,
+             least(CAST(round(o_totalprice * 100) AS BIGINT) * {_PSI_BINS}
+                   // {_PSI_HI - _PSI_LO}, {_PSI_BINS - 1}) AS bin
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (period = 'base') AS nb,
+             count(*) FILTER (period = 'cur') AS nc
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+    SELECT bin, nb, nc,
+           round(CASE WHEN nb > 0 AND nc > 0
+                 THEN (CAST(nb AS DOUBLE) / tb - CAST(nc AS DOUBLE) / tc)
+                      * ln((CAST(nb AS DOUBLE) / tb) / (CAST(nc AS DOUBLE) / tc))
+                 ELSE 0.0 END, 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor — per-bin PSI terms for the
+    order-value distribution, March (base) vs April (current): fixed-width
+    integer binning (truncating div — cross-engine), per-bin counts for both
+    periods in ONE conditional aggregation (never two scans), totals as a
+    1-row broadcast. Empty-on-either-side bins contribute 0 by the standard
+    PSI convention. Σ psi_term > 0.2 is the usual retrain/alert threshold —
+    kept per-bin here so the monitor can localize WHERE the distribution
+    moved."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        filters.date_range_partition("o_orderdate", "1995-03-01", "1995-04-30")
+    )
+    binned = orders.select(
+        F.when(F.col("o_orderdate").cast("date") < "1995-04-01", F.lit("base"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) * {_PSI_BINS} "
+                f"div {_PSI_HI - _PSI_LO}"
+            ),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("period") == "base").alias("nb"),
+        F.count_if(F.col("period") == "cur").alias("nc"),
+    )
+    tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    pb = F.col("nb").cast("double") / F.col("tb")
+    pc = F.col("nc").cast("double") / F.col("tc")
+    term = F.when(
+        (F.col("nb") > 0) & (F.col("nc") > 0), (pb - pc) * F.log(pb / pc)
+    ).otherwise(F.lit(0.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "nb", "nc", F.round(term, 6).alias("psi_term")
+    )

@@ -32,6 +32,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_ann_ivf",      # corpus x broadcast(8 centroids) assignment
     "important_part_value",    # Q11 scalar: global value total, 1 row
     "similarity_quantized_topk",  # by design: corpus x broadcast(10 queries)
+    "drift_psi",               # 1-row period totals cross joined to 10 bins
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
