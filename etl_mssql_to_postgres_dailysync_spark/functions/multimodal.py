@@ -129,3 +129,53 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         )
 
     return df.mapInPandas(resize, schema=df.schema)
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "media_id long, chunk_no int, start_byte long, n_bytes long, chunk_hash long"
+)
+
+
+def chunk_audio(
+    df: DataFrame, window: int = 256, stride: int = 192, max_chunks: int = 4
+) -> DataFrame:
+    """Fixed-duration audio chunking over opaque binary payloads: overlapping
+    byte windows (window/stride in bytes stand in for sample frames — a real
+    deployment multiplies by bytes-per-sample x rate) with a 60-bit md5
+    fingerprint per chunk (the dedupe/lineage key, same hash family as
+    functions/hashing.md5_long but over raw BYTES). Arrow-batched
+    mapInPandas: payload bytes never leave the executor un-batched, output
+    is one row per chunk. The chunk fingerprint lets chunk-level dedup reuse
+    the exact-dedup machinery unchanged."""
+    import hashlib
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, starts, sizes, hashes = [], [], [], [], []
+            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "audio" or pl is None:
+                    continue
+                n = len(pl)
+                pos, no = 0, 0
+                while pos < n and no < max_chunks:
+                    piece = bytes(pl[pos : pos + window])
+                    ids.append(mid)
+                    nos.append(no)
+                    starts.append(pos)
+                    sizes.append(len(piece))
+                    hashes.append(
+                        int(hashlib.md5(piece).hexdigest()[:15], 16)
+                    )
+                    pos += stride
+                    no += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_no": nos,
+                    "start_byte": starts,
+                    "n_bytes": sizes,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(chunk, schema=AUDIO_CHUNK_SCHEMA)

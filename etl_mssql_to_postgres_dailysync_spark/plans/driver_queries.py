@@ -5593,3 +5593,40 @@ def drift_psi(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         "bin", "nb", "nc", F.round(term, 6).alias("psi_term")
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             list_extract(['image', 'audio', 'video'],
+                          CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type,
+             length(text) AS n
+      FROM documents),
+    a AS (SELECT media_id, text, n FROM m WHERE media_type = 'audio'),
+    starts AS (
+      SELECT media_id, text, n, unnest(range(0, least(CAST(n AS BIGINT), 4 * 192), 192)) AS pos
+      FROM a),
+    chunks AS (
+      SELECT media_id,
+             CAST(pos / 192 AS INT) AS chunk_no,
+             pos AS start_byte,
+             least(CAST(256 AS BIGINT), n - pos) AS n_bytes,
+             CAST('0x' || substr(md5(substr(text, CAST(pos + 1 AS BIGINT), 256)), 1, 15)
+                  AS BIGINT) AS chunk_hash
+      FROM starts)
+    SELECT media_id, chunk_no, start_byte, n_bytes, chunk_hash FROM chunks
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking plumbing, end to end: binary payload column ->
+    Arrow-batched overlapping byte windows (256-byte window, 192 stride, <=4
+    chunks) with 60-bit md5 chunk fingerprints — the chunk-level dedupe /
+    lineage substrate for audio corpora. Spark operates on REAL binary
+    (mapInPandas over payload bytes); the oracle replays the same slices
+    over the ASCII source text (byte slice == char slice on this fixture,
+    verified), so the binary path is value-checked, not just shape-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    return multimodal.chunk_audio(media, window=256, stride=192, max_chunks=4)
