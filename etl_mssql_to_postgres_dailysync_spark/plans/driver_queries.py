@@ -5630,3 +5630,64 @@ def multimodal_audio_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.attach_fake_payload(docs, "doc_id", "text")
     return multimodal.chunk_audio(media, window=256, stride=192, max_chunks=4)
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH kept_ids AS (SELECT doc_id FROM ({_quality_pipeline_oracle()})),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text FROM documents d
+      JOIN kept_ids k ON k.doc_id = d.doc_id),
+    t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM kept),
+    starts AS (
+      SELECT doc_id, source, toks,
+             unnest(range(1, greatest(len(toks) - {_CHUNK_LEN - 1}, 1) + 1,
+                          {_CHUNK_STRIDE})) AS s
+      FROM t),
+    chunks AS (
+      SELECT doc_id, source,
+             least(CAST(len(toks) AS BIGINT) - s + 1, {_CHUNK_LEN}) AS n_tokens
+      FROM starts)
+    SELECT source,
+           count(DISTINCT doc_id) AS docs_kept,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM chunks GROUP BY source
+    """
+
+
+@register("curation_pipeline_full", _curation_oracle())
+def curation_pipeline_full(spark, sf_dir):
+    """The composed training-data curation macro-pipeline, end to end in one
+    oracle-checked query: language-ID + quality gate + exact dedup (the
+    quality_filter_pipeline stage) -> surviving docs -> overlapping
+    token-window chunking (the document_chunking stage) -> per-source corpus
+    accounting (docs kept, chunks produced, total tokens — the numbers a
+    pretraining data ticket actually quotes). Each stage reuses the
+    already-verified operator; the composition itself is what's under test
+    (stage wiring, no row loss between stages). One corpus scan feeds the
+    score+dedup stages, one more the chunker."""
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = quality_filter_pipeline(spark, sf_dir).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi").select("doc_id", "source", "text")
+    toked = kept.select(
+        "doc_id", "source", text.tokens(text.normalize(F.col("text"))).alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(_CHUNK_LEN - 1), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunks = toked.select(
+        "doc_id", "source", n.alias("n_toks"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id", "source",
+        F.least(
+            F.col("n_toks").cast("bigint") - F.col("s") + 1,
+            F.lit(_CHUNK_LEN).cast("bigint"),
+        ).alias("n_tokens"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("docs_kept"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -272,6 +272,7 @@ class TxnTable:
             add = {
                 "path": os.path.relpath(fpath, self.path),
                 "rows": md.num_rows,
+                "bytes": os.path.getsize(fpath),
                 "stats": stats,
             }
             if partition_by:
@@ -424,15 +425,26 @@ class TxnTable:
                             {"keys": list(keys), "files_rewritten": len(touched),
                              "files_kept": len(live) - len(touched)})
 
-    def compact(self, num_files: int = 1) -> int:
+    def compact(self, num_files: int | None = None, target_mb: int | None = None) -> int:
         """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);
         a normal commit, so time travel before it still works. A partition/
         bucket spec survives compaction (bucketed tables compact per bucket —
-        the layout IS the file count)."""
+        the layout IS the file count).
+
+        ``target_mb`` sizes the output from LOG metadata instead: num_files =
+        ceil(live_bytes / target) — the small-file compactor needs no data
+        scan to plan itself (the OPTIMIZE file-size heuristic every lakehouse
+        runs on manifest stats)."""
         base = self.version()
         live, _, props = self._snapshot_full(base)
         pspec = props.get("partition_spec", [])
         bspec = props.get("bucket_spec")
+        if num_files is None:
+            if target_mb is not None:
+                total = sum(a.get("bytes", 0) for a in live.values())
+                num_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+            else:
+                num_files = 1
         df = self.read()
         if not bspec:
             df = df.coalesce(num_files)

@@ -429,3 +429,17 @@ class TestMetadataViews:
         assert [r["op"] for r in hdf.orderBy("version").collect()] == ["append", "merge"]
         # time travel on the manifest too
         assert t.files_df(version=0).count() >= 1
+
+    def test_compact_by_target_size_uses_manifest_bytes(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        for i in range(4):
+            t.append(_orders(spark, sf_dir).limit(200))
+        live_bytes = sum(
+            os.path.getsize(os.path.join(t.path, f.path)) for f in t.files()
+        )
+        # tiny target -> several output files; huge target -> one file
+        t.compact(target_mb=max(1, live_bytes // (1024 * 1024)) if live_bytes > 2**20 else 1)
+        assert t.read().count() == 800
+        t.compact(target_mb=10_000)
+        assert len(t.files()) == 1
+        assert t.read().count() == 800
