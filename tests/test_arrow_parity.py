@@ -1,0 +1,101 @@
+"""The Arrow fast paths (numpy/pandas twins of interpreted-HOF operators)
+must produce IDENTICAL values to the pure-Catalyst reference formulations —
+this is what lets the engine switch paths for speed without touching the
+DuckDB oracles. Property-tested over adversarial text (unicode, whitespace
+runs, empties, punctuation) and checked on the real fixture."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _collect_arrays(df, col):
+    return {r["doc_id"]: list(r[col]) for r in df.collect()}
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestArrowParity:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=TEXTS)
+    def test_shingle_hashes_arrow_equals_hof(self, spark, texts):
+        df = _df(spark, texts)
+        hof = _collect_arrays(
+            df.select("doc_id", dedup.shingle_hashes(F.col("text"), 3).alias("s")), "s"
+        )
+        arr = _collect_arrays(
+            df.select("doc_id", dedup.shingle_hashes_arrow(F.col("text"), 3).alias("s")),
+            "s",
+        )
+        assert hof == arr
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=TEXTS)
+    def test_minhash_signature_arrow_equals_hof(self, spark, texts):
+        df = _df(spark, texts)
+        hof = _collect_arrays(
+            df.select("doc_id", dedup.minhash_signature(F.col("text"), 16, 3).alias("s")),
+            "s",
+        )
+        arr = _collect_arrays(
+            df.select(
+                "doc_id", dedup.minhash_signature_arrow(F.col("text"), 16, 3).alias("s")
+            ),
+            "s",
+        )
+        assert hof == arr
+
+    def test_parity_on_real_fixture(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        hof = _collect_arrays(
+            docs.select("doc_id", dedup.shingle_hashes(F.col("text")).alias("s")), "s"
+        )
+        arr = _collect_arrays(
+            docs.select("doc_id", dedup.shingle_hashes_arrow(F.col("text")).alias("s")),
+            "s",
+        )
+        assert hof == arr
+
+    def test_ivf_assignment_arrow_matches_struct_min(self, spark, sf_dir):
+        """_cells_udf (numpy argsort) vs _assign_int (crossJoin + struct-min)
+        on the real embeddings — including tie-break direction."""
+        from etl_mssql_to_postgres_dailysync_spark.functions import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+        cent = similarity.kmeans_fit_list(emb, k=4, iters=1)
+        cdf = spark.createDataFrame(cent, "cell_id int, cv array<bigint>")
+        q = emb.select(
+            F.col("vec_id").alias("vid"),
+            similarity.quantize_vec(F.col("embedding")).alias("qv"),
+        )
+        ref = {
+            r["vid"]: r["cell_id"]
+            for r in similarity._assign_int(q, cdf).collect()
+        }
+        udf = similarity._cells_udf(cent, 1)
+        got = {
+            r["vid"]: r["c"][0]
+            for r in q.select("vid", udf(F.col("qv")).alias("c")).collect()
+        }
+        assert ref == got
