@@ -154,3 +154,57 @@ class TestCdcSource:
         got = spark.read.parquet(f"{base}/state")
         assert got.filter(F.col("day").isNull()).count() == 0
         _assert_state_matches(spark, f"{base}/state", t)
+
+
+class TestAlertingListener:
+    def test_progress_and_failure_alerts(self, spark, sf_dir, base):
+        import time
+
+        from etl_mssql_to_postgres_dailysync_spark.streaming.alerts import (
+            AlertingListener,
+        )
+
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        t.append(_orders(spark, sf_dir).limit(50))
+        listener = AlertingListener()
+        spark.streams.addListener(listener)
+        try:
+            s = (
+                spark.readStream.format("txntable_cdc")
+                .option("path", f"{base}/tbl").load()
+            )
+            q = (
+                s.writeStream.format("noop")
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            deadline = time.time() + 20
+            while not listener.progress and time.time() < deadline:
+                time.sleep(0.5)  # listener bus is async
+            assert any(p["numInputRows"] > 0 for p in listener.progress)
+
+            # a failing query must surface a "failure" alert
+            def boom(batch, _):
+                raise RuntimeError("sink exploded")
+
+            s2 = (
+                spark.readStream.format("txntable_cdc")
+                .option("path", f"{base}/tbl").load()
+            )
+            q2 = (
+                s2.writeStream.foreachBatch(boom)
+                .option("checkpointLocation", f"{base}/ck2")
+                .trigger(availableNow=True)
+                .start()
+            )
+            with pytest.raises(Exception):
+                q2.awaitTermination()
+            deadline = time.time() + 20
+            while not any(a.kind == "failure" for a in listener.alerts) and time.time() < deadline:
+                time.sleep(0.5)
+            assert any(a.kind == "failure" for a in listener.alerts)
+        finally:
+            spark.streams.removeListener(listener)
