@@ -443,3 +443,19 @@ class TestMetadataViews:
         t.compact(target_mb=10_000)
         assert len(t.files()) == 1
         assert t.read().count() == 800
+
+    def test_specs_survive_log_checkpoint(self, spark, sf_dir, tdir):
+        """Partition/bucket specs live in commit props; snapshot replay that
+        starts from a checkpoint must still see them."""
+        t = TxnTable(spark, tdir, checkpoint_interval=5)
+        orders = _orders(spark, sf_dir).limit(40).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        t.append(orders, partition_by=["status"])
+        for _ in range(7):  # crosses the interval-5 checkpoint
+            t.append(orders.limit(5))
+        assert os.path.exists(_version_path(t.log, 5, checkpoint=True))
+        assert t.partition_spec() == ["status"]
+        assert t.read().count() == 40 + 35
+        # partition column still reconstructed for checkpoint-era files
+        assert t.read().filter(F.col("status").isNull()).count() == 0
