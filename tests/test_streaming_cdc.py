@@ -208,3 +208,100 @@ class TestAlertingListener:
             assert any(a.kind == "failure" for a in listener.alerts)
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestTxnTableStreamingSink:
+    def _write_input(self, spark, sf_dir, path, lo, hi):
+        (
+            _orders(spark, sf_dir)
+            .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .write.mode("append").parquet(path)
+        )
+
+    def test_stream_into_txn_table_exactly_once(self, spark, sf_dir, base):
+        from etl_mssql_to_postgres_dailysync_spark.streaming.txn_sink import (
+            TxnTableSinkDataSource,
+        )
+
+        spark.dataSource.register(TxnTableSinkDataSource)
+        src_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+        self._write_input(spark, sf_dir, src_dir, 0, 400)
+        schema = _orders(spark, sf_dir).schema
+
+        def run():
+            s = spark.readStream.schema(schema).parquet(src_dir)
+            q = (
+                s.writeStream.format("txntable").option("path", tbl)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+
+        run()
+        t = TxnTable(spark, tbl)
+        n1 = t.read().count()
+        assert n1 == _orders(spark, sf_dir).filter("o_orderkey < 400").count()
+        v1 = t.version()
+
+        # no new data -> no new commits (idempotent on replay/empty batches)
+        run()
+        assert t.version() == v1 and t.read().count() == n1
+
+        # more input -> exactly the delta lands
+        self._write_input(spark, sf_dir, src_dir, 400, 700)
+        run()
+        assert t.read().count() == _orders(spark, sf_dir).filter("o_orderkey < 700").count()
+        ops = [h["op"] for h in t.history()]
+        assert all(op == "stream_append" for op in ops)
+
+    def test_duplicate_batch_commit_is_skipped(self, spark, sf_dir, base):
+        """Simulated micro-batch replay: a second commit() with the same
+        batchId must not change the table."""
+        from etl_mssql_to_postgres_dailysync_spark.streaming.txn_sink import (
+            TxnTableStreamWriter, _FileMsg,
+        )
+
+        tbl = f"{base}/tbl"
+        schema = _orders(spark, sf_dir).schema
+        w = TxnTableStreamWriter({"path": tbl}, schema)
+        # fake one written file
+        import pyarrow as pa, pyarrow.parquet as pq, os as _os
+        pdf = _orders(spark, sf_dir).limit(10).toPandas()
+        d = _os.path.join(tbl, "data", "stream-test")
+        _os.makedirs(d)
+        f = _os.path.join(d, "part-00000.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), f)
+        msg = _FileMsg(_os.path.relpath(f, _os.path.abspath(tbl)), 10, _os.path.getsize(f))
+        w.commit([msg], batchId=7)
+        t = TxnTable(spark, tbl)
+        v = t.version()
+        w.commit([msg], batchId=7)  # replay
+        assert t.version() == v
+        assert t.read().count() == 10
+
+    def test_cdc_roundtrip_source_to_sink(self, spark, sf_dir, base):
+        """Full loop: TxnTable A --(cdc source)--> stream --(txntable sink)-->
+        TxnTable B; B's live rows equal A's adds (append-only A)."""
+        from etl_mssql_to_postgres_dailysync_spark.streaming.txn_sink import (
+            TxnTableSinkDataSource,
+        )
+
+        _register(spark)
+        spark.dataSource.register(TxnTableSinkDataSource)
+        a = TxnTable(spark, f"{base}/a")
+        a.append(_orders(spark, sf_dir).limit(123))
+        s = (
+            spark.readStream.format("txntable_cdc").option("path", f"{base}/a").load()
+            .drop("_sign", "_version")
+        )
+        q = (
+            s.writeStream.format("txntable").option("path", f"{base}/b")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        b = TxnTable(spark, f"{base}/b")
+        assert b.read().count() == 123
+        got = b.read().select("o_orderkey").orderBy("o_orderkey").collect()
+        exp = a.read().select("o_orderkey").orderBy("o_orderkey").collect()
+        assert got == exp
