@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     prefix: str = "asof_",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: left rows gain ``{prefix}{col}`` for
     each right value column, taken from the latest right row at-or-before
@@ -42,11 +43,18 @@ def asof_join(
 
     ``keys`` must be non-NULL equality keys; right rows should be unique per
     (keys, right_ts) — with duplicates, the row sorted last wins.
+
+    ``tolerance_seconds`` bounds staleness (the pandas merge_asof
+    ``tolerance``): a match older than the bound is nulled out AFTER the
+    carry-forward — a pure post-projection, so the join plan (one union +
+    one window) is unchanged.
     """
     keys = list(keys)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     value_cols = list(value_cols)
+    if tolerance_seconds is not None and right_ts not in value_cols:
+        value_cols = [right_ts, *value_cols]  # need the matched ts to bound it
 
     # Right values travel as ONE nullable struct: the struct is non-NULL for
     # every right row (even when its fields are NULL), so carry-forward with
@@ -83,11 +91,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("__m__", F.last("__r__", ignorenulls=True).over(w))
+    matched = F.col("__m__")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col("__ts__")) - F.unix_micros(F.col(f"__m__.{right_ts}"))
+        ) <= tolerance_seconds * 1_000_000
+        matched = F.when(matched.isNotNull() & fresh, F.col("__m__"))
     out_cols = (
         keys
         + [F.col("__ts__").alias(left_ts)]
         + [c for c in left.columns if c not in keys and c != left_ts]
-        + [F.col(f"__m__.{c}").alias(f"{prefix}{c}") for c in value_cols]
+        + [matched[c].alias(f"{prefix}{c}") for c in value_cols]
     )
     return carried.filter(F.col("__is_left__") == 1).select(*out_cols)
 

@@ -5691,3 +5691,34 @@ def curation_pipeline_full(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= CAST(21600 AS BIGINT) * 1000000
+                THEN r.ts END AS asof_ts,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= CAST(21600 AS BIGINT) * 1000000
+                THEN r.value END AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof ``tolerance``):
+    a matched purchase older than 6 hours is nulled out — the point-in-time
+    lookup that refuses stale context. Same one-union-one-window plan as
+    asof_join; the bound is a post-projection, so tolerance costs nothing
+    at any scale."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, ["user_id"], value_cols=["ts", "value"],
+        tolerance_seconds=21600,
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
