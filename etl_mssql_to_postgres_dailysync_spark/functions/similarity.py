@@ -179,18 +179,32 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 6,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bucket.
 
     At 100 TB the corpus is hash-partitioned (or bucketed on disk) by the
     bucket id, so each query touches one partition's worth of candidates —
     the cross join collapses to an equi-join on bucket.
-    """
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from the query's (the standard multi-probe LSH recall lever: near
+    neighbors most often differ in exactly one marginal sign bit). Probe
+    fan-out is bits+1 buckets = (bits+1)/2^bits of the corpus; the corpus
+    side still sits in exactly one bucket, so probes add no duplicates."""
+    bucket = sign_bucket(F.col(vec_col), bits)
+    if multiprobe >= 1:
+        probes = F.array(
+            bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        )
+        bucket_expr = F.explode(probes).alias("bucket")
+    else:
+        bucket_expr = bucket.alias("bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        bucket_expr,
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1013,9 +1013,13 @@ _BUCKET_SQL = (
 @register(
     "similarity_ann_lsh",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-                      {_BUCKET_SQL.format(v='embedding')} AS bucket
-               FROM embeddings WHERE vec_id < 10),
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+                       {_BUCKET_SQL.format(v='embedding')} AS bucket0
+                FROM embeddings WHERE vec_id < 10),
+    q AS (SELECT query_id, qv, unnest([bucket0,
+                 xor(bucket0, 1), xor(bucket0, 2), xor(bucket0, 4),
+                 xor(bucket0, 8), xor(bucket0, 16), xor(bucket0, 32)]) AS bucket
+          FROM q0),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                  {_BUCKET_SQL.format(v='embedding')} AS bucket
           FROM embeddings),
@@ -1031,13 +1035,17 @@ _BUCKET_SQL = (
     """,
 )
 def similarity_ann_lsh(spark, sf_dir):
-    """Approximate top-5 via sign-bucket LSH: candidates restricted to the
-    query's bucket -> equi-join instead of cross join (the 100 TB path)."""
+    """Approximate top-5 via sign-bucket LSH with Hamming-1 multi-probe:
+    candidates restricted to the query's bucket + its 6 one-bit neighbors ->
+    still an equi-join instead of a cross join (the 100 TB path), probing
+    7/64 of the corpus (recall measured in tools/recall_report.py; on this
+    RANDOM-embedding fixture even exact top-5 neighbors are near-orthogonal,
+    the adversarial case for sign LSH — clustered corpora fare far better)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_bucketed_topk(queries_df, emb, k=5, bits=6).withColumn(
-        "rank", F.col("rank").cast("int")
-    )
+    return similarity.lsh_bucketed_topk(
+        queries_df, emb, k=5, bits=6, multiprobe=1
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 @register(
@@ -2649,7 +2657,7 @@ _KM_DIST_FINAL = (f"list_sum(list_transform(generate_series(1, 64), "
          FROM q CROSS JOIN cent{_KM_ITERS} c)),
     corpus AS (SELECT vid AS neighbor_id, embedding AS cve, cell_id FROM asgn WHERE rn = 1),
     qa AS (SELECT vid AS query_id, embedding AS qv2, cell_id FROM asgn
-           WHERE vid < 10 AND rn <= 2),
+           WHERE vid < 10 AND rn <= 3),
     scored AS (
         SELECT qa.query_id, corpus.neighbor_id,
                round(list_cosine_similarity(qa.qv2::DOUBLE[], corpus.cve::DOUBLE[]), 6) AS sim
@@ -2664,7 +2672,8 @@ _KM_DIST_FINAL = (f"list_sum(list_transform(generate_series(1, 64), "
 def similarity_ann_ivf_trained(spark, sf_dir):
     """IVF over TRAINED cells: distributed integer-exact Lloyd k-means
     (md5 seeding, broadcast assignment, truncating integer-mean update)
-    followed by nprobe=2 cell-local cosine top-5. The oracle replays the
+    followed by nprobe=3 cell-local cosine top-5 (nprobe tuned against
+    tools/recall_report.py: 2 probes gave 0.48 recall@5 on this corpus). The oracle replays the
     ENTIRE TRAINING LOOP in SQL and matches bit-for-bit — training, cell
     assignment, and search are all checked, not just the output shape.
     At 100 TB: fit on a sample, persist centroids, store the corpus
@@ -2672,7 +2681,7 @@ def similarity_ann_ivf_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk_trained(
-        queries_df, emb, k=5, nprobe=2, num_cells=8, iters=_KM_ITERS
+        queries_df, emb, k=5, nprobe=3, num_cells=8, iters=_KM_ITERS
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -4729,17 +4738,17 @@ def pii_redaction(spark, sf_dir):
 @register(
     "similarity_quantized_topk",
     f"""
-    WITH dims AS (
-      SELECT i, min(embedding[i]::DOUBLE) AS lo, max(embedding[i]::DOUBLE) AS hi
-      FROM embeddings, range(1, 65) t(i) GROUP BY i),
-    arrs AS (SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dims),
+    WITH normed AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[]))) AS xn
+      FROM embeddings),
+    g AS (SELECT max(list_max(list_transform(xn, x -> abs(x)))) AS gmax FROM normed),
     q8s AS (
       SELECT vec_id,
-             list_transform(embedding, (x, i) ->
-               CASE WHEN hi_a[i] = lo_a[i] THEN 0
-                    ELSE CAST(floor((x::DOUBLE - lo_a[i]) * 255.0 / (hi_a[i] - lo_a[i]))
-                              AS BIGINT) END) AS q8
-      FROM embeddings CROSS JOIN arrs),
+             list_transform(xn, x -> CAST(floor(x * 127.0 / gmax) AS BIGINT)) AS q8
+      FROM normed CROSS JOIN g),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[]) AS BIGINT) AS q_score
@@ -4767,37 +4776,30 @@ def pii_redaction(spark, sf_dir):
     """,
 )
 def similarity_quantized_topk(spark, sf_dir):
-    """Scalar-quantized ANN, the memory-bound tier of a vector index: each
-    dimension min-max-scales to int8 (0..255, floor — never round, whose
-    half-even vs half-up diverges across engines), candidate search runs on
-    64-byte codes with an INTEGER dot product (exact, engine-portable, 4x
-    smaller than float32 — at corpus scale the quantized sweep is what fits
-    in memory/cache), then the top-20 candidates re-rank by exact cosine on
-    the full vectors (the standard SQ + re-rank design, cf. Faiss SQ8). Dim
-    stats are one tiny aggregation; everything joins broadcast-side."""
+    """Scalar-quantized ANN, the memory-bound tier of a vector index:
+    vectors NORMALIZE first, then one GLOBAL signed-int8 scale (q =
+    floor(x_hat * 127 / gmax); floor, never round — half-even vs half-up
+    diverges across engines). A single uniform scale keeps the integer dot
+    product PROPORTIONAL to cosine (per-dimension affine scaling adds
+    per-vector bias terms that wreck candidate ranking — measured recall@5
+    0.08 affine vs ~0.9+ normalized-global; see tools/recall_report.py), so
+    the candidate sweep runs on 64-byte codes (4x smaller than float32 —
+    the part that must fit in memory at corpus scale) and the top-20
+    re-rank by exact cosine (the Faiss SQ8 + re-rank design). The global
+    scale is one tiny aggregation; everything joins broadcast-side."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import norm
+
     emb = _t(spark, sf_dir, "embeddings")
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min(F.col("x").cast("double")).alias("lo"),
-             F.max(F.col("x").cast("double")).alias("hi"))
-        .orderBy("pos")
-        .collect()
-    )
-    lo = [r["lo"] for r in stats]
-    span = [r["hi"] - r["lo"] for r in stats]
-    lo_arr = F.array(*[F.lit(v).cast("double") for v in lo])
-    span_arr = F.array(*[F.lit(v).cast("double") for v in span])
-    centered = F.zip_with(
-        F.col("embedding"), lo_arr, lambda x, l: x.cast("double") - l
-    )
-    q8 = F.zip_with(
-        centered, span_arr,
-        lambda d, s: F.when(s == 0, F.lit(0).cast("bigint")).otherwise(
-            F.floor(d * 255.0 / s).cast("bigint")
-        ),
-    )
-    codes = emb.select("vec_id", q8.alias("q8"), F.col("embedding"))
+    # materialize the norm first: referencing norm(embedding) inside the
+    # transform lambda would re-evaluate the whole fold per ELEMENT
+    with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("_n"))
+    xn = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("_n"))
+    normed = with_norm.select("vec_id", "embedding", xn.alias("xn"))
+    gmax = normed.agg(
+        F.max(F.array_max(F.transform(F.col("xn"), F.abs))).alias("g")
+    ).first()["g"]
+    q8 = F.transform(F.col("xn"), lambda x: F.floor(x * 127.0 / F.lit(gmax)).cast("bigint"))
+    codes = normed.select("vec_id", q8.alias("q8"), F.col("embedding"))
     qs = codes.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("q8").alias("qa"),
         F.col("embedding").alias("qv"),
