@@ -133,10 +133,15 @@ def _token_hashes_py(text: str):
     """Exact Python twin of ``md5_long(token) % P`` over
     ``tokens(normalize(text))``: lowercase, collapse whitespace, trim,
     split on single spaces (empty text -> one "" token, matching Spark's
-    split of an empty string)."""
+    split of an empty string).
+
+    Whitespace semantics are the JVM's, NOT Python's: Java regex ``\\s`` is
+    the ASCII class [ \\t\\n\\x0b\\f\\r] (U+00A0 etc. are NOT whitespace —
+    hypothesis found the divergence), and Spark's ``trim`` strips only the
+    space character, unlike ``str.strip()``."""
     import re
 
-    collapsed = re.sub(r"\s+", " ", text.lower()).strip()
+    collapsed = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
     return [
         int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
         for t in collapsed.split(" ")
