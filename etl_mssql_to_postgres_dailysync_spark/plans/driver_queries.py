@@ -5724,3 +5724,75 @@ def asof_join_tolerance(spark, sf_dir):
         tolerance_seconds=21600,
     )
     return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+@register(
+    "record_linkage",
+    """
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS d_custkey,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN replace(c_name, 'Customer', 'Custmer')
+                  WHEN c_custkey % 3 = 1
+                  THEN c_name || ' '
+                  ELSE c_name END AS d_name,
+             c_nationkey AS d_nationkey
+      FROM customer),
+    blocked AS (
+      SELECT c.c_custkey, d.d_custkey,
+             levenshtein(trim(c.c_name), trim(d.d_name)) AS name_dist,
+             CASE WHEN c.c_nationkey = d.d_nationkey THEN 1 ELSE 0 END AS nation_agree
+      FROM customer c
+      JOIN dirty d
+        ON substr(c.c_name, length(c.c_name) - 2, 3)
+         = substr(trim(d.d_name), length(trim(d.d_name)) - 2, 3)),
+    scored AS (
+      SELECT c_custkey, d_custkey, name_dist, nation_agree,
+             (CASE WHEN name_dist = 0 THEN 40 WHEN name_dist <= 2 THEN 25 ELSE 0 END
+              + nation_agree * 10) AS match_score
+      FROM blocked)
+    SELECT c_custkey, d_custkey, name_dist, nation_agree, match_score
+    FROM scored WHERE match_score >= 35
+    """,
+)
+def record_linkage(spark, sf_dir):
+    """Record linkage / identity resolution (the MDM dedupe the reference's
+    upsert pipeline implicitly assumes solved): a deterministic 'dirty' twin
+    of the customer dim (typo / trailing-space corruptions) links back via
+    (1) BLOCKING on a name-suffix key — the equi-join that keeps the
+    candidate space linear, (2) per-field comparison vectors (edit distance,
+    nation agreement), (3) Fellegi-Sunter-style additive log-odds weights
+    with a match threshold. Same three-stage shape at any corpus size;
+    only the blocking key choice tunes recall vs cost."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000000).alias("d_custkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Custmer")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.col("c_name"), F.lit(" ")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+    )
+    blk_c = F.substring(F.col("c_name"), F.length("c_name") - 2, 3)
+    blk_d = F.substring(F.trim(F.col("d_name")), F.length(F.trim(F.col("d_name"))) - 2, 3)
+    blocked = cust.withColumn("blk", blk_c).join(
+        dirty.withColumn("blk", blk_d), "blk"
+    )
+    name_dist = F.levenshtein(F.trim(F.col("c_name")), F.trim(F.col("d_name")))
+    scored = blocked.select(
+        "c_custkey", "d_custkey",
+        name_dist.alias("name_dist"),
+        F.when(F.col("c_nationkey") == F.col("d_nationkey"), F.lit(1)).otherwise(0).alias(
+            "nation_agree"
+        ),
+    ).withColumn(
+        "match_score",
+        F.when(F.col("name_dist") == 0, F.lit(40))
+        .when(F.col("name_dist") <= 2, F.lit(25))
+        .otherwise(F.lit(0))
+        + F.col("nation_agree") * 10,
+    )
+    return scored.filter(F.col("match_score") >= 35)
