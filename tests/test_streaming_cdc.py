@@ -305,3 +305,28 @@ class TestTxnTableStreamingSink:
         got = b.read().select("o_orderkey").orderBy("o_orderkey").collect()
         exp = a.read().select("o_orderkey").orderBy("o_orderkey").collect()
         assert got == exp
+
+
+class TestPartitionedMergeCdc:
+    def test_merge_on_partitioned_table_retracts_with_partition_values(
+        self, spark, sf_dir, base
+    ):
+        """A merge on a hive-partitioned table removes+re-adds partitioned
+        files; the retraction rows must reconstruct the partition column
+        from the REMOVE action's metadata, or the maintained rollup would
+        subtract from a NULL group and diverge."""
+        _register(spark)
+        t = TxnTable(spark, f"{base}/tbl")
+        orders = _orders(spark, sf_dir).withColumn(
+            "day", F.to_date("o_orderdate").cast("string")
+        ).limit(300)
+        t.append(orders, partition_by=["day"])
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        _assert_state_matches(spark, f"{base}/state", t)
+
+        delta = orders.limit(20).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        t.merge(delta, ["o_orderkey"])
+        _run_stream(spark, f"{base}/tbl", f"{base}/state", f"{base}/ck")
+        got = spark.read.parquet(f"{base}/state")
+        assert got.filter(F.col("day").isNull()).count() == 0
+        _assert_state_matches(spark, f"{base}/state", t)
