@@ -174,7 +174,7 @@ class TxnTable:
                     os.link(tmp, _version_path(self.log, v))  # atomic exclusive publish
                     break
                 except FileExistsError:
-                    if op == "append":
+                    if op in ("append", "stream_append"):  # blind appends commute
                         v += 1  # blind appends commute: retry on the new head
                     else:
                         raise ConcurrentWriteError(

@@ -330,3 +330,36 @@ class TestPartitionedMergeCdc:
         got = spark.read.parquet(f"{base}/state")
         assert got.filter(F.col("day").isNull()).count() == 0
         _assert_state_matches(spark, f"{base}/state", t)
+
+
+class TestSinkConcurrency:
+    def test_stream_commit_retries_past_concurrent_append(self, spark, sf_dir, base):
+        """A batch append taking the sink's expected version slot must not
+        fail the stream: stream_append commits commute like blind appends."""
+        import json as _json
+
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import (
+            _version_path,
+        )
+        from etl_mssql_to_postgres_dailysync_spark.streaming.txn_sink import (
+            TxnTableStreamWriter, _FileMsg,
+        )
+
+        tbl = f"{base}/tbl"
+        t = TxnTable(spark, tbl)
+        flat = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+        t.append(flat.limit(10))
+        w = TxnTableStreamWriter({"path": tbl}, flat.schema)
+        import pyarrow as pa, pyarrow.parquet as pq, os as _os
+        d = _os.path.join(tbl, "data", "stream-race")
+        _os.makedirs(d)
+        f = _os.path.join(d, "part-00000.parquet")
+        pq.write_table(pa.Table.from_pandas(flat.limit(5).toPandas()), f)
+        msg = _FileMsg(_os.path.relpath(f, _os.path.abspath(tbl)), 5, _os.path.getsize(f))
+        # steal version 1 out from under the sink
+        with open(_version_path(t.log, 1), "w") as fh:
+            _json.dump({"version": 1, "op": "append", "actions": [],
+                        "schema": None, "meta": {}, "props": {}}, fh)
+        w.commit([msg], batchId=0)  # must retry to version 2, not raise
+        assert t.version() == 2
+        assert t.read().count() == 15
