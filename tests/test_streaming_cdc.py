@@ -363,3 +363,29 @@ class TestSinkConcurrency:
         w.commit([msg], batchId=0)  # must retry to version 2, not raise
         assert t.version() == 2
         assert t.read().count() == 15
+
+    def test_stream_landed_files_carry_zone_maps(self, spark, sf_dir, base):
+        from etl_mssql_to_postgres_dailysync_spark.streaming.txn_sink import (
+            TxnTableSinkDataSource,
+        )
+
+        spark.dataSource.register(TxnTableSinkDataSource)
+        src_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+        (
+            _orders(spark, sf_dir).limit(500)
+            .write.mode("append").parquet(src_dir)
+        )
+        schema = _orders(spark, sf_dir).schema
+        s = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            s.writeStream.format("txntable").option("path", tbl)
+            .option("statsCols", "o_orderkey")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        t = TxnTable(spark, tbl)
+        fs = t.files()
+        assert all("o_orderkey" in f.stats for f in fs)
+        # pruning works against a range no file can satisfy
+        assert t.files(prune=("o_orderkey", 10**12, None)) == []
