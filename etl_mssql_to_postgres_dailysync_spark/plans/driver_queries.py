@@ -5796,3 +5796,46 @@ def record_linkage(spark, sf_dir):
         + F.col("nation_agree") * 10,
     )
     return scored.filter(F.col("match_score") >= 35)
+
+
+@register(
+    "multimodal_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             list_extract(['image', 'audio', 'video'],
+                          CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type,
+             rpad(substr(text, 1, 192), 192, '.') AS padded
+      FROM documents),
+    img AS (SELECT media_id, padded FROM m
+            WHERE media_type = 'image' AND length(padded) >= 192),
+    rs AS (SELECT media_id, substr(padded, 1, 1) || substr(padded, 2, 1) || substr(padded, 3, 1) || substr(padded, 7, 1) || substr(padded, 8, 1) || substr(padded, 9, 1) || substr(padded, 13, 1) || substr(padded, 14, 1) || substr(padded, 15, 1) || substr(padded, 19, 1) || substr(padded, 20, 1) || substr(padded, 21, 1) || substr(padded, 49, 1) || substr(padded, 50, 1) || substr(padded, 51, 1) || substr(padded, 55, 1) || substr(padded, 56, 1) || substr(padded, 57, 1) || substr(padded, 61, 1) || substr(padded, 62, 1) || substr(padded, 63, 1) || substr(padded, 67, 1) || substr(padded, 68, 1) || substr(padded, 69, 1) || substr(padded, 97, 1) || substr(padded, 98, 1) || substr(padded, 99, 1) || substr(padded, 103, 1) || substr(padded, 104, 1) || substr(padded, 105, 1) || substr(padded, 109, 1) || substr(padded, 110, 1) || substr(padded, 111, 1) || substr(padded, 115, 1) || substr(padded, 116, 1) || substr(padded, 117, 1) || substr(padded, 145, 1) || substr(padded, 146, 1) || substr(padded, 147, 1) || substr(padded, 151, 1) || substr(padded, 152, 1) || substr(padded, 153, 1) || substr(padded, 157, 1) || substr(padded, 158, 1) || substr(padded, 159, 1) || substr(padded, 163, 1) || substr(padded, 164, 1) || substr(padded, 165, 1) AS out_str FROM img)
+    SELECT media_id, 4 AS out_w, 4 AS out_h,
+           CAST(length(out_str) AS BIGINT) AS n_bytes,
+           CAST('0x' || substr(md5(out_str), 1, 15) AS BIGINT) AS content_hash
+    FROM rs
+    """,
+)
+def multimodal_image_resize(spark, sf_dir):
+    '''REAL nearest-neighbor image resize over raw interleaved-RGB buffers
+    (8x8x3 -> 4x4x3): the formerly codec-stubbed stage made concrete — the
+    payload is the decoded pixel buffer, numpy index-selects per Arrow
+    batch, and the resized BYTES are fingerprinted. The oracle recomputes
+    the exact same byte selection character-wise over the ASCII source
+    (byte==char on this fixture), so the kernel is value-checked, not just
+    shape-checked. At scale this is the post-decode stage of an image
+    pipeline: map-only, no shuffle, batch-vectorized.'''
+    docs = _t(spark, sf_dir, "documents")
+    need = 192
+    padded = F.rpad(F.substring(F.col("text"), 1, need), need, ".")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(padded, "utf-8").alias("payload"),
+    ).filter(F.col("media_type") == "image")
+    return multimodal.resize_raw_images(
+        media, src_w=8, src_h=8, dst_w=4, dst_h=4, channels=3
+    )
