@@ -149,3 +149,52 @@ class TestSubqueryShapePlans:
             join_pos = plan.find("BroadcastHashJoin")
         agg_pos = plan.rfind("HashAggregate")
         assert join_pos != -1 and agg_pos > join_pos, plan
+
+
+class TestRound2PlanQuality:
+    """Plan gates for the round-2 operator families."""
+
+    def _q(self, name, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+        return plan_of(QUERIES[name](spark, SF_DIR))
+
+    def test_q6_predicates_reach_scan(self, spark):
+        plan = self._q("revenue_forecast", spark)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+        # the filter list is elided ("L...") past ~25 fields in toString;
+        # IsNotNull(l_quantity) proves the quantity predicate reached the scan
+        assert "IsNotNull(l_quantity)" in plan, plan
+
+    def test_q2_dims_broadcast_fact_aggregates_first(self, spark):
+        plan = self._q("min_cost_supplier", spark)
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        # the (part,supplier)-grain aggregation runs on the fact before joins
+        assert "partial_min" in plan or "partial_finalmerge" in plan, plan
+
+    def test_scd2_temporal_join_is_hash_join_with_residual(self, spark):
+        plan = self._q("scd2_temporal_join", spark)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_sequence_detection_single_exchange_two_windows(self, spark):
+        plan = self._q("sequence_detection", spark)
+        # both running-min layers share the (user_id) partitioning: the plan
+        # must not re-shuffle between the two Window operators
+        assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+    def test_rolling_window_preaggregates_to_day_grain(self, spark):
+        plan = self._q("rolling_revenue_7d", spark)
+        assert "partial_" in plan, plan  # day-grain partial agg before window
+        assert "RangeFrame" in plan, plan
+
+    def test_mode_per_group_is_two_aggregations_no_window(self, spark):
+        plan = self._q("mode_per_group", spark)
+        assert "Window" not in plan, plan
+
+    def test_curation_pipeline_stays_arrow_side_for_text(self, spark):
+        plan = self._q("quality_filter_pipeline", spark)
+        # regression guard for the exponential argmax blowup: the optimized
+        # plan must keep a bounded number of marker-filter lambdas
+        assert plan.count("lambdafunction") <= 24, plan.count("lambdafunction")
