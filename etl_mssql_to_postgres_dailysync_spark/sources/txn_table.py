@@ -148,6 +148,26 @@ class TxnTable:
                     live.pop(action["remove"]["path"], None)
         return live, schema, props
 
+    def version_at(self, ts: float) -> int:
+        """Newest version committed at-or-before the wall-clock timestamp
+        (Delta's ``TIMESTAMP AS OF``): a scan of commit-doc timestamps —
+        metadata only. Returns -1 when the table predates nothing."""
+        head = self.version()
+        best = -1
+        for v in range(head + 1):
+            if self._read_commit(v).get("ts", float("inf")) <= ts:
+                best = v
+            else:
+                break  # commit timestamps are monotone (single log)
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by timestamp: read the snapshot as of wall-clock ts."""
+        v = self.version_at(ts)
+        if v < 0:
+            raise ValueError(f"no commit at or before ts={ts}")
+        return self.read(version=v)
+
     def partition_spec(self, version: int | None = None) -> list[str]:
         """Current identity-partition columns ([] = unpartitioned)."""
         return self._snapshot_full(version)[2].get("partition_spec", [])
@@ -159,9 +179,11 @@ class TxnTable:
     def _commit(self, op: str, actions: list[dict], expected_version: int,
                 schema: dict | None, meta: dict | None = None,
                 props: dict | None = None) -> int:
+        import time
+
         tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex}")
         doc = {"op": op, "actions": actions, "schema": schema, "meta": meta or {},
-               "props": props or {}}
+               "props": props or {}, "ts": time.time()}
         v = expected_version
         try:
             while True:

@@ -459,3 +459,21 @@ class TestMetadataViews:
         assert t.read().count() == 40 + 35
         # partition column still reconstructed for checkpoint-era files
         assert t.read().filter(F.col("status").isNull()).count() == 0
+
+
+class TestTimestampTravel:
+    def test_read_as_of_timestamp(self, spark, sf_dir, tdir):
+        import time
+
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(5))
+        t1 = time.time()
+        time.sleep(0.02)
+        t.append(_orders(spark, sf_dir).limit(7))
+        t2 = time.time()
+        assert t.version_at(t1) == 0
+        assert t.version_at(t2) == 1
+        assert t.read_as_of(t1).count() == 5
+        assert t.read_as_of(t2).count() == 12
+        with pytest.raises(ValueError):
+            t.read_as_of(t1 - 3600)
