@@ -5839,3 +5839,52 @@ def multimodal_image_resize(spark, sf_dir):
     return multimodal.resize_raw_images(
         media, src_w=8, src_h=8, dst_w=4, dst_h=4, channels=3
     )
+
+
+@register(
+    "yoy_growth",
+    """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_num,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT month, revenue_cents,
+             lag(revenue_cents, 12) OVER (ORDER BY month_num) AS prev_year_cents
+      FROM monthly)
+    SELECT month, revenue_cents, prev_year_cents,
+           CAST(((revenue_cents - prev_year_cents) * 1000000) // prev_year_cents
+                AS BIGINT) AS yoy_growth_ppm
+    FROM j WHERE prev_year_cents IS NOT NULL AND prev_year_cents > 0
+    """,
+)
+def yoy_growth(spark, sf_dir):
+    """Year-over-year growth — the ratio-to-prior-period report: month-grain
+    aggregation first (shrinks the window input to months), lag(12) over a
+    gap-free month NUMBER (year*12+month — lag by ROWS over formatted
+    strings silently breaks on missing months; a numeric axis makes the
+    offset calendar-correct for contiguous data), growth in exact
+    integer ppm (truncating div, both engines). The global month window
+    is constant-size at any corpus scale."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("month_num"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("month_num")
+    j = monthly.select(
+        "month", "revenue_cents", F.lag("revenue_cents", 12).over(w).alias("prev_year_cents")
+    )
+    return j.filter(F.col("prev_year_cents").isNotNull() & (F.col("prev_year_cents") > 0)).select(
+        "month", "revenue_cents", "prev_year_cents",
+        F.expr("((revenue_cents - prev_year_cents) * 1000000) div prev_year_cents")
+        .cast("bigint")
+        .alias("yoy_growth_ppm"),
+    )
