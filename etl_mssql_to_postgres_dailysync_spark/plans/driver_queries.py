@@ -5888,3 +5888,79 @@ def yoy_growth(spark, sf_dir):
         .cast("bigint")
         .alias("yoy_growth_ppm"),
     )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS grp
+      FROM orders WHERE o_orderkey < 2000),
+    r AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderpriority END AS grp
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT coalesce(l.grp, '<NULL>') AS grp_key, count(*) AS n_matched
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY 1
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics dirty-key ETL
+    joins actually need (a plain equi-join discards every NULL-keyed row
+    with no error). Spark plans eqNullSafe as a HASH join (the null bucket
+    is just another key), not a nested loop."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    grp_l = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    grp_r = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    l = orders.select("o_orderkey", grp_l.alias("lgrp"))
+    r = orders.select(grp_r.alias("rgrp")).distinct()
+    return (
+        l.join(F.broadcast(r), F.col("lgrp").eqNullSafe(F.col("rgrp")))
+        .groupBy(F.coalesce(F.col("lgrp"), F.lit("<NULL>")).alias("grp_key"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+@register(
+    "latest_per_key",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS latest_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS latest_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_per_key(spark, sf_dir):
+    """Latest-record-per-key (the CDC compaction / last-wins dedup primitive
+    the merge family uses internally, exposed standalone): one key-
+    partitioned window with a TOTAL order (ts desc, id desc — ties must
+    break deterministically or two engines disagree on 'latest'). At scale
+    prefer the max_by/struct-min aggregation twin when only a few columns
+    are carried (partial-aggregable, no sort); row_number wins when the
+    whole row survives."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("latest_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("latest_cents"),
+        )
+    )
