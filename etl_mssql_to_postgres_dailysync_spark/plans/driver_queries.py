@@ -5964,3 +5964,50 @@ def latest_per_key(spark, sf_dir):
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("latest_cents"),
         )
     )
+
+
+@register(
+    "concurrent_sessions_peak",
+    """
+    WITH sess AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'signup'),
+    pts AS (
+      SELECT CAST(start_ts AS DATE) AS day, epoch_us(start_ts) AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT CAST(start_ts AS DATE) AS day, epoch_us(end_ts) AS t, -1 AS delta FROM sess),
+    swept AS (
+      SELECT day, t,
+             sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM pts)
+    SELECT CAST(day AS VARCHAR) AS day, CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+)
+def concurrent_sessions_peak(spark, sf_dir):
+    """Peak concurrency via sweep-line: every interval becomes a +1 start
+    and a -1 end event, a running sum over the time-ordered events is the
+    live-session count, its max is the peak — O(n log n) against the naive
+    O(n^2) interval-overlap self-join. Ends sort BEFORE starts at equal
+    timestamps (delta ASC), the half-open-interval convention. Partitioned
+    by day so the sweep parallelizes; cross-midnight sessions here attribute
+    to their start day (stated contract)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.filter(F.col("event_type") == "signup").select(
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + 30 * 60 * 1_000_000).alias("end_us"),
+    )
+    pts = sess.select("day", F.col("start_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select("day", F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn("live", F.sum("delta").over(w))
+    return swept.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrent")
+    )
