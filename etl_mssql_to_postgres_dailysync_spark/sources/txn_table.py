@@ -447,6 +447,57 @@ class TxnTable:
                             {"keys": list(keys), "files_rewritten": len(touched),
                              "files_kept": len(live) - len(touched)})
 
+    def delete(self, condition, prune_col: str | None = None) -> int:
+        """DELETE rows matching ``condition`` (a Column predicate) — the
+        copy-on-write erasure op (GDPR right-to-be-forgotten, bad-batch
+        rollback): matching files rewrite WITHOUT the matching rows,
+        untouched files stay in the snapshot as-is.
+
+        With ``prune_col`` + a range-expressible condition, pass the bounds
+        via ``prune_col=(col, lo, hi)`` style tuples through ``files()``;
+        here the simpler contract: if ``prune_col`` is given, only files
+        whose zone maps admit rows matching the condition are CANDIDATES for
+        rewrite — callers provide the prune bounds by first computing them.
+        Without it, candidates are determined by actually testing each
+        file's rows (still file-granular: files with zero matches are kept
+        by PATH, not rewritten — the rewrite set is exactly the files that
+        contain matches).
+
+        Physical erasure completes at vacuum(): like Delta, the old files
+        remain for time travel until the retention window passes."""
+        base = self.version()
+        live, schema, props = self._snapshot_full(base)
+        pspec = props.get("partition_spec", [])
+        bspec = props.get("bucket_spec")
+        # ONE job finds every file containing a match (input_file_name per
+        # matching row, distinct) — never a per-file probe loop
+        full = self._read_add_files(list(live.values()), schema)
+        hit_uris = [
+            r[0]
+            for r in full.filter(condition)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        from urllib.parse import unquote, urlparse
+
+        hit_paths = {unquote(urlparse(u).path) for u in hit_uris}
+        touched = [
+            p for p in live
+            if os.path.join(self.path, p) in hit_paths
+        ]
+        if not touched:
+            return base  # nothing matches; no commit needed
+        keep = self._read_add_files([live[p] for p in touched], schema).filter(
+            ~condition
+        )
+        actions = [{"remove": _remove_action(live[p])} for p in touched]
+        actions += self._write_files(keep, None, partition_by=pspec or None,
+                                     bucket_by=bspec)
+        return self._commit("delete", actions, base + 1, schema,
+                            {"files_rewritten": len(touched),
+                             "files_kept": len(live) - len(touched)})
+
     def compact(self, num_files: int | None = None, target_mb: int | None = None) -> int:
         """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);
         a normal commit, so time travel before it still works. A partition/

@@ -477,3 +477,42 @@ class TestTimestampTravel:
         assert t.read_as_of(t2).count() == 12
         with pytest.raises(ValueError):
             t.read_as_of(t1 - 3600)
+
+
+class TestDelete:
+    def test_delete_is_file_granular_and_time_travels(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir, stats_cols=["o_orderkey"])
+        orders = _orders(spark, sf_dir).limit(1000)
+        # cluster so the delete range concentrates in few files
+        t.append(orders, cluster_by=["o_orderkey"])
+        n_files = len(t.files())
+        keys = [r[0] for r in orders.orderBy("o_orderkey").limit(5).collect()]
+        v = t.delete(F.col("o_orderkey").isin(keys))
+        meta = t.history()[-1]["meta"]
+        assert meta["files_rewritten"] < n_files and meta["files_kept"] > 0
+        assert t.read().count() == 1000 - 5
+        assert t.read().filter(F.col("o_orderkey").isin(keys)).count() == 0
+        # time travel still sees the deleted rows
+        assert t.read(version=v - 1).count() == 1000
+        # physical erasure at vacuum
+        deleted = t.vacuum()
+        assert len(deleted) > 0
+
+    def test_delete_no_match_is_noop(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(50))
+        v = t.version()
+        assert t.delete(F.col("o_orderkey") < 0) == v
+        assert t.version() == v
+
+    def test_delete_preserves_partition_layout(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(200).withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        t.append(orders, partition_by=["status"])
+        t.delete(F.col("status") == "F")
+        got = t.read()
+        assert got.filter(F.col("status") == "F").count() == 0
+        assert got.count() == orders.filter(F.col("status") != "F").count()
+        assert all(f.partition_values is not None for f in t.files())
