@@ -50,7 +50,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -467,36 +467,94 @@ class TxnTable:
         remain for time travel until the retention window passes."""
         base = self.version()
         live, schema, props = self._snapshot_full(base)
-        pspec = props.get("partition_spec", [])
-        bspec = props.get("bucket_spec")
-        # ONE job finds every file containing a match (input_file_name per
-        # matching row, distinct) — never a per-file probe loop
-        full = self._read_add_files(list(live.values()), schema)
-        hit_uris = [
-            r[0]
-            for r in full.filter(condition)
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
-        ]
-        from urllib.parse import unquote, urlparse
-
-        hit_paths = {unquote(urlparse(u).path) for u in hit_uris}
-        touched = [
-            p for p in live
-            if os.path.join(self.path, p) in hit_paths
-        ]
+        touched = self._files_matching(condition, live, schema)
         if not touched:
             return base  # nothing matches; no commit needed
         keep = self._read_add_files([live[p] for p in touched], schema).filter(
             ~condition
         )
         actions = [{"remove": _remove_action(live[p])} for p in touched]
-        actions += self._write_files(keep, None, partition_by=pspec or None,
-                                     bucket_by=bspec)
+        actions += self._write_files(
+            keep, None, partition_by=props.get("partition_spec") or None,
+            bucket_by=props.get("bucket_spec"))
         return self._commit("delete", actions, base + 1, schema,
                             {"files_rewritten": len(touched),
                              "files_kept": len(live) - len(touched)})
+
+    def _files_matching(self, condition, live: dict, schema) -> list[str]:
+        """Relative paths of live files containing >=1 row matching
+        ``condition`` — ONE job (input_file_name per matching row,
+        distinct), never a per-file probe loop."""
+        from urllib.parse import unquote, urlparse
+
+        full = self._read_add_files(list(live.values()), schema)
+        hit_uris = [r[0] for r in full.filter(condition)
+                    .select(F.input_file_name()).distinct().collect()]
+        hit_paths = {unquote(urlparse(u).path) for u in hit_uris}
+        return [p for p in live if os.path.join(self.path, p) in hit_paths]
+
+    def update(self, condition, set: dict) -> int:
+        """UPDATE rows matching ``condition``: per column in ``set``, matching
+        rows take the new expression, non-matching rows keep their value —
+        the copy-on-write sibling of delete(). File-granular like Delta's
+        UPDATE: only files containing a match rewrite; the rest of the
+        snapshot is untouched metadata.
+
+        ``set`` maps column name -> Column/literal; each result is cast back
+        to the column's existing type so the table schema is invariant under
+        update (an UPDATE is data motion, never schema motion)."""
+        base = self.version()
+        live, schema, props = self._snapshot_full(base)
+        touched = self._files_matching(condition, live, schema)
+        if not touched:
+            return base
+        df = self._read_add_files([live[p] for p in touched], schema)
+        types = dict(df.dtypes)
+        unknown = [c for c in set if c not in types]
+        if unknown:
+            raise ValueError(f"update targets unknown columns: {unknown}")
+        updated = df.withColumns({
+            c: F.when(condition, F.lit(v) if not isinstance(v, Column) else v)
+                .otherwise(F.col(c)).cast(types[c])
+            for c, v in set.items()
+        })
+        actions = [{"remove": _remove_action(live[p])} for p in touched]
+        actions += self._write_files(
+            updated, None, partition_by=props.get("partition_spec") or None,
+            bucket_by=props.get("bucket_spec"))
+        return self._commit("update", actions, base + 1, schema,
+                            {"set_columns": sorted(set),
+                             "files_rewritten": len(touched),
+                             "files_kept": len(live) - len(touched)})
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier snapshot (Delta ``RESTORE TABLE …
+        TO VERSION AS OF``): a NEW commit whose actions re-add the target
+        version's files and remove the rest — pure metadata, zero data
+        rewrite, and itself time-travelable (restoring a restore works).
+
+        Fails if any file of the target snapshot was already vacuumed."""
+        base = self.version()
+        want, schema, props = self._snapshot_full(version)
+        missing = [p for p in want
+                   if not os.path.exists(os.path.join(self.path, p))]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} file(s) "
+                f"vacuumed, e.g. {missing[0]}")
+        live, _, _ = self._snapshot_full(base)
+        actions = [{"remove": _remove_action(live[p])}
+                   for p in live if p not in want]
+        actions += [{"add": want[p]} for p in want if p not in live]
+        return self._commit(
+            "restore", actions, base + 1, schema,
+            {"restored_to": version,
+             "files_added": sum(1 for p in want if p not in live),
+             "files_removed": sum(1 for p in live if p not in want)},
+            # explicit reset: the TARGET's layout wins even when the target
+            # predates a later spec evolution (absent key would not clear it)
+            props={"partition_spec": props.get("partition_spec", []),
+                   "bucket_spec": props.get("bucket_spec")})
 
     def compact(self, num_files: int | None = None, target_mb: int | None = None) -> int:
         """Rewrite the live set into ``num_files`` files (bin-packing OPTIMIZE);

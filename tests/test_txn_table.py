@@ -516,3 +516,77 @@ class TestDelete:
         assert got.filter(F.col("status") == "F").count() == 0
         assert got.count() == orders.filter(F.col("status") != "F").count()
         assert all(f.partition_values is not None for f in t.files())
+
+
+class TestUpdate:
+    def test_update_is_file_granular_and_type_stable(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(1000)
+        t.append(orders, cluster_by=["o_orderkey"])
+        n_files = len(t.files())
+        keys = [r[0] for r in orders.orderBy("o_orderkey").limit(5).collect()]
+        t.update(F.col("o_orderkey").isin(keys),
+                 {"o_orderpriority": F.lit("REDACTED"), "o_totalprice": 0})
+        meta = t.history()[-1]["meta"]
+        assert meta["files_rewritten"] < n_files and meta["files_kept"] > 0
+        got = t.read()
+        assert got.count() == 1000  # UPDATE never changes cardinality
+        hit = got.filter(F.col("o_orderkey").isin(keys))
+        assert hit.filter((F.col("o_orderpriority") == "REDACTED")
+                          & (F.col("o_totalprice") == 0)).count() == 5
+        # untouched rows keep their values, schema is invariant
+        assert got.filter(F.col("o_orderpriority") == "REDACTED").count() == 5
+        assert dict(got.dtypes) == dict(orders.dtypes)
+
+    def test_update_unknown_column_raises(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(10))
+        with pytest.raises(ValueError, match="unknown columns"):
+            t.update(F.lit(True), {"nope": 1})
+
+    def test_update_no_match_is_noop(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(50))
+        v = t.version()
+        assert t.update(F.col("o_orderkey") < 0, {"o_orderpriority": "x"}) == v
+
+
+class TestRestore:
+    def test_restore_is_metadata_only_and_travelable(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir)
+        t.append(orders.limit(100))            # v0
+        t.append(orders.limit(150).subtract(orders.limit(100)))  # v1
+        t.delete(F.lit(True))                  # v2: empty table
+        assert t.read().count() == 0
+        n_data_files = len(t.files(version=1))
+        v = t.restore(1)                       # v3
+        assert t.read().count() == 150
+        # pure metadata: restored snapshot reuses v1's physical files
+        assert {f.path for f in t.files()} == {f.path for f in t.files(version=1)}
+        assert len(t.files()) == n_data_files
+        # the restore is itself a commit: travel back to the empty state
+        assert t.read(version=v - 1).count() == 0
+        # restoring a restore works
+        t.restore(2)
+        assert t.read().count() == 0
+
+    def test_restore_resets_partition_spec(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir).limit(200).withColumn(
+            "status", F.col("o_orderstatus"))
+        t.append(orders, partition_by=["status"])   # v0: partitioned
+        t.overwrite(orders.drop("status"), partition_by=[])  # v1: spec dropped
+        assert t.partition_spec() == []
+        t.restore(0)
+        assert t.partition_spec() == ["status"]
+        assert t.read().count() == 200
+
+    def test_restore_after_vacuum_raises(self, spark, sf_dir, tdir):
+        t = TxnTable(spark, tdir)
+        orders = _orders(spark, sf_dir)
+        t.append(orders.limit(100))   # v0
+        t.overwrite(orders.limit(20)) # v1 orphans v0's files
+        t.vacuum()
+        with pytest.raises(ValueError, match="vacuumed"):
+            t.restore(0)
