@@ -328,10 +328,11 @@ def kmeans_fit(
       so every iteration is order-independent and cross-engine exact;
     * empty cells keep their previous centroid.
 
-    Only the k x dim centroid table ever reaches the driver (metadata-sized,
-    like any index descriptor); each iteration is one broadcast pass + one
-    aggregation over the corpus. At 100 TB you fit on a sample with more
-    iterations — the operator is unchanged.
+    Training runs driver-side over ONE collected pass of the quantized
+    training set (how faiss/sklearn train IVF too: the trainer sees a
+    bounded SAMPLE, the cluster only ever does assignment + search, which
+    stay distributed). At 100 TB the caller feeds a sample; the iteration
+    loop then costs numpy microseconds instead of one Spark job each.
     """
     return df.sparkSession.createDataFrame(
         kmeans_fit_list(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters),
@@ -348,36 +349,39 @@ def kmeans_fit_list(
     iters: int = 2,
 ) -> list:
     """kmeans_fit returning the raw [(cell_id, centroid)] list (the form the
-    Arrow assignment UDF consumes without a re-collect)."""
+    Arrow assignment UDF consumes without a re-collect).
+
+    ONE Spark job: quantize + collect the training sample (with its md5 seed
+    keys). Seeding, assignment, and the centroid updates then run in exact
+    int64 numpy on the driver — the same integers the old per-iteration
+    Spark jobs produced (stable-argsort tie-breaks ≡ struct-min; centroid
+    mean = ``sum div count`` truncation-toward-zero ≡ Spark ``div``), so the
+    DuckDB oracle replay is unchanged bit-for-bit while 1 + 2·iters jobs
+    collapse into one."""
+    import numpy as np
+
     from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
 
-    # persist the quantized training set: the loop launches one action per
-    # iteration and would otherwise re-scan + re-quantize the corpus each
-    # time (at scale this is the cached training SAMPLE, not the table)
-    q = df.select(F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col)).alias("qv")).persist()
-    try:
-        seeds = q.orderBy(md5_long(F.col("vid")).asc(), F.col("vid").asc()).limit(k).collect()
-        cent = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
-        for _ in range(iters):
-            assign = _cells_udf(cent, 1)
-            assigned = q.select(F.element_at(assign(F.col("qv")), 1).alias("cell_id"), "qv")
-            upd = (
-                assigned.select("cell_id", F.posexplode("qv").alias("pos", "val"))
-                .groupBy("cell_id", "pos")
-                .agg(F.expr("sum(val) div count(1)").alias("m"))
-                .groupBy("cell_id")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                    ).alias("cv")
-                )
-                .collect()
-            )
-            new = {r["cell_id"]: list(r["cv"]) for r in upd}
-            cent = [(i, new.get(i, v)) for i, v in cent]
-    finally:
-        q.unpersist()
-    return cent
+    rows = df.select(
+        md5_long(F.col(id_col)).alias("mk"),
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).collect()
+    rows.sort(key=lambda r: (r["mk"], r["vid"]))
+    qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
+    cent_mat = qm[:k].copy()  # seeds: k smallest (md5, id)
+    for _ in range(iters):
+        diff = qm[:, None, :] - cent_mat[None, :, :]  # (n, k, dim)
+        d = (diff * diff).sum(axis=2)  # exact int64 squared distances
+        # stable argsort ties -> lower cell id, same as _cells_udf
+        nearest = np.argsort(d, axis=1, kind="stable")[:, 0]
+        for c in range(k):
+            members = qm[nearest == c]
+            if len(members):  # empty cells keep their previous centroid
+                s, n = members.sum(axis=0), len(members)
+                # Spark `div` truncates toward zero; numpy // floors
+                cent_mat[c] = np.sign(s) * (np.abs(s) // n)
+    return [(i, cent_mat[i].tolist()) for i in range(k)]
 
 
 def ivf_topk_trained(
