@@ -62,6 +62,10 @@ class ConcurrentWriteError(RuntimeError):
     """A read-modify-write commit lost the race; re-run on the new head."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows failing a table CHECK constraint."""
+
+
 @dataclass
 class AddFile:
     path: str  # relative to table root
@@ -171,6 +175,58 @@ class TxnTable:
     def partition_spec(self, version: int | None = None) -> list[str]:
         """Current identity-partition columns ([] = unpartitioned)."""
         return self._snapshot_full(version)[2].get("partition_spec", [])
+
+    # -------------------------------------------------------- constraints --
+
+    def checks(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints: {name: sql_predicate}."""
+        return dict(self._snapshot_full(version)[2].get("checks", {}))
+
+    def set_check(self, name: str, predicate: str) -> int:
+        """ADD/replace a CHECK constraint (Delta ``ALTER TABLE … ADD
+        CONSTRAINT``): a SQL predicate every row of every future write must
+        satisfy. EXISTING data is validated once here (one scan); from then
+        on each write validates only its own incoming rows — the historical
+        data is already known-good, so enforcement cost stays proportional
+        to the write, not the table."""
+        base = self.version()
+        live, schema, props = self._snapshot_full(base)
+        if live:
+            self._enforce({name: predicate},
+                          self._read_add_files(list(live.values()), schema))
+        checks = dict(props.get("checks", {}))
+        checks[name] = predicate
+        return self._commit("set_check", [], base + 1, schema,
+                            {"name": name, "predicate": predicate},
+                            props={"checks": checks})
+
+    def drop_check(self, name: str) -> int:
+        base = self.version()
+        _, schema, props = self._snapshot_full(base)
+        checks = dict(props.get("checks", {}))
+        checks.pop(name, None)
+        return self._commit("drop_check", [], base + 1, schema,
+                            {"name": name}, props={"checks": checks})
+
+    def _enforce(self, checks: dict[str, str], df: DataFrame) -> None:
+        """One aggregation counting violators of EVERY check at once
+        (count_if per predicate — a single pass however many constraints
+        exist); raises on the first named violation."""
+        if not checks:
+            return
+        names = sorted(checks)
+        # standard SQL CHECK: only a FALSE predicate violates (NULL passes);
+        # count_if(NOT pred) counts exactly the FALSE rows (NOT NULL = NULL
+        # is not counted)
+        row = df.select([
+            F.count_if(~F.expr(checks[n])).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]).first()
+        for i, n in enumerate(names):
+            if row[f"c{i}"]:
+                raise ConstraintViolation(
+                    f"check '{n}' ({checks[n]}) fails for {row[f'c{i}']} "
+                    "incoming row(s)")
 
     def bucket_spec(self, version: int | None = None) -> dict | None:
         """Current hash-bucket layout, e.g. {"col": "k", "n": 8}, or None."""
@@ -348,6 +404,7 @@ class TxnTable:
         if bucket_by is not None:
             props["bucket_spec"] = {"col": bucket_by["col"], "n": int(bucket_by["n"])}
         cur = self._snapshot_full()[2]
+        self._enforce(cur.get("checks", {}), df)
         eff_partition = (
             list(partition_by) if partition_by is not None
             else cur.get("partition_spec", [])
@@ -365,6 +422,7 @@ class TxnTable:
                   bucket_by: dict | None = None) -> int:
         base = self.version()
         live, _, cur = self._snapshot_full(base)
+        self._enforce(cur.get("checks", {}), df)
         props = {}
         if partition_by is not None:
             props["partition_spec"] = list(partition_by)
@@ -440,6 +498,7 @@ class TxnTable:
             touched = set(live.keys())
             target = self.read(version=base)
         merged = rel_merge(target, source, keys, **merge_kwargs).df
+        self._enforce(props.get("checks", {}), merged)
         actions = [{"remove": _remove_action(live[p])} for p in touched]
         actions += self._write_files(merged, cluster_by,
                                      partition_by=pspec or None, bucket_by=bspec)
@@ -518,6 +577,7 @@ class TxnTable:
                 .otherwise(F.col(c)).cast(types[c])
             for c, v in set.items()
         })
+        self._enforce(props.get("checks", {}), updated)
         actions = [{"remove": _remove_action(live[p])} for p in touched]
         actions += self._write_files(
             updated, None, partition_by=props.get("partition_spec") or None,

@@ -590,3 +590,54 @@ class TestRestore:
         t.vacuum()
         with pytest.raises(ValueError, match="vacuumed"):
             t.restore(0)
+
+
+class TestCheckConstraints:
+    def test_check_blocks_bad_append_atomically(self, spark, sf_dir, tdir):
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import (
+            ConstraintViolation,
+        )
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(100))
+        t.set_check("price_pos", "o_totalprice > 0")
+        assert t.checks() == {"price_pos": "o_totalprice > 0"}
+        v = t.version()
+        bad = _orders(spark, sf_dir).limit(10).withColumn(
+            "o_totalprice", F.lit(-1.0))
+        with pytest.raises(ConstraintViolation, match="price_pos"):
+            t.append(bad)
+        # nothing committed, nothing visible
+        assert t.version() == v
+        assert t.read().filter(F.col("o_totalprice") < 0).count() == 0
+        # good data still lands; NULL predicate passes (standard SQL CHECK)
+        t.append(_orders(spark, sf_dir).limit(10).withColumn(
+            "o_totalprice", F.lit(None).cast("double")))
+        assert t.read().count() == 110
+
+    def test_set_check_validates_existing_data(self, spark, sf_dir, tdir):
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import (
+            ConstraintViolation,
+        )
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(100))
+        with pytest.raises(ConstraintViolation):
+            t.set_check("impossible", "o_orderkey < 0")
+        assert t.checks() == {}
+
+    def test_check_enforced_on_update_and_merge_and_droppable(
+            self, spark, sf_dir, tdir):
+        from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import (
+            ConstraintViolation,
+        )
+        t = TxnTable(spark, tdir)
+        t.append(_orders(spark, sf_dir).limit(100))
+        t.set_check("price_pos", "o_totalprice > 0")
+        with pytest.raises(ConstraintViolation):
+            t.update(F.col("o_orderkey") >= 0, {"o_totalprice": -5.0})
+        src = _orders(spark, sf_dir).limit(5).withColumn(
+            "o_totalprice", F.lit(-2.0))
+        with pytest.raises(ConstraintViolation):
+            t.merge(src, ["o_orderkey"])
+        t.drop_check("price_pos")
+        t.merge(src, ["o_orderkey"])  # now allowed
+        assert t.read().filter(F.col("o_totalprice") == -2.0).count() == 5
