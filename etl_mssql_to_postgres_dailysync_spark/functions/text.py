@@ -148,3 +148,64 @@ def fingerprint(c: Column) -> Column:
     """60-bit content fingerprint of the normalized text (rolling-hash
     analog; md5-based so it is engine-portable)."""
     return md5_long(normalize(c))
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition metrics per document (Rae et al. 2021, the
+    repetition-removal family of quality rules): word-bigram statistics over
+    the normalized text — the fraction of bigram mass held by the most
+    frequent bigram (``top_bigram_ppm``) and by bigrams occurring >= 2 times
+    (``dup_bigram_ppm``) — plus word count and mean word length.
+
+    Shapes for scale: the document text never shuffles — only 60-bit md5
+    bigram hashes explode into the (doc, bigram) count, and both
+    aggregations are partial-aggregable map-side. All ratios are integer
+    ppm (``x * 1e6 div y``), so results are bit-identical on any engine.
+
+    Returns (id, n_words, mean_word_len_ppm, top_bigram_ppm, dup_bigram_ppm);
+    the bigram ppms are NULL for docs with < 2 words (no bigram exists).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(normalize(F.col(text_col)), " ").alias("toks"),
+    ).select(
+        "doc", "toks", F.size("toks").alias("n_words"),
+        # total token chars = normalized length minus the n-1 separators
+        (F.length(F.array_join(F.col("toks"), " ")) - F.size("toks") + 1)
+        .alias("n_tok_chars"),
+    )
+    # zip_with over two slices, NOT element_at(toks, i) in a lambda (which
+    # re-evaluates the outer array per element — see dedup.py microbench)
+    bigrams = base.select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    ).select("doc", md5_long(F.col("bg")).alias("bgh"))
+    rep = (
+        bigrams.groupBy("doc", "bgh").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("total_bg"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+        )
+    )
+    return (
+        base.join(rep, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.expr("n_tok_chars * 1000000 div n_words").alias("mean_word_len_ppm"),
+            F.expr("top_cnt * 1000000 div total_bg").alias("top_bigram_ppm"),
+            F.expr("dup_cnt * 1000000 div total_bg").alias("dup_bigram_ppm"),
+        )
+    )

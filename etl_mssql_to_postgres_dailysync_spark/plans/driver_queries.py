@@ -6011,3 +6011,145 @@ def concurrent_sessions_peak(spark, sf_dir):
     return swept.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.max("live").cast("bigint").alias("peak_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: corpus-curation rules the large LM pipelines run
+# (Gopher repetition filters, benchmark decontamination, domain mixing)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_CTE = rf"""
+    nt AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS toks FROM documents),
+    nb AS (SELECT doc_id, toks, len(toks) AS n_words,
+                  length(array_to_string(toks, ' ')) - len(toks) + 1 AS n_tok_chars
+           FROM nt),
+    bg AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15) AS BIGINT) AS bgh
+           FROM nb, unnest(range(1, greatest(n_words - 1, 0) + 1)) AS u(i)),
+    bgc AS (SELECT doc_id, bgh, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    rep AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bg,
+                   sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+            FROM bgc GROUP BY 1)
+"""
+
+
+@register(
+    "gopher_quality_rules",
+    rf"""
+    WITH {_BIGRAM_CTE}
+    SELECT nb.doc_id AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_tok_chars * 1000000) // n_words AS mean_word_len_ppm,
+           (top_cnt * 1000000) // total_bg AS top_bigram_ppm,
+           (dup_cnt * 1000000) // total_bg AS dup_bigram_ppm,
+           coalesce(n_words >= 30 AND n_words <= 2000
+                    AND (n_tok_chars * 1000000) // n_words BETWEEN 3000000 AND 12000000
+                    AND (top_cnt * 1000000) // total_bg <= 120000
+                    AND (dup_cnt * 1000000) // total_bg <= 400000, FALSE) AS keep
+    FROM nb LEFT JOIN rep ON nb.doc_id = rep.doc_id
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style repetition/quality filter (Rae et al. 2021 §A1.1): word
+    count, mean word length, top-bigram and duplicate-bigram mass — all
+    integer-ppm — with the keep/drop verdict. Document text never shuffles
+    (only 60-bit bigram hashes); both aggregations partial-aggregate
+    map-side, so the rule scan stays linear at corpus scale."""
+    stats = text.repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return stats.withColumn(
+        "keep",
+        F.coalesce(
+            (F.col("n_words") >= 30) & (F.col("n_words") <= 2000)
+            & F.col("mean_word_len_ppm").between(3_000_000, 12_000_000)
+            & (F.col("top_bigram_ppm") <= 120_000)
+            & (F.col("dup_bigram_ppm") <= 400_000),
+            F.lit(False),
+        ),
+    )
+
+
+@register(
+    "decontamination_overlap",
+    rf"""
+    WITH {_SHINGLES_CTE},
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1),
+    hits AS (SELECT c.doc_id, count(*) AS n_matched
+             FROM corpus c JOIN eval_sh e ON c.sh = e.sh GROUP BY 1)
+    SELECT h.doc_id AS doc_id, n_matched, n_sh,
+           (n_matched * 1000000) // n_sh AS contamination_ppm
+    FROM hits h JOIN sz USING (doc_id)
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C / Gopher style): flag training
+    documents sharing word-shingles with a held-out eval set (here the
+    deterministic doc_id % 97 == 0 slice). The eval side collapses to a
+    DISTINCT shingle-hash set and BROADCASTS — the corpus never shuffles for
+    the probe; per-doc overlap is one map-side-partial count. At 100 TB the
+    eval set is the benchmark suite (tiny by construction), so the broadcast
+    always fits."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        dedup.shingle_hashes_arrow(F.col("text"), 3).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        shingled.filter(is_eval)
+        .select(F.explode("shingles").alias("sh")).distinct()
+    )
+    corpus = shingled.filter(~is_eval).select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            "doc_id", "n_matched", F.col("n_sh").cast("long").alias("n_sh"),
+            F.expr("n_matched * 1000000 div n_sh").alias("contamination_ppm"),
+        )
+    )
+
+
+@register(
+    "domain_mixing_weights",
+    rf"""
+    WITH tok AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+    per AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS tokens
+            FROM tok GROUP BY 1),
+    w AS (SELECT *, (tokens * 1000000) // (SELECT sum(tokens) FROM per) AS weight_ppm
+          FROM per),
+    c AS (SELECT *, least(weight_ppm, 150000) AS capped FROM w)
+    SELECT source, n_docs, tokens, weight_ppm,
+           (capped * 1000000) // (SELECT sum(capped) FROM c) AS mix_ppm
+    FROM c
+    """,
+)
+def domain_mixing_weights(spark, sf_dir):
+    """Training-mixture weights per source domain (The-Pile-style): token
+    share in ppm, then a per-domain cap + renormalization so no domain
+    exceeds 15% of the mixture. Two scalar totals decorrelate into broadcast
+    joins (the Q11 pattern); everything is integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    total = per.agg(F.sum("tokens").alias("__tot__"))
+    w = per.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "tokens",
+        F.expr("tokens * 1000000 div __tot__").alias("weight_ppm"),
+    ).withColumn("capped", F.least(F.col("weight_ppm"), F.lit(150_000)))
+    ctot = w.agg(F.sum("capped").alias("__ctot__"))
+    return w.crossJoin(F.broadcast(ctot)).select(
+        "source", "n_docs", "tokens", "weight_ppm",
+        F.expr("capped * 1000000 div __ctot__").alias("mix_ppm"),
+    )
