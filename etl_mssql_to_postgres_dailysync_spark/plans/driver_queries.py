@@ -6153,3 +6153,109 @@ def domain_mixing_weights(spark, sf_dir):
         "source", "n_docs", "tokens", "weight_ppm",
         F.expr("capped * 1000000 div __ctot__").alias("mix_ppm"),
     )
+
+
+def _pq_oracle_ctes(m: int, k: int, d: int, iters: int) -> str:
+    """DuckDB twin of similarity.pq_fit_list + PQ encode + ADC scoring:
+    per-subspace k-means chains (same exactness contract as
+    _kmeans_oracle_ctes — micro-unit ints, int64 distances, truncating
+    integer-mean update, shared md5-smallest-k seed rows), a final
+    assignment per subspace (the PQ code), and per-subspace partial ADC
+    distances that sum into the full asymmetric distance."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long_sql
+
+    md5v = md5_long_sql("CAST(vid AS VARCHAR)")
+
+    def dist(base: str, qv: str, cw: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {d}), "
+                f"i -> ({qv}[{base} + i]-{cw}[i])*({qv}[{base} + i]-{cw}[i])))")
+
+    out = f"""
+    q AS (SELECT vec_id AS vid, embedding,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(round(x * {similarity.QUANT_SCALE}) AS BIGINT)) AS qv
+          FROM embeddings),
+    seeds AS (SELECT vid, qv, row_number() OVER (ORDER BY {md5v}, vid) - 1 AS code_id
+              FROM q ORDER BY {md5v}, vid LIMIT {k})"""
+    pd_names = []
+    for s in range(m):
+        base = s * d
+        out += f""",
+    cb{s}_0 AS (SELECT code_id,
+                       list_transform(generate_series(1, {d}), i -> qv[{base} + i]) AS cw
+                FROM seeds)"""
+        for it in range(iters):
+            out += f""",
+    a{s}_{it} AS (SELECT vid, qv, code_id FROM (
+         SELECT q.vid, q.qv, c.code_id,
+                row_number() OVER (PARTITION BY q.vid
+                                   ORDER BY {dist(base, 'q.qv', 'c.cw')}, c.code_id) AS rn
+         FROM q CROSS JOIN cb{s}_{it} c) WHERE rn = 1),
+    s{s}_{it} AS (SELECT code_id, t.i AS pos, sum(qv[{base} + t.i]) AS su, count(*) AS n
+         FROM a{s}_{it}, generate_series(1, {d}) t(i) GROUP BY 1, 2),
+    n{s}_{it} AS (SELECT code_id, list(CAST(su // n AS BIGINT) ORDER BY pos) AS cw
+             FROM s{s}_{it} GROUP BY 1),
+    cb{s}_{it + 1} AS (SELECT c.code_id, coalesce(n.cw, c.cw) AS cw
+                    FROM cb{s}_{it} c LEFT JOIN n{s}_{it} n USING (code_id))"""
+        out += f""",
+    e{s} AS (SELECT vid, code_id FROM (
+         SELECT q.vid, c.code_id,
+                row_number() OVER (PARTITION BY q.vid
+                                   ORDER BY {dist(base, 'q.qv', 'c.cw')}, c.code_id) AS rn
+         FROM q CROSS JOIN cb{s}_{iters} c) WHERE rn = 1),
+    pd{s} AS (SELECT qq.vid AS query_id, e.vid AS neighbor_id,
+                     {dist(base, 'qq.qv', 'c.cw')} AS dd
+              FROM e{s} e JOIN cb{s}_{iters} c USING (code_id)
+              CROSS JOIN (SELECT vid, qv FROM q WHERE vid < 10) qq)"""
+        pd_names.append(f"pd{s}")
+    union = " UNION ALL ".join(f"SELECT * FROM {n}" for n in pd_names)
+    out += f""",
+    adc AS (SELECT query_id, neighbor_id, sum(dd) AS adc_dist
+            FROM ({union}) GROUP BY 1, 2)"""
+    return out
+
+
+_PQ_M, _PQ_K, _PQ_D, _PQ_ITERS, _PQ_NCAND = 8, 32, 8, 2, 64
+
+
+@register(
+    "similarity_pq_adc",
+    f"""
+    WITH {_pq_oracle_ctes(_PQ_M, _PQ_K, _PQ_D, _PQ_ITERS)},
+    cand AS (
+        SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS qrank
+        FROM adc WHERE query_id <> neighbor_id),
+    rerank AS (
+        SELECT cand.query_id, cand.neighbor_id, cand.adc_dist,
+               round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                            ce.embedding::DOUBLE[]), 6) AS sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        WHERE cand.qrank <= {_PQ_NCAND}),
+    final AS (
+        SELECT query_id, neighbor_id, adc_dist, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM rerank)
+    SELECT query_id, neighbor_id, adc_dist, sim, CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 5
+    """,
+)
+def similarity_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scan (Jégou et al.
+    2011; the Faiss PQ + refine design): 8 sub-codebooks x 16 codewords turn
+    each 64-dim vector into 8 small codes (32x smaller than float32 — the
+    tier that must fit in memory at corpus scale), every (query, corpus)
+    pair scores through per-query int64 lookup tables (the corpus floats
+    are never touched during the scan), top-24 ADC candidates re-rank by
+    exact cosine. The oracle replays ALL EIGHT per-subspace k-means chains,
+    the encoding, and the table distances bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k=5, m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS,
+        n_candidates=_PQ_NCAND,
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -233,3 +233,31 @@ class TestKMeansIVF:
         ).count()
         total = exact.count()
         assert hits / total >= 0.5  # nprobe=2 of 4 trained cells keeps most true neighbors
+
+
+class TestPQADC:
+    def test_pq_codes_partitioning_invariant_and_bounds(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = similarity.pq_fit_list(emb.repartition(3), m=8, k=8, iters=1)
+        books2 = similarity.pq_fit_list(emb.repartition(7), m=8, k=8, iters=1)
+        assert books == books2  # training is partitioning-invariant
+        codes = emb.select(
+            similarity._pq_codes_udf(books)(
+                similarity.quantize_vec(F.col("embedding"))).alias("c")
+        ).collect()
+        assert all(len(r["c"]) == 8 and all(0 <= x < 8 for x in r["c"])
+                   for r in codes)
+
+    def test_pq_adc_topk_contract(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        out = similarity.pq_adc_topk(queries, emb, k=3, m=8, codebook_k=8,
+                                     iters=1, n_candidates=16).collect()
+        by_q = {}
+        for r in out:
+            assert r["neighbor_id"] != r["query_id"]  # self excluded
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+            sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert sims == sorted(sims, reverse=True)  # rerank orders by exact cosine

@@ -32,6 +32,7 @@ def main() -> None:
         "similarity_ann_ivf",
         "similarity_ann_ivf_trained",
         "similarity_quantized_topk",
+        "similarity_pq_adc",
     ]
 
     def topk(name):
