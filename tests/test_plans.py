@@ -198,3 +198,41 @@ class TestRound2PlanQuality:
         # regression guard for the exponential argmax blowup: the optimized
         # plan must keep a bounded number of marker-filter lambdas
         assert plan.count("lambdafunction") <= 24, plan.count("lambdafunction")
+
+
+class TestRound2bPlanQuality:
+    """Plan gates for the curation-batch + PQ additions."""
+
+    def _q(self, name, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+        return plan_of(QUERIES[name](spark, SF_DIR))
+
+    def test_gopher_rules_partial_aggregate_on_bigram_hashes(self, spark):
+        plan = self._q("gopher_quality_rules", spark)
+        # the (doc, bigram) count must combine map-side before any exchange
+        assert "partial_count" in plan, plan
+        # the shuffled payload is the 60-bit hash, never the bigram string
+        assert "concat" not in plan.split("Exchange", 1)[1].split("\n")[0], plan
+
+    def test_decontamination_probe_broadcasts_eval_set(self, spark):
+        plan = self._q("decontamination_overlap", spark)
+        # the eval shingle set must reach the corpus as a broadcast probe
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_domain_mixing_totals_broadcast(self, spark):
+        plan = self._q("domain_mixing_weights", spark)
+        # both scalar totals decorrelate into broadcast joins, never a
+        # shuffled join on a constant key
+        assert plan.count("BroadcastNestedLoopJoin") >= 1 or plan.count(
+            "BroadcastHashJoin") >= 1, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pq_adc_scan_is_shuffle_free_until_topk(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+        df = QUERIES["similarity_pq_adc"](spark, SF_DIR)
+        plan = plan_of(df)
+        # one exchange for the per-query candidate window, one for the final
+        # rerank window (AQE may add reads, not extra hash exchanges)
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
