@@ -1276,8 +1276,13 @@ def _quality_pipeline_oracle() -> str:
 @register("quality_filter_pipeline", _quality_pipeline_oracle())
 def quality_filter_pipeline(spark, sf_dir):
     """The composed training-data curation pipeline: language filter (en) +
-    quality threshold + exact dedup, in ONE pass over the corpus — per-row
-    scoring is shuffle-free; the only exchange is the dedup hash-groupBy."""
+    quality threshold + exact dedup, in ONE pass over the corpus and ONE
+    partial-aggregable exchange: each doc's (score, lang, content-hash)
+    computes map-side, then ``min(struct(doc_id, lang, quality))`` per hash
+    carries the representative's WHOLE row through the dedup aggregation —
+    no second scan of the table and no join back (the previous groupBy +
+    left-semi shape cost both; min-struct ordering is doc_id-first, so the
+    representative is exactly exact_dedup's min(doc_id))."""
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", "text", text.tokens(F.lower(F.col("text"))).alias("_toks")
@@ -1297,15 +1302,14 @@ def quality_filter_pipeline(spark, sf_dir):
             {lang: F.col(f"_s_{lang}") for lang in text.LANG_MARKERS}
         ).alias("lang_pred"),
         "quality",
+        md5_long(text.normalize(F.col("text"))).alias("_h"),
     )
-    keep = dedup.exact_dedup(docs, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id")
+    rep = (
+        scored.groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "lang_pred", "quality")).alias("r"))
+        .select("r.doc_id", "r.lang_pred", "r.quality")
     )
-    return (
-        scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
-        .join(keep, "doc_id", "left_semi")
-        .select("doc_id", "lang_pred", "quality")
-    )
+    return rep.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
 
 
 # ---------------------------------------------------------------------------
