@@ -236,3 +236,34 @@ class TestRound2bPlanQuality:
         # one exchange for the per-query candidate window, one for the final
         # rerank window (AQE may add reads, not extra hash exchanges)
         assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """The 100 TB semi-join-reduction lever: with runtime bloom filters on,
+    a selective dimension side injects might_contain(<bloom>) into the fact
+    scan BEFORE the shuffle — at scale this drops most fact rows at the
+    scan instead of shuffling them. Size thresholds are lowered here only
+    because the fixture is small; at real scale the defaults fire."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").filter(
+            F.col("o_totalprice") > 150000)
+        j = (li.join(sel, li.l_orderkey == sel.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
