@@ -25,6 +25,9 @@ PROBES = [
     "dedup_minhash_lsh",        # Arrow UDF + LSH join
     "sessionize",               # window over events
     "merge_upsert",             # the engine MERGE
+    "gopher_quality_rules",     # bigram-hash explode + two-level agg
+    "similarity_pq_adc",        # PQ train + ADC scan + rerank
+    "quality_filter_pipeline",  # fused score+dedup single exchange
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
