@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "important_part_value",    # Q11 scalar: global value total, 1 row
     "similarity_quantized_topk",  # by design: corpus x broadcast(10 queries)
     "drift_psi",               # 1-row period totals cross joined to 10 bins
+    "domain_mixing_weights",   # two 1-row scalar totals (raw + capped mass)
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
@@ -43,6 +44,7 @@ SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenan
         "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
         "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
         "similarity_ann_ivf_trained",  # training loop collects per iteration
+        "similarity_pq_adc",  # codebook training collects the sample
         "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
         }
 
