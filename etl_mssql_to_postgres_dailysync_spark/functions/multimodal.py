@@ -227,3 +227,47 @@ def resize_raw_images(
             )
 
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def dhash_images(
+    df: DataFrame, *, src_w: int = 8, src_h: int = 8, channels: int = 3
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over raw interleaved-RGB buffers:
+    integer grayscale ``(R+G+B) // channels`` per pixel, then one bit per
+    horizontally-adjacent comparison ``gray[r,c] < gray[r,c+1]`` — bit index
+    ``r*(w-1)+c`` — packed into a bigint (w=8, h=8 -> 56 bits). The standard
+    near-dup fingerprint for images: perceptually-close frames land within a
+    few Hamming bits even when bytes differ.
+
+    Pure integer math on the decoded buffer, so the kernel value-checks
+    against a character-wise SQL oracle (byte == char on the fixture).
+    Map-only, Arrow-batched, no shuffle."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    need = src_w * src_h * channels
+    weights = (1 << np.arange(src_h * (src_w - 1), dtype=np.int64)).reshape(
+        src_h, src_w - 1
+    )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                if pl is None or len(pl) < need:
+                    continue
+                buf = np.frombuffer(bytes(pl[:need]), dtype=np.uint8)
+                gray = buf.astype(np.int64).reshape(src_h, src_w, channels).sum(
+                    axis=2
+                ) // channels
+                bits = gray[:, :-1] < gray[:, 1:]
+                ids.append(mid)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+    return df.mapInPandas(dhash, schema=schema)

@@ -6263,3 +6263,77 @@ def similarity_pq_adc(spark, sf_dir):
         k=5, m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS,
         n_candidates=_PQ_NCAND,
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "multimodal_dhash_neardup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             list_extract(['image', 'audio', 'video'],
+                          CAST(doc_id % 3 + 1 AS INTEGER)) AS media_type,
+             rpad(substr(text, 1, 192), 192, '.') AS padded
+      FROM documents),
+    img AS (SELECT media_id, padded FROM m WHERE media_type = 'image'),
+    gr AS (SELECT media_id,
+                  list_transform(generate_series(0, 63), p ->
+                      (ord(substr(padded, 3*p + 1, 1))
+                       + ord(substr(padded, 3*p + 2, 1))
+                       + ord(substr(padded, 3*p + 3, 1))) // 3) AS g
+           FROM img),
+    dh AS (SELECT media_id,
+                  list_sum(list_transform(generate_series(0, 55), b ->
+                      CASE WHEN g[(b // 7) * 8 + (b % 7) + 1]
+                                < g[(b // 7) * 8 + (b % 7) + 2]
+                           THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+                  AS dhash
+           FROM gr),
+    bands AS (SELECT media_id, dhash, t.i AS band,
+                     (dhash >> (14 * t.i)) & 16383 AS bv
+              FROM dh, generate_series(0, 3) t(i)),
+    pairs AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                     a.dhash AS ha, b.dhash AS hb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 10
+    """,
+)
+def multimodal_dhash_neardup(spark, sf_dir):
+    """Perceptual near-duplicate detection for images: REAL dHash (integer
+    grayscale + adjacent-pixel comparisons packed into 56 bits, numpy per
+    Arrow batch) over the raw-RGB payloads, then LSH banding on the hash (4
+    x 14-bit bands — identical-band candidates only, the same band-join
+    shape as MinHash LSH) and a Hamming <= 10 verify via bit_count(xor).
+    The oracle recomputes grayscale, every hash bit, the banding, and the
+    Hamming filter character-wise. At scale: hashing is map-only; the only
+    shuffle is (band, value) candidate buckets — never pixels."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 192), 192, ".")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(padded, "utf-8").alias("payload"),
+    ).filter(F.col("media_type") == "image")
+    dh = multimodal.dhash_images(media, src_w=8, src_h=8, channels=3)
+    bands = dh.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(dhash, 14 * band) & 16383"))
+    a = bands.select(F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"),
+                     "band", "bv")
+    b = bands.select(F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"),
+                     "band", "bv")
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint").alias("hamming"),
+    ).filter(F.col("hamming") <= 10)
