@@ -230,7 +230,7 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def lsh_band_rows(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -240,15 +240,12 @@ def minhash_lsh_pairs(
     k: int = 3,
     use_arrow: bool = True,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of their MinHash signature.
-
-    rows_per_band = num_hashes / bands; P(candidate) ≈ 1-(1-J^r)^b. The
-    signature is computed once per document (see minhash_signature); banding
-    is a single explode of (band, band_hash) structs — NOT a per-band union,
-    which would rescan the corpus ``bands`` times. Only (band_hash, id)
-    pairs shuffle, so join cost is O(candidate pairs), not O(n^2).
-    Output: (id_a, id_b) with id_a < id_b, distinct.
-    """
+    """(doc, band, band_hash) rows of the MinHash-LSH index: one signature per
+    document, banded via a single explode of (band, band_hash) structs — NOT a
+    per-band union, which would rescan the corpus ``bands`` times. This is the
+    persistable LSH index: self-join it for in-corpus pairs
+    (:func:`minhash_lsh_pairs`) or probe it with a new batch's band rows
+    (:func:`incremental_lsh_dedup`)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signature_arrow if use_arrow else minhash_signature
@@ -264,9 +261,31 @@ def minhash_lsh_pairs(
         ]
         bh = md5_long(F.concat_ws("|", *parts), seed=1000 + b)
         band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
-    band_rows = sigs.select(
+    return sigs.select(
         "doc", F.explode(F.array(*band_structs)).alias("bx")
     ).select("doc", F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their MinHash signature.
+
+    rows_per_band = num_hashes / bands; P(candidate) ≈ 1-(1-J^r)^b. The
+    signature is computed once per document (see minhash_signature). Only
+    (band_hash, id) pairs shuffle, so join cost is O(candidate pairs), not
+    O(n^2). Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    band_rows = lsh_band_rows(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, k=k, use_arrow=use_arrow
+    )
     left = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_a"))
     right = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_b"))
     return (
@@ -274,6 +293,44 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus (the daily-sync
+    shape of near-dup removal): new documents that share any MinHash band
+    with any corpus document are near-dup suspects.
+
+    The corpus side is exactly :func:`lsh_band_rows` — at scale it is
+    computed once, persisted as the LSH index table (partitioned by band),
+    and only the batch's band rows are computed per run; the probe is a
+    shuffle of O(|batch| * bands) 8-byte keys joined against the index, never
+    a batch x corpus cross product, and never a corpus self-join.
+
+    Output: one row per flagged batch document —
+    (doc_id, n_corpus_matches) with n_corpus_matches = distinct corpus docs
+    sharing >= 1 band. Unflagged docs are absent (anti-join the result to
+    keep the clean ones).
+    """
+    kw = dict(num_hashes=num_hashes, bands=bands, k=k, use_arrow=use_arrow)
+    corpus_bands = lsh_band_rows(corpus, text_col, id_col, **kw).select(
+        "band", "band_hash", F.col("doc").alias("corpus_doc")
+    )
+    batch_bands = lsh_band_rows(batch, text_col, id_col, **kw)
+    return (
+        batch_bands.join(corpus_bands, ["band", "band_hash"])
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.countDistinct("corpus_doc").alias("n_corpus_matches"))
     )
 
 
@@ -382,6 +439,153 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000)).select(
         "id_a", "id_b", "jaccard", "jaccard_ppm"
     )
+
+
+def _window_hashes_py(text: str, w: int):
+    """Positional (non-distinct) w-token window hashes: the same exact-integer
+    polynomial fold as :func:`_shingle_hashes_py`, but keeping every window in
+    document order (index in the returned list == 0-based window position) and
+    producing NO windows for documents shorter than w tokens (short exact
+    dupes are the exact-dedup operator's job, not span detection's)."""
+    import numpy as np
+
+    th = _token_hashes_py(text)
+    if len(th) < w:
+        return []
+    a = np.array(th, dtype=np.int64)
+    acc = a[: len(th) - w + 1].copy()
+    for j in range(1, w):
+        acc = (acc * SHINGLE_C1 + a[j : len(th) - w + 1 + j]) % MINHASH_P
+    return acc.tolist()
+
+
+def window_hashes_arrow(text: Column, w: int) -> Column:
+    """Arrow-batched positional window hashes (see :func:`_window_hashes_py`)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _fn(s):
+        return s.map(lambda t: _window_hashes_py(t, w))
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ArrayType(LongType()))(_fn)(text)
+
+
+def window_hashes(text: Column, w: int) -> Column:
+    """Catalyst-expression twin of :func:`window_hashes_arrow` (dependency-free
+    reference path): the shingle window fold without the distinct, empty array
+    below w tokens."""
+    th = F.transform(tokens(normalize(text)), lambda t: md5_long(t) % MINHASH_P)
+    n = F.size(th)
+    m = F.greatest(n - F.lit(w - 1), F.lit(1))
+    windowed = F.slice(th, 1, m)
+    for j in range(1, w):
+        windowed = F.zip_with(
+            windowed,
+            F.slice(th, 1 + j, m),
+            lambda acc, h: (acc * SHINGLE_C1 + h) % MINHASH_P,
+        )
+    empty = F.array().cast("array<bigint>")
+    return F.when(n >= w, windowed).otherwise(empty)
+
+
+def substring_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    w: int = 8,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Exact repeated-substring detection, the Spark shape of suffix-array
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a span is duplicated if its w-token windows
+    appear in >= 2 distinct documents.
+
+    Plan: hash every w-token window positionally (one md5 per token, rolling
+    polynomial — document text never shuffles), posexplode to
+    (doc, pos, window_hash), find cross-document window hashes with a
+    min!=max groupBy (cheaper than a distinct count and enough for the >= 2
+    docs predicate), flag the positions via an inner hash join on the 8-byte
+    window hash, then merge consecutive flagged positions into maximal spans
+    with the islands trick (pos - row_number). Two shuffles on long keys plus
+    one per-doc window pass.
+
+    Output, one row per document with >= 1 duplicated window:
+    (doc_id, n_windows, n_dup_windows, n_spans, max_span_tokens, dup_ppm).
+    dup_ppm = duplicated-window fraction in parts-per-million, exact integer
+    arithmetic. 31-bit window hashes can collide; both engines fold
+    identically so the oracle match is exact — production at 100 TB should
+    widen to the 60-bit md5_long to make collisions negligible.
+    """
+    from pyspark.sql import Window as W
+
+    win_fn = window_hashes_arrow if use_arrow else window_hashes
+    base = df.select(
+        F.col(id_col).alias("doc"), win_fn(F.col(text_col), w).alias("whs")
+    )
+    wins = base.select("doc", F.posexplode("whs").alias("pos", "wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.min("doc").alias("mn"), F.max("doc").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("wh")
+    )
+    flagged = wins.join(dup, ["wh"]).select("doc", "pos")
+    isl = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(W.partitionBy("doc").orderBy("pos"))
+    )
+    spans = isl.groupBy("doc", "grp").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e"), F.count(F.lit(1)).alias("nwin")
+    )
+    per_doc = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("nwin").alias("n_dup_windows"),
+        F.max(F.col("e") - F.col("s") + F.lit(w)).alias("max_span_tokens"),
+    )
+    sizes = base.select("doc", F.size("whs").alias("n_windows"))
+    return (
+        per_doc.join(sizes, ["doc"])
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            "n_dup_windows",
+            "n_spans",
+            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+            F.expr("n_dup_windows * 1000000 div n_windows").alias("dup_ppm"),
+        )
+    )
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    w: int = 8,
+    top_n: int = 20,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Memorization audit: the corpus's most-duplicated w-token spans.
+    Groups positional window hashes, keeps cross-document ones, ranks by
+    (distinct docs, total occurrences) — a TakeOrdered top-N, never a global
+    sort. Ties broken by window hash for determinism."""
+    win_fn = window_hashes_arrow if use_arrow else window_hashes
+    wins = df.select(
+        F.col(id_col).alias("doc"), F.explode(win_fn(F.col(text_col), w)).alias("wh")
+    )
+    agg = (
+        wins.groupBy("wh")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return agg.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("wh")
+    ).limit(top_n)
 
 
 def connected_components(

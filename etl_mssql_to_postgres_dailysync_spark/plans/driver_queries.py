@@ -40,10 +40,20 @@ ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_ord
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long
-        # (nanosAsLong); truncate to micros exactly like DuckDB's TIMESTAMP_NS
-        # -> TIMESTAMP cast so both engines see identical values.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts arrives either as parquet TIMESTAMP(NANOS) — which Spark
+        # reads as a raw long (nanosAsLong) — or natively as TIMESTAMP(MICROS)
+        # depending on the fixture generation. Normalize the long form by
+        # truncating to micros exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP
+        # cast so both engines see identical values; the micros form passes
+        # through untouched.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # session tz is pinned UTC, so NTZ -> LTZ preserves the wall-clock
+            # value; LTZ keeps unix_micros()/epoch arithmetic working downstream
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in ("documents", "embeddings"):
         # These fixtures are one small parquet file = ONE input split, so
         # every doc-level pipeline (shingling, hashing, Pandas-UDF decode)
@@ -775,6 +785,118 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         k=3, threshold=0.1, block_col="source",
+    )
+
+
+def _window_fold_sql(w: int) -> str:
+    """DuckDB expression for the w-token positional window fold over th[i..i+w-1]
+    (exact twin of dedup._window_hashes_py / dedup.window_hashes)."""
+    e = "th[i]"
+    for j in range(1, w):
+        e = f"(({e}) * {_SH_C1} + th[i+{j}]) % {_SH_P}"
+    return e
+
+
+_SPAN_W = 8
+# positional (non-distinct) window hashes for docs with >= w tokens
+_WINDOWS_CTE = rf"""
+    toks AS (SELECT doc_id,
+                    list_transform({_TOKS_SQL},
+                                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {_SH_P}) AS th
+             FROM documents),
+    wpos AS (SELECT doc_id, th, unnest(range(1, len(th) - {_SPAN_W - 1} + 1)) AS i
+             FROM toks WHERE len(th) >= {_SPAN_W}),
+    wins AS (SELECT doc_id, i AS pos, {_window_fold_sql(_SPAN_W)} AS wh FROM wpos)
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH {_WINDOWS_CTE},
+    nw AS (SELECT doc_id, len(th) - {_SPAN_W - 1} AS n_windows
+           FROM toks WHERE len(th) >= {_SPAN_W}),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+    fl AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (wh)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM fl),
+    spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e, count(*) AS nwin
+              FROM isl GROUP BY 1, 2),
+    pd AS (SELECT doc_id, count(*) AS n_spans, sum(nwin) AS n_dup_windows,
+                  max(e - s + {_SPAN_W}) AS max_span_tokens
+           FROM spans GROUP BY doc_id)
+    SELECT p.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
+           p.n_dup_windows, p.n_spans,
+           CAST(p.max_span_tokens AS BIGINT) AS max_span_tokens,
+           (p.n_dup_windows * 1000000) // n.n_windows AS dup_ppm
+    FROM pd p JOIN nw n USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact repeated-span dedup (suffix-array-style, Lee et al. 2022): docs
+    whose 8-token windows recur in other docs, with duplicated windows merged
+    into maximal spans (islands trick). Shuffle keys are 8-byte window hashes
+    only — document text never leaves the scan."""
+    return dedup.substring_span_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", w=_SPAN_W
+    )
+
+
+@register(
+    "dedup_top_spans",
+    f"""
+    WITH {_WINDOWS_CTE}
+    SELECT wh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+           min(doc_id) AS example_doc
+    FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, wh ASC LIMIT 20
+    """,
+)
+def dedup_top_spans(spark, sf_dir):
+    """Memorization audit: top-20 most-duplicated 8-token spans across the
+    corpus (TakeOrdered top-N on (distinct docs, occurrences), no global
+    sort)."""
+    return dedup.top_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", w=_SPAN_W, top_n=20
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    )
+    SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_matches
+    FROM bh b JOIN bh c ON b.band = c.band AND b.band_hash = c.band_hash
+    WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3
+    GROUP BY 1
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup, the daily-sync shape: today's batch (doc_id%10==3)
+    probed against the standing corpus's LSH band index — never a corpus
+    self-join. At scale the corpus band rows are a persisted index table."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    batch = docs.filter(F.col("doc_id") % 10 == 3)
+    return dedup.incremental_lsh_dedup(
+        corpus, batch, "text", "doc_id", num_hashes=16, bands=4, k=3
     )
 
 
