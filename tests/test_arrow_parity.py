@@ -66,6 +66,20 @@ class TestArrowParity:
         )
         assert hof == arr
 
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=TEXTS)
+    def test_window_hashes_arrow_equals_hof(self, spark, texts):
+        df = _df(spark, texts)
+        hof = _collect_arrays(
+            df.select("doc_id", dedup.window_hashes(F.col("text"), 4).alias("s")), "s"
+        )
+        arr = _collect_arrays(
+            df.select("doc_id", dedup.window_hashes_arrow(F.col("text"), 4).alias("s")),
+            "s",
+        )
+        assert hof == arr
+
     def test_parity_on_real_fixture(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
         hof = _collect_arrays(

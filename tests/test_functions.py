@@ -55,6 +55,53 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 3) not in rows
 
 
+def test_substring_span_stats_flags_shared_spans(spark):
+    # doc 1 and 2 share a 10-token prefix; doc 3 is disjoint
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " kilo lima"),
+            Row(doc_id=2, text=shared + " mike november"),
+            Row(doc_id=3, text="one two three four five six seven eight nine ten eleven"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_span_stats(df, "text", "doc_id", w=8).collect()}
+    assert set(out) == {1, 2}
+    # 10 shared tokens -> 3 shared 8-token windows, one maximal span of 10 tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 3
+        assert out[d]["n_spans"] == 1
+        assert out[d]["max_span_tokens"] == 10
+        assert out[d]["n_windows"] == 5  # 12 tokens -> 5 windows
+
+
+def test_top_duplicated_spans_ranks_by_doc_count(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=shared + f" unique{i} tail{i}") for i in range(1, 4)]
+        + [Row(doc_id=9, text="totally different words with no overlap at all okay")]
+    )
+    rows = dedup.top_duplicated_spans(df, "text", "doc_id", w=8, top_n=5).collect()
+    assert rows, "shared 8-token prefix must surface"
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["example_doc"] == 1
+
+
+def test_incremental_lsh_dedup_flags_only_batch_dupes(docs, spark):
+    corpus = docs.filter(F.col("doc_id") != 2)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=102, text="The  quick brown fox jumps over the lazy dog"),  # dup of corpus doc 1
+            Row(doc_id=103, text="entirely novel sentence with fresh vocabulary tokens"),
+        ]
+    )
+    out = {r["doc_id"]: r["n_corpus_matches"] for r in dedup.incremental_lsh_dedup(
+        corpus, batch, "text", "doc_id"
+    ).collect()}
+    assert out.get(102, 0) >= 1
+    assert 103 not in out
+
+
 def test_hamming_distance(spark):
     df = spark.createDataFrame([Row(a=0b1010, b=0b0110)])
     assert df.select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"] == 2
