@@ -209,3 +209,53 @@ def repetition_stats(df, text_col: str, id_col: str):
             F.expr("dup_cnt * 1000000 div total_bg").alias("dup_bigram_ppm"),
         )
     )
+
+
+def build_vocab(df, text_col: str, *, size: int = 256) -> list[tuple[str, int]]:
+    """Top-``size`` tokens of the normalized corpus by (count desc, token asc),
+    as (token, id) pairs with ids 0..size-1.
+
+    The vocab is tiny by construction, so collecting it to the driver is the
+    broadcast pattern (same shape as the IVF centroid fit): one distributed
+    explode+count+TakeOrdered job, then the result ships to every executor
+    inside the encode expression — the 100 TB encode pass itself is
+    shuffle-free."""
+    toks = df.select(F.explode(tokens(normalize(F.col(text_col)))).alias("t"))
+    rows = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(size)
+        .collect()
+    )
+    return [(r["t"], i) for i, r in enumerate(rows)]
+
+
+def encode_token_ids(
+    df, text_col: str, id_col: str, vocab: list[tuple[str, int]], *, oov_buckets: int = 256
+):
+    """Tokenizer-style id encoding: each normalized whitespace token maps to
+    its vocab id, out-of-vocab tokens to ``len(vocab) + md5(token) %
+    oov_buckets`` (deterministic hash buckets, the feature-hashing trick).
+
+    The vocab rides along as a map literal inside the expression — a pure
+    map operator over the scan, no join, no shuffle; at 100 TB this is one
+    codegen pass per document."""
+    size = len(vocab)
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in vocab]),
+        F.array(*[F.lit(i) for _, i in vocab]),
+    )
+    toks = tokens(normalize(F.col(text_col)))
+    ids = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            F.element_at(mapping, t).cast("long"),
+            F.lit(size) + md5_long(t) % oov_buckets,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        ids.alias("token_ids"),
+    )

@@ -934,6 +934,113 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+_VOCAB_SIZE = 256
+_OOV_BUCKETS = 256
+
+
+@register(
+    "text_encode_ids",
+    rf"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i FROM tk),
+    vc AS (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t ASC) - 1 AS vid
+        FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+        GROUP BY t ORDER BY count(*) DESC, t ASC LIMIT {_VOCAB_SIZE}
+    ),
+    enc AS (
+        SELECT e.doc_id, e.i,
+               CAST(coalesce(v.vid,
+                             {_VOCAB_SIZE} + {_HASH15.format(x='e.t')} % {_OOV_BUCKETS})
+                    AS BIGINT) AS tid
+        FROM ex e LEFT JOIN vc v USING (t)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list(tid ORDER BY i) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_encode_ids(spark, sf_dir):
+    """Tokenizer-style id encoding: corpus-frequency vocab (one explode +
+    TakeOrdered job, collected like the IVF centroids), then a SHUFFLE-FREE
+    encode pass — the vocab rides inside the expression as a map literal;
+    OOV tokens land in deterministic hash buckets (feature hashing)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs, "text", size=_VOCAB_SIZE)
+    return text.encode_token_ids(docs, "text", "doc_id", vocab, oov_buckets=_OOV_BUCKETS)
+
+
+@register(
+    "training_pack_bins",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def training_pack_bins(spark, sf_dir):
+    """Context-window packing for training shards: within each source shard,
+    documents fill 2048-token bins in doc_id order (running-offset cumsum ->
+    bin = offset div window). Per-key windows parallelize across shards; a
+    GLOBAL packing order would serialize, which is why the shard is the
+    packing unit at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id", "source", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn("bin_id", F.expr("start_offset div 2048"))
+
+
+@register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#777'), 1, 15) AS BIGINT),
+                            doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 30
+    """,
+)
+def source_quota_sample(spark, sf_dir):
+    """Per-source quota sampling (domain caps in corpus curation): keep at
+    most 30 docs per source, chosen by deterministic hash priority so the
+    sample is stable under re-runs and incremental arrivals. Per-key window
+    top-k — no global sort; heavy domains are bounded by the quota."""
+    docs = _t(spark, sf_dir, "documents")
+    pr = md5_long(F.col("doc_id").cast("string"), seed=777)
+    w = Window.partitionBy("source").orderBy(pr.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 30)
+    )
+
+
 @register(
     "text_quality",
     rf"""

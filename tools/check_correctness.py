@@ -30,10 +30,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
