@@ -1,0 +1,78 @@
+"""Distributed global cumulative sum.
+
+A global ``sum() OVER (ORDER BY ...)`` is the classic scale trap: Spark plans
+it as a single-partition window — one task sees every row, so the operator
+that was fine at sf0.1 serializes the whole 100 TB through one executor.
+
+The scalable shape is the textbook two-phase prefix sum:
+
+  1. ``repartitionByRange`` on the order columns — ranges are contiguous and
+     partition ids ascend with the range, so partition-local order + an
+     offset per partition reconstructs the global order.
+  2. A per-partition window computes the LOCAL prefix sum (parallel across
+     partitions).
+  3. Per-partition totals (one tiny aggregation: #partitions rows) are
+     collected, prefix-summed on the driver, and shipped back as a broadcast
+     map — each row's global prefix = local prefix + offset of its partition.
+
+The order columns MUST form a total order (include a unique tie-break key):
+range boundaries may split ties across partitions, and only a total order
+makes the result independent of where the boundary lands.
+
+Cost: one range shuffle + one pass, plus the tiny totals job over the cached
+repartitioned data — vs the single-partition window's one-task execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    *,
+    num_partitions: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_cols`` order,
+    without a single-partition window. ``order_cols`` must be a total order.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    base = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
+    if cache:
+        local = local.persist()
+    totals = (
+        local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_tot")).collect()
+    )
+    running = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_tot"] or 0
+    if not offsets:
+        return local.withColumn(out_col, F.col("_local")).drop("_pid", "_local")
+    offset_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(v) for v in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    return (
+        local.withColumn(out_col, F.col("_local") + offset_expr)
+        .drop("_pid", "_local")
+    )

@@ -2321,6 +2321,36 @@ def running_total(spark, sf_dir):
 
 
 @register(
+    "global_running_revenue",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM orders
+    """,
+)
+def global_running_revenue(spark, sf_dir):
+    """GLOBAL running revenue over every order — the serialization trap a
+    naive sum() OVER (ORDER BY ...) hits at scale (Spark: one-partition
+    window). Runs as operators/cumsum.global_cumsum: range repartition ->
+    parallel per-partition prefix sums -> tiny per-partition totals collect
+    -> broadcast offset add. (o_orderdate, o_orderkey) is a total order, so
+    the result is boundary-independent and exactly matches the oracle's
+    global window."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_cumsum
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = global_cumsum(
+        orders, ["o_orderdate", "o_orderkey"], "cents", "running_cents"
+    )
+    return out.select("o_orderkey", F.col("running_cents").cast("long").alias("running_cents"))
+
+
+@register(
     "window_functions",
     """
     SELECT o_custkey, o_orderkey,

@@ -102,6 +102,29 @@ def test_incremental_lsh_dedup_flags_only_batch_dupes(docs, spark):
     assert 103 not in out
 
 
+def test_global_cumsum_matches_single_window(spark):
+    from pyspark.sql import Window
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_cumsum
+
+    df = spark.range(1, 201).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 11).alias("v")
+    )
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, ["k"], "v", "cs", num_partitions=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["k"]: r["cs"] for r in df.select("k", F.sum("v").over(w).alias("cs")).collect()}
+    assert got == want
+
+
+def test_global_cumsum_empty_input(spark):
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_cumsum
+
+    df = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    assert global_cumsum(df, ["k"], "v", "cs", num_partitions=4).count() == 0
+
+
 def test_hamming_distance(spark):
     df = spark.createDataFrame([Row(a=0b1010, b=0b0110)])
     assert df.select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"] == 2

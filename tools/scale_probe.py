@@ -28,6 +28,9 @@ PROBES = [
     "gopher_quality_rules",     # bigram-hash explode + two-level agg
     "similarity_pq_adc",        # PQ train + ADC scan + rerank
     "quality_filter_pipeline",  # fused score+dedup single exchange
+    "dedup_substring_spans",    # positional window hashes + islands merge (r2)
+    "dedup_incremental_batch",  # batch-vs-corpus LSH index probe (r2)
+    "text_encode_ids",          # vocab TakeOrdered + shuffle-free encode (r2)
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
