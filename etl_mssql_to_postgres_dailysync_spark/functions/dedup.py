@@ -239,18 +239,22 @@ def lsh_band_rows(
     bands: int = 4,
     k: int = 3,
     use_arrow: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc, band, band_hash) rows of the MinHash-LSH index: one signature per
     document, banded via a single explode of (band, band_hash) structs — NOT a
     per-band union, which would rescan the corpus ``bands`` times. This is the
     persistable LSH index: self-join it for in-corpus pairs
-    (:func:`minhash_lsh_pairs`) or probe it with a new batch's band rows
-    (:func:`incremental_lsh_dedup`)."""
+    (:func:`minhash_lsh_pairs`), probe it with a new batch's band rows
+    (:func:`incremental_lsh_dedup`), or maintain it incrementally from a CDC
+    stream (``extra_cols=("_sign",)`` carries the retraction sign through —
+    the expression pipeline is streaming-safe)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signature_arrow if use_arrow else minhash_signature
     sigs = df.select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in extra_cols],
         sig_fn(F.col(text_col), num_hashes, k).alias("sigs"),
     )
     band_structs = []
@@ -262,8 +266,11 @@ def lsh_band_rows(
         bh = md5_long(F.concat_ws("|", *parts), seed=1000 + b)
         band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
     return sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bx")
-    ).select("doc", F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash"))
+        "doc", *extra_cols, F.explode(F.array(*band_structs)).alias("bx")
+    ).select(
+        "doc", *extra_cols,
+        F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash"),
+    )
 
 
 def minhash_lsh_pairs(

@@ -156,6 +156,70 @@ class TestCdcSource:
         _assert_state_matches(spark, f"{base}/state", t)
 
 
+class TestStreamingDedupIndex:
+    """Incremental maintenance of the MinHash-LSH dedup index from the CDC
+    stream: the maintained (doc, band, band_hash) index must always equal a
+    batch recompute over the table head — across appends, text-changing
+    merges (old band rows retracted, new ones added), and deletes."""
+
+    @staticmethod
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+    @staticmethod
+    def _run_index_stream(spark, table_path, state_path, ckpt):
+        from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+        fb = rollup_maintainer(spark, state_path, ["doc", "band", "band_hash"], {})
+        s = spark.readStream.format("txntable_cdc").option("path", table_path).load()
+        bands = dedup.lsh_band_rows(s, "text", "doc_id", extra_cols=("_sign",))
+        q = (
+            bands.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    @staticmethod
+    def _assert_index_matches(spark, state_path, t):
+        from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+        got = {
+            (r["doc"], r["band"], r["band_hash"])
+            for r in spark.read.parquet(state_path).filter(F.col("n_rows") > 0).collect()
+        }
+        want = {
+            (r["doc"], r["band"], r["band_hash"])
+            for r in dedup.lsh_band_rows(t.read(), "text", "doc_id").collect()
+        }
+        assert got == want
+
+    def test_index_tracks_appends_updates_and_deletes(self, spark, sf_dir, base):
+        _register(spark)
+        docs = self._docs(spark, sf_dir)
+        t = TxnTable(spark, f"{base}/docs")
+        t.append(docs.filter(F.col("doc_id") % 2 == 0).limit(60))
+        self._run_index_stream(spark, f"{base}/docs", f"{base}/idx", f"{base}/ck")
+        self._assert_index_matches(spark, f"{base}/idx", t)
+
+        # text-changing merge: old band rows must retract, new ones appear
+        upd = docs.filter(F.col("doc_id") % 2 == 0).limit(10).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" appended edit tokens"))
+        )
+        new = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+        t.merge(upd.unionByName(new), ["doc_id"])
+        self._run_index_stream(spark, f"{base}/docs", f"{base}/idx", f"{base}/ck")
+        self._assert_index_matches(spark, f"{base}/idx", t)
+
+        # delete: band rows of deleted docs must leave the index
+        t.delete(F.col("doc_id") % 10 == 0)
+        self._run_index_stream(spark, f"{base}/docs", f"{base}/idx", f"{base}/ck")
+        self._assert_index_matches(spark, f"{base}/idx", t)
+
+
 class TestAlertingListener:
     def test_progress_and_failure_alerts(self, spark, sf_dir, base):
         import time
