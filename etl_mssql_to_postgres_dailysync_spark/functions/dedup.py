@@ -129,6 +129,24 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Per-worker token-hash memo: corpus token frequency is zipfian, so most md5
+# calls repeat ("the", "and", ...); caching hash-by-token cuts the dominant
+# cost of every Arrow hashing path. Values are deterministic, so the cache
+# can never change a result; bounded to keep executor memory flat.
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+_TOKEN_HASH_MEMO_MAX = 1 << 20
+
+
+def _token_hash_py(t: str) -> int:
+    h = _TOKEN_HASH_MEMO.get(t)
+    if h is None:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+        if len(_TOKEN_HASH_MEMO) >= _TOKEN_HASH_MEMO_MAX:
+            _TOKEN_HASH_MEMO.clear()
+        _TOKEN_HASH_MEMO[t] = h
+    return h
+
+
 def _token_hashes_py(text: str):
     """Exact Python twin of ``md5_long(token) % P`` over
     ``tokens(normalize(text))``: lowercase, collapse whitespace, trim,
@@ -142,10 +160,7 @@ def _token_hashes_py(text: str):
     import re
 
     collapsed = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
-    return [
-        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
-        for t in collapsed.split(" ")
-    ]
+    return [_token_hash_py(t) for t in collapsed.split(" ")]
 
 
 def _shingle_hashes_py(text: str, k: int):
