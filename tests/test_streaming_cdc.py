@@ -220,6 +220,78 @@ class TestStreamingDedupIndex:
         self._assert_index_matches(spark, f"{base}/idx", t)
 
 
+class TestStreamingVectorIndex:
+    """Incremental IVF assignment maintenance from the CDC stream: with a
+    fixed trained centroid set, the maintained (vec_id, cell_id) index must
+    equal a batch re-assignment of the table head after appends, embedding
+    updates (re-assignment moves cells), and deletes."""
+
+    def test_ivf_assignments_track_table(self, spark, sf_dir, base):
+        from etl_mssql_to_postgres_dailysync_spark.functions import similarity
+
+        _register(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cent = similarity.kmeans_fit_list(emb, k=8, iters=2)
+        udf = similarity._cells_udf(cent, 1)
+
+        t = TxnTable(spark, f"{base}/emb")
+        t.append(emb.filter(F.col("vec_id") % 2 == 0))
+
+        def run():
+            fb = rollup_maintainer(spark, f"{base}/idx", ["vec_id", "cell_id"], {})
+            s = spark.readStream.format("txntable_cdc").option("path", f"{base}/emb").load()
+            assigned = s.select(
+                "vec_id", "_sign",
+                F.element_at(
+                    udf(similarity.quantize_vec(F.col("embedding"))), 1
+                ).alias("cell_id"),
+            )
+            q = (
+                assigned.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{base}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def assert_matches():
+            got = {
+                (r["vec_id"], r["cell_id"])
+                for r in spark.read.parquet(f"{base}/idx")
+                .filter(F.col("n_rows") > 0)
+                .collect()
+            }
+            want = {
+                (r["vec_id"], r["cell_id"])
+                for r in t.read()
+                .select(
+                    "vec_id",
+                    F.element_at(
+                        udf(similarity.quantize_vec(F.col("embedding"))), 1
+                    ).alias("cell_id"),
+                )
+                .collect()
+            }
+            assert got == want
+
+        run()
+        assert_matches()
+
+        # update: negate some embeddings (moves their cell), add odd vec_ids
+        upd = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        )
+        t.merge(upd.unionByName(emb.filter(F.col("vec_id") % 2 == 1).limit(50)), ["vec_id"])
+        run()
+        assert_matches()
+
+        t.delete(F.col("vec_id") % 7 == 0)
+        run()
+        assert_matches()
+
+
 class TestAlertingListener:
     def test_progress_and_failure_alerts(self, spark, sf_dir, base):
         import time
