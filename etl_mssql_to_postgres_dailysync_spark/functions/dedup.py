@@ -318,6 +318,114 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Tiered near-dup verification, middle tier: for each LSH candidate
+    pair, estimate Jaccard as the fraction of agreeing MinHash signature
+    positions — O(num_hashes) integer compares per pair, no document text,
+    no shingle re-expansion. Pipelines use it to discard weak candidates
+    before the exact (shingle-intersection) verify tier touches them.
+
+    One signature pass feeds BOTH the banding and the estimate: band rows
+    derive from the signature array carried alongside, so candidate
+    generation adds no second corpus scan. Output: (id_a, id_b, est_ppm)
+    with est_ppm = agreeing positions * 1e6 / num_hashes, exact integers.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signature_arrow if use_arrow else minhash_signature
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        sig_fn(F.col(text_col), num_hashes, k).alias("sigs"),
+    )
+    band_structs = []
+    for b in range(bands):
+        parts = [
+            F.element_at(F.col("sigs"), b * rows_per_band + i + 1).cast("string")
+            for i in range(rows_per_band)
+        ]
+        bh = md5_long(F.concat_ws("|", *parts), seed=1000 + b)
+        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
+    band_rows = sigs.select(
+        "doc", "sigs", F.explode(F.array(*band_structs)).alias("bx")
+    ).select(
+        "doc", "sigs", F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash")
+    )
+    left = band_rows.select("band", "band_hash", F.col("doc").alias("id_a"), F.col("sigs").alias("sa"))
+    right = band_rows.select("band", "band_hash", F.col("doc").alias("id_b"), F.col("sigs").alias("sb"))
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assert 1_000_000 % num_hashes == 0, "ppm scale must divide evenly for exact ints"
+    return pairs.select(
+        "id_a", "id_b",
+        (agree * F.lit(1_000_000 // num_hashes)).alias("est_ppm"),
+    )
+
+
+def tiered_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    est_threshold: float = 0.25,
+    jaccard_threshold: float = 0.5,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The full tiered near-dup pipeline as ONE declarative plan:
+
+      LSH banding  ->  signature-agreement estimate  ->  exact verify
+
+    Tier costs at corpus scale: banding touches every document once
+    (signature pass); the estimate tier touches only candidate pairs
+    (O(num_hashes) int compares each); the exact tier — the only one that
+    re-expands shingles — touches only estimate survivors. Spark sees the
+    whole thing as one plan, so the survivor set streams straight into the
+    verify join without materialization.
+
+    Output: (id_a, id_b, est_ppm, jaccard_ppm) for pairs passing BOTH
+    thresholds; exact integer arithmetic end to end.
+    """
+    est = minhash_estimate_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, k=k, use_arrow=use_arrow,
+    )
+    surv = est.filter(F.col("est_ppm") >= int(est_threshold * 1_000_000))
+    sh_fn = shingle_hashes_arrow if use_arrow else shingle_hashes
+    sh = df.select(
+        F.col(id_col).alias("doc"), sh_fn(F.col(text_col), k).alias("shs")
+    )
+    joined = (
+        surv.join(sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("sha")), ["id_a"])
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("shb")), ["id_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    union = (F.size("sha") + F.size("shb")).cast("long") - inter
+    out = joined.select(
+        "id_a", "id_b", "est_ppm", inter.alias("_i"), union.alias("_u")
+    ).withColumn("jaccard_ppm", F.expr("_i * 1000000 div _u")).drop("_i", "_u")
+    return out.filter(F.col("jaccard_ppm") >= int(jaccard_threshold * 1_000_000))
+
+
 def incremental_lsh_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -863,6 +863,107 @@ def dedup_top_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+                            AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(count(*) FILTER (WHERE sa.sig = sb.sig) * 62500 AS BIGINT) AS est_ppm
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """Tiered near-dup verify, middle tier: Jaccard estimated from MinHash
+    signature agreement on each LSH candidate pair — O(16) integer compares
+    per pair, no text, no shingle re-expansion; pairs failing the estimate
+    never reach the exact verify tier."""
+    return dedup.minhash_estimate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, bands=4, k=3
+    )
+
+
+@register(
+    "dedup_tiered_pipeline",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+                            AND a.doc_id < b.doc_id
+    ),
+    surv AS (
+        SELECT c.id_a, c.id_b,
+               CAST(count(*) FILTER (WHERE sa.sig = sb.sig) * 62500 AS BIGINT) AS est_ppm
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        GROUP BY 1, 2
+        HAVING count(*) FILTER (WHERE sa.sig = sb.sig) * 62500 >= 250000
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    vint AS (
+        SELECT s.id_a, s.id_b, s.est_ppm, count(*) AS inter
+        FROM surv s
+        JOIN sh a ON a.doc_id = s.id_a
+        JOIN sh b ON b.doc_id = s.id_b AND b.sh = a.sh
+        GROUP BY 1, 2, 3
+    )
+    SELECT v.id_a, v.id_b, v.est_ppm,
+           (v.inter * 1000000) // (sa.n + sb.n - v.inter) AS jaccard_ppm
+    FROM vint v JOIN sz sa ON sa.doc_id = v.id_a JOIN sz sb ON sb.doc_id = v.id_b
+    WHERE (v.inter * 1000000) // (sa.n + sb.n - v.inter) >= 500000
+    """,
+)
+def dedup_tiered_pipeline(spark, sf_dir):
+    """Full tiered near-dup pipeline in one plan: LSH banding (every doc,
+    once) -> signature-agreement estimate (candidate pairs only) -> exact
+    shingle-intersection verify (estimate survivors only)."""
+    return dedup.tiered_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=16, bands=4, k=3, est_threshold=0.25, jaccard_threshold=0.5,
+    )
+
+
+@register(
     "dedup_incremental_batch",
     f"""
     WITH {_SHINGLES_CTE},

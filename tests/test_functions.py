@@ -102,6 +102,17 @@ def test_incremental_lsh_dedup_flags_only_batch_dupes(docs, spark):
     assert 103 not in out
 
 
+def test_minhash_estimate_and_tiered_pipeline(docs):
+    # docs 1 and 2 are whitespace/case variants -> identical signatures
+    est = {(r["id_a"], r["id_b"]): r["est_ppm"]
+           for r in dedup.minhash_estimate_pairs(docs, "text", "doc_id").collect()}
+    assert est.get((1, 2)) == 1_000_000
+    out = dedup.tiered_dedup_pairs(docs, "text", "doc_id").collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["est_ppm"], r["jaccard_ppm"]) for r in out}
+    assert pairs[(1, 2)] == (1_000_000, 1_000_000)
+    assert all(a in (1, 2) and b in (1, 2) for a, b in pairs)
+
+
 def test_global_cumsum_matches_single_window(spark):
     from pyspark.sql import Window
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_cumsum
