@@ -687,6 +687,72 @@ def substring_span_stats(
     )
 
 
+def substring_span_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    w: int = 8,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The transform half of substring dedup: rebuild each document with its
+    cross-document duplicated spans REMOVED (what a training-data pipeline
+    actually ships after span detection).
+
+    Span detection is :func:`substring_span_stats`'s plan; removal collects
+    each doc's maximal spans into an array (spans are few — bounded by
+    duplicate mass, not document length) and drops covered token positions
+    with one indexed ``filter`` higher-order pass over the token array — the
+    reconstruction never explodes tokens into rows.
+
+    Output per document: (doc_id, n_tokens, n_tokens_kept, kept_fp) where
+    kept_fp is the 60-bit md5 fingerprint of the cleaned text — enough for
+    the oracle to verify the exact reconstructed string without shipping
+    text.
+    """
+    from pyspark.sql import Window as W
+
+    win_fn = window_hashes_arrow if use_arrow else window_hashes
+    toks = tokens(normalize(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("tk"),
+        win_fn(F.col(text_col), w).alias("whs"),
+    )
+    wins = base.select("doc", F.posexplode("whs").alias("pos", "wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.min("doc").alias("mn"), F.max("doc").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("wh")
+    )
+    flagged = wins.join(dup, ["wh"]).select("doc", "pos")
+    isl = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(W.partitionBy("doc").orderBy("pos"))
+    )
+    spans = (
+        isl.groupBy("doc", "grp")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        .groupBy("doc")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = base.join(spans, ["doc"], "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"] + F.lit(w - 1))
+        ),
+    )
+    return joined.select(
+        F.col("doc").alias("doc_id"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        md5_long(F.concat_ws(" ", kept)).alias("kept_fp"),
+    )
+
+
 def top_duplicated_spans(
     df: DataFrame,
     text_col: str,

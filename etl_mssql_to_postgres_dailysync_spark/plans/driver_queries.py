@@ -844,6 +844,44 @@ def dedup_substring_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    f"""
+    WITH {_WINDOWS_CTE},
+    rawtk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+    fl AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (wh)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM fl),
+    spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e FROM isl GROUP BY 1, 2),
+    pos2 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM rawtk),
+    keptrows AS (
+        SELECT p.doc_id, p.i, p.tk[p.i] AS t FROM pos2 p
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                          WHERE sp.doc_id = p.doc_id
+                            AND p.i BETWEEN sp.s AND sp.e + {_SPAN_W - 1})
+    ),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  CAST('0x' || substr(md5(string_agg(t, ' ' ORDER BY i)), 1, 15) AS BIGINT) AS fp
+           FROM keptrows GROUP BY doc_id)
+    SELECT r.doc_id, CAST(len(r.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           coalesce(ka.fp, CAST('0x' || substr(md5(''), 1, 15) AS BIGINT)) AS kept_fp
+    FROM rawtk r LEFT JOIN ka USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """The transform half of substring dedup: every document rebuilt with its
+    cross-document duplicated 8-token spans removed; kept_fp fingerprints the
+    exact cleaned text so the oracle verifies the reconstruction without
+    shipping it. Spans stay as per-doc arrays; reconstruction is one indexed
+    filter HOF over the token array — no token explode."""
+    return dedup.substring_span_removal(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", w=_SPAN_W
+    )
+
+
+@register(
     "dedup_top_spans",
     f"""
     WITH {_WINDOWS_CTE}

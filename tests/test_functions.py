@@ -75,6 +75,24 @@ def test_substring_span_stats_flags_shared_spans(spark):
         assert out[d]["n_windows"] == 5  # 12 tokens -> 5 windows
 
 
+def test_substring_span_removal_drops_shared_prefix(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " kilo lima"),
+            Row(doc_id=2, text=shared + " mike november"),
+            Row(doc_id=3, text="one two three four five six seven eight nine ten eleven"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_span_removal(df, "text", "doc_id", w=8).collect()}
+    # the 10 shared tokens are removed; doc-specific tails survive
+    assert out[1]["n_tokens"] == 12 and out[1]["n_tokens_kept"] == 2
+    assert out[2]["n_tokens_kept"] == 2
+    assert out[3]["n_tokens_kept"] == out[3]["n_tokens"] == 11
+    # fingerprints of cleaned docs differ (different tails) and differ from untouched doc
+    assert len({out[d]["kept_fp"] for d in (1, 2, 3)}) == 3
+
+
 def test_top_duplicated_spans_ranks_by_doc_count(spark):
     shared = "alpha bravo charlie delta echo foxtrot golf hotel"
     df = spark.createDataFrame(
