@@ -267,3 +267,35 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Stats queries (count/min/max) over parquet can be answered from file
+    footers alone — with the v2 reader + aggregatePushdown the scan emits
+    PushedAggregation and never materializes data pages. At 100 TB this is
+    the difference between a metadata pass and a full-table read for
+    row-count reconciliation (the reference's validation step, A1/A2)."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        plan = plan_of(agg)
+        assert "PushedAggregation: [COUNT(*), MIN(o_totalprice), MAX(o_totalprice)]" in plan, plan
+        row = agg.first()
+        assert row["n"] == df.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
