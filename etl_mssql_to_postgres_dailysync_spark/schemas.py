@@ -109,3 +109,23 @@ def load_testdata(spark, sf_dir: str, names: list[str] | None = None):
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in (names or TESTDATA_TABLES)
     }
+
+
+def register_views(spark, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the testdata tables as temp views so the whole engine surface
+    is reachable from plain ``spark.sql(...)`` — a user of the reference who
+    works in SQL keeps working in SQL. Views are lazy scans: Catalyst still
+    prunes columns and pushes filters per query; events.ts is normalized the
+    same way the DataFrame entry points do (plans/driver_queries._t)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    for name in names or TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            t = df.schema["ts"].dataType
+            if isinstance(t, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(t, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.createOrReplaceTempView(name)

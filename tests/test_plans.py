@@ -299,3 +299,26 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_facade_matches_dataframe_results(spark):
+    """register_views makes the surface reachable from plain spark.sql; the
+    SQL form of a representative query returns exactly the DataFrame form's
+    rows (same engine, same plan shape underneath)."""
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+    from etl_mssql_to_postgres_dailysync_spark.schemas import register_views
+
+    register_views(spark, SF_DIR)
+    sql_rows = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """).collect()
+    got = {(r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+           for r in sql_rows}
+    df_rows = QUERIES["pricing_summary"](spark, SF_DIR).collect()
+    want = {(r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+            for r in df_rows}
+    assert got == want
