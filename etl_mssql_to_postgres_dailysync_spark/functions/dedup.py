@@ -626,6 +626,7 @@ def substring_span_stats(
     *,
     w: int = 8,
     use_arrow: bool = True,
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Exact repeated-substring detection, the Spark shape of suffix-array
     training-data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -647,6 +648,13 @@ def substring_span_stats(
     arithmetic. 31-bit window hashes can collide; both engines fold
     identically so the oracle match is exact — production at 100 TB should
     widen to the 60-bit md5_long to make collisions negligible.
+
+    ``max_occurrences`` is the stop-hash cap: window hashes hotter than the
+    ceiling (site boilerplate, licenses — present in thousands of docs) are
+    excluded from flagging. The flagged-row fan-out is bounded by
+    cap * |distinct hot hashes| instead of the corpus's duplicate mass —
+    the XL scaling probe's adversarial fully-duplicated corpus is exactly
+    the case this bounds. Default None = exact (the oracle-checked mode).
     """
     from pyspark.sql import Window as W
 
@@ -657,10 +665,13 @@ def substring_span_stats(
     wins = base.select("doc", F.posexplode("whs").alias("pos", "wh"))
     dup = (
         wins.groupBy("wh")
-        .agg(F.min("doc").alias("mn"), F.max("doc").alias("mx"))
+        .agg(F.min("doc").alias("mn"), F.max("doc").alias("mx"),
+             F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("mn") != F.col("mx"))
-        .select("wh")
     )
+    if max_occurrences is not None:
+        dup = dup.filter(F.col("cnt") <= max_occurrences)
+    dup = dup.select("wh")
     flagged = wins.join(dup, ["wh"]).select("doc", "pos")
     isl = flagged.withColumn(
         "grp", F.col("pos") - F.row_number().over(W.partitionBy("doc").orderBy("pos"))

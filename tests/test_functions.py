@@ -93,6 +93,17 @@ def test_substring_span_removal_drops_shared_prefix(spark):
     assert len({out[d]["kept_fp"] for d in (1, 2, 3)}) == 3
 
 
+def test_substring_span_stats_stop_hash_cap(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=shared + f" unique{i} tail{i}") for i in range(1, 6)]
+    )
+    exact = dedup.substring_span_stats(df, "text", "doc_id", w=8)
+    assert exact.count() == 5  # the shared window flags everywhere
+    capped = dedup.substring_span_stats(df, "text", "doc_id", w=8, max_occurrences=3)
+    assert capped.count() == 0  # 5 occurrences > cap -> boilerplate excluded
+
+
 def test_top_duplicated_spans_ranks_by_doc_count(spark):
     shared = "alpha bravo charlie delta echo foxtrot golf hotel"
     df = spark.createDataFrame(
