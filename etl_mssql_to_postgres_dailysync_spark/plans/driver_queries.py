@@ -4791,6 +4791,118 @@ def ntile_binning(spark, sf_dir):
 
 
 @register(
+    "rfm_segmentation",
+    """
+    WITH m AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    g AS (SELECT max(last_day) AS head_day FROM m),
+    s AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_day, (SELECT head_day FROM g)) AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+               CAST(ntile(4) OVER (ORDER BY date_diff('day', last_day, (SELECT head_day FROM g)) ASC, o_custkey ASC) AS INT) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS INT) AS m_score
+        FROM m
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+    FROM s
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (days since last
+    order, vs the corpus head date), frequency, monetary (exact cents), each
+    quartile-scored with ntile over a total order (metric + custkey
+    tie-break). The global windows run over the CUSTOMER-grain aggregate —
+    corpus-size-independent — and the head date is one scalar broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    head_day = m.agg(F.max("last_day")).first()[0]
+    s = m.select(
+        "o_custkey",
+        F.datediff(F.lit(head_day), F.col("last_day")).cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
+    scored = s.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        F.ntile(4).over(r_w).cast("int").alias("r_score"),
+        F.ntile(4).over(f_w).cast("int").alias("f_score"),
+        F.ntile(4).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )
+
+
+@register(
+    "source_pareto_classes",
+    r"""
+    WITH st AS (
+        SELECT source,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    c AS (
+        SELECT source, tokens,
+               CAST(sum(tokens) OVER (ORDER BY tokens DESC, source ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens
+        FROM st
+    )
+    SELECT source, tokens, cum_tokens,
+           CASE WHEN cum_tokens * 100 <= total_tokens * 80 THEN 'A'
+                WHEN cum_tokens * 100 <= total_tokens * 95 THEN 'B'
+                ELSE 'C' END AS pareto_class
+    FROM c
+    """,
+)
+def source_pareto_classes(spark, sf_dir):
+    """Pareto/ABC classification of corpus sources by token mass (which
+    domains carry 80% / 95% of the training tokens — the curation view that
+    drives mixture and quota decisions). The ranking window runs over the
+    SOURCE-grain aggregate (tiny, corpus-size-independent); thresholds are
+    division-free integer comparisons."""
+    docs = _t(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    w = (
+        Window.orderBy(F.col("tokens").desc(), F.col("source").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = st.select(
+        "source", "tokens",
+        F.sum("tokens").over(w).alias("cum_tokens"),
+        F.sum("tokens").over(Window.partitionBy()).alias("total_tokens"),
+    )
+    return c.select(
+        "source", "tokens", "cum_tokens",
+        F.when(F.col("cum_tokens") * 100 <= F.col("total_tokens") * 80, "A")
+        .when(F.col("cum_tokens") * 100 <= F.col("total_tokens") * 95, "B")
+        .otherwise("C")
+        .alias("pareto_class"),
+    )
+
+
+@register(
     "dist_moments",
     """
     WITH s AS (
