@@ -4903,6 +4903,35 @@ def source_pareto_classes(spark, sf_dir):
 
 
 @register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts between event types, per-user
+    sequences (lead over the user-keyed window — parallel across users; the
+    matrix itself is event-type^2, constant-size)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "dist_moments",
     """
     WITH s AS (
