@@ -23,7 +23,9 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # events.parquet stores TIMESTAMP(NANOS); read nanos as long and convert
+    # events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
+    # generations (read as long with this conf, converted in _t) and as
+    # TIMESTAMP(MICROS)/NTZ in others (conf is then inert; _t casts to LTZ)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
