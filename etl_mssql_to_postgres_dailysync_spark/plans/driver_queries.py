@@ -4903,6 +4903,65 @@ def source_pareto_classes(spark, sf_dir):
 
 
 @register(
+    "conversion_lag_stats",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lag AS (
+        SELECT user_id,
+               CAST((epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+                    AS BIGINT) AS lag_s
+        FROM f
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converting,
+           CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+           CAST(sum(lag_s) AS BIGINT) AS sum_lag_s,
+           CAST(floor(median(lag_s)) AS BIGINT) AS median_lag_s
+    FROM lag
+    """,
+)
+def conversion_lag_stats(spark, sf_dir):
+    """View-to-purchase conversion lag: one conditional-min pass collapses
+    events to user grain (first view / first purchase per user), then lag
+    stats over the small user-grain relation. median over bigint seconds is
+    exact on both engines (odd/even midpoint of integers; Spark `median` and
+    DuckDB `median` both interpolate — integer seconds make the midpoint
+    exact)."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    lag = (
+        f.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            (
+                (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+                / F.lit(1_000_000)
+            ).cast("long").alias("lag_s")
+        )
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converting"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.sum("lag_s").alias("sum_lag_s"),
+        F.floor(F.median("lag_s")).cast("long").alias("median_lag_s"),
+    )
+
+
+@register(
     "event_transition_matrix",
     """
     WITH seq AS (
