@@ -4962,6 +4962,44 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "weekday_seasonality",
+    """
+    WITH d AS (
+        SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    a AS (
+        SELECT dow, count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM d GROUP BY dow
+    )
+    SELECT CAST(dow AS INT) AS dow, n_orders, revenue_cents,
+           CAST(revenue_cents * 1000000 // (SELECT sum(revenue_cents) FROM a)
+                AS BIGINT) AS revenue_share_ppm
+    FROM a
+    """,
+)
+def weekday_seasonality(spark, sf_dir):
+    """Order revenue by day-of-week with exact integer share-of-total (ppm).
+    Day numbering pinned to DuckDB's dayofweek (0=Sunday) via Spark's
+    dayofweek()-1; the share denominator is a 7-row scalar broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("int").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    total = a.agg(F.sum("revenue_cents")).first()[0]
+    return a.select(
+        "dow", "n_orders", "revenue_cents",
+        F.expr(f"revenue_cents * 1000000 div {total}").alias("revenue_share_ppm"),
+    )
+
+
+@register(
     "event_transition_matrix",
     """
     WITH seq AS (
