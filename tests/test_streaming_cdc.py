@@ -220,6 +220,49 @@ class TestStreamingDedupIndex:
         self._assert_index_matches(spark, f"{base}/idx", t)
 
 
+class TestIncrementalIngestPipeline:
+    """The daily ingest story end to end: a new batch is probed against the
+    standing corpus's LSH band index, near-dups are quarantined, only clean
+    documents are committed — and the CDC-maintained index picks the new
+    commit up, staying equal to a batch recompute. No corpus self-join, no
+    index rebuild anywhere."""
+
+    def test_probe_filter_append_maintain(self, spark, sf_dir, base):
+        from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+        _register(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0).limit(90)
+        t = TxnTable(spark, f"{base}/corpus")
+        t.append(corpus)
+        TestStreamingDedupIndex._run_index_stream(
+            spark, f"{base}/corpus", f"{base}/idx", f"{base}/ck"
+        )
+
+        # incoming batch: 5 exact copies of corpus docs (new ids) + fresh docs
+        copies = corpus.limit(5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        fresh = docs.filter(F.col("doc_id") % 3 == 0).limit(10)
+        batch = copies.unionByName(fresh)
+
+        flagged = dedup.incremental_lsh_dedup(t.read(), batch, "text", "doc_id")
+        flagged_ids = {r["doc_id"] for r in flagged.collect()}
+        assert {r["doc_id"] for r in copies.collect()} <= flagged_ids
+
+        clean = batch.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
+        t.append(clean)
+        TestStreamingDedupIndex._run_index_stream(
+            spark, f"{base}/corpus", f"{base}/idx", f"{base}/ck"
+        )
+        TestStreamingDedupIndex._assert_index_matches(spark, f"{base}/idx", t)
+
+        landed = {r["doc_id"] for r in t.read().select("doc_id").collect()}
+        assert not any(i >= 1_000_000 for i in landed), "exact copies must not land"
+        clean_fresh = {r["doc_id"] for r in clean.collect()}
+        assert clean_fresh <= landed and len(clean_fresh) > 0
+
+
 class TestStreamingVectorIndex:
     """Incremental IVF assignment maintenance from the CDC stream: with a
     fixed trained centroid set, the maintained (vec_id, cell_id) index must
