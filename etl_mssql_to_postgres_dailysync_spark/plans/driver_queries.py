@@ -944,6 +944,54 @@ def dedup_minhash_estimate(spark, sf_dir):
 
 
 @register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+                            AND a.doc_id < b.doc_id
+    )
+    SELECT da.source AS source_a, db.source AS source_b, count(*) AS n_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Corpus diagnostics: which SOURCES duplicate each other — LSH candidate
+    pairs rolled up to a (source_a, source_b) matrix. The source lookup is a
+    broadcast join of the (id, source) projection; the matrix is
+    |sources|^2-bounded regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    src = F.broadcast(docs.select("doc_id", "source"))
+    return (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")), ["id_a"])
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")), ["id_b"])
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "dedup_tiered_pipeline",
     f"""
     WITH {_SHINGLES_CTE},
