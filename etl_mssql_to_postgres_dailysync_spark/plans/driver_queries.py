@@ -3279,6 +3279,35 @@ def dedup_cluster_components(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_stats",
+    f"""
+    WITH base AS (SELECT * FROM ({ORACLES["dedup_cluster_components"]}))
+    SELECT cluster_size,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM base WHERE cluster_size >= 2 GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster size distribution (how much of the corpus sits in
+    2-doc pairs vs large boilerplate families) — the summary that drives
+    keep-one-per-cluster volume estimates. Constant-size output over the
+    component labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, k=3)
+    comp = dedup.connected_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.filter(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(
+            F.countDistinct("component").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+    )
+
+
+@register(
     "txn_table_changes",
     f"""
     WITH apr AS (SELECT * FROM orders
