@@ -5039,6 +5039,52 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "brand_share_topn",
+    """
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    ranked AS (
+        SELECT brand, cents,
+               row_number() OVER (ORDER BY cents DESC, brand ASC) AS rk
+        FROM rev
+    )
+    SELECT CASE WHEN rk <= 5 THEN brand ELSE 'OTHER' END AS brand_label,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM ranked GROUP BY 1
+    """,
+)
+def brand_share_topn(spark, sf_dir):
+    """Top-N + OTHER reporting rollup: revenue by part brand, top 5 named,
+    the tail collapsed into one OTHER bucket. The part dim broadcasts; the
+    rank window runs over the BRAND-grain aggregate (tiny)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("brand").asc())
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 5, F.col("brand")).otherwise("OTHER").alias("brand_label"),
+            "cents",
+        )
+        .groupBy("brand_label")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_brands"),
+        )
+    )
+
+
+@register(
     "weekday_seasonality",
     """
     WITH d AS (
