@@ -5039,6 +5039,44 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "text_charset_profile",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) * 1000000
+                          // length(text) AS BIGINT) END AS printable_ascii_ppm,
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000
+                          // length(text) AS BIGINT) END AS digit_ppm,
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1000000
+                          // length(text) AS BIGINT) END AS upper_ppm
+    FROM documents
+    """,
+)
+def text_charset_profile(spark, sf_dir):
+    """Charset-level quality signals (printable-ASCII / digit / uppercase
+    character shares in exact ppm) — the cheap first-pass filters a corpus
+    pipeline runs before tokenization; pure map expressions over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+
+    def ppm(cls: str):
+        return F.when(n == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"length(regexp_replace(text, '{cls}', '')) * 1000000 div length(text)")
+        )
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        ppm("[^ -~]").alias("printable_ascii_ppm"),
+        ppm("[^0-9]").alias("digit_ppm"),
+        ppm("[^A-Z]").alias("upper_ppm"),
+    )
+
+
+@register(
     "brand_share_topn",
     """
     WITH rev AS (
