@@ -80,6 +80,57 @@ class TestArrowParity:
         )
         assert hof == arr
 
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12)
+            .map(" ".join),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_substring_span_stats_matches_python_model(self, spark, texts):
+        """Small-alphabet corpora force heavy cross-document window sharing —
+        the adversarial case for the flag/islands plan. The distributed result
+        must equal a direct Python reference computation."""
+        w = 3
+        wins = {i: dedup._window_hashes_py(t, w) for i, t in enumerate(texts)}
+        cross: dict[int, set[int]] = {}
+        for d, hs in wins.items():
+            for h in set(hs):
+                cross.setdefault(h, set()).add(d)
+        dup_hashes = {h for h, ds in cross.items() if len(ds) >= 2}
+        want = {}
+        for d, hs in wins.items():
+            flags = [i for i, h in enumerate(hs) if h in dup_hashes]
+            if not flags:
+                continue
+            spans = []
+            s = prev = flags[0]
+            for p in flags[1:]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    spans.append((s, prev))
+                    s = prev = p
+            spans.append((s, prev))
+            n_dup = len(flags)
+            want[d] = (
+                len(hs), n_dup, len(spans),
+                max(e - s + w for s, e in spans),
+                n_dup * 1_000_000 // len(hs),
+            )
+        df = _df(spark, texts)
+        got = {
+            r["doc_id"]: (
+                r["n_windows"], r["n_dup_windows"], r["n_spans"],
+                r["max_span_tokens"], r["dup_ppm"],
+            )
+            for r in dedup.substring_span_stats(df, "text", "doc_id", w=w).collect()
+        }
+        assert got == want
+
     def test_parity_on_real_fixture(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
         hof = _collect_arrays(
