@@ -54,6 +54,8 @@ PROBES = [
     "quality_filter_pipeline",
     "similarity_brute_topk",
     "global_running_revenue",
+    "dedup_tiered_pipeline",
+    "dedup_span_removal",
 ]
 
 
@@ -97,7 +99,12 @@ def main() -> None:
         "",
         "sf0.1 unioned 10x with offset keys (join cardinality and duplicate",
         "structure preserved); warm runs. With sf0.001 above this spans a",
-        "measured 1000x data range.",
+        "measured 1000x data range. Caveat: the union makes every document",
+        "100% duplicated (10 copies), so dup-flagging work in",
+        "dedup_substring_spans / dedup_tiered_pipeline grows with duplicate",
+        "mass (every window flags; every doc pairs with its 9 copies) — their",
+        "growth numbers are the adversarial-corpus bound, not superlinearity",
+        "in rows.",
         "",
         "| query | sf0.1 s | sf~1 s | growth over 10x data |",
         "|---|---|---|---|",
