@@ -5039,6 +5039,62 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents,
+           CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+                AS BIGINT) AS mom_delta_cents
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue deltas (exact cents; lag over the month-grain
+    aggregate — the global window is per-month rows, constant-size)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w)).alias("mom_delta_cents"),
+    )
+
+
+@register(
+    "event_error_rate_daily",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+           CAST(count(*) FILTER (WHERE event_type = 'error') * 1000000 // count(*)
+                AS BIGINT) AS error_ppm
+    FROM events GROUP BY 1
+    """,
+)
+def event_error_rate_daily(spark, sf_dir):
+    """Operational monitoring: daily error-event share in exact ppm — one
+    conditional aggregate per day partition, the shape an alerting rule
+    consumes."""
+    ev = _t(spark, sf_dir, "events")
+    n_err = F.count_if(F.col("event_type") == "error")
+    return ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_err.cast("long").alias("n_errors"),
+        F.expr(
+            "count_if(event_type = 'error') * 1000000 div count(1)"
+        ).alias("error_ppm"),
+    )
+
+
+@register(
     "text_charset_profile",
     r"""
     SELECT doc_id,
