@@ -5039,6 +5039,44 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "customer_value_deciles",
+    """
+    WITH cv AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT o_custkey, cents,
+               CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS INT) AS decile
+        FROM cv
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM d GROUP BY decile
+    """,
+)
+def customer_value_deciles(spark, sf_dir):
+    """Customer-value decile profile (the 'top decile drives X% of revenue'
+    analysis): ntile(10) over the customer-grain aggregate with a total
+    order, then per-decile count/sum/min/max."""
+    orders = _t(spark, sf_dir, "orders")
+    cv = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    d = cv.select("o_custkey", "cents", F.ntile(10).over(w).cast("int").alias("decile"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+@register(
     "monthly_revenue_growth",
     """
     WITH m AS (
