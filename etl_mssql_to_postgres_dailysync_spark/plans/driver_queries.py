@@ -5039,6 +5039,65 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "order_backlog_daily",
+    """
+    WITH placed AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_placed
+        FROM orders GROUP BY 1
+    ),
+    done AS (
+        SELECT ship_day AS day, count(*) AS n_shipped FROM (
+            SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_day
+            FROM lineitem GROUP BY l_orderkey
+        ) GROUP BY 1
+    ),
+    days AS (
+        SELECT day, coalesce(p.n_placed, 0) AS n_placed, coalesce(d.n_shipped, 0) AS n_shipped
+        FROM placed p FULL OUTER JOIN done d USING (day)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n_placed AS BIGINT) AS n_placed,
+           CAST(n_shipped AS BIGINT) AS n_shipped,
+           CAST(sum(n_placed - n_shipped) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_backlog
+    FROM days
+    """,
+)
+def order_backlog_daily(spark, sf_dir):
+    """Open-order backlog over time: orders placed minus orders fully
+    shipped (an order completes at its max lineitem ship date), as two
+    day-grain series full-outer joined and cumulatively differenced. Both
+    fact scans collapse to day grain before the (constant-size) global
+    window."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    placed = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_placed"))
+    done = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    days = (
+        placed.join(done, ["day"], "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return days.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_placed").cast("long").alias("n_placed"),
+        F.col("n_shipped").cast("long").alias("n_shipped"),
+        F.sum(F.col("n_placed") - F.col("n_shipped")).over(w).cast("long").alias("open_backlog"),
+    )
+
+
+@register(
     "customer_value_deciles",
     """
     WITH cv AS (
