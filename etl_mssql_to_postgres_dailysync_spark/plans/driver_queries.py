@@ -5039,6 +5039,30 @@ def conversion_lag_stats(spark, sf_dir):
 
 
 @register(
+    "event_activity_heatmap",
+    """
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_activity_heatmap(spark, sf_dir):
+    """Activity heatmap: events and distinct users by (day-of-week, hour) —
+    the 2D time-binned reporting shape; output is 7x24-bounded regardless of
+    corpus size. Day numbering pinned to DuckDB's dayofweek (0=Sunday)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "order_backlog_daily",
     """
     WITH placed AS (
