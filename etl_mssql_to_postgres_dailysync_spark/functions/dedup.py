@@ -510,6 +510,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     use_arrow: bool = True,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -521,9 +522,18 @@ def ngram_jaccard_pairs(
     hashes (8-byte longs — document text never shuffles), group by
     (block, shingle) collecting the posting list, emit sorted doc pairs from
     each posting, count intersections, |A∪B| = |A|+|B|-|A∩B|. One scan, two
-    shuffles. Pair fan-out is bounded by the hottest posting list squared —
-    at corpus scale, cap it by dropping stop-shingles (postings above a
-    frequency ceiling carry no near-dup signal anyway).
+    shuffles.
+
+    ``max_posting`` is the stop-shingle cap (the mirror of
+    :func:`substring_span_stats`'s ``max_occurrences``): posting lists longer
+    than the ceiling — site boilerplate, licenses, stock phrases present in
+    thousands of documents — are dropped before pair expansion, bounding the
+    fan-out at cap^2 * |distinct hot shingles| instead of the hottest
+    posting squared. Dropped shingles still count toward |A| and |B| (the
+    per-doc distinct-shingle sizes are computed before the cap), so capped
+    jaccard is a conservative UNDERestimate of true jaccard: the cap can
+    only miss pairs whose overlap is mostly boilerplate, which is the point.
+    Default None = exact (no cap).
     """
     sh_fn = shingle_hashes_arrow if use_arrow else shingle_hashes
     base = df.select(
@@ -535,6 +545,8 @@ def ngram_jaccard_pairs(
     postings = ex.groupBy("blk", "sh").agg(
         F.array_sort(F.collect_list(F.struct("doc", "n_sh"))).alias("docs")
     ).filter(F.size("docs") >= 2)  # singleton postings generate no pairs
+    if max_posting is not None:
+        postings = postings.filter(F.size("docs") <= max_posting)
     # all (i < j) combinations of the posting list
     pairs = postings.select(
         F.explode(

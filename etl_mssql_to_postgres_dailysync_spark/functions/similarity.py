@@ -36,6 +36,37 @@ from etl_mssql_to_postgres_dailysync_spark.functions.vectors import (
     norm,
 )
 
+#: Default cap on rows collected to the driver for IVF / PQ training.
+#: Training quality needs only a bounded sample (faiss trains IVF on
+#: 30-256 vectors per centroid); an uncapped fit on a 100 TB corpus would
+#: OOM the driver. The sample is the ``train_sample`` rows with the
+#: smallest (md5(id), id) key — deterministic, engine-portable (no RNG),
+#: and oracle-replayable as ``ORDER BY md5, id LIMIT n``. Spark executes
+#: the ordered limit as TakeOrdered (per-partition top-N, no global sort
+#: shuffle), so driver memory is O(train_sample) regardless of corpus size.
+TRAIN_SAMPLE_DEFAULT = 1024
+
+
+def _collect_train_rows(df: DataFrame, id_col: str, vec_col: str,
+                        train_sample: int | None) -> list:
+    """The shared fit-side collect for kmeans/PQ training: (md5 key, id,
+    quantized vector), capped at ``train_sample`` rows by hash priority
+    (None = uncapped, test-only). Because the sample keeps the globally
+    smallest (md5, id) keys, the k seed rows of a capped fit are identical
+    to the uncapped fit's seeds."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+
+    sel = df.select(
+        md5_long(F.col(id_col)).alias("mk"),
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    )
+    if train_sample is not None:
+        sel = sel.orderBy("mk", "vid").limit(train_sample)
+    rows = sel.collect()
+    rows.sort(key=lambda r: (r["mk"], r["vid"]))
+    return rows
+
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
@@ -317,6 +348,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    train_sample: int | None = TRAIN_SAMPLE_DEFAULT,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over quantized vectors.
 
@@ -335,7 +367,8 @@ def kmeans_fit(
     loop then costs numpy microseconds instead of one Spark job each.
     """
     return df.sparkSession.createDataFrame(
-        kmeans_fit_list(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters),
+        kmeans_fit_list(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters,
+                        train_sample=train_sample),
         "cell_id int, cv array<bigint>",
     )
 
@@ -347,27 +380,23 @@ def kmeans_fit_list(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    train_sample: int | None = TRAIN_SAMPLE_DEFAULT,
 ) -> list:
     """kmeans_fit returning the raw [(cell_id, centroid)] list (the form the
     Arrow assignment UDF consumes without a re-collect).
 
-    ONE Spark job: quantize + collect the training sample (with its md5 seed
-    keys). Seeding, assignment, and the centroid updates then run in exact
-    int64 numpy on the driver — the same integers the old per-iteration
-    Spark jobs produced (stable-argsort tie-breaks ≡ struct-min; centroid
-    mean = ``sum div count`` truncation-toward-zero ≡ Spark ``div``), so the
-    DuckDB oracle replay is unchanged bit-for-bit while 1 + 2·iters jobs
-    collapse into one."""
+    ONE Spark job: quantize + collect the training sample — the
+    ``train_sample`` rows with the smallest (md5(id), id) keys, a TakeOrdered
+    that bounds driver memory independent of corpus size (see
+    :data:`TRAIN_SAMPLE_DEFAULT`). Seeding, assignment, and the centroid
+    updates then run in exact int64 numpy on the driver — the same integers
+    the old per-iteration Spark jobs produced (stable-argsort tie-breaks ≡
+    struct-min; centroid mean = ``sum div count`` truncation-toward-zero ≡
+    Spark ``div``), so the DuckDB oracle replay is unchanged bit-for-bit
+    while 1 + 2·iters jobs collapse into one."""
     import numpy as np
 
-    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
-
-    rows = df.select(
-        md5_long(F.col(id_col)).alias("mk"),
-        F.col(id_col).alias("vid"),
-        quantize_vec(F.col(vec_col)).alias("qv"),
-    ).collect()
-    rows.sort(key=lambda r: (r["mk"], r["vid"]))
+    rows = _collect_train_rows(df, id_col, vec_col, train_sample)
     qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
     cent_mat = qm[:k].copy()  # seeds: k smallest (md5, id)
     for _ in range(iters):
@@ -394,12 +423,15 @@ def ivf_topk_trained(
     nprobe: int = 2,
     num_cells: int = 8,
     iters: int = 2,
+    train_sample: int | None = TRAIN_SAMPLE_DEFAULT,
 ) -> DataFrame:
-    """IVF search over TRAINED cells: fit integer k-means on the corpus,
-    assign corpus (1 cell) and queries (nprobe cells) in exact int space,
-    then cosine top-k within the probed cells (double cosine, rounded at
-    6dp exactly like the other similarity tiers)."""
-    cent = kmeans_fit_list(corpus, id_col=id_col, vec_col=vec_col, k=num_cells, iters=iters)
+    """IVF search over TRAINED cells: fit integer k-means on the corpus
+    (fit collects only the bounded hash-priority ``train_sample``), assign
+    corpus (1 cell) and queries (nprobe cells) in exact int space, then
+    cosine top-k within the probed cells (double cosine, rounded at 6dp
+    exactly like the other similarity tiers)."""
+    cent = kmeans_fit_list(corpus, id_col=id_col, vec_col=vec_col, k=num_cells,
+                           iters=iters, train_sample=train_sample)
 
     def with_cells(df: DataFrame, n: int, out_id: str) -> DataFrame:
         assign = _cells_udf(cent, n)
@@ -452,23 +484,19 @@ def pq_fit_list(
     m: int = 8,
     k: int = 16,
     iters: int = 1,
+    train_sample: int | None = TRAIN_SAMPLE_DEFAULT,
 ) -> list:
     """Train ``m`` per-subspace codebooks ([(sub, [[codeword]*k])]) with the
     SAME exact-int64 Lloyd rules as :func:`kmeans_fit_list` (md5-smallest-k
     seeding — the same seed ROWS serve every subspace — stable-argsort
     nearest assignment, truncating integer-mean update, empty cells keep
     their codeword), applied to each dim/m-wide slice independently. One
-    collected pass over the (sample) corpus trains all m codebooks."""
+    collected pass over the hash-priority training sample (capped at
+    ``train_sample`` rows, :data:`TRAIN_SAMPLE_DEFAULT`) trains all m
+    codebooks."""
     import numpy as np
 
-    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
-
-    rows = df.select(
-        md5_long(F.col(id_col)).alias("mk"),
-        F.col(id_col).alias("vid"),
-        quantize_vec(F.col(vec_col)).alias("qv"),
-    ).collect()
-    rows.sort(key=lambda r: (r["mk"], r["vid"]))
+    rows = _collect_train_rows(df, id_col, vec_col, train_sample)
     qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
     dim = qm.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -550,6 +578,7 @@ def pq_adc_topk(
     codebook_k: int = 16,
     iters: int = 1,
     n_candidates: int = 24,
+    train_sample: int | None = TRAIN_SAMPLE_DEFAULT,
 ) -> DataFrame:
     """PQ-ADC ANN: train m sub-codebooks, encode the corpus to m-byte codes,
     score every (query, corpus) pair through per-query distance lookup
@@ -565,7 +594,7 @@ def pq_adc_topk(
     import numpy as np
 
     books = pq_fit_list(corpus, id_col=id_col, vec_col=vec_col,
-                        m=m, k=codebook_k, iters=iters)
+                        m=m, k=codebook_k, iters=iters, train_sample=train_sample)
     mats = [np.array(cb, dtype=np.int64) for _, cb in books]
     d = mats[0].shape[1]
 

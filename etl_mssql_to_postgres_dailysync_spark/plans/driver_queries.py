@@ -788,6 +788,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_NGRAM_CAP = 20
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT source, sh FROM sh GROUP BY source, sh
+             HAVING count(*) BETWEEN 2 AND {_NGRAM_CAP}),
+    shc AS (SELECT s.doc_id, s.source, s.sh FROM sh s JOIN keep k
+            ON s.source = k.source AND s.sh = k.sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM shc a JOIN shc b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (sa.n + sb.n - inter) AS jaccard,
+           (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_ppm
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= 100000
+    """,
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Stop-shingle-capped 3-gram Jaccard: posting lists hotter than
+    {_NGRAM_CAP} docs (boilerplate shingles) are dropped before pair
+    expansion, bounding fan-out at cap^2 per hot shingle. Per-doc sizes
+    |A|,|B| are pre-cap, so capped jaccard underestimates — it can only
+    miss boilerplate-driven pairs."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.1, block_col="source", max_posting=_NGRAM_CAP,
+    )
+
+
 def _window_fold_sql(w: int) -> str:
     """DuckDB expression for the w-token positional window fold over th[i..i+w-1]
     (exact twin of dedup._window_hashes_py / dedup.window_hashes)."""
@@ -827,9 +863,10 @@ _WINDOWS_CTE = rf"""
                   max(e - s + {_SPAN_W}) AS max_span_tokens
            FROM spans GROUP BY doc_id)
     SELECT p.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
-           p.n_dup_windows, p.n_spans,
+           CAST(p.n_dup_windows AS BIGINT) AS n_dup_windows,
+           CAST(p.n_spans AS BIGINT) AS n_spans,
            CAST(p.max_span_tokens AS BIGINT) AS max_span_tokens,
-           (p.n_dup_windows * 1000000) // n.n_windows AS dup_ppm
+           CAST((p.n_dup_windows * 1000000) // n.n_windows AS BIGINT) AS dup_ppm
     FROM pd p JOIN nw n USING (doc_id)
     """,
 )
@@ -1143,7 +1180,7 @@ _OOV_BUCKETS = 256
         FROM ex e LEFT JOIN vc v USING (t)
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           list(tid ORDER BY i) AS token_ids
+           array_to_string(list(tid ORDER BY i), ',') AS token_ids_csv
     FROM enc GROUP BY doc_id
     """,
 )
@@ -1151,10 +1188,19 @@ def text_encode_ids(spark, sf_dir):
     """Tokenizer-style id encoding: corpus-frequency vocab (one explode +
     TakeOrdered job, collected like the IVF centroids), then a SHUFFLE-FREE
     encode pass — the vocab rides inside the expression as a map literal;
-    OOV tokens land in deterministic hash buckets (feature hashing)."""
+    OOV tokens land in deterministic hash buckets (feature hashing).
+
+    The id sequence is emitted as a comma-joined string (not array<long>):
+    external comparators canonicalize by sorting rows over all columns, and
+    array cells are unhashable there — a scalar encoding is loss-free and
+    comparable."""
     docs = _t(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs, "text", size=_VOCAB_SIZE)
-    return text.encode_token_ids(docs, "text", "doc_id", vocab, oov_buckets=_OOV_BUCKETS)
+    enc = text.encode_token_ids(docs, "text", "doc_id", vocab, oov_buckets=_OOV_BUCKETS)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids_csv"),
+    )
 
 
 @register(
@@ -3060,11 +3106,15 @@ def txn_table_snapshot(spark, sf_dir):
 # Trained-k-means IVF (functions/similarity.py kmeans_fit / ivf_topk_trained)
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle_ctes(k: int, iters: int, dim: int = 64) -> str:
+def _kmeans_oracle_ctes(k: int, iters: int, dim: int = 64,
+                        train_sample: int = similarity.TRAIN_SAMPLE_DEFAULT) -> str:
     """The DuckDB twin of similarity.kmeans_fit, unrolled per iteration.
     Exactness contract: micro-unit quantization, int64 distances, truncating
     integer-mean update (DuckDB // == Spark div), md5 seeding — every step
-    bit-identical to the Spark operator."""
+    bit-identical to the Spark operator. The ``tr`` CTE replays the fit-side
+    hash-priority sample cap (similarity.TRAIN_SAMPLE_DEFAULT): training
+    iterates over the smallest-(md5,id) ``train_sample`` rows only, exactly
+    like the Spark TakeOrdered collect."""
     from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long_sql
 
     md5v = md5_long_sql("CAST(vid AS VARCHAR)")
@@ -3075,7 +3125,8 @@ def _kmeans_oracle_ctes(k: int, iters: int, dim: int = 64) -> str:
                  list_transform(embedding::DOUBLE[],
                                 x -> CAST(round(x * {similarity.QUANT_SCALE}) AS BIGINT)) AS qv
           FROM embeddings),
-    seeds AS (SELECT vid, qv FROM q ORDER BY {md5v}, vid LIMIT {k}),
+    tr AS (SELECT vid, qv FROM q ORDER BY {md5v}, vid LIMIT {train_sample}),
+    seeds AS (SELECT vid, qv FROM tr ORDER BY {md5v}, vid LIMIT {k}),
     cent0 AS (SELECT row_number() OVER (ORDER BY {md5v}, vid) - 1 AS cell_id, qv AS cv
               FROM seeds)"""
     for i in range(iters):
@@ -3083,7 +3134,7 @@ def _kmeans_oracle_ctes(k: int, iters: int, dim: int = 64) -> str:
     a{i} AS (SELECT vid, qv, cell_id FROM (
          SELECT q.vid, q.qv, c.cell_id,
                 row_number() OVER (PARTITION BY q.vid ORDER BY {dist}, c.cell_id) AS rn
-         FROM q CROSS JOIN cent{i} c) WHERE rn = 1),
+         FROM tr q CROSS JOIN cent{i} c) WHERE rn = 1),
     s{i} AS (SELECT cell_id, t.i AS pos, sum(qv[t.i]) AS s, count(*) AS n
          FROM a{i}, generate_series(1, {dim}) t(i) GROUP BY 1, 2),
     n{i} AS (SELECT cell_id, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
@@ -4604,7 +4655,7 @@ def product_type_profit(spark, sf_dir):
       JOIN nation ON n_nationkey = s_nationkey
       WHERE n_name = 'NATION_4'
       GROUP BY l_partkey)
-    SELECT l_partkey AS p_partkey, value_cents
+    SELECT l_partkey AS p_partkey, CAST(value_cents AS BIGINT) AS value_cents
     FROM pv
     WHERE value_cents * 10000 > (SELECT SUM(value_cents) FROM pv)
     """,
@@ -5379,7 +5430,9 @@ def event_transition_matrix(spark, sf_dir):
              SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
       FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, n, s1, s2, s3, s4,
+    SELECT l_returnflag, n,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4,
            round((CAST(n AS DOUBLE) * s3 - 3.0 * s1 * s2
                   + 2.0 * s1 * s1 * s1 / n)
                  / (n * pow((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / n / n, 1.5)),
@@ -6470,7 +6523,9 @@ def corrupt_json_handling(spark, sf_dir):
              SUM(CAST(l_quantity AS BIGINT)
                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
       FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, n, sx, sy, sxx, sxy,
+    SELECT l_returnflag, n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
            round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents,
            round((CAST(sy AS DOUBLE)
@@ -7017,9 +7072,9 @@ _BIGRAM_CTE = rf"""
     WITH {_BIGRAM_CTE}
     SELECT nb.doc_id AS doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           (n_tok_chars * 1000000) // n_words AS mean_word_len_ppm,
-           (top_cnt * 1000000) // total_bg AS top_bigram_ppm,
-           (dup_cnt * 1000000) // total_bg AS dup_bigram_ppm,
+           CAST((n_tok_chars * 1000000) // n_words AS BIGINT) AS mean_word_len_ppm,
+           CAST((top_cnt * 1000000) // total_bg AS BIGINT) AS top_bigram_ppm,
+           CAST((dup_cnt * 1000000) // total_bg AS BIGINT) AS dup_bigram_ppm,
            coalesce(n_words >= 30 AND n_words <= 2000
                     AND (n_tok_chars * 1000000) // n_words BETWEEN 3000000 AND 12000000
                     AND (top_cnt * 1000000) // total_bg <= 120000
@@ -7105,8 +7160,9 @@ def decontamination_overlap(spark, sf_dir):
     w AS (SELECT *, (tokens * 1000000) // (SELECT sum(tokens) FROM per) AS weight_ppm
           FROM per),
     c AS (SELECT *, least(weight_ppm, 150000) AS capped FROM w)
-    SELECT source, n_docs, tokens, weight_ppm,
-           (capped * 1000000) // (SELECT sum(capped) FROM c) AS mix_ppm
+    SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+           CAST(weight_ppm AS BIGINT) AS weight_ppm,
+           CAST((capped * 1000000) // (SELECT sum(capped) FROM c) AS BIGINT) AS mix_ppm
     FROM c
     """,
 )
@@ -7133,13 +7189,16 @@ def domain_mixing_weights(spark, sf_dir):
     )
 
 
-def _pq_oracle_ctes(m: int, k: int, d: int, iters: int) -> str:
+def _pq_oracle_ctes(m: int, k: int, d: int, iters: int,
+                    train_sample: int = similarity.TRAIN_SAMPLE_DEFAULT) -> str:
     """DuckDB twin of similarity.pq_fit_list + PQ encode + ADC scoring:
     per-subspace k-means chains (same exactness contract as
     _kmeans_oracle_ctes — micro-unit ints, int64 distances, truncating
     integer-mean update, shared md5-smallest-k seed rows), a final
     assignment per subspace (the PQ code), and per-subspace partial ADC
-    distances that sum into the full asymmetric distance."""
+    distances that sum into the full asymmetric distance. ``tr`` replays
+    the fit-side hash-priority sample cap; encode/ADC still cover the full
+    corpus ``q``."""
     from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long_sql
 
     md5v = md5_long_sql("CAST(vid AS VARCHAR)")
@@ -7153,8 +7212,9 @@ def _pq_oracle_ctes(m: int, k: int, d: int, iters: int) -> str:
                  list_transform(embedding::DOUBLE[],
                                 x -> CAST(round(x * {similarity.QUANT_SCALE}) AS BIGINT)) AS qv
           FROM embeddings),
+    tr AS (SELECT vid, qv FROM q ORDER BY {md5v}, vid LIMIT {train_sample}),
     seeds AS (SELECT vid, qv, row_number() OVER (ORDER BY {md5v}, vid) - 1 AS code_id
-              FROM q ORDER BY {md5v}, vid LIMIT {k})"""
+              FROM tr ORDER BY {md5v}, vid LIMIT {k})"""
     pd_names = []
     for s in range(m):
         base = s * d
@@ -7168,7 +7228,7 @@ def _pq_oracle_ctes(m: int, k: int, d: int, iters: int) -> str:
          SELECT q.vid, q.qv, c.code_id,
                 row_number() OVER (PARTITION BY q.vid
                                    ORDER BY {dist(base, 'q.qv', 'c.cw')}, c.code_id) AS rn
-         FROM q CROSS JOIN cb{s}_{it} c) WHERE rn = 1),
+         FROM tr q CROSS JOIN cb{s}_{it} c) WHERE rn = 1),
     s{s}_{it} AS (SELECT code_id, t.i AS pos, sum(qv[{base} + t.i]) AS su, count(*) AS n
          FROM a{s}_{it}, generate_series(1, {d}) t(i) GROUP BY 1, 2),
     n{s}_{it} AS (SELECT code_id, list(CAST(su // n AS BIGINT) ORDER BY pos) AS cw

@@ -332,6 +332,29 @@ class TestKMeansIVF:
             r["cell_id"]: list(r["cv"]) for r in b
         }
 
+    def test_train_sample_cap_bounds_fit_and_keeps_seeds(self, spark, sf_dir):
+        """The fit-side collect is capped at train_sample rows (hash-priority
+        top-N): a capped fit equals a fit on the explicitly pre-sampled
+        DataFrame, and the seed rows are the same as the uncapped fit's
+        (the sample keeps the globally smallest (md5, id) keys)."""
+        from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        cap = max(n // 2, 8)  # strictly smaller than the corpus
+        capped = similarity.kmeans_fit_list(emb, k=4, iters=2, train_sample=cap)
+        manual = emb.orderBy(md5_long(F.col("vec_id")), "vec_id").limit(cap)
+        explicit = similarity.kmeans_fit_list(manual, k=4, iters=2, train_sample=None)
+        assert capped == explicit
+        # seeds (iters=0 centroids) are cap-invariant
+        seeds_capped = similarity.kmeans_fit_list(emb, k=4, iters=0, train_sample=cap)
+        seeds_full = similarity.kmeans_fit_list(emb, k=4, iters=0, train_sample=None)
+        assert seeds_capped == seeds_full
+        # PQ shares the same sample contract
+        pq_capped = similarity.pq_fit_list(emb, m=8, k=4, iters=1, train_sample=cap)
+        pq_explicit = similarity.pq_fit_list(manual, m=8, k=4, iters=1, train_sample=None)
+        assert pq_capped == pq_explicit
+
     def test_trained_ivf_recall_beats_random_cells(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 5)

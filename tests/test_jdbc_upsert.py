@@ -119,6 +119,72 @@ class TestDialects:
         )
         assert "USING dbo.orders_staging AS s" in staged
 
+    def test_golden_mssql_staging_merge_reference_schema(self):
+        """Byte-exact golden for the reference's S5/S8 path: the full orders
+        schema (csv_to_mssqldb.py:504), OrderID key (csv_to_mssqldb.py:77),
+        OrderCreatedAt first-write-wins exclusion (csv_to_mssqldb.py:421),
+        staging table as MERGE source (csv_to_mssqldb.py:409-443). Every
+        clause the reference emits — bracketed idents, t/s aliases, AND-ed
+        ON condition, NOT MATCHED BY TARGET insert — in one statement."""
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        cols = ["OrderID", "UserID", "AddedToCartAt", "OrderCreatedAt",
+                "Amount", "Product", "IsDelivered"]
+        sql = get_dialect("mssql").staging_merge_sql(
+            "dbo.Orders", "dbo.Orders_Staging", cols, ["OrderID"],
+            exclude_update_cols=["OrderCreatedAt"],
+        )
+        assert sql == (
+            "MERGE dbo.Orders AS t USING dbo.Orders_Staging AS s "
+            "ON t.[OrderID] = s.[OrderID] "
+            "WHEN MATCHED THEN UPDATE SET "
+            "t.[UserID] = s.[UserID], "
+            "t.[AddedToCartAt] = s.[AddedToCartAt], "
+            "t.[Amount] = s.[Amount], "
+            "t.[Product] = s.[Product], "
+            "t.[IsDelivered] = s.[IsDelivered] "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT "
+            "([OrderID], [UserID], [AddedToCartAt], [OrderCreatedAt], "
+            "[Amount], [Product], [IsDelivered]) "
+            "VALUES (s.[OrderID], s.[UserID], s.[AddedToCartAt], "
+            "s.[OrderCreatedAt], s.[Amount], s.[Product], s.[IsDelivered]);"
+        )
+
+    def test_golden_postgres_upsert_reference_schema(self):
+        """Byte-exact golden for the reference's S6 path
+        (dags/mssql_to_postgresql_orders_daily.py:296-308): lowercased
+        columns, "order_id" conflict target (:106), every non-key column
+        updated from EXCLUDED. The reference's VALUES %s placeholder is
+        psycopg2 execute_values-specific; ours is per-row %s tuples —
+        semantically the same batched insert."""
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        cols = ["order_id", "user_id", "added_to_cart_at", "order_created_at",
+                "amount", "product", "is_delivered"]
+        sql = get_dialect("postgres").upsert_sql('public."orders"', cols, ["order_id"])
+        assert sql == (
+            'INSERT INTO public."orders" ("order_id", "user_id", '
+            '"added_to_cart_at", "order_created_at", "amount", "product", '
+            '"is_delivered") VALUES (%s, %s, %s, %s, %s, %s, %s) '
+            'ON CONFLICT ("order_id") DO UPDATE SET '
+            '"user_id" = EXCLUDED."user_id", '
+            '"added_to_cart_at" = EXCLUDED."added_to_cart_at", '
+            '"order_created_at" = EXCLUDED."order_created_at", '
+            '"amount" = EXCLUDED."amount", '
+            '"product" = EXCLUDED."product", '
+            '"is_delivered" = EXCLUDED."is_delivered"'
+        )
+
+    def test_golden_truncate_then_merge_transaction_order(self):
+        """The reference wraps TRUNCATE staging -> bulk append -> MERGE in
+        ONE transaction (csv_to_mssqldb.py:447-466). The dialect provides
+        both statements; this pins their exact text so the transaction
+        script is reproducible."""
+        from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
+
+        d = get_dialect("mssql")
+        assert d.truncate_sql("dbo.Orders_Staging") == "TRUNCATE TABLE dbo.Orders_Staging"
+
     def test_mysql_on_duplicate_key(self):
         from etl_mssql_to_postgres_dailysync_spark.sources.dialects import get_dialect
 

@@ -388,6 +388,58 @@ class TestAlertingListener:
         finally:
             spark.streams.removeListener(listener)
 
+    def test_transports_deliver_failure_alert(self, tmp_path):
+        """Delivery half of the reference's email_on_failure contract
+        (dags/mssql_to_postgresql_orders_daily.py:68-75,136-140): a failure
+        alert renders one durable record per transport; a broken transport
+        doesn't block the others."""
+        import json as _json
+        import logging as _logging
+
+        from etl_mssql_to_postgres_dailysync_spark.streaming.alerts import (
+            Alert,
+            FileTransport,
+            LogTransport,
+            SmtpTransport,
+            fan_out,
+            format_alert_message,
+        )
+
+        alert = Alert("failure", "q-123", "sink exploded")
+        subject, body = format_alert_message(alert, job_name="daily-sync")
+        assert subject == "[daily-sync] FAILURE: query q-123"
+        assert "Detail: sink exploded" in body
+
+        path = str(tmp_path / "alerts.jsonl")
+        sent = []
+        smtp = SmtpTransport(
+            "ops@example.com, , not-an-email, dev@example.com",
+            job_name="daily-sync",
+            send_fn=lambda s, r, m: sent.append((s, r, m)),
+        )
+        # the '@ in addr' recipient filter is the reference's (:69-70)
+        assert smtp.recipients == ["ops@example.com", "dev@example.com"]
+
+        def broken(_):
+            raise OSError("smtp down")
+
+        logger = _logging.getLogger("test.alerts")
+        fan_out(broken, FileTransport(path, job_name="daily-sync"),
+                LogTransport(logger, job_name="daily-sync"), smtp)(alert)
+
+        recs = [_json.loads(l) for l in open(path)]
+        assert len(recs) == 1 and recs[0]["kind"] == "failure"
+        assert recs[0]["query_id"] == "q-123" and recs[0]["subject"] == subject
+        assert len(sent) == 1
+        _, rcpts, msg = sent[0]
+        assert rcpts == ["ops@example.com", "dev@example.com"]
+        assert f"Subject: {subject}" in msg and "sink exploded" in msg
+
+        # no valid recipients -> no send (reference skips mail entirely)
+        quiet = SmtpTransport("", send_fn=lambda *a: sent.append(a))
+        quiet(alert)
+        assert len(sent) == 1
+
 
 class TestTxnTableStreamingSink:
     def _write_input(self, spark, sf_dir, path, lo, hi):

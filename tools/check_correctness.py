@@ -29,16 +29,27 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
+    """Sort columns + rows like the round driver does. Returns (canonical_df,
+    hazards): the driver's canonicalizer crashes on array-typed cells
+    (unhashable) and hash-mismatches int-vs-float dtype drift, so we surface
+    both as hazards instead of silently tolerating them."""
     import numpy as np
 
+    hazards = []
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
-            )
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+            has_seq = df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
+            if has_seq:
+                hazards.append(
+                    f"col {c}: array-typed cells (driver canonicalizer would crash; "
+                    "emit a scalar encoding e.g. concat_ws)"
+                )
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+                )
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True), hazards
 
 
 def values_equal(a, b) -> bool:
@@ -60,12 +71,21 @@ def values_equal(a, b) -> bool:
 
 def compare(name: str, spark_df, oracle_df) -> list[str]:
     problems = []
-    a, b = canon(spark_df), canon(oracle_df)
+    a, hz_a = canon(spark_df)
+    b, hz_b = canon(oracle_df)
+    problems += [f"spark {h}" for h in hz_a] + [f"oracle {h}" for h in hz_b]
     if list(a.columns) != list(b.columns):
         return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} oracle={len(b)}"]
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype drift spark={a[c].dtype} oracle={b[c].dtype} "
+                "(driver hash-mismatches 9 vs 9.0; CAST the oracle side to BIGINT)"
+            )
+            continue
         av, bv = a[c].tolist(), b[c].tolist()
         bad = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)]
         if bad:
