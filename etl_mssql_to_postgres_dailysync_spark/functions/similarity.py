@@ -211,6 +211,7 @@ def lsh_bucketed_topk(
     k: int = 5,
     bits: int = 6,
     multiprobe: int = 0,
+    margin_probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bucket.
 
@@ -222,9 +223,39 @@ def lsh_bucketed_topk(
     from the query's (the standard multi-probe LSH recall lever: near
     neighbors most often differ in exactly one marginal sign bit). Probe
     fan-out is bits+1 buckets = (bits+1)/2^bits of the corpus; the corpus
-    side still sits in exactly one bucket, so probes add no duplicates."""
+    side still sits in exactly one bucket, so probes add no duplicates.
+
+    ``margin_probes=T`` (overrides ``multiprobe``) is full margin-ordered
+    multi-probe (Lv et al. 2007, "Multi-Probe LSH"): rank ALL 2^bits bit-flip
+    subsets by the summed |projection| of the flipped bits — a near neighbor
+    most likely differs in the bits where the query's projection is smallest
+    — and probe the T cheapest. Margins are integer micro-units
+    (round(|v[j]| * 1e6), like the k-means quantization), so the subset
+    ranking is order-independent, tie-broken by subset mask, and replays
+    exactly in any engine. Probe fraction is T/2^bits regardless of bits —
+    the recall/scan knob at scale. Measured on the RANDOM-vector fixture
+    (the sign-LSH-adversarial case, tools/recall_report.py): T=16, bits=6
+    lifts recall@5 from 0.30 (Hamming-1) to ~0.54 while scanning 25% of the
+    corpus vs brute force's 100%."""
     bucket = sign_bucket(F.col(vec_col), bits)
-    if multiprobe >= 1:
+    if margin_probes is not None:
+        margins = [
+            F.abs(F.round(F.element_at(F.col(vec_col), j + 1).cast("double")
+                          * QUANT_SCALE).cast("long"))
+            for j in range(bits)
+        ]
+        entries = []
+        for mask in range(1 << bits):
+            flipped = [margins[j] for j in range(bits) if mask & (1 << j)]
+            msum = flipped[0] if flipped else F.lit(0).cast("long")
+            for m in flipped[1:]:
+                msum = msum + m
+            entries.append(F.struct(msum.alias("s"),
+                                    F.lit(mask).cast("long").alias("m")))
+        ranked = F.slice(F.array_sort(F.array(*entries)), 1, margin_probes)
+        probes = F.transform(ranked, lambda x: bucket.bitwiseXOR(x["m"]))
+        bucket_expr = F.explode(probes).alias("bucket")
+    elif multiprobe >= 1:
         probes = F.array(
             bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
         )

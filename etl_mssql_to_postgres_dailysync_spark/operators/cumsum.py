@@ -19,8 +19,9 @@ The order columns MUST form a total order (include a unique tie-break key):
 range boundaries may split ties across partitions, and only a total order
 makes the result independent of where the boundary lands.
 
-Cost: one range shuffle + one pass, plus the tiny totals job over the cached
-repartitioned data — vs the single-partition window's one-task execution.
+Cost: one range shuffle + one pass, plus the tiny totals job over the
+checkpointed repartitioned data — vs the single-partition window's one-task
+execution.
 """
 
 from __future__ import annotations
@@ -40,7 +41,21 @@ def global_cumsum(
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_cols`` order,
     without a single-partition window. ``order_cols`` must be a total order.
-    """
+
+    Correctness note: the pid -> offset map is derived from ONE evaluation
+    of the range-repartitioned plan, so the result stage must not recompute
+    ``_pid`` from scratch (range boundaries are sampled, a re-plan could
+    shift them). With ``cache=True`` (default) the local-prefix stage is
+    ``localCheckpoint(eager=True)``-ed: lineage is TRUNCATED, so the pid
+    assignment is frozen in the stored partitions and a recompute is
+    impossible by construction; the checkpoint storage is released by
+    Spark's ContextCleaner when the returned DataFrame is garbage
+    collected — repeated calls in a long-lived session do not accumulate
+    pinned storage (the old ``persist()`` needed a manual unpersist that no
+    caller could safely place). ``cache=False`` skips materialization and
+    is only safe when the input plan is fully deterministic end-to-end
+    (deterministic source, no sampling), where re-evaluating the range
+    exchange reproduces identical boundaries and pids."""
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -54,7 +69,7 @@ def global_cumsum(
     )
     local = base.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
     if cache:
-        local = local.persist()
+        local = local.localCheckpoint(eager=True)
     totals = (
         local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_tot")).collect()
     )

@@ -1472,15 +1472,37 @@ _BUCKET_SQL = (
 )
 
 
+_LSH_T = 16  # margin-ordered probes (of 2^6 buckets) — recall 0.54 @ 25% scan
+
+
+def _margin_probe_list_sql(bits: int = 6) -> str:
+    """DuckDB twin of similarity.lsh_bucketed_topk's margin_probes ranking:
+    the 2^bits struct(s := integer margin sum, m := mask) entries, sorted
+    ascending (struct compare = (s, m) lexicographic, same as Spark
+    array_sort), top-T, each mapped to xor(bucket0, mask)."""
+    margins = [
+        f"CAST(abs(round(qv[{j + 1}]::DOUBLE * {similarity.QUANT_SCALE})) AS BIGINT)"
+        for j in range(bits)
+    ]
+    entries = []
+    for mask in range(1 << bits):
+        flipped = [margins[j] for j in range(bits) if mask & (1 << j)]
+        msum = " + ".join(flipped) if flipped else "CAST(0 AS BIGINT)"
+        entries.append(f"{{'s': {msum}, 'm': CAST({mask} AS BIGINT)}}")
+    return (
+        "list_transform(list_slice(list_sort(["
+        + ", ".join(entries)
+        + f"]), 1, {_LSH_T}), x -> xor(bucket0, x.m))"
+    )
+
+
 @register(
     "similarity_ann_lsh",
     f"""
     WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
                        {_BUCKET_SQL.format(v='embedding')} AS bucket0
                 FROM embeddings WHERE vec_id < 10),
-    q AS (SELECT query_id, qv, unnest([bucket0,
-                 xor(bucket0, 1), xor(bucket0, 2), xor(bucket0, 4),
-                 xor(bucket0, 8), xor(bucket0, 16), xor(bucket0, 32)]) AS bucket
+    q AS (SELECT query_id, qv, unnest({_margin_probe_list_sql(6)}) AS bucket
           FROM q0),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                  {_BUCKET_SQL.format(v='embedding')} AS bucket
@@ -1497,16 +1519,17 @@ _BUCKET_SQL = (
     """,
 )
 def similarity_ann_lsh(spark, sf_dir):
-    """Approximate top-5 via sign-bucket LSH with Hamming-1 multi-probe:
-    candidates restricted to the query's bucket + its 6 one-bit neighbors ->
-    still an equi-join instead of a cross join (the 100 TB path), probing
-    7/64 of the corpus (recall measured in tools/recall_report.py; on this
-    RANDOM-embedding fixture even exact top-5 neighbors are near-orthogonal,
-    the adversarial case for sign LSH — clustered corpora fare far better)."""
+    """Approximate top-5 via sign-bucket LSH with margin-ordered multi-probe
+    (Lv et al. 2007): the 16 bit-flip subsets with the smallest integer
+    margin sums of 64 buckets -> still an equi-join instead of a cross join
+    (the 100 TB path), scanning 25% of the corpus for recall@5 ~0.54 on the
+    RANDOM-embedding fixture (even exact top-5 neighbors are
+    near-orthogonal there — the adversarial case for sign LSH; clustered
+    corpora fare far better; tools/recall_report.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_bucketed_topk(
-        queries_df, emb, k=5, bits=6, multiprobe=1
+        queries_df, emb, k=5, bits=6, margin_probes=_LSH_T
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -3158,7 +3181,7 @@ _KM_DIST_FINAL = (f"list_sum(list_transform(generate_series(1, 64), "
          FROM q CROSS JOIN cent{_KM_ITERS} c)),
     corpus AS (SELECT vid AS neighbor_id, embedding AS cve, cell_id FROM asgn WHERE rn = 1),
     qa AS (SELECT vid AS query_id, embedding AS qv2, cell_id FROM asgn
-           WHERE vid < 10 AND rn <= 3),
+           WHERE vid < 10 AND rn <= 4),
     scored AS (
         SELECT qa.query_id, corpus.neighbor_id,
                round(list_cosine_similarity(qa.qv2::DOUBLE[], corpus.cve::DOUBLE[]), 6) AS sim
@@ -3171,18 +3194,23 @@ _KM_DIST_FINAL = (f"list_sum(list_transform(generate_series(1, 64), "
     """,
 )
 def similarity_ann_ivf_trained(spark, sf_dir):
-    """IVF over TRAINED cells: distributed integer-exact Lloyd k-means
-    (md5 seeding, broadcast assignment, truncating integer-mean update)
-    followed by nprobe=3 cell-local cosine top-5 (nprobe tuned against
-    tools/recall_report.py: 2 probes gave 0.48 recall@5 on this corpus). The oracle replays the
-    ENTIRE TRAINING LOOP in SQL and matches bit-for-bit — training, cell
+    """IVF over TRAINED cells: integer-exact Lloyd k-means fit on the
+    bounded hash-priority train sample (md5 seeding, broadcast assignment,
+    truncating integer-mean update) followed by nprobe=4 cell-local cosine
+    top-5. nprobe tuned against tools/recall_report.py with the
+    train-sample cap engaged (sf0.1 corpus 2000 > cap 1024): 3 probes gave
+    0.58 recall@5, 4 gives 0.66 — sampling costs ~6pts recall vs training
+    on everything, the standard IVF tradeoff; at scale num_cells grows with
+    the corpus and nprobe/num_cells stays small (this 8-cell layout is
+    oracle-sized). The oracle replays the ENTIRE TRAINING LOOP including
+    the sample cap in SQL and matches bit-for-bit — training, cell
     assignment, and search are all checked, not just the output shape.
-    At 100 TB: fit on a sample, persist centroids, store the corpus
+    At 100 TB: fit on the sample, persist centroids, store the corpus
     bucketed by cell_id; per-query cost is nprobe/num_cells of the data."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk_trained(
-        queries_df, emb, k=5, nprobe=3, num_cells=8, iters=_KM_ITERS
+        queries_df, emb, k=5, nprobe=4, num_cells=8, iters=_KM_ITERS
     ).withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -332,6 +332,29 @@ class TestKMeansIVF:
             r["cell_id"]: list(r["cv"]) for r in b
         }
 
+    def test_margin_probe_first_probe_is_home_bucket(self, spark, sf_dir):
+        """Mask 0 has margin sum 0 — always ranked first — so
+        margin_probes=1 must reproduce the single-bucket (multiprobe=0)
+        result exactly, and more probes only add candidates (recall is
+        monotone in T)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        single = similarity.lsh_bucketed_topk(queries, emb, k=3, bits=6)
+        t1 = similarity.lsh_bucketed_topk(queries, emb, k=3, bits=6, margin_probes=1)
+        assert sorted(map(tuple, single.collect())) == sorted(map(tuple, t1.collect()))
+        pairs1 = set(
+            map(tuple, t1.select("query_id", "neighbor_id").collect())
+        )
+        t8 = similarity.lsh_bucketed_topk(queries, emb, k=3, bits=6, margin_probes=8)
+        # top-3 under more probes scores a superset of candidates: every
+        # (query, neighbor) kept at T=8 has sim >= the T=1 cutoff
+        sims8 = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in t8.collect()}
+        cut1 = {}
+        for r in single.collect():
+            q = r["query_id"]
+            cut1[q] = min(cut1.get(q, 1e9), r["sim"])
+        assert all(s >= cut1[q] - 1e-9 for (q, _), s in sims8.items() if q in cut1)
+
     def test_train_sample_cap_bounds_fit_and_keeps_seeds(self, spark, sf_dir):
         """The fit-side collect is capped at train_sample rows (hash-priority
         top-N): a capped fit equals a fit on the explicitly pre-sampled

@@ -290,7 +290,16 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
             F.max("o_totalprice").alias("mx"),
         )
         plan = plan_of(agg)
-        assert "PushedAggregation: [COUNT(*), MIN(o_totalprice), MAX(o_totalprice)]" in plan, plan
+        # behavior check, not exact-format check: the PushedAggregation line's
+        # rendering is Spark-version-specific; assert the pushdown happened and
+        # covers all three aggregates
+        import re
+
+        m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+        assert m, plan
+        pushed = m.group(1)
+        for agg_name in ("COUNT(*)", "MIN(o_totalprice)", "MAX(o_totalprice)"):
+            assert agg_name in pushed, plan
         row = agg.first()
         assert row["n"] == df.count()
     finally:
