@@ -583,6 +583,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    use_arrow: bool = True,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT |A∩B| / min(|A|,|B|) for candidate
+    pairs — the excerpt/quote detector: a short document wholly contained in
+    a long one scores ~1.0 here but can score near 0 Jaccard (the union is
+    dominated by the long side), so Jaccard-only dedup ships the same
+    excerpt twice. Same single-pass inverted-index plan as
+    :func:`ngram_jaccard_pairs` (posting lists on 8-byte shingle hashes,
+    ``max_posting`` stop-shingle cap, pair fan-out bounded by posting
+    sizes); emits both directional containments plus the symmetric
+    min-denominator score that the threshold applies to.
+    """
+    sh_fn = shingle_hashes_arrow if use_arrow else shingle_hashes
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        sh_fn(F.col(text_col), k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = base.select("doc", "blk", "n_sh", F.explode("shingles").alias("sh"))
+    postings = ex.groupBy("blk", "sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "n_sh"))).alias("docs")
+    ).filter(F.size("docs") >= 2)
+    if max_posting is not None:
+        postings = postings.filter(F.size("docs") <= max_posting)
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.greatest(F.size("docs") - i - 1, F.lit(1))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = (
+        pairs.select(
+            F.col("p.a.doc").alias("id_a"),
+            F.col("p.b.doc").alias("id_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = inter.select(
+        "id_a", "id_b",
+        F.expr("(inter * 1000000) div na").alias("containment_a_ppm"),
+        F.expr("(inter * 1000000) div nb").alias("containment_b_ppm"),
+        F.expr("(inter * 1000000) div least(na, nb)").alias("containment_ppm"),
+    )
+    return cont.filter(F.col("containment_ppm") >= int(threshold * 1_000_000))
+
+
 def _window_hashes_py(text: str, w: int):
     """Positional (non-distinct) w-token window hashes: the same exact-integer
     polynomial fold as :func:`_shingle_hashes_py`, but keeping every window in

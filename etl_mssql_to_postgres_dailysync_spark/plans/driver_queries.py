@@ -7399,3 +7399,619 @@ def multimodal_dhash_neardup(spark, sf_dir):
         "id_a", "id_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint").alias("hamming"),
     ).filter(F.col("hamming") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# r3 tranche — containment dedup, apportionment, inequality/quality stats,
+# sliding-distinct, CUSUM, quantization error. All outputs scalar + BIGINT
+# (the two driver-canonicalizer hazards: no arrays, no HUGEINT drift).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_shingle_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST((inter * 1000000) // sa.n AS BIGINT) AS containment_a_ppm,
+           CAST((inter * 1000000) // sb.n AS BIGINT) AS containment_b_ppm,
+           CAST((inter * 1000000) // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE (inter * 1000000) // least(sa.n, sb.n) >= 500000
+    """,
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (excerpt/quote detection): pairs
+    where the smaller shingle set is >= 50% contained in the larger. The
+    complement of Jaccard dedup — a 200-token excerpt of a 10k-token doc
+    scores ~1.0 containment but ~0.02 Jaccard, so threshold-Jaccard alone
+    ships the duplicate text twice. Same inverted-index plan (posting
+    lists on 8-byte hashes, no self-join of the text)."""
+    return dedup.shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.5, block_col="source",
+    )
+
+
+@register(
+    "intra_doc_repetition",
+    rf"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               min(struct_pack(nc := -c, t := t)) AS top
+        FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((n_distinct * 1000000) // n_tokens AS BIGINT) AS distinct_ratio_ppm,
+           CAST(((-top.nc) * 1000000) // n_tokens AS BIGINT) AS top_token_ppm
+    FROM agg WHERE n_tokens > 0
+    """,
+)
+def intra_doc_repetition(spark, sf_dir):
+    """Within-document repetition profile — type/token ratio and the mass of
+    the single most-repeated token (ties -> lexicographically smallest via
+    min over (-count, token), identical in both engines) — the
+    intra-document half of repetition quality filtering (the Gopher rules
+    cover bigram repetition). One explode + two partial-agg shuffles on
+    (doc, token); text itself never shuffles beyond the token split."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(text.tokens(text.normalize(F.col("text")))).alias("t")
+    )
+    cnt = tk.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("t").alias("t"))).alias("top"),
+    )
+    return agg.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.expr("n_distinct * 1000000 div n_tokens").alias("distinct_ratio_ppm"),
+        F.expr("(-top.nc) * 1000000 div n_tokens").alias("top_token_ppm"),
+    )
+
+
+@register(
+    "doc_length_log_histogram",
+    """
+    WITH b AS (SELECT doc_id, n_chars,
+                      CAST(length(printf('%b', n_chars + 1)) - 1 AS BIGINT) AS bucket
+               FROM documents)
+    SELECT bucket,
+           CAST(1 << bucket AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def doc_length_log_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram (the shard-size planning
+    view). floor(log2(n+1)) is computed as the INTEGER bit length of n+1
+    (length of the binary rendering minus one) in both engines — never
+    float log2, whose boundary ulps can disagree cross-engine. Pure
+    map + one tiny groupBy on ~20 buckets; partial-aggregates map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin(F.col("n_chars") + 1)) - 1).cast("long")
+    return (
+        docs.select("doc_id", "n_chars", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").alias("bucket_lo"),
+            "n_docs", "total_chars", "min_chars", "max_chars",
+        )
+    )
+
+
+_TOKEN_BUDGET = 100_000
+
+
+@register(
+    "token_budget_allocation",
+    rf"""
+    WITH tok AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+    per AS (SELECT source, sum(n_tokens) AS tokens FROM tok GROUP BY 1),
+    quota AS (SELECT source, tokens,
+                     ({_TOKEN_BUDGET} * tokens) // (SELECT sum(tokens) FROM per) AS base,
+                     ({_TOKEN_BUDGET} * tokens) % (SELECT sum(tokens) FROM per) AS rem
+              FROM per),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+                      (SELECT {_TOKEN_BUDGET} - sum(base) FROM quota) AS leftover
+               FROM quota)
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def token_budget_allocation(spark, sf_dir):
+    """Integer apportionment of a global token budget across source domains
+    by the largest-remainder method (Hamilton): exact floor quotas, then the
+    leftover units go to the largest fractional remainders (ties -> source
+    asc). Allocations sum EXACTLY to the budget — proportional-float
+    rounding doesn't. Two scalar broadcasts (total tokens, leftover) + one
+    rank window over the per-source grain (bounded by source cardinality,
+    not data size)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).groupBy("source").agg(F.sum("n_tokens").alias("tokens"))
+    tot = per.agg(F.sum("tokens").alias("__tot__"))
+    quota = per.crossJoin(F.broadcast(tot)).select(
+        "source", "tokens",
+        F.expr(f"({_TOKEN_BUDGET} * tokens) div __tot__").alias("base"),
+        F.expr(f"({_TOKEN_BUDGET} * tokens) % __tot__").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(_TOKEN_BUDGET) - F.sum("base")).alias("__left__")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quota.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(leftover)
+    )
+    return ranked.select(
+        "source", "tokens",
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("__left__"), 1).otherwise(0)).cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+@register(
+    "revenue_gini_by_nation",
+    """
+    WITH cust AS (
+        SELECT c_custkey, n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY n_name
+                                        ORDER BY cents ASC, c_custkey ASC) AS i
+           FROM cust),
+    agg AS (SELECT n_name, count(*) AS n, sum(cents) AS tot, sum(i * cents) AS iws
+            FROM rk GROUP BY 1)
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST((2 * iws - (n + 1) * tot) * 1000000 // (n * tot) AS BIGINT) AS gini_ppm
+    FROM agg WHERE tot > 0
+    """,
+)
+def revenue_gini_by_nation(spark, sf_dir):
+    """Revenue-concentration Gini coefficient per nation over customer
+    lifetime value, via the rank-sum identity G = (2*Σ(i*x_i) - (n+1)*Σx)
+    / (n*Σx) with x ascending — one window rank + one aggregation, all
+    integer cents (exact, engine-portable), no O(n^2) pair differences.
+    The window partitions by nation, so ranking parallelizes across
+    nations; per-nation customer counts bound each sort."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("cents"), F.asc("c_custkey"))
+    rk = cents.withColumn("i", F.row_number().over(w))
+    agg = rk.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("iws"),
+    )
+    return agg.filter(F.col("tot") > 0).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        F.expr("(2 * iws - (n + 1) * tot) * 1000000 div (n * tot)").alias("gini_ppm"),
+    )
+
+
+@register(
+    "ship_latency_histogram",
+    """
+    WITH d AS (
+        SELECT o_orderpriority,
+               datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    b AS (SELECT o_orderpriority,
+                 CASE WHEN delay <= 7  THEN 'week_1'
+                      WHEN delay <= 14 THEN 'week_2'
+                      WHEN delay <= 30 THEN 'month_1'
+                      WHEN delay <= 60 THEN 'month_2'
+                      WHEN delay <= 90 THEN 'month_3'
+                      ELSE 'over_90d' END AS bucket
+          FROM d),
+    c AS (SELECT o_orderpriority, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT o_orderpriority, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.o_orderpriority, c.bucket, CAST(c.n AS BIGINT) AS n_lines,
+           CAST((c.n * 1000000) // t.tot AS BIGINT) AS share_ppm
+    FROM c JOIN t USING (o_orderpriority)
+    """,
+)
+def ship_latency_histogram(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority (the SLA view):
+    fixed day buckets, counts, and integer-ppm share of the priority's
+    lines. The orders side joins on the shuffle-free broadcast path only if
+    small — here it's the fact-fact equi-join on l_orderkey (AQE picks the
+    strategy); the share join is priority-cardinality-sized and broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(delay <= 7, "week_1")
+        .when(delay <= 14, "week_2")
+        .when(delay <= 30, "month_1")
+        .when(delay <= 60, "month_2")
+        .when(delay <= 90, "month_3")
+        .otherwise("over_90d")
+    )
+    c = d.select("o_orderpriority", bucket.alias("bucket")).groupBy(
+        "o_orderpriority", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("o_orderpriority").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "o_orderpriority").select(
+        "o_orderpriority", "bucket",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr("n * 1000000 div tot").alias("share_ppm"),
+    )
+
+
+@register(
+    "rolling_28d_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT DISTINCT ud.user_id, d.day AS target_day
+        FROM ud JOIN days d
+          ON d.day >= ud.day AND d.day < ud.day + INTERVAL 28 DAY)
+    SELECT CAST(target_day AS VARCHAR) AS day, count(*) AS active_28d
+    FROM contrib GROUP BY target_day
+    """,
+)
+def rolling_28d_active_users(spark, sf_dir):
+    """Rolling 28-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that a naive window function cannot partial-aggregate.
+    Scalable shape: dedupe to (user, day) grain FIRST (events collapse by
+    orders of magnitude), then each user-day contributes to <= 28 target
+    days via a bounded range join against the distinct-day dimension
+    (broadcast — day cardinality is bounded), then one distinct + count per
+    day. Shuffle volume is user-days x 28, linear in users, never raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select(F.col("day").alias("target_day")).distinct()
+    contrib = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("target_day") >= F.col("day"))
+            & (F.col("target_day") < F.date_add(F.col("day"), 28)),
+        )
+        .select("user_id", "target_day")
+        .distinct()
+    )
+    return contrib.groupBy("target_day").agg(
+        F.count(F.lit(1)).alias("active_28d")
+    ).select(F.col("target_day").cast("string").alias("day"), "active_28d")
+
+
+@register(
+    "event_rate_cusum",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE event_type = 'error') AS n_errors
+        FROM events GROUP BY 1),
+    r AS (SELECT day, n_events, n_errors,
+                 (n_errors * 1000000) // n_events AS rate_ppm
+          FROM d),
+    m AS (SELECT (sum(n_errors) * 1000000) // sum(n_events) AS mean_ppm FROM r),
+    c AS (SELECT r.day, r.n_events, r.n_errors, r.rate_ppm, m.mean_ppm,
+                 sum(r.rate_ppm - m.mean_ppm)
+                     OVER (ORDER BY r.day ROWS UNBOUNDED PRECEDING) AS cusum
+          FROM r CROSS JOIN m)
+    SELECT CAST(day AS VARCHAR) AS day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(cusum AS BIGINT) AS cusum_ppm_days
+    FROM c
+    """,
+)
+def event_rate_cusum(spark, sf_dir):
+    """CUSUM changepoint statistic over the daily error rate: cumulative sum
+    of (daily rate - global mean rate), all integer ppm — sustained drift
+    shows as a monotone ramp long before any single day breaches a
+    threshold. The cumulative window runs AFTER day-grain aggregation (a
+    few hundred rows regardless of event volume), so the single-partition
+    window is bounded; the global mean is one scalar broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    r = d.withColumn("rate_ppm", F.expr("n_errors * 1000000 div n_events"))
+    m = r.agg(
+        F.expr("sum(n_errors) * 1000000 div sum(n_events)").alias("mean_ppm")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = r.crossJoin(F.broadcast(m)).withColumn(
+        "cusum", F.sum(F.col("rate_ppm") - F.col("mean_ppm")).over(w)
+    )
+    return c.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("rate_ppm").cast("long").alias("rate_ppm"),
+        F.col("cusum").cast("long").alias("cusum_ppm_days"),
+    )
+
+
+@register(
+    "embedding_quantization_error",
+    f"""
+    WITH e AS (
+        SELECT label,
+               list_sum(list_transform(embedding::DOUBLE[],
+                   x -> abs(127 * CAST(round(x * 1000000) AS BIGINT)
+                            - 1000000 * CAST(round(x * 127) AS BIGINT)))) AS err,
+               list_sum(list_transform(embedding::DOUBLE[],
+                   x -> abs(CAST(round(x * 1000000) AS BIGINT)))) AS mag
+        FROM embeddings)
+    SELECT label, count(*) AS n_vectors,
+           CAST(sum(err) AS BIGINT) AS total_err_scaled,
+           CAST(max(err) AS BIGINT) AS max_vec_err_scaled,
+           CAST(sum(err) // count(*) AS BIGINT) AS mean_vec_err_scaled,
+           CAST((sum(err) * 1000) // (127 * sum(mag)) AS BIGINT) AS rel_err_permille
+    FROM e GROUP BY label
+    """,
+)
+def embedding_quantization_error(spark, sf_dir):
+    """Reconstruction error of int8 scalar quantization (code = round(x*127))
+    per label group, in EXACT integer arithmetic: the error of element x is
+    |127*round(x*1e6) - 1e6*round(x*127)| — micro-units scaled by 127, no
+    float division anywhere, so both engines agree bit-for-bit. The
+    compression-planning view: rel_err_permille tells whether the int8 tier
+    (32x smaller than float32) is usable for a first-pass ANN scan. Pure
+    map + one small groupBy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    err = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                F.lit(127) * F.round(x.cast("double") * 1_000_000).cast("long")
+                - F.lit(1_000_000) * F.round(x.cast("double") * 127).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mag = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(F.round(x.cast("double") * 1_000_000).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    e = emb.select("label", err.alias("err"), mag.alias("mag"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("err").cast("long").alias("total_err_scaled"),
+        F.max("err").cast("long").alias("max_vec_err_scaled"),
+        F.expr("sum(err) div count(*)").alias("mean_vec_err_scaled"),
+        F.expr("(sum(err) * 1000) div (127 * sum(mag))").alias("rel_err_permille"),
+    )
+
+
+@register(
+    "session_duration_histogram",
+    """
+    WITH l AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s FROM l),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+    sess AS (SELECT user_id, sid,
+                    date_diff('second', min(ts), max(ts)) // 60 AS dur_min,
+                    count(*) AS n_events
+             FROM s GROUP BY 1, 2),
+    b AS (SELECT CASE WHEN dur_min = 0 THEN 'bounce'
+                      WHEN dur_min <= 5 THEN 'min_1_5'
+                      WHEN dur_min <= 15 THEN 'min_6_15'
+                      WHEN dur_min <= 30 THEN 'min_16_30'
+                      WHEN dur_min <= 60 THEN 'min_31_60'
+                      ELSE 'over_60' END AS bucket,
+                 n_events
+          FROM sess),
+    c AS (SELECT bucket, count(*) AS n_sessions,
+                 sum(n_events) AS total_events
+          FROM b GROUP BY 1)
+    SELECT bucket, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(total_events AS BIGINT) AS total_events,
+           CAST((n_sessions * 1000000) // (SELECT sum(n_sessions) FROM c) AS BIGINT)
+               AS share_ppm
+    FROM c
+    """,
+)
+def session_duration_histogram(spark, sf_dir):
+    """Session-length distribution: gaps-and-islands sessionization (30-min
+    inactivity), session duration in whole minutes, fixed buckets with
+    integer-ppm share of all sessions. Same parallel per-user windows as
+    `sessionize`; the bucket rollup and scalar total are tiny."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts") - F.col("prev") > F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            ((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60)
+            .cast("long").alias("dur_min"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bucket = (
+        F.when(F.col("dur_min") == 0, "bounce")
+        .when(F.col("dur_min") <= 5, "min_1_5")
+        .when(F.col("dur_min") <= 15, "min_6_15")
+        .when(F.col("dur_min") <= 30, "min_16_30")
+        .when(F.col("dur_min") <= 60, "min_31_60")
+        .otherwise("over_60")
+    )
+    c = sess.select(bucket.alias("bucket"), "n_events").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    tot = c.agg(F.sum("n_sessions").alias("__tot__"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "total_events",
+        F.expr("n_sessions * 1000000 div __tot__").alias("share_ppm"),
+    )
+
+
+@register(
+    "customer_segment_transitions",
+    """
+    WITH py AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2),
+    dec AS (SELECT o_custkey, yr,
+                   ntile(5) OVER (PARTITION BY yr ORDER BY cents DESC, o_custkey ASC)
+                       AS quintile
+            FROM py),
+    a AS (SELECT o_custkey, quintile AS q_from FROM dec WHERE yr = 1995),
+    b AS (SELECT o_custkey, quintile AS q_to FROM dec WHERE yr = 1996)
+    SELECT CAST(coalesce(a.q_from, 0) AS BIGINT) AS q_from,
+           CAST(coalesce(b.q_to, 0) AS BIGINT) AS q_to,
+           count(*) AS n_customers
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_transitions(spark, sf_dir):
+    """Year-over-year customer-value quintile transition matrix (1995 ->
+    1996), quintile 0 = not active that year (churn/acquisition rows). The
+    ntile windows rank the CUSTOMER-YEAR grain (bounded well below raw
+    orders); the transition join is customer-keyed and the output is at
+    most 6x6 cells. Ties -> higher revenue first, custkey asc — identical
+    in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    py = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("o_custkey"))
+    dec = py.withColumn("quintile", F.ntile(5).over(w))
+    a = dec.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("quintile").alias("q_from")
+    )
+    b = dec.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("ck_b"), F.col("quintile").alias("q_to")
+    )
+    j = a.join(b, F.col("o_custkey") == F.col("ck_b"), "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("q_from"), F.lit(0)).cast("long").alias("q_from"),
+        F.coalesce(F.col("q_to"), F.lit(0)).cast("long").alias("q_to"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "minhash_band_stats",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    ),
+    buckets AS (SELECT band, band_hash, count(*) AS s
+                FROM bh GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band,
+           count(*) AS n_buckets,
+           CAST(count(*) FILTER (WHERE s = 1) AS BIGINT) AS n_singletons,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def minhash_band_stats(spark, sf_dir):
+    """LSH index diagnostics per band — bucket count, singleton count,
+    hottest bucket, and the exact candidate-pair mass Σ s·(s−1)/2 each band
+    contributes. THE tuning view for the bands/rows tradeoff at scale: a
+    band whose candidate_pairs explodes signals too few rows per band (or a
+    degenerate corpus) BEFORE the pair join runs. Aggregates over (band,
+    band_hash) — bucket grain, never pairs."""
+    band_rows = dedup.lsh_band_rows(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=16, bands=4, k=3,
+    )
+    buckets = band_rows.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count_if(F.col("s") == 1).cast("long").alias("n_singletons"),
+        F.max("s").cast("long").alias("max_bucket"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("candidate_pairs"),
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        "n_buckets", "n_singletons", "max_bucket", "candidate_pairs",
+    )

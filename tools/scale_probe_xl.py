@@ -49,6 +49,8 @@ PROBES = [
     "merge_upsert",
     "sessionize",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_substring_spans",
     "text_encode_ids",
     "quality_filter_pipeline",
