@@ -675,3 +675,104 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "sim", "rank")
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "cell_id",
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-assign every vector to its nearest centroid,
+    compute pairwise cosine ONLY within each cell, and drop the
+    less-prototypical member of every pair at or above the threshold.
+
+    All comparisons run on integer micro-units (``round(cos * 1e6)`` as
+    BIGINT) so the keep/drop decision is bit-identical across engines — no
+    float ordering anywhere. Priority inside a pair: higher
+    similarity-to-centroid wins; ties break to the lower id. Pruning is
+    one-shot (pairs are judged against the ORIGINAL cell membership, not
+    iteratively re-evaluated) — same as the reference algorithm.
+
+    Scale shape: centroids broadcast, the corpus never shuffles for
+    assignment; the pair join is cell-local, so with ~N/target_cell_size
+    centroids (sqrt(N) is typical) the candidate-pair mass is
+    O(N * cell_size), never O(N^2). Returns one row per input vector:
+    (id, cell_id, cent_sim_micro, kept).
+    """
+    c = centroids.select(
+        F.col(cell_id_col).alias("__cell__"),
+        F.col(vec_col).alias("__cent_v__"),
+        norm(F.col(vec_col)).alias("__cent_n__"),
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .withColumn("__vn__", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__cs__",
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("__cent_v__"), F.col("__vn__"), F.col("__cent_n__")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs__").desc(), F.col("__cell__").asc())
+    assigned = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__vn__"),
+            F.col("__cell__").alias(cell_id_col),
+            F.col("__cs__").alias("cent_sim_micro"),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida__"), F.col(vec_col).alias("__va__"),
+        F.col("__vn__").alias("__na__"), cell_id_col,
+        F.col("cent_sim_micro").alias("__csa__"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb__"), F.col(vec_col).alias("__vb__"),
+        F.col("__vn__").alias("__nb__"), cell_id_col,
+        F.col("cent_sim_micro").alias("__csb__"),
+    )
+    # a beats b: a is more prototypical (or tied with lower id); b above
+    # threshold-similar to a -> b is dropped
+    dropped = (
+        a.join(b, cell_id_col)
+        .filter(F.col("__ida__") != F.col("__idb__"))
+        .filter(
+            (F.col("__csa__") > F.col("__csb__"))
+            | ((F.col("__csa__") == F.col("__csb__")) & (F.col("__ida__") < F.col("__idb__")))
+        )
+        .withColumn(
+            "__sim__",
+            F.round(
+                cosine_prenormed(F.col("__va__"), F.col("__vb__"), F.col("__na__"), F.col("__nb__"))
+                * 1_000_000
+            ).cast("long"),
+        )
+        .filter(F.col("__sim__") >= F.lit(threshold_micro))
+        .select(F.col("__idb__").alias("__dropped_id__"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["__dropped_id__"], "left"
+        )
+        .select(
+            id_col,
+            cell_id_col,
+            "cent_sim_micro",
+            F.col("__dropped_id__").isNull().cast("int").alias("kept"),
+        )
+    )

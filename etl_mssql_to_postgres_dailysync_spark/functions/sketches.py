@@ -85,3 +85,61 @@ def cms_oracle_pairs_sql(table: str, key_expr: str, depth: int = CMS_DEPTH,
         for s in range(depth)
     )
     return arms
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bounded-memory membership), engine-portable like the CMS:
+# bit positions come from md5 so a DuckDB oracle replays the EXACT filter.
+# The filter materializes as a DataFrame of distinct set positions — at most
+# ``m_bits`` rows no matter how large the build side is, so it broadcasts at
+# any corpus size (that bound is the entire point of the sketch: membership
+# state is O(m), not O(n distinct keys), and merging two filters is a
+# distinct-union of positions).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 18
+BLOOM_K = 3
+_BLOOM_SEED0 = 9000
+
+
+def bloom_positions(col: Column, k: int = BLOOM_K, m_bits: int = BLOOM_BITS) -> Column:
+    """The ``k`` bit positions a key sets / probes: ``md5(key#seed) % m``
+    per seed. Returns ``array<long>`` (JVM-side, codegen)."""
+    return F.array(*[md5_long(col, seed=_BLOOM_SEED0 + i) % F.lit(m_bits) for i in range(k)])
+
+
+def bloom_positions_sql(expr: str, k: int = BLOOM_K, m_bits: int = BLOOM_BITS) -> str:
+    """DuckDB twin of :func:`bloom_positions` (a LIST literal of k hashes)."""
+    parts = ", ".join(
+        f"{md5_long_sql(expr, seed=_BLOOM_SEED0 + i)} % {m_bits}" for i in range(k)
+    )
+    return f"[{parts}]"
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = BLOOM_K,
+                m_bits: int = BLOOM_BITS) -> DataFrame:
+    """Build the filter from a key column: one scan, explode k positions,
+    distinct. Output schema: (pos long), <= m_bits rows."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(probe: DataFrame, key_col: str, bloom: DataFrame,
+                k: int = BLOOM_K, m_bits: int = BLOOM_BITS) -> DataFrame:
+    """Probe: a key might be a member iff ALL k of its positions are set.
+    The filter broadcasts (<= m_bits rows); the probe side only shuffles for
+    its own per-key count, keyed by the probe key. Adds ``might_contain``
+    (int 0/1) to the probe's distinct keys."""
+    pr = probe.select(F.col(key_col)).distinct().select(
+        key_col, F.posexplode(bloom_positions(F.col(key_col), k, m_bits)).alias("i", "pos")
+    )
+    hits = (
+        pr.join(F.broadcast(bloom.withColumn("__set__", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg(F.sum(F.coalesce(F.col("__set__"), F.lit(0))).alias("__hits__"))
+    )
+    return hits.select(
+        key_col, (F.col("__hits__") == F.lit(k)).cast("int").alias("might_contain")
+    )

@@ -8015,3 +8015,377 @@ def minhash_band_stats(spark, sf_dir):
         F.col("band").cast("long").alias("band"),
         "n_buckets", "n_singletons", "max_bucket", "candidate_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# r3 tranche 2: semantic dedup, corpus-linguistics profiling, statistical
+# tests, Bloom-sketch decontamination (all scalar / BIGINT outputs)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESH = 500_000  # cosine micro-units
+
+
+@register(
+    "dedup_semantic_prune",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+    a AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000) AS BIGINT) AS cs,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) * 1000000) AS BIGINT) DESC,
+                            c.cell_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, cell_id, cs FROM a WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT y.vec_id AS did
+        FROM asg x JOIN asg y
+          ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+         AND (x.cs > y.cs OR (x.cs = y.cs AND x.vec_id < y.vec_id))
+        WHERE CAST(round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) * 1000000) AS BIGINT)
+               >= {_SEMDEDUP_THRESH})
+    SELECT asg.vec_id, CAST(asg.cell_id AS BIGINT) AS cell_id,
+           asg.cs AS cent_sim_micro,
+           CAST(CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM asg LEFT JOIN dropped d ON asg.vec_id = d.did
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): nearest-centroid cluster assignment,
+    intra-cell cosine pairs only, drop the less-prototypical member of any
+    pair >= 0.5. All keep/drop comparisons run on integer cosine micro-units
+    so both engines decide identically. Centroids here are the deterministic
+    vec_id<8 subset (same convention as similarity_ann_ivf) so the full path
+    is oracle-checkable; at 100 TB they come from the capped k-means fit and
+    cell count scales ~sqrt(N), keeping the intra-cell pair mass
+    O(N * cell_size)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    return similarity.semdedup_prune(
+        emb, centroids, threshold_micro=_SEMDEDUP_THRESH
+    )
+
+
+@register(
+    "text_vocab_heaps",
+    f"""
+    WITH t1 AS (SELECT source, unnest({_TOKS_SQL}) AS tok
+                FROM documents WHERE length(trim(text)) > 0),
+    tc AS (SELECT source, tok, count(*) AS c FROM t1 GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           count(*) AS distinct_tokens,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_tokens,
+           CAST((count(*) FILTER (WHERE c = 1)) * 1000000 // count(*) AS BIGINT) AS hapax_share_ppm,
+           CAST(max(c) AS BIGINT) AS top_token_count
+    FROM tc GROUP BY source
+    """,
+)
+def text_vocab_heaps(spark, sf_dir):
+    """Corpus vocabulary profile per source — the Heaps'-law / hapax view a
+    tokenizer-training pipeline reads before fixing a vocab size: token mass,
+    distinct types, hapax legomena count + ppm share, and the hottest token's
+    count. One explode + one (source, token)-keyed shuffle with map-side
+    partial aggregation; the per-source rollup is tiny."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = docs.select(
+        "source", F.explode(text.tokens(text.normalize(F.col("text")))).alias("tok")
+    )
+    tc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.count_if(F.col("c") == 1).cast("long").alias("hapax_tokens"),
+        F.expr("count_if(c = 1) * 1000000 div count(*)").alias("hapax_share_ppm"),
+        F.max("c").cast("long").alias("top_token_count"),
+    )
+
+
+@register(
+    "chi_square_priority_status",
+    """
+    WITH o AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                      count(*) AS obs
+               FROM orders GROUP BY 1, 2),
+    r AS (SELECT priority, sum(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT status, sum(obs) AS ct FROM o GROUP BY 1),
+    t AS (SELECT sum(obs) AS tt FROM o),
+    e AS (SELECT o.priority, o.status, o.obs,
+                 (r.rt * c.ct * 1000) // t.tt AS em
+          FROM o JOIN r USING (priority) JOIN c USING (status) CROSS JOIN t)
+    SELECT priority, status, CAST(obs AS BIGINT) AS observed,
+           CAST(em AS BIGINT) AS expected_milli,
+           CAST(((obs * 1000 - em) * (obs * 1000 - em)) // greatest(em, 1) AS BIGINT)
+               AS contribution_milli
+    FROM e
+    """,
+)
+def chi_square_priority_status(spark, sf_dir):
+    """Chi-square test of independence (order priority x order status) in
+    exact integer milli-units: expected_milli = row_total*col_total*1000/T,
+    per-cell contribution = (1000*O - E_milli)^2 / E_milli — identical
+    integer floor divisions on both engines, no float anywhere. The
+    contingency grid is 15 cells regardless of order volume; marginals are
+    map-side combined. (Milli scaling overflows int64 only past ~3e6 rows
+    per CELL x 1e3 — switch to DECIMAL(38) arithmetic beyond that.)"""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("priority").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("status").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("tt"))
+    e = (
+        o.join(F.broadcast(r), "priority")
+        .join(F.broadcast(c), "status")
+        .crossJoin(F.broadcast(t))
+        .withColumn("em", F.expr("rt * ct * 1000 div tt"))
+    )
+    return e.select(
+        "priority", "status",
+        F.col("obs").cast("long").alias("observed"),
+        F.col("em").alias("expected_milli"),
+        F.expr("((obs * 1000 - em) * (obs * 1000 - em)) div greatest(em, 1)")
+        .alias("contribution_milli"),
+    )
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — identical constants both sides
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+_BENFORD_VALUES = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tt FROM g),
+    exp AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS e(digit, expected_ppm))
+    SELECT g.digit, CAST(g.n AS BIGINT) AS n_orders,
+           CAST(g.n * 1000000 // t.tt AS BIGINT) AS observed_ppm,
+           CAST(exp.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(g.n * 1000000 // t.tt - exp.expected_ppm AS BIGINT) AS deviation_ppm
+    FROM g JOIN exp ON g.digit = exp.digit CROSS JOIN t
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals (in cents): observed
+    count and ppm share per leading digit vs the log10(1+1/d) expectation —
+    the classic fraud/synthetic-data screen. One digit-keyed 9-group
+    aggregate; expectation is a 9-row broadcast of shared integer
+    constants."""
+    orders = _t(spark, sf_dir, "orders")
+    exp_df = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, expected_ppm long",
+    )
+    g = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            ).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("tt"))
+    return (
+        g.join(F.broadcast(exp_df), "digit")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            F.expr("n * 1000000 div tt").alias("observed_ppm"),
+            F.col("expected_ppm").cast("long").alias("expected_ppm"),
+            F.expr("n * 1000000 div tt - expected_ppm").alias("deviation_ppm"),
+        )
+    )
+
+
+@register(
+    "text_bigram_lift",
+    f"""
+    WITH t1 AS (SELECT doc_id, {_TOKS_SQL} AS tk
+                FROM documents WHERE length(trim(text)) > 0),
+    uni AS (SELECT unnest(tk) AS tok FROM t1),
+    u AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+    nu AS (SELECT sum(c) AS nu FROM u),
+    bp AS (SELECT tk, unnest(range(2, len(tk) + 1)) AS i FROM t1 WHERE len(tk) >= 2),
+    bg AS (SELECT tk[i-1] AS w1, tk[i] AS w2, count(*) AS cxy FROM bp GROUP BY 1, 2),
+    nb AS (SELECT sum(cxy) AS nb FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.cxy AS BIGINT) AS n_pairs,
+           CAST(((bg.cxy * nu.nu) // u1.c) * nu.nu * 1000 // (u2.c * nb.nb) AS BIGINT)
+               AS lift_milli
+    FROM bg JOIN u u1 ON bg.w1 = u1.tok JOIN u u2 ON bg.w2 = u2.tok
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE bg.cxy >= 5
+    ORDER BY lift_milli DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def text_bigram_lift(spark, sf_dir):
+    """Collocation mining via integer lift: for each adjacent token bigram
+    with support >= 5, lift = P(xy) / (P(x)P(y)) in milli-units computed by
+    a FIXED staged floor-division (((cxy*Nu)//cx)*Nu*1000//(cy*Nb)) so both
+    engines produce the same integer. Bigrams come from an index transform
+    over the per-doc token array (no self-join); unigram and bigram counts
+    are token-keyed shuffles with map-side combine; top-20 is a TakeOrdered,
+    never a global sort materialization."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    tk = docs.select(text.tokens(text.normalize(F.col("text"))).alias("tk"))
+    uni = tk.select(F.explode("tk").alias("tok"))
+    u = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = u.agg(F.sum("c").alias("nu"))
+    bg = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    nb = bg.agg(F.sum("cxy").alias("nb"))
+    u1 = u.select(F.col("tok").alias("w1"), F.col("c").alias("cx"))
+    u2 = u.select(F.col("tok").alias("w2"), F.col("c").alias("cy"))
+    return (
+        bg.filter(F.col("cxy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2",
+            F.col("cxy").cast("long").alias("n_pairs"),
+            F.expr("((cxy * nu) div cx) * nu * 1000 div (cy * nb)").alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bsh AS (SELECT DISTINCT sh AS key FROM sh WHERE doc_id < 25),
+    bloom AS (SELECT DISTINCT unnest({sketches.bloom_positions_sql('CAST(key AS VARCHAR)')}) AS pos
+              FROM bsh),
+    pk AS (SELECT DISTINCT sh AS key FROM sh WHERE doc_id >= 25),
+    pp AS (SELECT key, unnest({sketches.bloom_positions_sql('CAST(key AS VARCHAR)')}) AS pos
+           FROM pk),
+    hits AS (SELECT pp.key, count(b.pos) AS nhit
+             FROM pp LEFT JOIN bloom b USING (pos) GROUP BY pp.key),
+    flag AS (SELECT key, CASE WHEN nhit = {sketches.BLOOM_K} THEN 1 ELSE 0 END AS mc
+             FROM hits),
+    pd AS (SELECT s.doc_id, s.source, count(*) AS n_sh, sum(f.mc) AS n_hit
+           FROM sh s JOIN flag f ON s.sh = f.key
+           WHERE s.doc_id >= 25 GROUP BY 1, 2)
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_hit * 1000 // n_sh >= 100) AS BIGINT)
+               AS n_flagged_docs,
+           CAST(sum(n_hit) AS BIGINT) AS total_hit_shingles,
+           CAST(sum(n_sh) AS BIGINT) AS total_shingles
+    FROM pd GROUP BY source
+    """,
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Benchmark decontamination through a Bloom sketch instead of an exact
+    shingle set: the contamination side (doc_id < 25 stands in for the eval
+    benchmark) compiles to <= 2^18 set bit positions — O(m) state regardless
+    of benchmark size, broadcastable at any scale, mergeable by position
+    union — and every corpus shingle probes with k=3 md5 positions. A doc is
+    flagged when >= 10% of its shingles might be contained. The md5 position
+    arithmetic is engine-portable, so the oracle replays the EXACT filter
+    (false positives included). Complements `decontamination_overlap` (exact
+    broadcast set) with the bounded-memory variant used when the benchmark
+    suite itself is large."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(dedup.shingle_hashes(F.col("text"), 3)).alias("key"),
+    )
+    bloom = sketches.bloom_build(sh.filter(F.col("doc_id") < 25), "key")
+    probe_sh = sh.filter(F.col("doc_id") >= 25)
+    flags = sketches.bloom_probe(probe_sh, "key", bloom)
+    pd_ = (
+        probe_sh.join(flags, "key")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum("might_contain").alias("n_hit"),
+        )
+    )
+    return pd_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.expr("n_hit * 1000 div n_sh >= 100")).cast("long")
+        .alias("n_flagged_docs"),
+        F.sum("n_hit").cast("long").alias("total_hit_shingles"),
+        F.sum("n_sh").cast("long").alias("total_shingles"),
+    )
+
+
+@register(
+    "gini_impurity_profile",
+    """
+    WITH g1 AS (SELECT o_orderstatus AS v, count(*) AS c FROM orders GROUP BY 1),
+    g2 AS (SELECT o_orderpriority AS v, count(*) AS c FROM orders GROUP BY 1),
+    g3 AS (SELECT l_returnflag AS v, count(*) AS c FROM lineitem GROUP BY 1),
+    g4 AS (SELECT l_linestatus AS v, count(*) AS c FROM lineitem GROUP BY 1),
+    g5 AS (SELECT event_type AS v, count(*) AS c FROM events GROUP BY 1)
+    SELECT 'o_orderstatus' AS column_name, count(*) AS n_distinct,
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000 // (sum(c) * sum(c)) AS BIGINT) AS gini_ppm
+    FROM g1
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000 // (sum(c) * sum(c)) AS BIGINT) FROM g2
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000 // (sum(c) * sum(c)) AS BIGINT) FROM g3
+    UNION ALL
+    SELECT 'l_linestatus', count(*),
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000 // (sum(c) * sum(c)) AS BIGINT) FROM g4
+    UNION ALL
+    SELECT 'event_type', count(*),
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000 // (sum(c) * sum(c)) AS BIGINT) FROM g5
+    """,
+)
+def gini_impurity_profile(spark, sf_dir):
+    """Categorical-column profiling via Gini impurity, 1 - sum(p_i^2), in
+    EXACT rational ppm: (T^2 - sum(c^2)) * 1e6 // T^2 — no logs, no floats,
+    so the data-quality dashboard number is bit-identical cross-engine
+    (entropy would need transcendental parity). One groupBy per column; the
+    impurity fold sees only the per-value counts. (T^2 overflows int64 past
+    ~3e9 rows per column — DECIMAL(38) territory at full 100 TB.)"""
+    def prof(df, col):
+        g = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        return g.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.expr(
+                "(sum(c) * sum(c) - sum(c * c)) * 1000000 div (sum(c) * sum(c))"
+            ).alias("gini_ppm"),
+        )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    return (
+        prof(orders, "o_orderstatus")
+        .unionAll(prof(orders, "o_orderpriority"))
+        .unionAll(prof(lineitem, "l_returnflag"))
+        .unionAll(prof(lineitem, "l_linestatus"))
+        .unionAll(prof(events, "event_type"))
+    )

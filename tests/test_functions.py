@@ -417,3 +417,62 @@ class TestPQADC:
             assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
             sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
             assert sims == sorted(sims, reverse=True)  # rerank orders by exact cosine
+
+
+class TestSemDedupBloom:
+    """r3 additions: SemDeDup cluster pruning + Bloom membership sketch."""
+
+    def test_semdedup_drops_duplicate_vector(self, spark):
+        # v10 duplicates v1 (a centroid, most prototypical in its own cell);
+        # v11 is near-orthogonal to everything and must survive
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.0, 1.0, 0.0, 0.0]),
+            (11, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        out = {r["vec_id"]: r for r in similarity.semdedup_prune(
+            df, cent, threshold_micro=900_000).collect()}
+        assert out[10]["kept"] == 0          # exact dup of more-prototypical v1
+        assert out[1]["kept"] == 1           # the prototype survives
+        assert out[11]["kept"] == 1          # unique vector survives
+        assert out[10]["cell_id"] == 1       # assigned to the duplicate's cell
+        assert out[1]["cent_sim_micro"] == 1_000_000
+
+    def test_semdedup_one_shot_not_iterative(self, spark):
+        # chain a ~ b ~ c with sim(a,c) < threshold: one-shot pruning judges
+        # pairs against ORIGINAL membership, so b and c are both dropped by
+        # their better neighbor even though b itself is dropped
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.98, 0.199]),   # sim(0,1) ~ 0.98
+            (2, [0.92, 0.392]),   # sim(1,2) ~ 0.98, sim(0,2) ~ 0.92
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        out = {r["vec_id"]: r["kept"] for r in similarity.semdedup_prune(
+            df, cent, threshold_micro=950_000).collect()}
+        assert out[0] == 1 and out[1] == 0
+        # c dropped by b (better cent-sim) despite b itself being dropped
+        assert out[2] == 0
+
+    def test_bloom_no_false_negatives_and_bounded(self, spark):
+        from etl_mssql_to_postgres_dailysync_spark.functions import sketches
+
+        members = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+        others = spark.range(200, 400).select(F.col("id").cast("string").alias("k"))
+        bloom = sketches.bloom_build(members, "k")
+        assert bloom.count() <= sketches.BLOOM_K * 200  # O(k*n) distinct positions
+        probed = {r["k"]: r["might_contain"]
+                  for r in sketches.bloom_probe(members.union(others), "k", bloom).collect()}
+        # Bloom guarantee: every true member answers yes
+        assert all(probed[str(i)] == 1 for i in range(200))
+        # with m=2^18 and 600 set bits, false positives are ~(600/262144)^3
+        fp = sum(probed[str(i)] for i in range(200, 400))
+        assert fp == 0

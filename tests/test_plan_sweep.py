@@ -34,6 +34,14 @@ ALLOWED_NESTED_LOOP = {
     "similarity_quantized_topk",  # by design: corpus x broadcast(10 queries)
     "drift_psi",               # 1-row period totals cross joined to 10 bins
     "domain_mixing_weights",   # two 1-row scalar totals (raw + capped mass)
+    "event_rate_cusum",        # 1-row global mean error rate (scalar subquery)
+    "rolling_28d_active_users",  # bounded range join vs broadcast day spine
+    "session_duration_histogram",  # 1-row session total for ppm share
+    "token_budget_allocation",  # two 1-row scalars (total tokens, leftover)
+    "chi_square_priority_status",  # 1-row grand total of the contingency grid
+    "benford_first_digit",     # 1-row order total for ppm shares
+    "text_bigram_lift",        # two 1-row scalars (unigram + bigram mass)
+    "dedup_semantic_prune",    # corpus x broadcast(8 centroids) assignment
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
