@@ -236,38 +236,70 @@ def lsh_bucketed_topk(
     the recall/scan knob at scale. Measured on the RANDOM-vector fixture
     (the sign-LSH-adversarial case, tools/recall_report.py): T=16, bits=6
     lifts recall@5 from 0.30 (Hamming-1) to ~0.54 while scanning 25% of the
-    corpus vs brute force's 100%."""
+    corpus vs brute force's 100%. At equal scan fraction more bits win
+    slightly (bits=7/T=32: 0.58) but the subset ranking enumerates all
+    2^bits masks as a per-row expression, so keep bits <= 7 with this
+    implementation; past that, switch to heap-based probe generation
+    (the Lv et al. algorithm proper) on the query side."""
     bucket = sign_bucket(F.col(vec_col), bits)
     if margin_probes is not None:
-        margins = [
+        # The T cheapest flip subsets by (margin sum, mask). Enumerated as a
+        # 2^bits-ROW broadcast dimension + per-query window rather than a
+        # 2^bits-ENTRY array_sort expression: the expression form generates
+        # O(2^bits * bits) codegen per row (measured +0.6 s of fixed plan
+        # overhead at bits=6; falls out of whole-stage codegen entirely at
+        # bits=8), while the join form keeps codegen O(bits) and moves the
+        # enumeration into data. Ranking is identical: (s asc, mask asc).
+        spark = queries.sparkSession
+        masks = spark.createDataFrame(
+            [(m, [j for j in range(bits) if m >> j & 1]) for m in range(1 << bits)],
+            "mask long, setbits array<int>",
+        )
+        margins = F.array(*[
             F.abs(F.round(F.element_at(F.col(vec_col), j + 1).cast("double")
                           * QUANT_SCALE).cast("long"))
             for j in range(bits)
-        ]
-        entries = []
-        for mask in range(1 << bits):
-            flipped = [margins[j] for j in range(bits) if mask & (1 << j)]
-            msum = flipped[0] if flipped else F.lit(0).cast("long")
-            for m in flipped[1:]:
-                msum = msum + m
-            entries.append(F.struct(msum.alias("s"),
-                                    F.lit(mask).cast("long").alias("m")))
-        ranked = F.slice(F.array_sort(F.array(*entries)), 1, margin_probes)
-        probes = F.transform(ranked, lambda x: bucket.bitwiseXOR(x["m"]))
-        bucket_expr = F.explode(probes).alias("bucket")
-    elif multiprobe >= 1:
-        probes = F.array(
-            bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        ])
+        q0 = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            bucket.alias("__b0__"),
+            margins.alias("__marg__"),
         )
-        bucket_expr = F.explode(probes).alias("bucket")
+        qm = q0.crossJoin(F.broadcast(masks)).withColumn(
+            "__s__",
+            F.aggregate(
+                F.col("setbits"),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc + F.get(F.col("__marg__"), j),
+            ),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("__s__").asc(), F.col("mask").asc()
+        )
+        q = (
+            qm.withColumn("__rn__", F.row_number().over(wq))
+            .filter(F.col("__rn__") <= margin_probes)
+            .select(
+                "query_id", "qv", "qn",
+                F.col("__b0__").bitwiseXOR(F.col("mask")).alias("bucket"),
+            )
+        )
     else:
-        bucket_expr = bucket.alias("bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-        bucket_expr,
-    )
+        if multiprobe >= 1:
+            probes = F.array(
+                bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+            )
+            bucket_expr = F.explode(probes).alias("bucket")
+        else:
+            bucket_expr = bucket.alias("bucket")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            bucket_expr,
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -31,6 +31,10 @@ PROBES = [
     "dedup_substring_spans",    # positional window hashes + islands merge (r2)
     "dedup_incremental_batch",  # batch-vs-corpus LSH index probe (r2)
     "text_encode_ids",          # vocab TakeOrdered + shuffle-free encode (r2)
+    "dedup_semantic_prune",     # SemDeDup cell-local pair prune (r3)
+    "bloom_decontaminate",      # Bloom-sketch membership probe (r3)
+    "text_bigram_lift",         # bigram/unigram collocation joins (r3)
+    "rolling_28d_active_users", # user-day grain x bounded day-spine join (r3)
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
