@@ -3,8 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed as a full pipeline-to-action (count or collect of the
-final DataFrame), timed wall-clock after a warm-up of the input scans.
+Each query is executed as a full pipeline-to-action (count of the final
+DataFrame). After a warm-up pass, every query is timed N_RUNS times and the
+reported figure is the PER-QUERY MEDIAN — single-shot timings on a shared
+box carry enough scheduler/GC jitter to fake ±50% regressions (r3's bench
+showed six 'regressions' on unchanged plans that re-runs couldn't
+reproduce); a median-of-3 makes a round-over-round delta a real signal.
+Runs are interleaved round-robin (all queries run 1, then run 2, ...) so a
+transient system-wide stall degrades one run of many queries (discarded by
+the median) instead of all runs of one query.
 """
 
 from __future__ import annotations
@@ -74,18 +81,26 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warm-up pass: run every headline query once so the timed pass measures
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Warm-up pass: run every headline query once so the timed passes measure
     # steady-state execution (JIT-compiled codegen, Python worker pool, OS
     # page cache) rather than single-shot JVM/interpreter warm-up.
     for name in names:
         qs[name](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     print(
         json.dumps(
             {
@@ -94,6 +109,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "spread": {
+                    name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+                },
             }
         )
     )

@@ -202,6 +202,60 @@ def sign_bucket(vec, bits: int = 6):
     return out
 
 
+def _heap_probe_masks(margins: list[int], T: int) -> list[int]:
+    """The T bit-flip subsets with the smallest (margin-sum, mask) key, by
+    best-first heap expansion (Lv et al. 2007 §4.2 "query-directed probing")
+    instead of enumerating all 2^bits subsets.
+
+    Each bit j gets the combined weight ``w_j = margin_j * 2^bits + 2^j``.
+    A subset's weight-sum is then exactly ``margin_sum * 2^bits + mask``
+    (distinct origin-bit powers sum to the mask, which is < 2^bits), so
+    ordering by the single scalar sum IS the (margin_sum asc, mask asc)
+    lexicographic order of the full-enumeration implementation — with zero
+    tie ambiguity, because distinct subsets always produce distinct sums.
+    Python bigints make the combined key overflow-free at any bits.
+
+    Generation tree (sorted-weight index space): pop a subset whose largest
+    sorted index is i; push "extend" (add index i+1) and "shift" (replace
+    index i with i+1). Every subset has a unique parent with a strictly
+    smaller sum (weights are positive and strictly increasing), so pops
+    come out in strictly increasing key order and the first T pops are the
+    exact top-T. O(T log T) per query vs O(2^bits log 2^bits)."""
+    import heapq
+
+    bits = len(margins)
+    scale = 1 << bits
+    T = min(T, scale)
+    w = sorted(int(m) * scale + (1 << j) for j, m in enumerate(margins))
+    out: list[int] = []
+    heap: list[tuple[int, int]] = [(0, -1)]  # (combined sum, max sorted index)
+    while heap and len(out) < T:
+        s, i = heapq.heappop(heap)
+        out.append(s % scale)  # mask part of the combined key
+        ni = i + 1
+        if ni < bits:
+            heapq.heappush(heap, (s + w[ni], ni))           # extend
+            if i >= 0:
+                heapq.heappush(heap, (s - w[i] + w[ni], ni))  # shift
+    return out
+
+
+def margin_probe_masks_udf(T: int):
+    """Arrow pandas UDF: array<long> of per-bit integer margins -> the T
+    probe masks in (margin-sum, mask) order. Runs only on the QUERY side
+    (bounded rows), batched through Arrow — the corpus never sees Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no pd.Series annotations — the module-level
+    # `from __future__ import annotations` stringifies them, which breaks
+    # pandas_udf's signature inspection; the returnType carries the schema.
+    @pandas_udf("array<long>")
+    def gen(margins):
+        return margins.apply(lambda arr: _heap_probe_masks(list(arr), T))
+
+    return gen
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -225,36 +279,25 @@ def lsh_bucketed_topk(
     fan-out is bits+1 buckets = (bits+1)/2^bits of the corpus; the corpus
     side still sits in exactly one bucket, so probes add no duplicates.
 
-    ``margin_probes=T`` (overrides ``multiprobe``) is full margin-ordered
-    multi-probe (Lv et al. 2007, "Multi-Probe LSH"): rank ALL 2^bits bit-flip
-    subsets by the summed |projection| of the flipped bits — a near neighbor
-    most likely differs in the bits where the query's projection is smallest
-    — and probe the T cheapest. Margins are integer micro-units
-    (round(|v[j]| * 1e6), like the k-means quantization), so the subset
-    ranking is order-independent, tie-broken by subset mask, and replays
-    exactly in any engine. Probe fraction is T/2^bits regardless of bits —
-    the recall/scan knob at scale. Measured on the RANDOM-vector fixture
-    (the sign-LSH-adversarial case, tools/recall_report.py): T=16, bits=6
-    lifts recall@5 from 0.30 (Hamming-1) to ~0.54 while scanning 25% of the
-    corpus vs brute force's 100%. At equal scan fraction more bits win
-    slightly (bits=7/T=32: 0.58) but the subset ranking enumerates all
-    2^bits masks as a per-row expression, so keep bits <= 7 with this
-    implementation; past that, switch to heap-based probe generation
-    (the Lv et al. algorithm proper) on the query side."""
+    ``margin_probes=T`` (overrides ``multiprobe``) is margin-ordered
+    multi-probe (Lv et al. 2007, "Multi-Probe LSH"): rank bit-flip subsets
+    by the summed |projection| of the flipped bits — a near neighbor most
+    likely differs in the bits where the query's projection is smallest —
+    and probe the T cheapest. Margins are integer micro-units
+    (round(|v[j]| * 1e6), like the k-means quantization) and the ranking
+    key is (margin-sum asc, mask asc), so the probe set replays exactly in
+    any engine (the DuckDB oracle re-ranks a full 2^bits mask spine; see
+    plans/driver_queries.py). Probe generation is the heap-based best-first
+    expansion (``_heap_probe_masks``) on the query side only — O(T log T)
+    per query, so ``bits`` can be 12-20 (the 100 TB regime, where bucket
+    counts must exceed executor-partition counts) without ever enumerating
+    2^bits masks. Probe fraction is T/2^bits regardless of bits — the
+    recall/scan knob at scale. Measured on the RANDOM-vector fixture (the
+    sign-LSH-adversarial case, tools/recall_report.py): bits=12, T=1024
+    scans ~25% of the corpus for recall@5 ~0.6 (vs 0.30 for Hamming-1
+    multiprobe at bits=6 and 100% scan for brute force)."""
     bucket = sign_bucket(F.col(vec_col), bits)
     if margin_probes is not None:
-        # The T cheapest flip subsets by (margin sum, mask). Enumerated as a
-        # 2^bits-ROW broadcast dimension + per-query window rather than a
-        # 2^bits-ENTRY array_sort expression: the expression form generates
-        # O(2^bits * bits) codegen per row (measured +0.6 s of fixed plan
-        # overhead at bits=6; falls out of whole-stage codegen entirely at
-        # bits=8), while the join form keeps codegen O(bits) and moves the
-        # enumeration into data. Ranking is identical: (s asc, mask asc).
-        spark = queries.sparkSession
-        masks = spark.createDataFrame(
-            [(m, [j for j in range(bits) if m >> j & 1]) for m in range(1 << bits)],
-            "mask long, setbits array<int>",
-        )
         margins = F.array(*[
             F.abs(F.round(F.element_at(F.col(vec_col), j + 1).cast("double")
                           * QUANT_SCALE).cast("long"))
@@ -267,20 +310,10 @@ def lsh_bucketed_topk(
             bucket.alias("__b0__"),
             margins.alias("__marg__"),
         )
-        qm = q0.crossJoin(F.broadcast(masks)).withColumn(
-            "__s__",
-            F.aggregate(
-                F.col("setbits"),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc + F.get(F.col("__marg__"), j),
-            ),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("__s__").asc(), F.col("mask").asc()
-        )
         q = (
-            qm.withColumn("__rn__", F.row_number().over(wq))
-            .filter(F.col("__rn__") <= margin_probes)
+            q0.withColumn(
+                "mask", F.explode(margin_probe_masks_udf(margin_probes)(F.col("__marg__")))
+            )
             .select(
                 "query_id", "qv", "qn",
                 F.col("__b0__").bitwiseXOR(F.col("mask")).alias("bucket"),

@@ -91,3 +91,85 @@ def global_cumsum(
         local.withColumn(out_col, F.col("_local") + offset_expr)
         .drop("_pid", "_local")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_number",
+    *,
+    num_partitions: int | None = None,
+    cache: bool = True,
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number()`` in ``order_cols`` order without a
+    single-partition window — the same two-phase shape as ``global_cumsum``
+    (it IS a prefix sum of ones): range-repartition, per-partition local
+    row_number (parallel), collect the #partitions-row count vector, ship
+    offsets back as a broadcast map. ``order_cols`` must be a total order.
+    Returns ``(df_with_rank, total_rows)`` — the total falls out of the
+    offsets job for free and downstream order statistics (ntile, percentile
+    cuts) need it."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    base = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = base.withColumn("_local", F.row_number().over(w_local))
+    if cache:
+        local = local.localCheckpoint(eager=True)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot")).collect()
+    running = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_tot"]
+    if not offsets:
+        return (
+            local.withColumn(out_col, F.col("_local").cast("long")).drop("_pid", "_local"),
+            0,
+        )
+    offset_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in offsets]),
+            F.array(*[F.lit(v) for v in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    out = (
+        local.withColumn(out_col, (F.col("_local") + offset_expr).cast("long"))
+        .drop("_pid", "_local")
+    )
+    return out, running
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "bucket",
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` without a single-partition
+    window: global rank via ``global_row_number``, then the closed-form
+    ntile bucket from (rank, total). SQL ntile semantics: with N rows the
+    first ``N % n`` buckets hold ``N // n + 1`` rows, the rest ``N // n`` —
+    derived arithmetically from the rank, so the bucket column is exactly
+    what the one-task window would produce, at range-shuffle cost."""
+    ranked, total = global_row_number(
+        df, order_cols, "_grank", num_partitions=num_partitions
+    )
+    q, rem = divmod(total, n)
+    r = F.col("_grank")
+    if q == 0:
+        # fewer rows than buckets: ntile gives each row its own bucket
+        bucket = r
+    else:
+        big = rem * (q + 1)  # rows living in the q+1-sized buckets
+        bucket = F.expr(
+            f"CASE WHEN _grank <= {big} THEN (_grank - 1) DIV {q + 1} + 1 "
+            f"ELSE {rem} + (_grank - 1 - {big}) DIV {q} + 1 END"
+        )
+    return ranked.withColumn(out_col, bucket.cast("long")).drop("_grank")

@@ -1462,37 +1462,32 @@ def similarity_brute_topk(spark, sf_dir):
     )
 
 
-_BUCKET_SQL = (
-    "("
-    + " + ".join(
-        f"(CASE WHEN {{v}}[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(6)
-    )
-    + ")"
-)
-
-
-_LSH_T = 16  # margin-ordered probes (of 2^6 buckets) — recall 0.54 @ 25% scan
-
-
-def _margin_probe_list_sql(bits: int = 6) -> str:
-    """DuckDB twin of similarity.lsh_bucketed_topk's margin_probes ranking:
-    the 2^bits struct(s := integer margin sum, m := mask) entries, sorted
-    ascending (struct compare = (s, m) lexicographic, same as Spark
-    array_sort), top-T, each mapped to xor(bucket0, mask)."""
-    margins = [
-        f"CAST(abs(round(qv[{j + 1}]::DOUBLE * {similarity.QUANT_SCALE})) AS BIGINT)"
-        for j in range(bits)
-    ]
-    entries = []
-    for mask in range(1 << bits):
-        flipped = [margins[j] for j in range(bits) if mask & (1 << j)]
-        msum = " + ".join(flipped) if flipped else "CAST(0 AS BIGINT)"
-        entries.append(f"{{'s': {msum}, 'm': CAST({mask} AS BIGINT)}}")
+def _bucket_sql(bits: int, v: str = "{v}") -> str:
     return (
-        "list_transform(list_slice(list_sort(["
-        + ", ".join(entries)
-        + f"]), 1, {_LSH_T}), x -> xor(bucket0, x.m))"
+        "("
+        + " + ".join(
+            f"(CASE WHEN {v}[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(bits)
+        )
+        + ")"
+    )
+
+
+_BUCKET_SQL = _bucket_sql(6)
+
+
+_LSH_BITS = 12   # 2^12 buckets — the fine-bucket regime (heap probe gen)
+_LSH_T = 1024    # margin-ordered probes -> scan fraction T/2^bits = 25%
+
+
+def _margin_sum_sql(bits: int) -> str:
+    """Per-(query, mask) integer margin sum: sum over set bits of
+    round(|qv[j]| * 1e6). Same staged expression as Spark's margins array."""
+    return " + ".join(
+        f"(CASE WHEN (mask >> {j}) & 1 = 1 THEN"
+        f" CAST(abs(round(qv[{j + 1}]::DOUBLE * {similarity.QUANT_SCALE})) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
     )
 
 
@@ -1500,12 +1495,18 @@ def _margin_probe_list_sql(bits: int = 6) -> str:
     "similarity_ann_lsh",
     f"""
     WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
-                       {_BUCKET_SQL.format(v='embedding')} AS bucket0
+                       {_bucket_sql(_LSH_BITS, 'embedding')} AS bucket0
                 FROM embeddings WHERE vec_id < 10),
-    q AS (SELECT query_id, qv, unnest({_margin_probe_list_sql(6)}) AS bucket
-          FROM q0),
+    masks AS (SELECT CAST(unnest(range(0, {1 << _LSH_BITS})) AS BIGINT) AS mask),
+    qm AS (SELECT query_id, qv, bucket0, mask,
+                  {_margin_sum_sql(_LSH_BITS)} AS s
+           FROM q0 CROSS JOIN masks),
+    pr AS (SELECT query_id, qv, xor(bucket0, mask) AS bucket,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s ASC, mask ASC) AS rn
+           FROM qm),
+    q AS (SELECT query_id, qv, bucket FROM pr WHERE rn <= {_LSH_T}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-                 {_BUCKET_SQL.format(v='embedding')} AS bucket
+                 {_bucket_sql(_LSH_BITS, 'embedding')} AS bucket
           FROM embeddings),
     scored AS (
         SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS sim
@@ -1520,16 +1521,21 @@ def _margin_probe_list_sql(bits: int = 6) -> str:
 )
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate top-5 via sign-bucket LSH with margin-ordered multi-probe
-    (Lv et al. 2007): the 16 bit-flip subsets with the smallest integer
-    margin sums of 64 buckets -> still an equi-join instead of a cross join
-    (the 100 TB path), scanning 25% of the corpus for recall@5 ~0.54 on the
-    RANDOM-embedding fixture (even exact top-5 neighbors are
-    near-orthogonal there — the adversarial case for sign LSH; clustered
-    corpora fare far better; tools/recall_report.py)."""
+    (Lv et al. 2007): the 1024 bit-flip subsets with the smallest
+    (margin-sum, mask) key out of 2^12 buckets, generated per query by the
+    HEAP best-first expansion (functions/similarity.py:_heap_probe_masks, an
+    Arrow pandas UDF on the 10-row query side — never 2^bits enumeration),
+    then a plain bucket equi-join against the corpus (the 100 TB path: the
+    corpus is bucketed by the 12-bit key and each probe touches one bucket).
+    Scan fraction T/2^bits = 25%; recall@5 ~0.6 on the RANDOM-embedding
+    fixture (even exact top-5 neighbors are near-orthogonal there — the
+    adversarial case for sign LSH; clustered corpora fare far better;
+    tools/recall_report.py). The oracle re-ranks a full range(2^12) mask
+    spine — exact same (s, mask) ordering, no heap needed engine-side."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_bucketed_topk(
-        queries_df, emb, k=5, bits=6, margin_probes=_LSH_T
+        queries_df, emb, k=5, bits=_LSH_BITS, margin_probes=_LSH_T
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -6137,16 +6143,26 @@ def robust_stats_mad(spark, sf_dir):
 def equidepth_histogram(spark, sf_dir):
     """Equi-DEPTH histogram (quantile boundaries — equal row counts per
     bucket, data-adaptive bin edges) complementing the equi-width
-    histogram_prices: ntile over a total order assigns buckets, then
-    per-bucket min/max/count are the boundary stats an optimizer or
-    drift-monitor consumes. The global sort is the honest cost of exact
-    equi-depth; the approximate path at scale is approx_percentile
-    boundaries + a broadcast bucket join (cf. approx_percentile_bounds)."""
+    histogram_prices. The naive ``ntile() OVER (ORDER BY ...)`` is a global
+    single-partition window (one task sees every row — the 100 TB trap the
+    plan-sweep window gate forbids); this uses the distributed exact form
+    instead: ``operators/cumsum.global_ntile`` = range-repartition +
+    per-partition local rank + a #partitions-row offset collect, then the
+    closed-form ntile bucket from (global rank, total). Bit-identical to
+    the one-task window (the oracle runs real ntile), at range-shuffle
+    cost. Approximate alternative at scale: approx_percentile boundaries +
+    broadcast bucket join (cf. approx_percentile_bounds)."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    b = orders.select(
+    b = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        8,
+        "bucket",
+    ).select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.ntile(8).over(w).cast("int").alias("bucket"),
+        F.col("bucket").cast("int").alias("bucket"),
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -8238,7 +8254,11 @@ def text_bigram_lift(spark, sf_dir):
     engines produce the same integer. Bigrams come from an index transform
     over the per-doc token array (no self-join); unigram and bigram counts
     are token-keyed shuffles with map-side combine; top-20 is a TakeOrdered,
-    never a global sort materialization."""
+    never a global sort materialization. Int64 bound: the staged numerator
+    reaches ~Nu^2 * 1000 for maximal-lift bigrams, overflowing int64 once
+    corpus token mass Nu exceeds ~1e8 (DuckDB raises on the same bound —
+    its staged ops stay BIGINT); past that, widen the staged expression to
+    DECIMAL(38,0) on BOTH sides exactly as gini_impurity_profile does."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
     tk = docs.select(text.tokens(text.normalize(F.col("text"))).alias("tk"))
     uni = tk.select(F.explode("tk").alias("tok"))
@@ -8368,15 +8388,19 @@ def gini_impurity_profile(spark, sf_dir):
     EXACT rational ppm: (T^2 - sum(c^2)) * 1e6 // T^2 — no logs, no floats,
     so the data-quality dashboard number is bit-identical cross-engine
     (entropy would need transcendental parity). One groupBy per column; the
-    impurity fold sees only the per-value counts. (T^2 overflows int64 past
-    ~3e9 rows per column — DECIMAL(38) territory at full 100 TB.)"""
+    impurity fold sees only the per-value counts. Spark computes on
+    DECIMAL(38,0) — (T^2 - sum c^2) * 1e6 would overflow int64 at T ≈ 3e6
+    rows per column (sf1 lineitem already crosses it); decimal carries to
+    T ≈ 1e16. DuckDB needs nothing: its integer sum() is already HUGEINT."""
     def prof(df, col):
         g = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
         return g.agg(
             F.lit(col).alias("column_name"),
             F.count(F.lit(1)).alias("n_distinct"),
             F.expr(
-                "(sum(c) * sum(c) - sum(c * c)) * 1000000 div (sum(c) * sum(c))"
+                "cast((cast(sum(c) as decimal(38,0)) * sum(c)"
+                " - sum(cast(c as decimal(38,0)) * c)) * 1000000"
+                " div (cast(sum(c) as decimal(38,0)) * sum(c)) as bigint)"
             ).alias("gini_ppm"),
         )
     orders = _t(spark, sf_dir, "orders")

@@ -165,6 +165,40 @@ def test_global_cumsum_empty_input(spark):
     assert global_cumsum(df, ["k"], "v", "cs", num_partitions=4).count() == 0
 
 
+def test_global_row_number_and_ntile_match_single_window(spark):
+    from pyspark.sql import Window
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import (
+        global_ntile,
+        global_row_number,
+    )
+
+    # values with heavy ties on v so range boundaries split tie groups;
+    # (v, k) is the total order
+    df = spark.range(1, 201).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    ranked, total = global_row_number(df, ["v", "k"], "rn", num_partitions=8)
+    assert total == 200
+    got = {r["k"]: r["rn"] for r in ranked.collect()}
+    w = Window.orderBy("v", "k")
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+    # ntile at n not dividing N (200 = 7*28 + 4: first 4 buckets get 29 rows)
+    gotb = {
+        r["k"]: r["b"]
+        for r in global_ntile(df, ["v", "k"], 7, "b", num_partitions=8).collect()
+    }
+    wantb = {r["k"]: r["b"] for r in df.select("k", F.ntile(7).over(w).alias("b")).collect()}
+    assert gotb == wantb
+    # fewer rows than buckets: each row its own bucket
+    tiny = spark.range(1, 4).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    gott = {r["k"]: r["b"] for r in global_ntile(tiny, ["v", "k"], 8, "b").collect()}
+    assert gott == {1: 1, 2: 2, 3: 3}
+
+
 def test_hamming_distance(spark):
     df = spark.createDataFrame([Row(a=0b1010, b=0b0110)])
     assert df.select(dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"] == 2
@@ -354,6 +388,42 @@ class TestKMeansIVF:
             q = r["query_id"]
             cut1[q] = min(cut1.get(q, 1e9), r["sim"])
         assert all(s >= cut1[q] - 1e-9 for (q, _), s in sims8.items() if q in cut1)
+
+    def test_heap_probe_masks_equals_full_enumeration(self):
+        """The heap best-first expansion must return EXACTLY the top-T masks
+        of the full 2^bits enumeration ranked by (margin-sum, mask) — the
+        property the DuckDB oracle relies on (it replays the full spine).
+        Adversarial margins: zeros and repeated values maximize ties."""
+        import random
+
+        from etl_mssql_to_postgres_dailysync_spark.functions.similarity import (
+            _heap_probe_masks,
+        )
+
+        def brute(margins, T):
+            bits = len(margins)
+            ranked = sorted(
+                range(1 << bits),
+                key=lambda m: (
+                    sum(margins[j] for j in range(bits) if m >> j & 1),
+                    m,
+                ),
+            )
+            return ranked[:T]
+
+        rng = random.Random(7)
+        for _ in range(500):
+            bits = rng.randint(1, 10)
+            margins = [
+                rng.choice([0, 0, 1, 2, 3, 1_000_000, rng.randint(0, 10)])
+                for _ in range(bits)
+            ]
+            T = rng.randint(1, 1 << bits)
+            assert _heap_probe_masks(margins, T) == brute(margins, T)
+        # bits far past enumerability: O(T log T), unique masks, home first
+        big = [rng.randint(0, 10**6) for _ in range(20)]
+        out = _heap_probe_masks(big, 1024)
+        assert len(out) == 1024 and len(set(out)) == 1024 and out[0] == 0
 
     def test_train_sample_cap_bounds_fit_and_keeps_seeds(self, spark, sf_dir):
         """The fit-side collect is capped at train_sample rows (hash-priority

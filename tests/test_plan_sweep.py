@@ -57,10 +57,78 @@ SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenan
         }
 
 
+# global (no-partition) windows sitting above something OTHER than an
+# aggregate/limit, each individually justified as bounded-cardinality input
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+
+# physical nodes that bound the row count flowing into a global window:
+# grouped aggregates (bounded by group-key cardinality — daily/nation/bucket
+# grain in every registry query), global limits, and literal local spines
+_BOUNDING_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+    "GlobalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "LocalTableScanExec",
+}
+
+_PLAN_CACHE: dict[str, object] = {}
+
+
+def _plan(spark, name):
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = (
+            QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan()
+        )
+    return _PLAN_CACHE[name]
+
+
+def _walk(node):
+    """Yield every physical node, descending through the AQE / query-stage
+    wrapper nodes whose real subtree is not in children()."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(node.initialPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk(node.plan())
+        return
+    yield node
+    for i in range(node.children().length()):
+        yield from _walk(node.children().apply(i))
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_no_unplanned_nested_loop_join(spark, name):
-    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    plan = _plan(spark, name).toString()
     has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
     if name in ALLOWED_NESTED_LOOP:
         return  # sanctioned scalar/spine cross joins
     assert not has_nlj, f"{name} plans a nested-loop join:\n{plan[:2000]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_global_window_sits_above_aggregate(spark, name):
+    """A window with NO partition spec funnels its whole input through ONE
+    task — invisible at sf0.001, a straggler (or OOM) at 100 TB. The only
+    sanctioned shape is a global window ABOVE a bounded-cardinality node
+    (grouped aggregate / limit / literal spine), where the single partition
+    holds group-grain rows, not data-grain rows. operators/cumsum.py exists
+    exactly because the unbounded form is a real footgun; this gate makes
+    the invariant structural instead of convention."""
+    if name in ALLOWED_GLOBAL_WINDOW:
+        return
+    for node in _walk(_plan(spark, name)):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        bounded = any(
+            sub.getClass().getSimpleName() in _BOUNDING_NODES
+            for sub in _walk(node)
+        )
+        assert bounded, (
+            f"{name} plans a GLOBAL window over non-aggregated input "
+            f"(single-task at scale):\n{node.toString()[:2000]}"
+        )

@@ -61,6 +61,35 @@ PROBES = [
 ]
 
 
+def _semdedup_sqrtn(spark, d):
+    """SemDeDup at NON-TOY cell geometry: sqrt(N) centroids (the paper's
+    typical choice — cell_size ~ sqrt(N)), hash-priority deterministic
+    centroid pick, so the candidate-pair mass is O(N * cell_size) =
+    O(N^1.5). Expected wall growth over 10x data is therefore ~x10-x32
+    (pair mass x31.6), NOT x100 (the all-pairs quadratic this prunes
+    away) — the registry query dedup_semantic_prune keeps 8 centroids only
+    so its oracle stays enumerable."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+    from etl_mssql_to_postgres_dailysync_spark.functions.similarity import semdedup_prune
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    k = max(int(n ** 0.5), 2)
+    cents = (
+        emb.orderBy(md5_long(F.col("vec_id")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cell_id"), "embedding")
+    )
+    return semdedup_prune(emb, cents)
+
+
+# probes that are not registry queries (parameterized by corpus size, so no
+# fixed oracle twin): name -> callable(spark, sf_dir)
+EXTRA_PROBES = {
+    "semdedup_sqrtN_centroids": _semdedup_sqrtn,
+}
+
+
 def build(spark) -> None:
     if os.path.isdir(DST) and all(
         os.path.exists(f"{DST}/{t}.parquet") for t in OFFSET_KEYS
@@ -90,11 +119,13 @@ def main() -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
+    runners = {name: qs[name] for name in PROBES}
+    runners.update(EXTRA_PROBES)
     build(spark)
     # warm both scales
-    for name in PROBES:
+    for name in runners:
         for d in (SRC, DST):
-            qs[name](spark, d).count()
+            runners[name](spark, d).count()
     lines = [
         "",
         "## 10x beyond the largest fixture (derived sf~1, tools/scale_probe_xl.py)",
@@ -108,14 +139,18 @@ def main() -> None:
         "growth numbers are the adversarial-corpus bound, not superlinearity",
         "in rows.",
         "",
+        "semdedup_sqrtN_centroids runs sqrt(N) centroids (45 -> 141), so its",
+        "pair mass is O(N^1.5): expected growth ~x10-x32, vs x100 for the",
+        "all-pairs quadratic it replaces.",
+        "",
         "| query | sf0.1 s | sf~1 s | growth over 10x data |",
         "|---|---|---|---|",
     ]
-    for name in PROBES:
+    for name in runners:
         times = []
         for d in (SRC, DST):
             t0 = time.time()
-            qs[name](spark, d).count()
+            runners[name](spark, d).count()
             times.append(time.time() - t0)
         lines.append(
             f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
