@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_mssql_to_postgres_dailysync_spark.functions import dedup, multimodal, similarity, sketches, text
-from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
+from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long, md5_long_sql
 from etl_mssql_to_postgres_dailysync_spark.operators import coerce, filters
 from etl_mssql_to_postgres_dailysync_spark.operators.merge import merge
 from etl_mssql_to_postgres_dailysync_spark.plans.daily_sync import per_date_counts
@@ -8413,3 +8413,344 @@ def gini_impurity_profile(spark, sf_dir):
         .unionAll(prof(lineitem, "l_linestatus"))
         .unionAll(prof(events, "event_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 tranche: distributed order statistics (exact percentiles / deciles on
+# the two-phase rank operator), training-data splits & sampling, RAG-style
+# chunking, join-skew ops audit, and a wide-bucket heap-probe LSH tier
+# ---------------------------------------------------------------------------
+
+_PCTS = [25, 50, 75, 90, 99]
+
+
+@register(
+    "exact_percentiles",
+    f"""
+    WITH r AS (SELECT o_totalprice,
+                      row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                      count(*) OVER () AS n
+               FROM orders),
+    p AS (SELECT unnest([{", ".join(map(str, _PCTS))}]) AS pct)
+    SELECT CAST(p.pct AS INT) AS pct, CAST(r.rn AS BIGINT) AS at_rank,
+           CAST(round(r.o_totalprice * 100) AS BIGINT) AS value_cents
+    FROM r JOIN p ON r.rn = (p.pct * r.n + 99) // 100
+    """,
+)
+def exact_percentiles(spark, sf_dir):
+    """EXACT percentile values (P25/50/75/90/99 of order price) at scale:
+    rank every row with the distributed two-phase global_row_number (range
+    repartition + per-partition offsets — never a one-task window), then
+    equi-join the 5 target ranks ceil(p*N/100) as a broadcast spine. The
+    oracle's one-task row_number() produces the identical ranking, so the
+    values match bit-for-bit; approx_percentile_bounds remains the sketch
+    tier when one pass must suffice."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked, total = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        "rn",
+    )
+    spine = spark.createDataFrame(
+        [(p, (p * total + 99) // 100) for p in _PCTS], "pct int, at_rank long"
+    )
+    return (
+        ranked.join(F.broadcast(spine), ranked["rn"] == spine["at_rank"])
+        .select(
+            "pct",
+            "at_rank",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "curriculum_length_deciles",
+    """
+    WITH d AS (SELECT len(text) AS chars, doc_id,
+                      ntile(10) OVER (ORDER BY len(text) ASC, doc_id ASC) AS decile
+               FROM documents)
+    SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+           CAST(min(chars) AS BIGINT) AS min_chars,
+           CAST(max(chars) AS BIGINT) AS max_chars,
+           CAST(sum(chars) AS BIGINT) AS sum_chars
+    FROM d GROUP BY decile
+    """,
+)
+def curriculum_length_deciles(spark, sf_dir):
+    """Curriculum-ordering support: documents cut into 10 equal-count
+    difficulty tranches by length (the standard easy->hard curriculum
+    proxy), via the distributed exact global_ntile — range repartition +
+    offsets, bit-identical to the oracle's one-task ntile() but never
+    single-partition. Per-decile count and char-mass bounds are what a
+    curriculum scheduler consumes."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.length("text").alias("chars"), "doc_id"
+    )
+    d = global_ntile(docs, ["chars", "doc_id"], 10, "decile")
+    return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("chars").cast("long").alias("min_chars"),
+        F.max("chars").cast("long").alias("max_chars"),
+        F.sum("chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "cv_fold_assignment",
+    f"""
+    WITH f AS (SELECT {md5_long_sql("CAST(doc_id AS VARCHAR)", 42)} % 5 AS fold,
+                      doc_id, len(text) AS chars,
+                      {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents)
+    SELECT CAST(fold AS INT) AS fold, count(*) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           CAST(bit_xor(h) AS BIGINT) AS fold_checksum
+    FROM f GROUP BY fold
+    """,
+)
+def cv_fold_assignment(spark, sf_dir):
+    """Deterministic k-fold split (k=5) for eval/ablation holdouts:
+    fold = md5(doc_id, seed) % k — reproducible on any engine and stable
+    under corpus growth (a doc never changes folds), unlike rand(). The
+    bit_xor membership checksum is order- and partitioning-independent, so
+    two engines (or two cluster runs) can verify they hold the exact same
+    fold contents without exchanging id lists."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        (md5_long(F.col("doc_id"), 42) % 5).cast("int").alias("fold"),
+        F.length("text").alias("chars"),
+        md5_long(F.col("doc_id")).alias("h"),
+    )
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").cast("long").alias("sum_chars"),
+        F.bit_xor("h").cast("long").alias("fold_checksum"),
+    )
+
+
+@register(
+    "class_weights",
+    """
+    WITH g AS (SELECT o_orderpriority AS label, count(*) AS n_rows FROM orders GROUP BY 1),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS k FROM g)
+    SELECT g.label, CAST(g.n_rows AS BIGINT) AS n_rows,
+           CAST(t.total * 1000000 // (t.k * g.n_rows) AS BIGINT) AS weight_ppm
+    FROM g CROSS JOIN t
+    """,
+)
+def class_weights(spark, sf_dir):
+    """Inverse-frequency class weights (the sklearn 'balanced' rule,
+    w_i = T / (k * c_i)) in exact integer ppm for an imbalanced label —
+    what a training pipeline feeds the loss to de-bias skewed labels. One
+    groupBy + a 1-row (total, k) scalar cross join; T * 1e6 stays in int64
+    to ~9e12 label rows — DECIMAL(38) beyond that, like
+    gini_impurity_profile."""
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = g.agg(
+        F.sum("n_rows").cast("long").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("total * 1000000 div (k * n_rows)").alias("weight_ppm"),
+    )
+
+
+def _skew_audit_sql(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}' AS tbl, CAST({key} AS BIGINT) AS key_val,
+           count(*) AS n_rows,
+           CAST(count(*) * 1000000 // (SELECT count(*) FROM {table}) AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, {key} ASC) AS INT) AS rnk
+    FROM {table} GROUP BY {key}
+    QUALIFY rnk <= 5
+    """
+
+
+@register(
+    "join_skew_audit",
+    " UNION ALL ".join(
+        [
+            _skew_audit_sql("orders", "o_custkey"),
+            _skew_audit_sql("lineitem", "l_suppkey"),
+            _skew_audit_sql("events", "user_id"),
+        ]
+    ),
+)
+def join_skew_audit(spark, sf_dir):
+    """Shuffle-skew pre-flight: the top-5 heaviest join keys per fact-side
+    join column with their ppm share of the table — the number that decides
+    whether a join needs salting / AQE skew handling BEFORE it runs at 100
+    TB. Per column: one map-side-combined count agg; the rank and share
+    windows run over the aggregate (bounded key-grain rows), which is
+    exactly the global-window shape the plan gate sanctions."""
+
+    def audit(df, table, key):
+        g = df.groupBy(F.col(key).alias("key_val")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        t = g.agg(F.sum("n_rows").cast("long").alias("__tot__"))
+        w = Window.orderBy(F.col("n_rows").desc(), F.col("key_val").asc())
+        return (
+            g.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 5)
+            .crossJoin(F.broadcast(t))
+            .select(
+                F.lit(table).alias("tbl"),
+                F.col("key_val").cast("long").alias("key_val"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.expr("n_rows * 1000000 div __tot__").alias("share_ppm"),
+                "rnk",
+            )
+        )
+
+    return (
+        audit(_t(spark, sf_dir, "orders"), "orders", "o_custkey")
+        .unionAll(audit(_t(spark, sf_dir, "lineitem"), "lineitem", "l_suppkey"))
+        .unionAll(audit(_t(spark, sf_dir, "events"), "events", "user_id"))
+    )
+
+
+_CHUNK_W = 50   # tokens per chunk
+_CHUNK_S = 40   # stride (10-token overlap)
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE len(trim(text)) > 0),
+    s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_CHUNK_S})) AS start
+          FROM t),
+    c AS (SELECT doc_id, CAST((start - 1) // {_CHUNK_S} AS INT) AS chunk_idx,
+                 toks[start:start + {_CHUNK_W - 1}] AS chunk
+          FROM s)
+    SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tok,
+           {_HASH15.format(x="array_to_string(chunk, ' ')")} AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """RAG / pretraining chunker: overlapping 50-token windows at stride
+    40 over whitespace tokens of the normalized text, emitting per-chunk
+    token counts and an md5 content fingerprint (the key downstream
+    chunk-level dedup and embedding jobs join on). Pure JVM expressions
+    (sequence + slice + explode) — a narrow map over the scan, no shuffle,
+    no Python; chunk boundaries depend only on the row, so the operator is
+    embarrassingly parallel at any corpus size (window/stride from
+    _CHUNK_W/_CHUNK_S)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toked = docs.select(
+        "doc_id", text.tokens(text.normalize(F.col("text"))).alias("toks")
+    )
+    s = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_S))).alias("start"),
+    )
+    c = s.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {_CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.slice(F.col("toks"), F.col("start"), F.lit(_CHUNK_W)).alias("chunk"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("int").alias("n_tok"),
+        md5_long(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "stratified_source_sample",
+    f"""
+    WITH d AS (SELECT source,
+                      250 + ({md5_long_sql("source")} % 3) * 250 AS rate_milli,
+                      CASE WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)", 7)} % 1000
+                                < 250 + ({md5_long_sql("source")} % 3) * 250
+                           THEN 1 ELSE 0 END AS kept
+               FROM documents)
+    SELECT source, CAST(max(rate_milli) AS BIGINT) AS rate_milli,
+           count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM d GROUP BY source
+    """,
+)
+def stratified_source_sample(spark, sf_dir):
+    """Per-stratum Bernoulli downsampling with DETERMINISTIC coin flips:
+    each source gets a rate in {{250, 500, 750}} permille (derived here
+    from a hash of the source name; in production from a quota config) and
+    a doc survives iff md5(doc_id, seed) % 1000 < rate. Hash coins instead
+    of rand() make the sample reproducible across engines, retries, and
+    partitionings — a re-run keeps EXACTLY the same documents, so
+    downstream caches and dedup indexes stay valid. Complements
+    source_quota_sample (hard top-k caps) with rate-based thinning."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (F.lit(250) + (md5_long(F.col("source")) % 3) * 250).cast("long")
+    kept = F.when(
+        md5_long(F.col("doc_id"), 7) % 1000 < rate, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("source", rate.alias("rate_milli"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.max("rate_milli").alias("rate_milli"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+_LSHW_BITS = 16  # 2^16 buckets: enumeration is 65536 masks/query — heap only
+_LSHW_T = 8192   # scan fraction 12.5%
+
+
+@register(
+    "similarity_ann_lsh_wide",
+    f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+                       {_bucket_sql(_LSHW_BITS, 'embedding')} AS bucket0
+                FROM embeddings WHERE vec_id < 10),
+    masks AS (SELECT CAST(unnest(range(0, {1 << _LSHW_BITS})) AS BIGINT) AS mask),
+    qm AS (SELECT query_id, qv, bucket0, mask,
+                  {_margin_sum_sql(_LSHW_BITS)} AS s
+           FROM q0 CROSS JOIN masks),
+    pr AS (SELECT query_id, qv, xor(bucket0, mask) AS bucket,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s ASC, mask ASC) AS rn
+           FROM qm),
+    q AS (SELECT query_id, qv, bucket FROM pr WHERE rn <= {_LSHW_T}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_bucket_sql(_LSHW_BITS, 'embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS sim
+        FROM c JOIN q ON c.bucket = q.bucket WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ann_lsh_wide(spark, sf_dir):
+    """The fine-bucket LSH regime: 2^16 buckets, 8192 margin-ordered probes
+    (12.5% scan). At 100 TB this is the geometry that matters — bucket
+    count must clear executor-partition count by orders of magnitude for
+    the bucket equi-join to spread — and it is exactly where per-row mask
+    enumeration becomes impossible (65536 subsets/query); the heap
+    best-first generator pays only O(T log T). The oracle, free of that
+    constraint at fixture scale, ranks the full 65536-mask spine and must
+    agree mask-for-mask with the heap's (margin-sum, mask) order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(
+        queries_df, emb, k=5, bits=_LSHW_BITS, margin_probes=_LSHW_T
+    ).withColumn("rank", F.col("rank").cast("int"))

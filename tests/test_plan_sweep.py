@@ -42,6 +42,8 @@ ALLOWED_NESTED_LOOP = {
     "benford_first_digit",     # 1-row order total for ppm shares
     "text_bigram_lift",        # two 1-row scalars (unigram + bigram mass)
     "dedup_semantic_prune",    # corpus x broadcast(8 centroids) assignment
+    "class_weights",           # 1-row (total, k) scalar cross join
+    "join_skew_audit",         # three 1-row table totals x top-5 key rows
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
