@@ -8754,3 +8754,146 @@ def similarity_ann_lsh_wide(spark, sf_dir):
     return similarity.lsh_bucketed_topk(
         queries_df, emb, k=5, bits=_LSHW_BITS, margin_probes=_LSHW_T
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "chunk_dedup_crossdoc",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE len(trim(text)) > 0),
+    s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_CHUNK_S})) AS start
+          FROM t),
+    c AS (SELECT doc_id,
+                 {_HASH15.format(x="array_to_string(toks[start:start + " + str(_CHUNK_W - 1) + "], ' ')")} AS chunk_hash
+          FROM s)
+    SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occ
+    FROM c GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def chunk_dedup_crossdoc(spark, sf_dir):
+    """Chunk-level exact dedup — the pass that runs BETWEEN chunking and
+    embedding in a RAG/pretraining pipeline (boilerplate paragraphs repeat
+    across documents even when whole docs are unique, and embedding a
+    duplicate chunk twice wastes the GPU budget): same 50/40 chunker as
+    doc_chunking, then a hash-groupBy keeping fingerprints seen in >= 2
+    distinct docs. Shuffle carries only (8-byte hash, doc_id) pairs, never
+    text, with map-side partial aggregation."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toked = docs.select(
+        "doc_id", text.tokens(text.normalize(F.col("text"))).alias("toks")
+    )
+    c = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_S))).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        md5_long(
+            F.array_join(F.slice(F.col("toks"), F.col("start"), F.lit(_CHUNK_W)), " ")
+        ).alias("chunk_hash"),
+    )
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH u AS (SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                      CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS micro
+               FROM embeddings)
+    SELECT dim, count(*) AS n_vecs,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(sum(micro * micro) // count(*) AS BIGINT) AS meansq_micro2
+    FROM u GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding profile (the sufficient stats for
+    mean-centering / whitening / dead-dimension detection before ANN
+    indexing): posexplode to (dim, component), integer micro-units, one
+    64-group aggregate. sum(micro^2) stays in int64 to ~9e6 vectors per
+    dimension (micro^2 <= ~1e12 for unit-scale embeddings); past that cast
+    the square to DECIMAL(38,0) on both sides as gini_impurity_profile
+    does. DuckDB's unnest/generate_subscripts pair zips positionally —
+    same 1-based dim as posexplode's pos + 1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    return u.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.expr("sum(micro * micro) div count(*)").alias("meansq_micro2"),
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                      count(*) OVER () AS n
+               FROM orders),
+    b AS (SELECT min(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo_cents,
+                 min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi_cents
+          FROM r)
+    SELECT count(*) AS n_orders,
+           CAST(b.lo_cents AS BIGINT) AS lo_cents,
+           CAST(b.hi_cents AS BIGINT) AS hi_cents,
+           CAST(sum(r.cents) AS BIGINT) AS sum_cents_raw,
+           CAST(sum(least(greatest(r.cents, b.lo_cents), b.hi_cents)) AS BIGINT)
+               AS sum_cents_winsorized
+    FROM r CROSS JOIN b
+    GROUP BY b.lo_cents, b.hi_cents
+    """,
+)
+def winsorized_price_stats(spark, sf_dir):
+    """Winsorized totals (clamp at exact P01/P99 before summing — the
+    robust-mean treatment for fat-tailed monetary columns, cf.
+    robust_stats_mad's median/MAD tier): the P01/P99 cut values come from
+    the distributed global rank (two-phase, never one-task), everything
+    after is a 1-row broadcast of the two bounds + a clamped sum. The
+    winsorized-vs-raw sum pair is the drift signal dashboards track."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked, total = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        "rn",
+    )
+    cents = ranked.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"), "rn"
+    )
+    r01 = (total + 99) // 100
+    r99 = (99 * total + 99) // 100
+    b = cents.filter(F.col("rn").isin(r01, r99)).agg(
+        F.min(F.when(F.col("rn") == r01, F.col("cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("rn") == r99, F.col("cents"))).alias("hi_cents"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(b))
+        .groupBy("lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents_raw"),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+            ).cast("long").alias("sum_cents_winsorized"),
+        )
+        .select(
+            "n_orders", "lo_cents", "hi_cents",
+            "sum_cents_raw", "sum_cents_winsorized",
+        )
+    )

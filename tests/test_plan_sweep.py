@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_semantic_prune",    # corpus x broadcast(8 centroids) assignment
     "class_weights",           # 1-row (total, k) scalar cross join
     "join_skew_audit",         # three 1-row table totals x top-5 key rows
+    "winsorized_price_stats",  # 1-row (P01, P99) bounds cross join
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
