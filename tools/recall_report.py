@@ -29,6 +29,7 @@ def main() -> None:
     tiers = [
         "similarity_brute_topk",
         "similarity_ann_lsh",
+        "similarity_ann_lsh_wide",
         "similarity_ann_ivf",
         "similarity_ann_ivf_trained",
         "similarity_quantized_topk",
