@@ -8897,3 +8897,140 @@ def winsorized_price_stats(spark, sf_dir):
             "sum_cents_raw", "sum_cents_winsorized",
         )
     )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    tf AS (SELECT sh AS tok, count(*) AS df FROM sh GROUP BY sh),
+    r AS (SELECT s.doc_id, s.sh,
+                 row_number() OVER (PARTITION BY s.doc_id
+                                    ORDER BY tf.df ASC, s.sh ASC) AS pos,
+                 sz.n
+          FROM sh s JOIN tf ON s.sh = tf.tok JOIN sz ON s.doc_id = sz.doc_id),
+    pre AS (SELECT doc_id, sh FROM r WHERE pos <= n - (500 * n + 999) // 1000 + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+              GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           i.inter / (sa.n + sb.n - i.inter) AS jaccard,
+           (i.inter * 1000000) // (sa.n + sb.n - i.inter) AS jaccard_ppm
+    FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE (i.inter * 1000000) // (sa.n + sb.n - i.inter) >= 500000
+    """,
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.5 via PREFIX FILTERING (Bayardo et
+    al., WWW'07): a qualifying pair must share a token among each side's
+    rarest-first prefix of length |X| - ceil(0.5|X|) + 1, so the inverted
+    index holds only prefix postings — the candidate mass that
+    dedup_ngram_jaccard_capped bounds HEURISTICALLY (stop-shingle cap,
+    conservative underestimate) is here restricted PROVABLY with zero
+    missed pairs. tests/test_functions.py asserts result equality with the
+    full-index ngram_jaccard_pairs at the same threshold; the oracle
+    replays the prefix selection token-for-token (integer ceil, (df, hash)
+    order)."""
+    return dedup.jaccard_prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold_milli=500,
+    )
+
+
+@register(
+    "grouped_percentiles",
+    """
+    WITH r AS (SELECT o_orderpriority AS label,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders),
+    p AS (SELECT unnest([50, 90]) AS pct)
+    SELECT r.label, CAST(p.pct AS INT) AS pct, CAST(r.rn AS BIGINT) AS at_rank,
+           r.cents AS value_cents
+    FROM r JOIN p ON r.rn = (p.pct * r.n + 99) // 100
+    """,
+)
+def grouped_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (P50/P90 order value per priority class)
+    as KEY-PARTITIONED windows — the grouped complement of
+    exact_percentiles: partitioning by the group key keeps every window
+    task at group-size rows (parallel across groups, no global sort, no
+    single-task window), which is the scalable shape whenever the group
+    count is large and no single group dominates; skewed groups would fall
+    back to the two-phase global rank per group."""
+    orders = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    r = orders.select(
+        F.col("o_orderpriority").alias("label"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    p = F.explode(F.array(F.lit(50), F.lit(90))).alias("pct")
+    rp = r.select("label", "cents", "rn", "n", p)
+    return rp.filter(
+        F.col("rn") == F.expr("(pct * n + 99) div 100")
+    ).select(
+        "label",
+        F.col("pct").cast("int").alias("pct"),
+        F.col("rn").cast("long").alias("at_rank"),
+        F.col("cents").alias("value_cents"),
+    )
+
+
+def _drift_col_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           count(*) FILTER (WHERE o_orderdate < DATE '1995-01-01') AS rows_a,
+           count(*) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS rows_b,
+           CAST(count(DISTINCT {col}) FILTER (WHERE o_orderdate < DATE '1995-01-01') AS BIGINT) AS ndv_a,
+           CAST(count(DISTINCT {col}) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS BIGINT) AS ndv_b,
+           CAST(count(*) FILTER (WHERE {col} IS NULL AND o_orderdate < DATE '1995-01-01') AS BIGINT) AS nulls_a,
+           CAST(count(*) FILTER (WHERE {col} IS NULL AND o_orderdate >= DATE '1995-01-01') AS BIGINT) AS nulls_b
+    FROM orders
+    """
+
+
+@register(
+    "column_drift_audit",
+    " UNION ALL ".join(
+        [_drift_col_sql(c) for c in ("o_orderstatus", "o_orderpriority", "o_custkey")]
+    ),
+)
+def column_drift_audit(spark, sf_dir):
+    """Schema/content drift audit between two ingest periods (pre/post
+    1995): per column, row counts, EXACT distinct counts, and null counts
+    for each period side by side — the data-contract check a daily sync
+    runs before loading (a priority enum gaining a value or a key column
+    going sparse is caught here, not in the warehouse). One pass per
+    column; conditional countDistinct keeps both periods in a single scan
+    of each."""
+    orders = _t(spark, sf_dir, "orders")
+    a = F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    b = ~a
+
+    def audit(col):
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count_if(a).alias("rows_a"),
+            F.count_if(b).alias("rows_b"),
+            F.countDistinct(F.when(a, F.col(col))).cast("long").alias("ndv_a"),
+            F.countDistinct(F.when(b, F.col(col))).cast("long").alias("ndv_b"),
+            F.count_if(a & F.col(col).isNull()).cast("long").alias("nulls_a"),
+            F.count_if(b & F.col(col).isNull()).cast("long").alias("nulls_b"),
+        )
+
+    return (
+        audit("o_orderstatus")
+        .unionAll(audit("o_orderpriority"))
+        .unionAll(audit("o_custkey"))
+    )

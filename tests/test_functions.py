@@ -165,6 +165,30 @@ def test_global_cumsum_empty_input(spark):
     assert global_cumsum(df, ["k"], "v", "cs", num_partitions=4).count() == 0
 
 
+def test_prefix_filter_equals_full_inverted_index(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS: at the same threshold it returns
+    exactly the pairs of the full inverted index — the Bayardo guarantee
+    that a J>=t pair shares a token in both rarest-first prefixes. This is
+    the proof that the candidate restriction (unlike the stop-shingle cap)
+    is not an approximation."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in dedup.jaccard_prefix_filter_pairs(
+            docs, "text", "doc_id", k=3, threshold_milli=500
+        ).collect()
+    }
+    assert pref == full and len(full) > 0
+
+
 def test_global_row_number_and_ntile_match_single_window(spark):
     from pyspark.sql import Window
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import (

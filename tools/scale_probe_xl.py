@@ -58,6 +58,7 @@ PROBES = [
     "global_running_revenue",
     "dedup_tiered_pipeline",
     "dedup_span_removal",
+    "dedup_jaccard_prefix_filter",  # provably-lossless candidate restriction
 ]
 
 
