@@ -144,6 +144,17 @@ def main() -> None:
         "pair mass is O(N^1.5): expected growth ~x10-x32, vs x100 for the",
         "all-pairs quadratic it replaces.",
         "",
+        "dedup_jaccard_prefix_filter's growth here is the WORST case for",
+        "prefix filtering: with every doc 100% duplicated (10 copies), every",
+        "pair genuinely qualifies at J>=0.5, so no candidate restriction is",
+        "possible (the copies share all prefix tokens) and the number is",
+        "duplicate-mass-bound like dedup_substring_spans above. Its payoff is",
+        "on low-duplication corpora, where rarest-first prefixes shrink the",
+        "candidate set provably without the cap heuristic's underestimate",
+        "(measured on the sf0.1 fixture at t=0.5: 1,265,779 full-index",
+        "candidate pairs -> 430,739 prefix-index = x2.9 reduction, even",
+        "with that corpus's own heavy duplication).",
+        "",
         "| query | sf0.1 s | sf~1 s | growth over 10x data |",
         "|---|---|---|---|",
     ]
