@@ -9034,3 +9034,81 @@ def column_drift_audit(spark, sf_dir):
         .unionAll(audit("o_orderpriority"))
         .unionAll(audit("o_custkey"))
     )
+
+
+_SIMHASH_SQL = """
+    t1 AS (SELECT doc_id, {toks} AS tk FROM documents),
+    tkx AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM t1),
+    th AS (SELECT doc_id, {h15} AS h FROM tkx),
+    bits AS (SELECT unnest(range(0, 60)) AS j),
+    votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        FROM th CROSS JOIN bits GROUP BY doc_id, j
+    ),
+    shv AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash_neardup",
+    f"""
+    WITH {_SIMHASH_SQL.format(toks=_TOKS_SQL, h15=_HASH15.format(x='t'))},
+    bands AS (
+        SELECT doc_id, simhash, b AS band_id,
+               (simhash >> (15 * b)) & 32767 AS band_val
+        FROM shv CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate PAIRS at Hamming <= 3 via band blocking
+    (Manku et al., WWW'07 — the production web near-dup design): the 60-bit
+    fingerprint splits into 4 bands of 15 bits; by pigeonhole any pair
+    within Hamming 3 agrees EXACTLY on at least one band, so candidates
+    come from 4 equi-joins on (band_id, band_val) — never an all-pairs
+    Hamming scan — and the bit_count(xor) verify runs only on candidates.
+    Completes the text-simhash tier (dedup_simhash emits fingerprints; the
+    image analog is multimodal_dhash_neardup)."""
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", dedup.simhash(F.col("text")).alias("simhash")
+    )
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn(
+        "band_val", F.expr("(simhash >> (band_id * 15)) & 32767")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"),
+        "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -165,6 +165,35 @@ def test_global_cumsum_empty_input(spark):
     assert global_cumsum(df, ["k"], "v", "cs", num_partitions=4).count() == 0
 
 
+def test_simhash_band_blocking_is_lossless(spark, sf_dir):
+    """Pigeonhole check: 4x15-bit band blocking must find EVERY pair at
+    Hamming <= 3 (a pair within distance 3 differs in at most 3 bands, so
+    at least one band matches exactly) — compared against the brute-force
+    all-pairs Hamming scan it replaces."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
+        dedup_simhash_neardup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_simhash_neardup(spark, f"{sf_dir}").collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
 def test_prefix_filter_equals_full_inverted_index(spark, sf_dir):
     """Prefix filtering must be LOSSLESS: at the same threshold it returns
     exactly the pairs of the full inverted index — the Bayardo guarantee
