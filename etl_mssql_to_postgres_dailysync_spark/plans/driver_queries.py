@@ -9112,3 +9112,256 @@ def dedup_simhash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model statistics: surprisal / LM scoring / OOV / KL
+# (the perplexity-style quality-filter family of a pretraining pipeline,
+#  with the LM trained on the corpus itself — no external model needed)
+# ---------------------------------------------------------------------------
+
+# shared CTE: per-doc token arrays, token stream, unigram counts, token mass.
+# Parity note on ln(): both engines evaluate ln over BIGINT-valued doubles;
+# verified bit-equal after round(x*1e6) across 1..2e6 (and the ln(a)-ln(b)
+# difference form) between Spark's Math.log and DuckDB's libm log — the
+# micro-nat convention rides on that, with round() killing residual ulps.
+_LM_CTE = f"""
+    t1 AS (SELECT doc_id, source, {_TOKS_SQL} AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, source, unnest(tk) AS tok FROM t1),
+    u AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM u)
+"""
+
+
+def _lm_parts(spark, sf_dir):
+    """Shared Spark side of _LM_CTE: (t1, tok, u, nu)."""
+    t1 = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", text.tokens(text.normalize(F.col("text"))).alias("tk"))
+    )
+    tok = t1.select("doc_id", "source", F.explode("tk").alias("tok"))
+    u = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nu = u.agg(F.sum("c").cast("long").alias("nu"))
+    return t1, tok, u, nu
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""
+    WITH {_LM_CTE},
+    su AS (SELECT tok, CAST(round((ln(CAST(nu AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                               * 1000000) AS BIGINT) AS s_unat
+           FROM u CROSS JOIN nu),
+    d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(s.s_unat) AS s_sum
+          FROM tok t JOIN su s USING (tok) GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(s_sum // n_tokens AS BIGINT) AS mean_surprisal_unat
+    FROM d
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Per-document mean token surprisal -ln p(w) in integer MICRO-NATS,
+    with the unigram LM trained on the corpus itself — the cheapest
+    perplexity-proxy quality signal (gibberish/boilerplate scores high/low
+    without any external model). Surprisal ln(Nu)-ln(c) is rounded to an
+    int per VOCAB ENTRY (vocab-sized table, one ln pair per type), then
+    per-doc aggregation is exact BIGINT sums — partial-aggregable and
+    engine-parity-exact (ln parity verified; see _LM_CTE note). Both
+    operands are non-negative so Spark's truncating `div` and DuckDB's
+    flooring `//` agree. Plan: token-keyed equi-join of the token stream
+    against the vocab table (8-byte-hashable shuffle keys), one scalar
+    crossJoin (1-row token mass). At 100 TB the vocab table is ~1e8 rows —
+    still an ordinary shuffle join; nothing is collected."""
+    _t1, tok, u, nu = _lm_parts(spark, sf_dir)
+    su = u.crossJoin(F.broadcast(nu)).select(
+        "tok",
+        F.round(
+            (F.log(F.col("nu").cast("double")) - F.log(F.col("c").cast("double")))
+            * 1000000
+        ).cast("long").alias("s_unat"),
+    )
+    d = tok.join(su, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("s_unat").alias("s_sum")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("s_sum div n_tokens").alias("mean_surprisal_unat"),
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH {_LM_CTE},
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+    bp AS (SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i
+           FROM t1 WHERE len(tk) >= 2),
+    b AS (SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM bp),
+    bg AS (SELECT w1, w2, count(*) AS cxy FROM b GROUP BY 1, 2),
+    sc AS (SELECT bg.w1, bg.w2,
+                  CAST(round((ln(CAST(u.c + vs.v AS DOUBLE))
+                              - ln(CAST(bg.cxy + 1 AS DOUBLE))) * 1000000) AS BIGINT)
+                      AS nlp_unat
+           FROM bg JOIN u ON bg.w1 = u.tok CROSS JOIN vs),
+    d AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(sc.nlp_unat) AS nlp_sum
+          FROM b JOIN sc ON b.w1 = sc.w1 AND b.w2 = sc.w2 GROUP BY 1)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(nlp_sum // n_bigrams AS BIGINT) AS mean_nlp_unat,
+           CAST(CASE WHEN nlp_sum // n_bigrams >= 9000000 THEN 1 ELSE 0 END AS INT)
+               AS low_quality
+    FROM d
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Per-document add-one-smoothed bigram LM negative log-likelihood —
+    the KenLM-style perplexity filter of CCNet/RefinedWeb, self-trained:
+    p(w2|w1) = (c12+1)/(c1+V), doc score = mean -ln p over bigram
+    positions, in integer micro-nats (ln(c1+V) >= ln(c12+1), so every term
+    is non-negative and trunc-vs-floor division agrees cross-engine).
+    `low_quality` flags score >= 9 nats (~e^9 perplexity) — the
+    deterministic keep/drop gate a curation pipeline applies. Plan shape:
+    bigram positions come from an index transform over the per-doc token
+    array (no self-join), the model table bg is (w1,w2)-keyed with
+    map-side combine, scoring is one equi-join of positions against the
+    model plus a 1-row vocab-size scalar. All state is corpus-derived and
+    shuffle-joined — a 100 TB corpus trains and applies its own LM in two
+    passes, nothing driver-side."""
+    t1, _tok, u, _nu = _lm_parts(spark, sf_dir)
+    b = (
+        t1.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bg = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    vs = u.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    sc = (
+        bg.join(u.select(F.col("tok").alias("w1"), "c"), "w1")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "w1", "w2",
+            F.round(
+                (F.log((F.col("c") + F.col("v")).cast("double"))
+                 - F.log((F.col("cxy") + F.lit(1)).cast("double"))) * 1000000
+            ).cast("long").alias("nlp_unat"),
+        )
+    )
+    d = b.join(sc, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nlp_unat").alias("nlp_sum")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.expr("nlp_sum div n_bigrams").alias("mean_nlp_unat"),
+        F.when(F.expr("nlp_sum div n_bigrams") >= 9000000, F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("low_quality"),
+    )
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH {_LM_CTE},
+    d AS (SELECT t.doc_id, count(*) AS n_tokens,
+                 sum(CASE WHEN u.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+          FROM tok t JOIN u USING (tok) GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           CAST(n_rare * 1000000 // n_tokens AS BIGINT) AS rare_ppm
+    FROM d
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """Per-document rare-token rate: share of token POSITIONS whose corpus
+    frequency is <= 2 (hapax/dis legomena — the OOV-proxy used to catch
+    mojibake, hash-spam, and OCR noise without a reference vocabulary).
+    Fully integer (ppm via non-negative floor division), so bit-exact
+    cross-engine. Same two-pass plan as text_unigram_surprisal: build the
+    vocab-count table, equi-join the token stream back against it — both
+    shuffles are token-keyed with map-side combine, no driver state."""
+    _t1, tok, u, _nu = _lm_parts(spark, sf_dir)
+    d = tok.join(u, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_rare").cast("long").alias("n_rare"),
+        F.expr("n_rare * 1000000 div n_tokens").alias("rare_ppm"),
+    )
+
+
+@register(
+    "source_kl_divergence",
+    f"""
+    WITH {_LM_CTE},
+    s AS (SELECT source, tok, count(*) AS cs FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM s GROUP BY 1),
+    term AS (SELECT s.source,
+                    s.cs * CAST(round((ln(CAST(s.cs AS DOUBLE)) + ln(CAST(nu.nu AS DOUBLE))
+                                       - ln(CAST(ns.ns AS DOUBLE)) - ln(CAST(u.c AS DOUBLE)))
+                                      * 1000000) AS BIGINT) AS kt
+             FROM s JOIN ns USING (source) JOIN u USING (tok) CROSS JOIN nu),
+    agg AS (SELECT source, sum(kt) AS ks FROM term GROUP BY 1),
+    tv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types FROM s GROUP BY 1)
+    SELECT a.source, ns.ns AS n_tokens, tv.n_types,
+           CAST(greatest(a.ks, 0) // ns.ns AS BIGINT) AS kl_unat
+    FROM agg a JOIN ns USING (source) JOIN tv USING (source)
+    """,
+)
+def source_kl_divergence(spark, sf_dir):
+    """KL(source || corpus) over unigram distributions, in micro-nats —
+    the domain-shift measure behind mixture reweighting (how far each
+    source's token distribution sits from the blend it feeds). Per
+    (source, type): cs * round((ln cs + ln Nu - ln Ns - ln c) * 1e6),
+    summed as exact BIGINTs; individual terms may be negative but the
+    total is >= -rounding-mass, clamped at 0 on BOTH sides before the
+    final non-negative division so trunc-vs-floor never diverges.
+    Int64 bound: |term| <= cs * ~2e7, so the per-source sum stays in
+    int64 while source token mass < ~4e11 (document-scale corpora; widen
+    to DECIMAL(38,0) past that, as gini_impurity_profile does). Plan:
+    (source, tok)-keyed count, two equi-joins (ns broadcastable — one row
+    per source; u is the vocab-sized shuffle side), one 1-row scalar
+    crossJoin. Output is source-grain — tiny at any corpus size."""
+    _t1, tok, u, nu = _lm_parts(spark, sf_dir)
+    s = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    ns = s.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    term = (
+        s.join(F.broadcast(ns), "source")
+        .join(u, "tok")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "source",
+            (
+                F.col("cs")
+                * F.round(
+                    (F.log(F.col("cs").cast("double")) + F.log(F.col("nu").cast("double"))
+                     - F.log(F.col("ns").cast("double")) - F.log(F.col("c").cast("double")))
+                    * 1000000
+                ).cast("long")
+            ).alias("kt"),
+        )
+    )
+    agg = term.groupBy("source").agg(F.sum("kt").alias("ks"))
+    tv = s.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        agg.join(F.broadcast(ns), "source")
+        .join(F.broadcast(tv), "source")
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "n_types",
+            F.expr("greatest(ks, 0L) div ns").alias("kl_unat"),
+        )
+    )

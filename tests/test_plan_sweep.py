@@ -45,6 +45,9 @@ ALLOWED_NESTED_LOOP = {
     "class_weights",           # 1-row (total, k) scalar cross join
     "join_skew_audit",         # three 1-row table totals x top-5 key rows
     "winsorized_price_stats",  # 1-row (P01, P99) bounds cross join
+    "text_unigram_surprisal",  # 1-row corpus token mass (scalar subquery)
+    "text_bigram_lm_score",    # 1-row vocab size V (scalar subquery)
+    "source_kl_divergence",    # 1-row corpus token mass (scalar subquery)
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
