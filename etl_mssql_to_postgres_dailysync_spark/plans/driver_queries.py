@@ -9365,3 +9365,86 @@ def source_kl_divergence(spark, sf_dir):
             F.expr("greatest(ks, 0L) div ns").alias("kl_unat"),
         )
     )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS ({_lang_id_oracle()}),
+    j AS (SELECT d.lang AS lang_true, p.lang_pred
+          FROM documents d JOIN pred p ON d.doc_id = p.doc_id)
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Confusion matrix of the heuristic language-ID against the labeled
+    `lang` column — the QA loop every classifier-driven curation filter
+    needs (per-(true, predicted) document counts expose exactly which
+    languages the marker lexicons confuse, and the `und` row sizes the
+    coverage gap). Doc-keyed equi-join of predictions onto labels, then a
+    bounded-cardinality (|langs|^2) aggregate — trivially 100 TB-safe."""
+    pred = text_lang_id(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    return docs.join(pred, "doc_id").groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "knn_label_agreement",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, q.ql, c.neighbor_id, c.cl, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT query_id, CAST(max(ql) AS INT) AS label,
+           CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           CAST(CASE WHEN sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) * 2 > 5
+                THEN 1 ELSE 0 END AS INT) AS knn_majority_match
+    FROM top GROUP BY 1
+    """,
+)
+def knn_label_agreement(spark, sf_dir):
+    """Embedding-space quality audit: does each query vector's exact
+    top-5 cosine neighborhood share its label? (kNN label agreement — the
+    standard probe for whether an embedding column is usable for
+    label-propagation / SemDeDup-style curation before spending a
+    clustering run on it.) Reuses the broadcast-queries brute-force top-k
+    (corpus scan stays shuffle-free; candidate set is k x |queries| rows),
+    then joins the 250-row top-k result to the label column (broadcast
+    side = the top-k rows, never the corpus) and aggregates per query.
+    Label agreement is pure integer counting — bit-exact cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    topk = similarity.brute_force_topk(qs, emb, k=5)
+    ql = qs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+    cl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cl"))
+    j = cl.join(
+        F.broadcast(topk.join(F.broadcast(ql), "query_id")), "neighbor_id"
+    )
+    return j.groupBy("query_id").agg(
+        F.max("ql").cast("int").alias("label"),
+        F.sum(F.when(F.col("cl") == F.col("ql"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same_label"),
+        F.when(
+            F.sum(F.when(F.col("cl") == F.col("ql"), 1).otherwise(0)) * 2 > 5,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("knn_majority_match"),
+    )

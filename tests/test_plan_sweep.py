@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "text_unigram_surprisal",  # 1-row corpus token mass (scalar subquery)
     "text_bigram_lm_score",    # 1-row vocab size V (scalar subquery)
     "source_kl_divergence",    # 1-row corpus token mass (scalar subquery)
+    "knn_label_agreement",     # by design: corpus x broadcast(50 queries)
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001

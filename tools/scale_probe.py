@@ -35,6 +35,8 @@ PROBES = [
     "bloom_decontaminate",      # Bloom-sketch membership probe (r3)
     "text_bigram_lift",         # bigram/unigram collocation joins (r3)
     "rolling_28d_active_users", # user-day grain x bounded day-spine join (r3)
+    "text_unigram_surprisal",   # self-trained unigram LM scoring (r4)
+    "text_bigram_lm_score",     # add-one bigram LM + model-apply join (r4)
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 

@@ -59,6 +59,8 @@ PROBES = [
     "dedup_tiered_pipeline",
     "dedup_span_removal",
     "dedup_jaccard_prefix_filter",  # provably-lossless candidate restriction
+    "text_unigram_surprisal",  # vocab-table join: vocab FIXED as tokens x10
+    "text_bigram_lm_score",    # bigram-model join under 10x token mass
 ]
 
 
