@@ -9448,3 +9448,56 @@ def knn_label_agreement(spark, sf_dir):
         .cast("int")
         .alias("knn_majority_match"),
     )
+
+
+@register(
+    "label_centroid_separation",
+    """
+    WITH u AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                      CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS micro
+               FROM embeddings),
+    c AS (SELECT label, dim,
+                 CAST((sum(micro) + count(*) * 10000000) // count(*) AS BIGINT) AS cent
+          FROM u GROUP BY 1, 2)
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.cent - b.cent) * (a.cent - b.cent)) AS BIGINT) AS dist_micro2
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def label_centroid_separation(spark, sf_dir):
+    """Pairwise squared distance between per-label centroids in integer
+    micro-units — the class-separation matrix that says whether an
+    embedding column carries enough signal for label-propagation /
+    cluster-based curation (complements knn_label_agreement's local view
+    with the global geometry). Centroid components are floor-mean micros
+    computed as (sum + n*OFFSET) div n with OFFSET=1e7 so the dividend is
+    always positive: Spark's truncating `div` and DuckDB's flooring `//`
+    agree only on non-negative operands, and the offset cancels exactly in
+    the centroid difference. Plan: one (label, dim) aggregate over the
+    posexploded corpus (partial-aggregable), then a dim-keyed self-join of
+    the |labels|*|dims| centroid table — metadata-sized at any corpus
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    c = u.groupBy("label", "dim").agg(
+        F.expr("(sum(micro) + count(1) * 10000000L) div count(1)").alias("cent")
+    )
+    a = c.select(F.col("label").alias("label_a"), "dim", F.col("cent").alias("ca"))
+    b = c.select(F.col("label").alias("label_b"), "dim", F.col("cent").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("dist_micro2")
+        )
+    )
