@@ -9368,6 +9368,70 @@ def source_kl_divergence(spark, sf_dir):
 
 
 @register(
+    "text_zipf_fit",
+    f"""
+    WITH {_LM_CTE},
+    r AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk FROM u),
+    p AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+          FROM r),
+    s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+          FROM p)
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) -
+                  ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                   (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000, 6)
+               AS intercept_lnfreq
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf-law fit over the corpus token-frequency distribution: OLS slope
+    of ln(freq) vs ln(rank) (healthy natural-language corpora sit near -1;
+    template/spam-heavy crawls flatten or steepen it — a one-number corpus
+    health gauge). Frequency rank comes from operators/cumsum.
+    global_row_number — the vocab table can be ~1e8 rows at 100 TB, so the
+    rank is two-phase range-exchange, never a single-task window (the SQL
+    oracle may use the window; DuckDB is the small-scale referee). (x, y)
+    are MILLI-nat integers (x*y <= ~4e8, so the int64 sufficient stats
+    survive vocab ~2e10); the slope/intercept are the same
+    fixed-IEEE-on-exact-int-sums expression as manual_corr_stats, rounded
+    to 6 dp on both sides. Output is one row — driver-safe anywhere."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
+
+    _t1, _tok, u, _nu = _lm_parts(spark, sf_dir)
+    ranked, _total = global_row_number(
+        u.withColumn("negc", -F.col("c")), ["negc", "tok"], out_col="rnk"
+    )
+    p = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000).cast("long").alias("y"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syd - slope * sxd) / nd / 1000, 6).alias("intercept_lnfreq"),
+    )
+
+
+@register(
     "lang_id_confusion",
     f"""
     WITH pred AS ({_lang_id_oracle()}),
