@@ -9368,6 +9368,70 @@ def source_kl_divergence(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_audit",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE (inter * 1000000) // (sa.n + sb.n - inter) >= 500000
+    ),
+    cand AS (SELECT id_a, id_b FROM ({ORACLES["dedup_minhash_lsh"]})),
+    hits AS (SELECT t.id_a, t.id_b FROM truth t
+             JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT nc.n_candidates, nt.n_truth, nh.n_hits,
+           CAST(nh.n_hits * 1000000 // greatest(nc.n_candidates, 1) AS BIGINT)
+               AS precision_ppm,
+           CAST(nh.n_hits * 1000000 // greatest(nt.n_truth, 1) AS BIGINT)
+               AS recall_ppm
+    FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand) nc
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth) nt
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits) nh
+    """,
+)
+def dedup_lsh_audit(spark, sf_dir):
+    """Measured precision/recall of the MinHash(16)+LSH(4x4) candidate
+    generator against EXACT 3-shingle Jaccard >= 0.5 truth — the empirical
+    S-curve check that tells you whether the banding geometry fits the
+    corpus before a full dedup run trusts it (complements minhash_band_stats'
+    structural diagnostics and RECALL.md's ANN numbers with an
+    oracle-twinned in-registry metric). The truth side is the unblocked
+    inverted-index Jaccard join (candidate-pair-mass-bound); at 100 TB this
+    audit runs on a deterministic hash sample of the corpus (cf.
+    deterministic_sample) — the registry fixture IS that sample here. All
+    outputs are integer counts/ppm; the three 1-row tallies cross-join into
+    a single driver-safe audit row."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3
+    ).select("id_a", "id_b")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"])
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_candidates", "n_truth", "n_hits",
+            F.expr("n_hits * 1000000 div greatest(n_candidates, 1)")
+            .cast("long").alias("precision_ppm"),
+            F.expr("n_hits * 1000000 div greatest(n_truth, 1)")
+            .cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+@register(
     "text_zipf_fit",
     f"""
     WITH {_LM_CTE},

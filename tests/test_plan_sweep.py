@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "text_bigram_lm_score",    # 1-row vocab size V (scalar subquery)
     "source_kl_divergence",    # 1-row corpus token mass (scalar subquery)
     "knn_label_agreement",     # by design: corpus x broadcast(50 queries)
+    "dedup_lsh_audit",         # three 1-row audit tallies cross-joined
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
