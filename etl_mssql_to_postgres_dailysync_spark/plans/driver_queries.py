@@ -9432,6 +9432,47 @@ def dedup_lsh_audit(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_audit_wide",
+    # identical audit against the SAME exact-Jaccard truth, but candidates
+    # from the high-recall 8-bands x 2-rows geometry: only the band grouping
+    # (seed // rows_per_band) changes in the oracle
+    ORACLES["dedup_lsh_audit"].replace("seed // 4", "seed // 2"),
+)
+def dedup_lsh_audit_wide(spark, sf_dir):
+    """The same precision/recall audit as dedup_lsh_audit, at the
+    high-recall banding geometry: 16 MinHashes as 8 bands x 2 rows.
+    P(candidate) = 1-(1-J^2)^8 — at J=0.5 that's ~0.90 vs ~0.23 for the
+    4x4 split, at the cost of far more sub-threshold candidates (the
+    2-row band agreement is weak evidence). Running both audits against
+    the identical exact-Jaccard truth maps the banding S-curve frontier
+    EMPIRICALLY on the corpus at hand — the measurement that picks (b, r)
+    before a 100 TB dedup run commits to a geometry. Same plan shape and
+    scale story as dedup_lsh_audit."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=8, k=3
+    ).select("id_a", "id_b")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"])
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_candidates", "n_truth", "n_hits",
+            F.expr("n_hits * 1000000 div greatest(n_candidates, 1)")
+            .cast("long").alias("precision_ppm"),
+            F.expr("n_hits * 1000000 div greatest(n_truth, 1)")
+            .cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+@register(
     "text_zipf_fit",
     f"""
     WITH {_LM_CTE},

@@ -50,6 +50,7 @@ ALLOWED_NESTED_LOOP = {
     "source_kl_divergence",    # 1-row corpus token mass (scalar subquery)
     "knn_label_agreement",     # by design: corpus x broadcast(50 queries)
     "dedup_lsh_audit",         # three 1-row audit tallies cross-joined
+    "dedup_lsh_audit_wide",    # three 1-row audit tallies cross-joined
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
