@@ -218,6 +218,30 @@ def test_prefix_filter_equals_full_inverted_index(spark, sf_dir):
     assert pref == full and len(full) > 0
 
 
+def test_band_refinement_candidates_are_superset(spark, sf_dir):
+    """Splitting each 4-row band into two 2-row bands can only ADD
+    candidates: a pair agreeing on a 4-seed band agrees on both of its
+    2-seed halves, so the 4x4 candidate set is a subset of the 8x2 set
+    (the structural fact behind dedup_lsh_audit vs dedup_lsh_audit_wide:
+    recall is monotone in band refinement, precision pays for it)."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    narrow = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4, k=3
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=8, k=3
+        ).collect()
+    }
+    assert narrow <= wide and len(narrow) > 0
+
+
 def test_global_row_number_and_ntile_match_single_window(spark):
     from pyspark.sql import Window
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import (
