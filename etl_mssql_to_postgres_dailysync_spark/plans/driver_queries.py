@@ -9537,6 +9537,51 @@ def text_zipf_fit(spark, sf_dir):
 
 
 @register(
+    "mixture_alpha_weights",
+    f"""
+    WITH {_LM_CTE},
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_toks FROM tok GROUP BY 1),
+    r AS (SELECT source, n_toks,
+                 CAST(round(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS r_milli
+          FROM ns),
+    tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS nt,
+                   CAST(sum(r_milli) AS BIGINT) AS rt FROM r)
+    SELECT source, n_toks,
+           CAST(n_toks * 1000000 // tot.nt AS BIGINT) AS raw_ppm,
+           CAST(r_milli * 1000000 // tot.rt AS BIGINT) AS alpha_ppm
+    FROM r CROSS JOIN tot
+    """,
+)
+def mixture_alpha_weights(spark, sf_dir):
+    """Temperature-smoothed source sampling weights at alpha = 0.5: the
+    p^alpha / sum p^alpha rule (mBERT/XLM multilingual sampling) that
+    up-weights low-resource sources without letting any source dominate —
+    the knob a 100 TB mixture schedule turns. alpha = 0.5 means
+    p^alpha = sqrt(p), and IEEE-754 guarantees sqrt is CORRECTLY rounded
+    (unlike pow/exp/ln's 1-ulp license), so round(sqrt(bigint)*1e3) is
+    bit-equal cross-engine by spec, not by measurement; the normalization
+    is then pure non-negative integer arithmetic. Contrast raw_ppm
+    (proportional sampling) vs alpha_ppm in one source-grain row set. One
+    aggregate + a 1-row totals scalar — trivially scale-safe."""
+    _t1, tok, _u, _nu = _lm_parts(spark, sf_dir)
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    r = ns.select(
+        "source", "n_toks",
+        F.round(F.sqrt(F.col("n_toks").cast("double")) * 1000)
+        .cast("long").alias("r_milli"),
+    )
+    tot = r.agg(
+        F.sum("n_toks").cast("long").alias("nt"),
+        F.sum("r_milli").cast("long").alias("rt"),
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "source", "n_toks",
+        F.expr("n_toks * 1000000 div nt").alias("raw_ppm"),
+        F.expr("r_milli * 1000000 div rt").alias("alpha_ppm"),
+    )
+
+
+@register(
     "lang_id_confusion",
     f"""
     WITH pred AS ({_lang_id_oracle()}),

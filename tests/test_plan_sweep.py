@@ -51,6 +51,7 @@ ALLOWED_NESTED_LOOP = {
     "knn_label_agreement",     # by design: corpus x broadcast(50 queries)
     "dedup_lsh_audit",         # three 1-row audit tallies cross-joined
     "dedup_lsh_audit_wide",    # three 1-row audit tallies cross-joined
+    "mixture_alpha_weights",   # 1-row (token, sqrt-mass) totals scalar
 }
 
 # queries with driver-side setup that writes real files; cheap at sf0.001
