@@ -9537,6 +9537,71 @@ def text_zipf_fit(spark, sf_dir):
 
 
 @register(
+    "event_transition_entropy",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (SELECT event_type, next_type, count(*) AS c
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_next_states,
+                 CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                     AS BIGINT) AS sclnc
+          FROM c GROUP BY 1)
+    SELECT event_type, n AS n_transitions, n_next_states,
+           CAST(greatest(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                         - sclnc, 0) // n AS BIGINT) AS entropy_unat
+    FROM a
+    """,
+)
+def event_transition_entropy(spark, sf_dir):
+    """Conditional next-event entropy H(next | state) per event type in
+    micro-nats — the information-theoretic summary of the Markov matrix
+    (event_transition_matrix gives the counts; this says which states are
+    deterministic funnels vs diverse hubs — bot traffic and broken flows
+    show up as near-zero entropy). H = ln(n) - (1/n) * sum c*ln(c),
+    computed from per-count rounded micro-nat integers (ln parity note in
+    _LM_CTE) with exact BIGINT sums; the numerator is clamped at 0 on both
+    sides before the non-negative division (rounding can push an exactly-
+    zero-entropy state epsilon-negative, and trunc-vs-floor differ there).
+    Int64 bound: n * ln(n)*1e6 overflows past n ~ 4.6e11 transitions per
+    state — DECIMAL(38,0) escape hatch as gini_impurity_profile. Plan:
+    user-keyed lead window (parallel across users), then an event-type^2
+    aggregate — constant-size output."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = c.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_next_states"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        ).cast("long").alias("sclnc"),
+    )
+    return a.select(
+        "event_type",
+        F.col("n").alias("n_transitions"),
+        "n_next_states",
+        F.expr(
+            "greatest(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sclnc, 0L) div n"
+        ).alias("entropy_unat"),
+    )
+
+
+@register(
     "mixture_alpha_weights",
     f"""
     WITH {_LM_CTE},
