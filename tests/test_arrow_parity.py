@@ -164,3 +164,40 @@ class TestArrowParity:
             for r in q.select("vid", udf(F.col("qv")).alias("c")).collect()
         }
         assert ref == got
+
+
+class TestLnMicroNatParity:
+    """The LM-quality family (text_unigram_surprisal, text_bigram_lm_score,
+    source_kl_divergence, text_zipf_fit, event_transition_entropy) rests on
+    one cross-engine fact: CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+    is bit-equal between Spark (java.lang.Math.log) and DuckDB (libm log)
+    for BIGINT inputs — neither ln is spec-guaranteed correctly rounded, so
+    this pins the measured agreement as a regression gate (a JVM or DuckDB
+    upgrade that breaks it should fail HERE, not as 30 mysterious oracle
+    mismatches)."""
+
+    def test_ln_micronat_bit_equal(self, spark):
+        import duckdb
+
+        # dense low range (where ulp gaps are coarsest relative to ln) plus
+        # a strided sweep across the int64-practical range of corpus counts
+        spark_vals = dict(
+            spark.sql(
+                """
+                SELECT n, CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS v
+                FROM (SELECT id + 1 AS n FROM range(100000)
+                      UNION ALL
+                      SELECT (id + 1) * 999983 AS n FROM range(100000))
+                """
+            ).collect()
+        )
+        duck = duckdb.connect().execute(
+            """
+            SELECT n, CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS v
+            FROM (SELECT x + 1 AS n FROM range(100000) t(x)
+                  UNION ALL
+                  SELECT (x + 1) * 999983 AS n FROM range(100000) t(x))
+            """
+        ).fetchall()
+        mismatches = [(n, v, spark_vals[n]) for n, v in duck if spark_vals[n] != v]
+        assert not mismatches, f"ln micro-nat divergence: {mismatches[:5]}"
