@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (r5): the driver keeps only a fixed-size tail of stdout and
+json-parses the LAST line, so the LAST line printed is the compact headline
+metric {"metric", "value", "unit", "queries", "sf"} and nothing else —
+r4's artifact came back "parsed": null because spread/runs_per_query made
+that single line overflow the tail window. Everything diagnostic (per-query
+spread, runs_per_query, the non-headline tranche section) is printed on
+EARLIER lines and also written whole to BENCH_FULL.json next to this file.
 
 Each query is executed as a full pipeline-to-action (count of the final
 DataFrame). After a warm-up pass, every query is timed N_RUNS times and the
@@ -70,6 +76,22 @@ HEADLINE = [
     "txn_table_snapshot",
 ]
 
+# Heaviest non-headline registry queries (r4 tranche). Reported as a SEPARATE
+# tranche_queries_total section so the headline set stays frozen for
+# round-over-round comparability (VERDICT r4 ask #5).
+TRANCHE = [
+    "dedup_lsh_audit",
+    "dedup_lsh_audit_wide",
+    "dedup_jaccard_prefix_filter",
+    "similarity_ann_lsh_wide",
+    "text_zipf_fit",
+    "text_unigram_surprisal",
+    "text_bigram_lm_score",
+    "chunk_dedup_crossdoc",
+    "exact_percentiles",
+    "dedup_semantic_prune",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,42 +102,63 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    names = [n for n in HEADLINE if n in qs]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    # Warm-up pass: run every headline query once so the timed passes measure
-    # steady-state execution (JIT-compiled codegen, Python worker pool, OS
-    # page cache) rather than single-shot JVM/interpreter warm-up.
-    for name in names:
-        qs[name](spark, sf_dir).count()
-
-    samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(n_runs):
-        for name in names:
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            samples[name].append(time.time() - t0)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    timings = {name: round(median(ts), 3) for name, ts in samples.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "spread": {
-                    name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
-                },
-            }
-        )
-    )
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        names = [n for n in names if n in qs]
+        # Warm-up pass: run every query once so the timed passes measure
+        # steady-state execution (JIT-compiled codegen, Python worker pool,
+        # OS page cache) rather than single-shot JVM/interpreter warm-up.
+        for name in names:
+            qs[name](spark, sf_dir).count()
+        samples: dict[str, list[float]] = {name: [] for name in names}
+        for _ in range(n_runs):
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                samples[name].append(time.time() - t0)
+        timings = {name: round(median(ts), 3) for name, ts in samples.items()}
+        spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
+        return timings, spread
+
+    timings, spread = run_set(HEADLINE)
+    tranche_timings, tranche_spread = run_set(TRANCHE)
+
+    headline_line = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    tranche_line = {
+        "metric": "tranche_queries_total",
+        "value": round(sum(tranche_timings.values()), 3),
+        "unit": "sec",
+        "queries": tranche_timings,
+        "sf": sf,
+    }
+    diag_line = {
+        "runs_per_query": n_runs,
+        "spread": spread,
+        "tranche_spread": tranche_spread,
+    }
+    full = {"headline": headline_line, "tranche": tranche_line, "diag": diag_line}
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        with open(out, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # diagnostics file is best-effort; stdout lines below are canonical
+    # Diagnostic lines first; the compact headline metric line MUST be last.
+    print(json.dumps(diag_line))
+    print(json.dumps(tranche_line))
+    print(json.dumps(headline_line))
 
 
 if __name__ == "__main__":

@@ -244,16 +244,19 @@ def margin_probe_masks_udf(T: int):
     """Arrow pandas UDF: array<long> of per-bit integer margins -> the T
     probe masks in (margin-sum, mask) order. Runs only on the QUERY side
     (bounded rows), batched through Arrow — the corpus never sees Python."""
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # note: no pd.Series annotations — the module-level
-    # `from __future__ import annotations` stringifies them, which breaks
-    # pandas_udf's signature inspection; the returnType carries the schema.
-    @pandas_udf("array<long>")
     def gen(margins):
         return margins.apply(lambda arr: _heap_probe_masks(list(arr), T))
 
-    return gen
+    # Inline `margins: pd.Series` annotations would be stringified by the
+    # module-level `from __future__ import annotations` and break
+    # pandas_udf's signature inspection; setting __annotations__ with REAL
+    # type objects keeps the modern typed-inference path (the legacy
+    # no-hints path is deprecated since Spark 3.0 and warns).
+    gen.__annotations__ = {"margins": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(gen)
 
 
 def lsh_bucketed_topk(

@@ -37,25 +37,24 @@ def global_cumsum(
     out_col: str = "cumsum",
     *,
     num_partitions: int | None = None,
-    cache: bool = True,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_cols`` order,
     without a single-partition window. ``order_cols`` must be a total order.
 
     Correctness note: the pid -> offset map is derived from ONE evaluation
     of the range-repartitioned plan, so the result stage must not recompute
-    ``_pid`` from scratch (range boundaries are sampled, a re-plan could
-    shift them). With ``cache=True`` (default) the local-prefix stage is
-    ``localCheckpoint(eager=True)``-ed: lineage is TRUNCATED, so the pid
-    assignment is frozen in the stored partitions and a recompute is
-    impossible by construction; the checkpoint storage is released by
-    Spark's ContextCleaner when the returned DataFrame is garbage
+    ``_pid`` from scratch (range boundaries are SAMPLED — a re-plan could
+    shift them and silently mis-rank rows). The local-prefix stage is
+    therefore unconditionally ``localCheckpoint(eager=True)``-ed: lineage is
+    TRUNCATED, the pid assignment is frozen in the stored partitions, and a
+    recompute is impossible by construction. There is deliberately NO opt-out
+    (an earlier ``cache=False`` parameter skipped materialization and relied
+    on the range exchange re-sampling identical boundaries across the two
+    jobs — not a guarantee Spark makes). The checkpoint storage is released
+    by Spark's ContextCleaner when the returned DataFrame is garbage
     collected — repeated calls in a long-lived session do not accumulate
     pinned storage (the old ``persist()`` needed a manual unpersist that no
-    caller could safely place). ``cache=False`` skips materialization and
-    is only safe when the input plan is fully deterministic end-to-end
-    (deterministic source, no sampling), where re-evaluating the range
-    exchange reproduces identical boundaries and pids."""
+    caller could safely place)."""
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -67,9 +66,9 @@ def global_cumsum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = base.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
-    if cache:
-        local = local.localCheckpoint(eager=True)
+    local = base.withColumn(
+        "_local", F.sum(F.col(value_col)).over(w_local)
+    ).localCheckpoint(eager=True)
     totals = (
         local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_tot")).collect()
     )
@@ -99,13 +98,15 @@ def global_row_number(
     out_col: str = "row_number",
     *,
     num_partitions: int | None = None,
-    cache: bool = True,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number()`` in ``order_cols`` order without a
     single-partition window — the same two-phase shape as ``global_cumsum``
     (it IS a prefix sum of ones): range-repartition, per-partition local
     row_number (parallel), collect the #partitions-row count vector, ship
     offsets back as a broadcast map. ``order_cols`` must be a total order.
+    The local-rank stage is unconditionally ``localCheckpoint``-ed for the
+    same reason as ``global_cumsum`` (sampled range boundaries must not be
+    re-planned between the offsets job and the output job).
     Returns ``(df_with_rank, total_rows)`` — the total falls out of the
     offsets job for free and downstream order statistics (ntile, percentile
     cuts) need it."""
@@ -116,9 +117,9 @@ def global_row_number(
     )
     base = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    local = base.withColumn("_local", F.row_number().over(w_local))
-    if cache:
-        local = local.localCheckpoint(eager=True)
+    local = base.withColumn("_local", F.row_number().over(w_local)).localCheckpoint(
+        eager=True
+    )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot")).collect()
     running = 0
     offsets: dict[int, int] = {}

@@ -5229,7 +5229,14 @@ def order_backlog_daily(spark, sf_dir):
 def customer_value_deciles(spark, sf_dir):
     """Customer-value decile profile (the 'top decile drives X% of revenue'
     analysis): ntile(10) over the customer-grain aggregate with a total
-    order, then per-decile count/sum/min/max."""
+    order, then per-decile count/sum/min/max.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     orders = _t(spark, sf_dir, "orders")
     cv = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -6151,7 +6158,14 @@ def equidepth_histogram(spark, sf_dir):
     closed-form ntile bucket from (global rank, total). Bit-identical to
     the one-task window (the oracle runs real ntile), at range-shuffle
     cost. Approximate alternative at scale: approx_percentile boundaries +
-    broadcast bucket join (cf. approx_percentile_bounds)."""
+    broadcast bucket join (cf. approx_percentile_bounds).
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
 
     orders = _t(spark, sf_dir, "orders")
@@ -8444,7 +8458,14 @@ def exact_percentiles(spark, sf_dir):
     equi-join the 5 target ranks ceil(p*N/100) as a broadcast spine. The
     oracle's one-task row_number() produces the identical ranking, so the
     values match bit-for-bit; approx_percentile_bounds remains the sketch
-    tier when one pass must suffice."""
+    tier when one pass must suffice.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
 
     orders = _t(spark, sf_dir, "orders")
@@ -8485,7 +8506,14 @@ def curriculum_length_deciles(spark, sf_dir):
     proxy), via the distributed exact global_ntile — range repartition +
     offsets, bit-identical to the oracle's one-task ntile() but never
     single-partition. Per-decile count and char-mass bounds are what a
-    curriculum scheduler consumes."""
+    curriculum scheduler consumes.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -8569,7 +8597,7 @@ def _skew_audit_sql(table: str, key: str) -> str:
     SELECT '{table}' AS tbl, CAST({key} AS BIGINT) AS key_val,
            count(*) AS n_rows,
            CAST(count(*) * 1000000 // (SELECT count(*) FROM {table}) AS BIGINT) AS share_ppm,
-           CAST(row_number() OVER (ORDER BY count(*) DESC, {key} ASC) AS INT) AS rnk
+           CAST(row_number() OVER (ORDER BY count(*) DESC, {key} ASC NULLS FIRST) AS INT) AS rnk
     FROM {table} GROUP BY {key}
     QUALIFY rnk <= 5
     """
@@ -8598,7 +8626,11 @@ def join_skew_audit(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows")
         )
         t = g.agg(F.sum("n_rows").cast("long").alias("__tot__"))
-        w = Window.orderBy(F.col("n_rows").desc(), F.col("key_val").asc())
+        # asc_nulls_first is Spark's ASC default, but the oracle needs it
+        # SPELLED OUT: DuckDB sorts NULLS LAST by default, and a null join
+        # key reaching the top-5 ties is precisely what this audit exists
+        # to surface — the engines must agree on where it ranks.
+        w = Window.orderBy(F.col("n_rows").desc(), F.col("key_val").asc_nulls_first())
         return (
             g.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= 5)
@@ -8864,7 +8896,14 @@ def winsorized_price_stats(spark, sf_dir):
     robust_stats_mad's median/MAD tier): the P01/P99 cut values come from
     the distributed global rank (two-phase, never one-task), everything
     after is a 1-row broadcast of the two bounds + a clamped sum. The
-    winsorized-vs-raw sum pair is the drift signal dashboards track."""
+    winsorized-vs-raw sum pair is the drift signal dashboards track.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
 
     orders = _t(spark, sf_dir, "orders")
@@ -8964,7 +9003,14 @@ def grouped_percentiles(spark, sf_dir):
     task at group-size rows (parallel across groups, no global sort, no
     single-task window), which is the scalable shape whenever the group
     count is large and no single group dominates; skewed groups would fall
-    back to the two-phase global rank per group."""
+    back to the two-phase global rank per group.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     orders = _t(spark, sf_dir, "orders")
     wp = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
@@ -9505,7 +9551,14 @@ def text_zipf_fit(spark, sf_dir):
     are MILLI-nat integers (x*y <= ~4e8, so the int64 sufficient stats
     survive vocab ~2e10); the slope/intercept are the same
     fixed-IEEE-on-exact-int-sums expression as manual_corr_stats, rounded
-    to 6 dp on both sides. Output is one row — driver-safe anywhere."""
+    to 6 dp on both sides. Output is one row — driver-safe anywhere.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (the two-phase
+    rank's offset collect and localCheckpoint execute at build time), so
+    registry functions in this family are not lazy plan builders —
+    plan-dump/sweep tooling must reuse _PLAN_CACHE rather than rebuild
+    per inspection.
+    """
     from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
 
     _t1, _tok, u, _nu = _lm_parts(spark, sf_dir)
