@@ -14,57 +14,46 @@ from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose plan intentionally crossJoins a 1-row aggregate (scalar
-# subquery) or a metadata-sized generated spine
-ALLOWED_NESTED_LOOP = {
-    "set_operations",          # four 1-row aggregate counts combined
-    "global_sales_opportunity",  # global avg balance, 1 row
-    "kmv_distinct_sketch",     # k-th order statistic scalar
-    "approx_percentile_bounds",  # 1-row stats vector
-    "gap_fill_daily",          # generated date spine (31 rows) x dim
-    "graph_triangle_count",    # 1-row triangle count x 1-row edge count
-    "triangle_count_degree_ordered",  # 1-row aggregate cross joins
-    "cms_frequency_sketch",    # broadcast estimate joined to 10-row top-k
-    "tfidf_top_terms",         # 1-row corpus size N
-    "daily_sync_pipeline",     # reconciliation counts (1-row observe twin)
-    "event_funnel",            # three 1-row stage counts combined
-    "similarity_brute_topk",   # by design: corpus x broadcast(10 queries)
-    "similarity_ann_ivf",      # corpus x broadcast(8 centroids) assignment
-    "important_part_value",    # Q11 scalar: global value total, 1 row
-    "similarity_quantized_topk",  # by design: corpus x broadcast(10 queries)
-    "drift_psi",               # 1-row period totals cross joined to 10 bins
-    "domain_mixing_weights",   # two 1-row scalar totals (raw + capped mass)
-    "event_rate_cusum",        # 1-row global mean error rate (scalar subquery)
-    "rolling_28d_active_users",  # bounded range join vs broadcast day spine
-    "session_duration_histogram",  # 1-row session total for ppm share
-    "token_budget_allocation",  # two 1-row scalars (total tokens, leftover)
-    "chi_square_priority_status",  # 1-row grand total of the contingency grid
-    "benford_first_digit",     # 1-row order total for ppm shares
-    "text_bigram_lift",        # two 1-row scalars (unigram + bigram mass)
-    "dedup_semantic_prune",    # corpus x broadcast(8 centroids) assignment
-    "class_weights",           # 1-row (total, k) scalar cross join
-    "join_skew_audit",         # three 1-row table totals x top-5 key rows
-    "winsorized_price_stats",  # 1-row (P01, P99) bounds cross join
-    "text_unigram_surprisal",  # 1-row corpus token mass (scalar subquery)
-    "text_bigram_lm_score",    # 1-row vocab size V (scalar subquery)
-    "source_kl_divergence",    # 1-row corpus token mass (scalar subquery)
-    "knn_label_agreement",     # by design: corpus x broadcast(50 queries)
-    "dedup_lsh_audit",         # three 1-row audit tallies cross-joined
-    "dedup_lsh_audit_wide",    # three 1-row audit tallies cross-joined
-    "mixture_alpha_weights",   # 1-row (token, sqrt-mass) totals scalar
+# r5: nested-loop sanctioning is STRUCTURAL (see
+# test_no_unplanned_nested_loop_join): an NLJ/cartesian is accepted iff at
+# least one join side is provably bounded — every data-grain scan under
+# that side sits below a cardinality-collapsing node (aggregate / limit /
+# literal spine). The 35-entry r4 allowlist shrank to the genuinely
+# irregular broadcast-by-design cases the proof can't see; a new query can
+# no longer sanction itself by adding its name here unless it documents
+# why the structural proof fails for it. All five survivors share one
+# shape: corpus x broadcast(predicate-bounded query/centroid subset) — the
+# bounded side is a Filter(vec_id < k) / tiny-parquet scan whose row bound
+# comes from data semantics (selectivity), which no plan-shape proof can
+# see.
+ALLOWED_NESTED_LOOP: dict[str, str] = {
+    "similarity_brute_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
+    "similarity_quantized_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
+    "knn_label_agreement": "by design: corpus x broadcast(50 queries via vec_id<50 filter)",
+    "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
+    "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
 }
 
-# queries with driver-side setup that writes real files; cheap at sf0.001
-# but excluded here because building the plan EXECUTES commits/writes —
-# their plan shapes are covered by their own module tests
-SKIP = {"txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
-        "streaming_cdc_rollup",  # runs two availableNow streams at build time
-        "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
-        "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
-        "similarity_ann_ivf_trained",  # training loop collects per iteration
-        "similarity_pq_adc",  # codebook training collects the sample
-        "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
-        }
+# Queries with driver-side setup (file writes, availableNow streams,
+# training/iteration loops) EXECUTE that setup when the plan is built.
+# They were SKIPped through r4, which left exactly the most complex plans
+# ungated (r4 verdict ask #2); all their side effects are hermetic /tmp or
+# tempfile writes and cheap at sf0.001, so since r5 they run through the
+# same _PLAN_CACHE one-build-per-session path and face the SAME gates.
+# The captured plan is the FINAL DataFrame's executed plan — for iterative
+# algorithms (connected components, PageRank, k-means training) that is the
+# last-iteration plan above the localCheckpoint barrier, which is the shape
+# that actually repeats at scale.
+EXECUTES_AT_BUILD = {
+    "txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
+    "streaming_cdc_rollup",  # runs two availableNow streams at build time
+    "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
+    "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
+    "similarity_ann_ivf_trained",  # training loop collects per iteration
+    "similarity_pq_adc",  # codebook training collects the sample
+    "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
+}
+SKIP: set[str] = set()
 
 
 # global (no-partition) windows sitting above something OTHER than an
@@ -109,13 +98,57 @@ def _walk(node):
         yield from _walk(node.children().apply(i))
 
 
+# physical leaves that read data-grain rows (scale with the input tables);
+# anything else (LocalTableScan literal spine, Range, OneRowRelation) is
+# driver-constructed and bounded by construction
+_DATA_SCANS = {
+    "FileSourceScanExec",
+    "BatchScanExec",
+    "RowDataSourceScanExec",
+    "InMemoryTableScanExec",
+    "RDDScanExec",
+    "ExternalRDDScanExec",
+    # ReusedExchange points at a subtree planned elsewhere — treat it as
+    # data-grain (conservative) rather than chase the reference
+    "ReusedExchangeExec",
+}
+
+_NLJ_NODES = {"BroadcastNestedLoopJoinExec", "CartesianProductExec"}
+
+
+def _side_bounded(node, bounded_above=False):
+    """True iff every data-grain scan under ``node`` has a cardinality-
+    collapsing ancestor (aggregate / limit / literal spine) WITHIN this
+    subtree — i.e. the side's output is aggregate-grain or driver-literal,
+    never raw table rows. This is the structural form of the old
+    allowlist's justification comments ("1-row aggregate", "top-k spine",
+    "broadcast centroid table"): O(bounded × n) work instead of O(n × m)."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return _side_bounded(node.initialPlan(), bounded_above)
+    if name.endswith("QueryStageExec"):
+        return _side_bounded(node.plan(), bounded_above)
+    if name in _DATA_SCANS and not bounded_above:
+        return False
+    here_bounds = bounded_above or name in _BOUNDING_NODES
+    return all(
+        _side_bounded(node.children().apply(i), here_bounds)
+        for i in range(node.children().length())
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_no_unplanned_nested_loop_join(spark, name):
-    plan = _plan(spark, name).toString()
-    has_nlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
-    if name in ALLOWED_NESTED_LOOP:
-        return  # sanctioned scalar/spine cross joins
-    assert not has_nlj, f"{name} plans a nested-loop join:\n{plan[:2000]}"
+    for node in _walk(_plan(spark, name)):
+        if node.getClass().getSimpleName() not in _NLJ_NODES:
+            continue
+        sides = [node.children().apply(i) for i in range(node.children().length())]
+        if any(_side_bounded(s) for s in sides):
+            continue  # structurally sanctioned: one side is scalar/spine-shaped
+        assert name in ALLOWED_NESTED_LOOP, (
+            f"{name} plans a nested-loop join with NO provably-bounded side "
+            f"(would be O(n*m) at 100 TB):\n{node.toString()[:2000]}"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
