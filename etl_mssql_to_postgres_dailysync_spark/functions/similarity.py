@@ -745,6 +745,55 @@ def pq_adc_topk(
     )
 
 
+def semdedup_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id_col: str = "cell_id",
+) -> DataFrame:
+    """Nearest-centroid cell assignment (the first stage of SemDeDup):
+    centroids broadcast, the corpus never shuffles — one cosine per
+    (vector, centroid) in integer micro-units, argmax per vector with
+    deterministic cell-id tie-break. Returned columns: id, vec, __vn__
+    (precomputed norm), cell_id, cent_sim_micro. Exposed separately so
+    scale tooling can measure the candidate-pair mass sum_c n_c*(n_c-1)/2
+    of an assignment WITHOUT running the pair join (tools/scale_probe_xl
+    uses it to verify the O(N^1.5) pair-growth claim empirically)."""
+    c = centroids.select(
+        F.col(cell_id_col).alias("__cell__"),
+        F.col(vec_col).alias("__cent_v__"),
+        norm(F.col(vec_col)).alias("__cent_n__"),
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .withColumn("__vn__", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__cs__",
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("__cent_v__"), F.col("__vn__"), F.col("__cent_n__")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs__").desc(), F.col("__cell__").asc())
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__vn__"),
+            F.col("__cell__").alias(cell_id_col),
+            F.col("__cs__").alias("cent_sim_micro"),
+        )
+    )
+
+
 def semdedup_prune(
     df: DataFrame,
     centroids: DataFrame,
@@ -772,36 +821,8 @@ def semdedup_prune(
     O(N * cell_size), never O(N^2). Returns one row per input vector:
     (id, cell_id, cent_sim_micro, kept).
     """
-    c = centroids.select(
-        F.col(cell_id_col).alias("__cell__"),
-        F.col(vec_col).alias("__cent_v__"),
-        norm(F.col(vec_col)).alias("__cent_n__"),
-    )
-    scored = (
-        df.select(id_col, vec_col)
-        .withColumn("__vn__", norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "__cs__",
-            F.round(
-                cosine_prenormed(
-                    F.col(vec_col), F.col("__cent_v__"), F.col("__vn__"), F.col("__cent_n__")
-                )
-                * 1_000_000
-            ).cast("long"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs__").desc(), F.col("__cell__").asc())
-    assigned = (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("__vn__"),
-            F.col("__cell__").alias(cell_id_col),
-            F.col("__cs__").alias("cent_sim_micro"),
-        )
+    assigned = semdedup_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, cell_id_col=cell_id_col
     )
     a = assigned.select(
         F.col(id_col).alias("__ida__"), F.col(vec_col).alias("__va__"),

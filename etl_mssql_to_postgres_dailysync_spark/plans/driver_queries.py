@@ -7635,7 +7635,14 @@ def revenue_gini_by_nation(spark, sf_dir):
     / (n*Σx) with x ascending — one window rank + one aggregation, all
     integer cents (exact, engine-portable), no O(n^2) pair differences.
     The window partitions by nation, so ranking parallelizes across
-    nations; per-nation customer counts bound each sort."""
+    nations; per-nation customer counts bound each sort.
+
+    Spark computes the Gini fold on DECIMAL(38,0): 2*Σ(i*cents)*1e6 crosses
+    int64 already at sf0.1 (iws ≈ 4.5e13 per nation → ×2e6 ≈ 9e19 > 2^63,
+    found as a wrapped-negative gini_ppm by the r5 sf0.1 parity snapshot);
+    decimal carries to ~1e38. DuckDB needs nothing — integer sum() is
+    HUGEINT natively. Numerator is ≥0 by construction (x ascending), so
+    Spark's truncating div == DuckDB's flooring //."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -7650,13 +7657,16 @@ def revenue_gini_by_nation(spark, sf_dir):
     agg = rk.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("tot"),
-        F.sum(F.col("i") * F.col("cents")).alias("iws"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iws"),
     )
     return agg.filter(F.col("tot") > 0).select(
         "n_name",
         F.col("n").cast("long").alias("n_customers"),
         F.col("tot").cast("long").alias("total_cents"),
-        F.expr("(2 * iws - (n + 1) * tot) * 1000000 div (n * tot)").alias("gini_ppm"),
+        F.expr(
+            "cast((2 * iws - (n + 1) * cast(tot as decimal(38,0))) * 1000000"
+            " div (cast(n as decimal(38,0)) * tot) as bigint)"
+        ).alias("gini_ppm"),
     )
 
 

@@ -64,16 +64,10 @@ PROBES = [
 ]
 
 
-def _semdedup_sqrtn(spark, d):
-    """SemDeDup at NON-TOY cell geometry: sqrt(N) centroids (the paper's
-    typical choice — cell_size ~ sqrt(N)), hash-priority deterministic
-    centroid pick, so the candidate-pair mass is O(N * cell_size) =
-    O(N^1.5). Expected wall growth over 10x data is therefore ~x10-x32
-    (pair mass x31.6), NOT x100 (the all-pairs quadratic this prunes
-    away) — the registry query dedup_semantic_prune keeps 8 centroids only
-    so its oracle stays enumerable."""
+def _semdedup_centroids(spark, d):
+    """sqrt(N) hash-priority centroids over the embeddings at ``d`` —
+    shared by the wall-clock probe and the pair-mass counter."""
     from etl_mssql_to_postgres_dailysync_spark.functions.hashing import md5_long
-    from etl_mssql_to_postgres_dailysync_spark.functions.similarity import semdedup_prune
 
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
     n = emb.count()
@@ -83,6 +77,37 @@ def _semdedup_sqrtn(spark, d):
         .limit(k)
         .select(F.col("vec_id").alias("cell_id"), "embedding")
     )
+    return emb, cents, n, k
+
+
+def _semdedup_pair_mass(spark, d) -> tuple[int, int, int]:
+    """EXACT candidate-pair mass of the sqrt(N)-centroid SemDeDup run at
+    ``d``: sum_c n_c*(n_c-1)/2 over the real cell assignment — the number
+    of cosine evaluations the pair join performs (each unordered in-cell
+    pair passes the prototypicality filter exactly once). Computed from the
+    assignment alone (one groupBy(cell).count), so measuring it never runs
+    the join it measures. Returns (N, k, n_pairs_evaluated)."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.similarity import semdedup_assign
+
+    emb, cents, n, k = _semdedup_centroids(spark, d)
+    sizes = semdedup_assign(emb, cents).groupBy("cell_id").count()
+    pairs = sizes.agg(
+        F.sum(F.expr("count * (count - 1) div 2")).cast("long").alias("p")
+    ).first()["p"]
+    return n, k, int(pairs)
+
+
+def _semdedup_sqrtn(spark, d):
+    """SemDeDup at NON-TOY cell geometry: sqrt(N) centroids (the paper's
+    typical choice — cell_size ~ sqrt(N)), hash-priority deterministic
+    centroid pick, so the candidate-pair mass is O(N * cell_size) =
+    O(N^1.5). Expected wall growth over 10x data is therefore ~x10-x32
+    (pair mass x31.6), NOT x100 (the all-pairs quadratic this prunes
+    away) — the registry query dedup_semantic_prune keeps 8 centroids only
+    so its oracle stays enumerable."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.similarity import semdedup_prune
+
+    emb, cents, _n, _k = _semdedup_centroids(spark, d)
     return semdedup_prune(emb, cents)
 
 
