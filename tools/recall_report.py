@@ -68,6 +68,69 @@ def main() -> None:
         rec = sum(rs) / len(rs) if rs else 0.0
         lines.append(f"| {name} | {rec:.3f} | {dt:.2f} |")
         print(f"{name}: recall@5={rec:.3f} ({dt:.2f}s)")
+
+    # --- knob -> recall frontier for the trained/quantized tiers --------
+    # The registry queries pin ONE point per tier (their oracles replay the
+    # full training loop, so the knobs are frozen there); the 100 TB
+    # operator needs the curve around that point: what nprobe, training
+    # sample size, and code geometry BUY in recall and COST in wall.
+    from pyspark.sql import functions as F
+
+    from etl_mssql_to_postgres_dailysync_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+
+    def frontier(fn, **kw):
+        t0 = time.time()
+        rows = fn(queries_df, emb, k=5, **kw).collect()
+        dt = time.time() - t0
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rs = [
+            len(by_q.get(q, set()) & ts) / len(ts) for q, ts in truth.items() if ts
+        ]
+        return (sum(rs) / len(rs) if rs else 0.0), dt
+
+    lines += [
+        "",
+        "## Knob frontier: ivf_trained (registry point: nprobe=4, ts=1024)",
+        "",
+        "| nprobe | train_sample | recall@5 | wall s |",
+        "|---|---|---|---|",
+    ]
+    for nprobe, ts in [(2, 1024), (4, 1024), (8, 1024), (4, 4096), (8, 4096)]:
+        rec, dt = frontier(
+            S.ivf_topk_trained, nprobe=nprobe, num_cells=8, iters=2,
+            train_sample=ts,
+        )
+        lines.append(f"| {nprobe} | {ts} | {rec:.3f} | {dt:.2f} |")
+        print(f"ivf_trained nprobe={nprobe} ts={ts}: recall@5={rec:.3f} ({dt:.2f}s)")
+
+    lines += [
+        "",
+        "## Knob frontier: pq_adc (registry point: m=8, k=32, ncand=64, ts=1024)",
+        "",
+        "| m segments | codebook_k | n_candidates | train_sample | recall@5 | wall s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for m, cbk, ncand, ts in [
+        (4, 32, 64, 1024),   # coarser codes: 16x compression
+        (8, 32, 24, 1024),   # fewer re-rank candidates
+        (8, 32, 64, 1024),   # registry geometry
+        (8, 32, 64, 4096),   # 4x training sample
+        (16, 32, 64, 1024),  # finer codes: 2x scan memory
+    ]:
+        rec, dt = frontier(
+            S.pq_adc_topk, m=m, codebook_k=cbk, iters=2, n_candidates=ncand,
+            train_sample=ts,
+        )
+        lines.append(f"| {m} | {cbk} | {ncand} | {ts} | {rec:.3f} | {dt:.2f} |")
+        print(
+            f"pq_adc m={m} k={cbk} ncand={ncand} ts={ts}: "
+            f"recall@5={rec:.3f} ({dt:.2f}s)"
+        )
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote RECALL.md")

@@ -202,6 +202,33 @@ def main() -> None:
             f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
             f"| x{times[1] / max(times[0], 1e-9):.1f} |"
         )
+
+    # Empirical pair-mass exponent for the sqrt(N)-centroid SemDeDup probe:
+    # wall clock is a proxy, the pair count is the claim. n_pairs_evaluated
+    # = sum_c n_c*(n_c-1)/2 over the real cell assignment (exactly the
+    # cosine evaluations the pair join performs); exponent = log(pair
+    # growth) / log(N growth), predicted 1.5 for cell_size ~ sqrt(N).
+    import math
+
+    (n0, k0, p0), (n1, k1, p1) = (
+        _semdedup_pair_mass(spark, SRC),
+        _semdedup_pair_mass(spark, DST),
+    )
+    expo = math.log(p1 / p0) / math.log(n1 / n0)
+    lines += [
+        "",
+        "### SemDeDup pair-mass counters (measured, not wall-clock-inferred)",
+        "",
+        "| scale | N vectors | sqrt(N) centroids | n_pairs_evaluated |",
+        "|---|---|---|---|",
+        f"| sf0.1 | {n0} | {k0} | {p0} |",
+        f"| sf~1 | {n1} | {k1} | {p1} |",
+        "",
+        f"Measured pair-growth exponent: log(x{p1 / p0:.1f} pairs) /"
+        f" log(x{n1 / n0:.1f} data) = **{expo:.2f}** (predicted 1.5 for"
+        " cell_size ~ sqrt(N); all-pairs would be 2.0). The x100-vs-x10"
+        " wall question is settled by count, not clock.",
+    ]
     out = "\n".join(lines) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     base = open(path).read()
