@@ -9843,3 +9843,429 @@ def label_centroid_separation(spark, sf_dir):
             .alias("dist_micro2")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 tranche: mergeable-sketch set overlap, join-cardinality pre-flight,
+# exact distributed weighted order statistics, and embedding redundancy.
+# ---------------------------------------------------------------------------
+
+_KMVJ_K = 64
+# 13 hex chars = 52 bits, matching kmv_distinct_sketch's estimate formula
+_KMVJ_HASH = "CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT)"
+
+
+@register(
+    "kmv_cross_source_jaccard",
+    f"""
+    WITH t1 AS (SELECT source, {_TOKS_SQL} AS tk
+                FROM documents WHERE length(trim(text)) > 0),
+    toks AS (SELECT DISTINCT source, unnest(tk) AS tok FROM t1),
+    h AS (SELECT source, {_KMVJ_HASH} AS h FROM toks),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+          FROM h),
+    sk AS (SELECT source, h FROM r WHERE rn <= {_KMVJ_K}),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    merged AS (SELECT p.source_a, p.source_b, s.h,
+                      max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+                      max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+               FROM pairs p
+               JOIN sk s ON s.source IN (p.source_a, p.source_b)
+               GROUP BY 1, 2, 3),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                                        ORDER BY h ASC) AS rn
+           FROM merged),
+    est AS (SELECT source_a, source_b,
+                   count(*) AS k_eff, max(h) AS kth,
+                   sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+            FROM rk WHERE rn <= {_KMVJ_K} GROUP BY 1, 2),
+    exacts AS (SELECT source, count(*) AS nd FROM toks GROUP BY 1),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT e.source_a, e.source_b,
+           CAST(e.n_both * 1000000 // e.k_eff AS BIGINT) AS jaccard_est_ppm,
+           CAST(CASE WHEN e.k_eff < {_KMVJ_K} THEN e.k_eff
+                     ELSE ({_KMVJ_K} - 1) * (CAST(1 AS BIGINT) << 52) // e.kth
+                END AS BIGINT) AS union_est,
+           CAST(coalesce(i.ni, 0) * 1000000
+                // (xa.nd + xb.nd - coalesce(i.ni, 0)) AS BIGINT) AS jaccard_exact_ppm,
+           CAST(xa.nd + xb.nd - coalesce(i.ni, 0) AS BIGINT) AS union_exact
+    FROM est e
+    JOIN exacts xa ON xa.source = e.source_a
+    JOIN exacts xb ON xb.source = e.source_b
+    LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+    """,
+)
+def kmv_cross_source_jaccard(spark, sf_dir):
+    """Pairwise token-set overlap between sources from MERGEABLE KMV
+    sketches (Beyer et al. 2007 / the theta-sketch set-operation pattern):
+    keep the k=64 smallest 52-bit hashes per source, estimate a pair's
+    Jaccard as the fraction of the k smallest MERGED hashes present in
+    both sketches, and the union size with the standard (k-1)*2^52/kth
+    estimator. The audit columns put the EXACT Jaccard/union next to the
+    estimates — at fixture scale the oracle affords the exact self-join;
+    at 100 TB only the sketch path runs (per-source state is k rows, pair
+    comparison is sketch-x-sketch, never corpus-x-corpus) and this query
+    is the calibration that says what k buys. All integer (ppm floor
+    division on non-negative operands), so bit-exact cross-engine.
+    Plan: one distinct (source, token) shuffle, a per-source-partitioned
+    rank (parallel across sources), then all pair logic runs on <= k rows
+    per source — driver-scale metadata."""
+    t1 = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("source", text.tokens(text.normalize(F.col("text"))).alias("tk"))
+    )
+    toks = t1.select("source", F.explode("tk").alias("tok")).distinct()
+    h = toks.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMVJ_K
+    ).select("source", "h")
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy(F.col("h").asc())
+    est = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMVJ_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.max("h").alias("kth"),
+            F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)).alias("n_both"),
+        )
+    )
+    exacts = toks.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    ta = toks.select(F.col("source").alias("source_a"), "tok")
+    tb = toks.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        ta.join(tb, (ta["tok"] == tb["tok"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        est.join(
+            F.broadcast(exacts.select(F.col("source").alias("source_a"), F.col("nd").alias("nda"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(exacts.select(F.col("source").alias("source_b"), F.col("nd").alias("ndb"))),
+            "source_b",
+        )
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(f"n_both * 1000000 div k_eff").alias("jaccard_est_ppm"),
+            F.when(F.col("k_eff") < _KMVJ_K, F.col("k_eff"))
+            .otherwise(F.expr(f"({_KMVJ_K} - 1) * (CAST(1 AS BIGINT) << 52) div kth"))
+            .cast("long")
+            .alias("union_est"),
+            F.expr(
+                "coalesce(ni, 0) * 1000000 div (nda + ndb - coalesce(ni, 0))"
+            ).alias("jaccard_exact_ppm"),
+            F.expr("nda + ndb - coalesce(ni, 0)").cast("long").alias("union_exact"),
+        )
+    )
+
+
+def _cms_selfjoin_sql(table: str, key: str, label: str) -> str:
+    """Oracle arm: CMS inner-product estimate vs exact for a self-join on
+    ``key`` — sum over buckets of counter^2, min over the d seeds."""
+    return f"""
+    SELECT '{label}' AS join_name,
+           (SELECT CAST(sum(n * n) AS BIGINT)
+            FROM (SELECT count(*) AS n FROM {table} GROUP BY {key})) AS exact_pairs,
+           (SELECT CAST(min(s) AS BIGINT) FROM (
+               SELECT seed, sum(c * c) AS s FROM (
+                   SELECT seed, bucket, count(*) AS c
+                   FROM ({sketches.cms_oracle_pairs_sql(table, f"CAST({key} AS VARCHAR)")})
+                   GROUP BY 1, 2) GROUP BY seed)) AS cms_est_pairs
+    """
+
+
+@register(
+    "join_size_estimate_cms",
+    f"""
+    WITH arms AS (
+        {_cms_selfjoin_sql("orders", "o_custkey", "orders_self_custkey")}
+        UNION ALL
+        {_cms_selfjoin_sql("lineitem", "l_suppkey", "lineitem_self_suppkey")}
+        UNION ALL
+        SELECT 'lineitem_orders_orderkey' AS join_name,
+               (SELECT CAST(sum(a.n * b.n) AS BIGINT) FROM
+                  (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) a
+                  JOIN (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) b
+                  USING (k)) AS exact_pairs,
+               (SELECT CAST(min(s) AS BIGINT) FROM (
+                   SELECT seed, sum(ca.c * cb.c) AS s FROM
+                     (SELECT seed, bucket, count(*) AS c
+                      FROM ({sketches.cms_oracle_pairs_sql("lineitem", "CAST(l_orderkey AS VARCHAR)")})
+                      GROUP BY 1, 2) ca
+                   JOIN
+                     (SELECT seed, bucket, count(*) AS c
+                      FROM ({sketches.cms_oracle_pairs_sql("orders", "CAST(o_orderkey AS VARCHAR)")})
+                      GROUP BY 1, 2) cb
+                   USING (seed, bucket) GROUP BY seed)) AS cms_est_pairs
+    )
+    SELECT join_name, exact_pairs, cms_est_pairs,
+           CAST((cms_est_pairs - exact_pairs) * 1000000 // exact_pairs AS BIGINT)
+               AS overest_ppm
+    FROM arms
+    """,
+)
+def join_size_estimate_cms(spark, sf_dir):
+    """Join-cardinality pre-flight from CountMin sketches (the AGMS/
+    sketch-join-size estimator: |A JOIN B on k| = sum_key a_k*b_k, upper-
+    bounded by min over seeds of the bucket-wise counter inner product).
+    The planner-shaped question at 100 TB is "how many rows will this join
+    EMIT?" — skew audits (join_skew_audit) find the hot keys, this
+    estimates the output mass BEFORE shuffling either side, from two
+    d*w-bounded sketches that each build in one scan with map-side
+    combine. Probes the two self-joins that model fan-out risk
+    (orders/custkey, lineitem/suppkey) plus the real fact-fact
+    lineitem-orders join; the exact side (computable at fixture scale)
+    sits next to the estimate with the CMS >= exact overestimate
+    guarantee as integer ppm. Int64 bound: sum of counter products <=
+    (rows_a * rows_b) / width, fine to ~6e12 rows per side at w=1024;
+    DECIMAL(38) beyond, per the gini convention. The oracle replays the
+    sketches bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def self_pairs(df, key, label):
+        sk = sketches.cms_build(df, key)
+        est = sk.groupBy("seed").agg(F.sum(F.col("counter") * F.col("counter")).alias("s"))
+        est1 = est.agg(F.min("s").cast("long").alias("cms_est_pairs"))
+        exact = (
+            df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_pairs"))
+        )
+        return exact.crossJoin(est1).select(
+            F.lit(label).alias("join_name"), "exact_pairs", "cms_est_pairs"
+        )
+
+    def cross_pairs(dfa, ka, dfb, kb, label):
+        ska = sketches.cms_build(dfa, ka)
+        skb = sketches.cms_build(dfb, kb)
+        est = (
+            ska.join(skb.withColumnRenamed("counter", "cb"), ["seed", "bucket"])
+            .groupBy("seed")
+            .agg(F.sum(F.col("counter") * F.col("cb")).alias("s"))
+            .agg(F.min("s").cast("long").alias("cms_est_pairs"))
+        )
+        a = dfa.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+        b = dfb.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+        exact = (
+            a.join(b, "k")
+            .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_pairs"))
+        )
+        return exact.crossJoin(est).select(
+            F.lit(label).alias("join_name"), "exact_pairs", "cms_est_pairs"
+        )
+
+    arms = (
+        self_pairs(orders, "o_custkey", "orders_self_custkey")
+        .unionAll(self_pairs(lineitem, "l_suppkey", "lineitem_self_suppkey"))
+        .unionAll(
+            cross_pairs(lineitem, "l_orderkey", orders, "o_orderkey",
+                        "lineitem_orders_orderkey")
+        )
+    )
+    return arms.select(
+        "join_name",
+        "exact_pairs",
+        "cms_est_pairs",
+        F.expr("(cms_est_pairs - exact_pairs) * 1000000 div exact_pairs").alias(
+            "overest_ppm"
+        ),
+    )
+
+
+@register(
+    "grouped_weighted_median",
+    """
+    WITH x AS (SELECT l_returnflag AS grp,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(l_quantity AS BIGINT) AS w,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    c AS (SELECT *,
+                 sum(w) OVER (PARTITION BY grp ORDER BY cents, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(w) OVER (PARTITION BY grp) AS tot
+          FROM x)
+    SELECT grp, CAST(min(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c GROUP BY grp
+    """,
+)
+def grouped_weighted_median(spark, sf_dir):
+    """EXACT weighted median per group (lowest value whose cumulative
+    weight reaches half the group's total — here: the quantity-weighted
+    median line price per return flag, the 'typical unit's price' that an
+    unweighted median misstates when cheap lines carry big quantities).
+    One partitioned cumulative-weight window (parallel across groups,
+    ties fully determinized by (orderkey, linenumber)) + one aggregate;
+    nothing global, no one-task stage. For a GLOBAL weighted median at
+    data grain, the same cumsum goes through operators/cumsum.global_cumsum
+    (two-phase range exchange) — this query demonstrates the grouped form
+    the optimizer parallelizes natively."""
+    x = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("grp")
+    c = x.withColumn("cw", F.sum("w").over(wc)).withColumn("tot", F.sum("w").over(wt))
+    return c.groupBy("grp").agg(
+        F.min("tot").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )
+
+
+_COV_OFFSET = 1_000_000_000_000  # 1e12 micro^2: |x| <= ~1 -> |cov| < 1e12
+
+
+@register(
+    "embedding_covariance_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings),
+    u AS (SELECT vec_id, CAST(i AS INT) AS i,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+          FROM e),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM u),
+    dimsum AS (SELECT i, sum(m) AS sx FROM u GROUP BY 1),
+    pairsum AS (SELECT a.i AS di, b.i AS dj, sum(a.m * b.m) AS sxy
+                FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i < b.i
+                GROUP BY 1, 2),
+    cov AS (SELECT di, dj,
+                   CAST((n.n * p.sxy - da.sx * db.sx + {_COV_OFFSET} * n.n * n.n)
+                        // (n.n * n.n) - {_COV_OFFSET} AS BIGINT) AS cov_unit
+            FROM pairsum p
+            JOIN dimsum da ON da.i = p.di
+            JOIN dimsum db ON db.i = p.dj
+            CROSS JOIN n),
+    rk AS (SELECT *, row_number() OVER (ORDER BY abs(cov_unit) DESC, di, dj) AS rnk
+           FROM cov)
+    SELECT CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j, cov_unit,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 20
+    """,
+)
+def embedding_covariance_topk(spark, sf_dir):
+    """Embedding-redundancy audit: the 20 most-correlated dimension PAIRS
+    by |covariance| (embedding_dim_stats profiles each dimension alone;
+    redundant/duplicated dimensions — a projection bug, a stuck encoder
+    channel — only show up cross-dim). Exact integer micro^2 covariance:
+    cov_ij = floor((N*Sxy - Sx_i*Sx_j) / N^2) with the +OFFSET trick so
+    the floor runs on non-negative operands (Spark div truncates, DuckDB
+    // floors; they agree only there). Numerator on DECIMAL(38,0) —
+    N*Sxy ~ 4e20 already at sf0.1, past int64.
+
+    Scale shape: the d^2/2 pair products are generated JVM-side per row
+    (flatten/transform over the vector, no self-join, no UDF) and
+    partial-aggregated before the one shuffle, whose width is d^2/2 rows
+    per task — corpus size never appears in shuffle or state (d=64 ->
+    2080 cells; d=4096 -> 8.4M cells/task is the practical explode-factor
+    ceiling, past which the mapInPandas outer-product accumulator takes
+    over). The top-k window runs over the 2016-row aggregate (gate-
+    sanctioned bounded input). The oracle cross-checks via the naive
+    per-vector self-join form of the same integer sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("m"),
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    dimsum = (
+        m.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
+        .agg(F.sum("v").alias("sx"))
+    )
+    pairs = m.select(
+        F.explode(
+            F.expr(
+                # i stops at size-1: sequence(a, b) with a > b yields a
+                # DESCENDING sequence (not empty), which would fabricate
+                # (size, size+1) and diagonal pairs
+                "flatten(transform(sequence(1, size(m) - 1), i ->"
+                " transform(sequence(i + 1, size(m)), j ->"
+                " struct(i, j, element_at(m, i) * element_at(m, j) as xy))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.i").cast("int").alias("di"),
+        F.col("p.j").cast("int").alias("dj"),
+        F.col("p.xy").alias("xy"),
+    )
+    pairsum = pairs.groupBy("di", "dj").agg(F.sum("xy").alias("sxy"))
+    da = dimsum.select(F.col("i").alias("di"), F.col("sx").alias("sxa"))
+    db = dimsum.select(F.col("i").alias("dj"), F.col("sx").alias("sxb"))
+    cov = (
+        pairsum.join(F.broadcast(da), "di")
+        .join(F.broadcast(db), "dj")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "di",
+            "dj",
+            F.expr(
+                "cast((cast(n as decimal(38,0)) * sxy"
+                " - cast(sxa as decimal(38,0)) * sxb"
+                f" + cast({_COV_OFFSET} as decimal(38,0)) * n * n)"
+                " div (cast(n as decimal(38,0)) * n)"
+                f" - {_COV_OFFSET} as bigint)"
+            ).alias("cov_unit"),
+        )
+    )
+    wr = Window.orderBy(F.abs(F.col("cov_unit")).desc(), "di", "dj")
+    return (
+        cov.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("di").alias("dim_i"),
+            F.col("dj").alias("dim_j"),
+            "cov_unit",
+            "rnk",
+        )
+    )
