@@ -90,6 +90,11 @@ TRANCHE = [
     "chunk_dedup_crossdoc",
     "exact_percentiles",
     "dedup_semantic_prune",
+    # r5 additions (new operators benched from their first round)
+    "kmv_cross_source_jaccard",
+    "join_size_estimate_cms",
+    "grouped_weighted_median",
+    "embedding_covariance_topk",
 ]
 
 

@@ -10269,3 +10269,68 @@ def embedding_covariance_topk(spark, sf_dir):
             "rnk",
         )
     )
+
+
+@register(
+    "ngram_novelty_curve",
+    f"""
+    WITH {_SHINGLES_CTE},
+    first AS (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY 1),
+    per AS (SELECT s.doc_id, count(*) AS n_sh,
+                   sum(CASE WHEN s.doc_id = f.fd THEN 1 ELSE 0 END) AS n_novel
+            FROM sh s JOIN first f ON s.sh = f.sh GROUP BY 1),
+    nt AS (SELECT doc_id, n_sh, n_novel,
+                  ntile(10) OVER (ORDER BY doc_id) AS decile
+           FROM per)
+    SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           CAST(sum(n_novel) * 1000000 // sum(n_sh) AS BIGINT) AS novelty_ppm
+    FROM nt GROUP BY 1
+    """,
+)
+def ngram_novelty_curve(spark, sf_dir):
+    """Marginal-data-value curve: per corpus decile (docs in doc_id =
+    arrival order), what fraction of its distinct 3-gram shingles was never
+    seen in ANY earlier document — the diminishing-returns instrument that
+    tells a collection pipeline when another crawl slice stops buying new
+    content (novelty_ppm falls as the corpus grows; a flat curve means the
+    source isn't saturating). A shingle instance is novel iff its doc is
+    the shingle's global min(doc_id): one shingle-keyed min-aggregate, one
+    shingle-keyed join back (both O(postings), text never shuffles, keys
+    are 8-byte longs), then the decile assignment runs through the
+    distributed global_ntile (two-phase range exchange) over the PER-DOC
+    table — never a one-task data-grain window.
+
+    Eager note: CONSTRUCTING this query runs Spark jobs (global_ntile's
+    offset collect executes at build time), like the other
+    global_row_number-backed queries — plan tooling must reuse _PLAN_CACHE.
+    """
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(dedup.shingle_hashes_arrow(F.col("text"), 3)).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("fd"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("doc_id") == F.col("fd"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    nt = global_ntile(per, ["doc_id"], 10, "decile")
+    return (
+        nt.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.expr("sum(n_novel) * 1000000 div sum(n_sh)").alias("novelty_ppm"),
+        )
+    )
