@@ -10112,16 +10112,15 @@ def join_size_estimate_cms(spark, sf_dir):
 @register(
     "grouped_weighted_median",
     """
-    WITH x AS (SELECT l_returnflag AS grp,
+    WITH g AS (SELECT l_returnflag AS grp,
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-                      CAST(l_quantity AS BIGINT) AS w,
-                      l_orderkey, l_linenumber
-               FROM lineitem),
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+               FROM lineitem GROUP BY 1, 2),
     c AS (SELECT *,
-                 sum(w) OVER (PARTITION BY grp ORDER BY cents, l_orderkey, l_linenumber
-                              ROWS UNBOUNDED PRECEDING) AS cw,
-                 sum(w) OVER (PARTITION BY grp) AS tot
-          FROM x)
+                 sum(wsum) OVER (PARTITION BY grp ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(wsum) OVER (PARTITION BY grp) AS tot
+          FROM g)
     SELECT grp, CAST(min(tot) AS BIGINT) AS total_weight,
            CAST(min(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT)
                AS wmedian_cents
@@ -10133,26 +10132,37 @@ def grouped_weighted_median(spark, sf_dir):
     weight reaches half the group's total — here: the quantity-weighted
     median line price per return flag, the 'typical unit's price' that an
     unweighted median misstates when cheap lines carry big quantities).
-    One partitioned cumulative-weight window (parallel across groups,
-    ties fully determinized by (orderkey, linenumber)) + one aggregate;
-    nothing global, no one-task stage. For a GLOBAL weighted median at
-    data grain, the same cumsum goes through operators/cumsum.global_cumsum
-    (two-phase range exchange) — this query demonstrates the grouped form
-    the optimizer parallelizes natively."""
-    x = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+
+    Scale shape — low-cardinality groups are the trap: a window
+    PARTITIONed by a 3-value key over raw rows is 3 tasks each seeing a
+    third of the data (the same one-task pathology the global-window gate
+    forbids, merely split 3 ways). So weight is first aggregated by
+    (group, VALUE) — map-side combine collapses data-grain rows to
+    value-domain-grain (distinct prices per flag), the cumulative window
+    then runs over that aggregate, and the median definition is unchanged
+    (cum weight over ascending distinct values; no row-level tie-break
+    needed once weights are merged per value). For value domains too big
+    for one partition, the same prefix sum goes through
+    operators/cumsum.global_cumsum per group."""
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.sum("w").cast("long").alias("wsum"))
     )
     wc = (
         Window.partitionBy("grp")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("grp")
-    c = x.withColumn("cw", F.sum("w").over(wc)).withColumn("tot", F.sum("w").over(wt))
+    c = g.withColumn("cw", F.sum("wsum").over(wc)).withColumn(
+        "tot", F.sum("wsum").over(wt)
+    )
     return c.groupBy("grp").agg(
         F.min("tot").cast("long").alias("total_weight"),
         F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))

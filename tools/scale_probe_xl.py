@@ -61,6 +61,13 @@ PROBES = [
     "dedup_jaccard_prefix_filter",  # provably-lossless candidate restriction
     "text_unigram_surprisal",  # vocab-table join: vocab FIXED as tokens x10
     "text_bigram_lm_score",    # bigram-model join under 10x token mass
+    # r5 tranche: sketch state fixed as data grows; covariance explode
+    # factor d^2-bounded; weighted median windows over the value domain
+    "kmv_cross_source_jaccard",
+    "join_size_estimate_cms",
+    "grouped_weighted_median",
+    "embedding_covariance_topk",
+    "ngram_novelty_curve",
 ]
 
 
