@@ -95,6 +95,10 @@ TRANCHE = [
     "join_size_estimate_cms",
     "grouped_weighted_median",
     "embedding_covariance_topk",
+    "ngram_novelty_curve",
+    "dsir_importance_weights",
+    "char_entropy_profile",
+    "quality_dup_calibration",
 ]
 
 

@@ -10344,3 +10344,387 @@ def ngram_novelty_curve(spark, sf_dir):
             F.expr("sum(n_novel) * 1000000 div sum(n_sh)").alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r5b: data-selection / tokenizer-audit / batching instruments
+# (DSIR importance weights, fertility by language, char entropy,
+#  padding-waste audit, quality-vs-dup calibration)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed-feature buckets: model state is B rows, never corpus
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH t1 AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk
+                FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM t1),
+    tb AS (SELECT doc_id, lang,
+                  {_HASH15.format(x='tok')} % {_DSIR_B} AS b FROM tok),
+    g AS (SELECT b, count(*) AS cr,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+          FROM tb GROUP BY 1),
+    m AS (SELECT b,
+                 CAST(round((ln(CAST(ct + 1 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE))) * 1000000) AS BIGINT)
+                     AS delta_unat
+          FROM g),
+    c AS (SELECT CAST(round((ln(CAST(sum(cr) + {_DSIR_B} AS DOUBLE))
+                             - ln(CAST(sum(ct) + {_DSIR_B} AS DOUBLE))) * 1000000)
+                      AS BIGINT) AS const_unat
+          FROM g),
+    d AS (SELECT tb.doc_id, count(*) AS n_tokens, sum(m.delta_unat) AS dsum
+          FROM tb JOIN m USING (b) GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(dsum + n_tokens * c.const_unat AS BIGINT) AS logw_unat
+    FROM d CROSS JOIN c
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, public): per-document
+    log importance weight ln p_target(x) - ln p_raw(x) under two
+    bag-of-hashed-unigram models with add-one smoothing, target = the
+    labeled-English slice, raw = the whole corpus — the importance-
+    resampling signal that tilts a 100 TB crawl toward a target domain
+    without a trained classifier.
+
+    Integer convention: per hashed bucket (model state = B=4096 rows
+    REGARDLESS of corpus size) the count-ratio term
+    ln(ct+1) - ln(cr+1) is rounded once to micro-nats (ln parity note at
+    _LM_CTE); the normalizer term ln(Nr+B) - ln(Nt+B) is a 1-row scalar
+    rounded once and multiplied by the exact per-doc token count. Per-doc
+    aggregation is exact BIGINT sums. Plan: exactly TWO passes over the
+    token stream — one groupBy builds BOTH models' bucket counts (cr, ct)
+    in a single aggregate (target mass is a conditional sum, so no second
+    scan for the target slice; the normalizers come from re-aggregating
+    the 4096-row model table, not the corpus), then the stream equi-joins
+    the B-row model on the bucket key (8-byte) with a 1-row scalar
+    crossJoin for the normalizer. The corpus never self-joins, the model
+    never grows."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text.tokens(text.normalize(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id", "lang", (md5_long(F.col("tok")) % _DSIR_B).alias("b")
+    )
+    g = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    m = g.select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + 1).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+            )
+            * 1000000
+        ).cast("long").alias("delta_unat"),
+    )
+    c = g.agg(
+        F.round(
+            (
+                F.log((F.sum("cr") + _DSIR_B).cast("double"))
+                - F.log((F.sum("ct") + _DSIR_B).cast("double"))
+            )
+            * 1000000
+        ).cast("long").alias("const_unat")
+    )
+    d = tb.join(m, "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("delta_unat").alias("dsum")
+    )
+    return d.crossJoin(F.broadcast(c)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("dsum") + F.col("n_tokens") * F.col("const_unat"))
+        .cast("long")
+        .alias("logw_unat"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (SELECT lang, length(text) AS nc,
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+                      len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS nb
+               FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN sum(nc) = 0 THEN 0
+                     ELSE sum(nw) * 1000000 // sum(nc) END AS BIGINT)
+               AS word_fertility_ppm,
+           CAST(CASE WHEN sum(nc) = 0 THEN 0
+                     ELSE sum(nb) * 1000000 // sum(nc) END AS BIGINT)
+               AS bpe_fertility_ppm
+    FROM t GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer-equity audit: tokens produced per character, by labeled
+    language — the fertility disparity instrument of a multilingual
+    pipeline (a language whose BPE fertility is 2-3x English's gets
+    proportionally less content per context window; this table is what
+    motivates retraining the tokenizer or re-weighting the mixture).
+    Counts words (whitespace) and BPE-ish segments per doc as pure column
+    expressions (zero joins, zero UDFs), aggregates per language with
+    map-side combine, and emits integer ppm ratios (floor-div, operands
+    non-negative -> div/`//` parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length(F.col("text")).alias("nc"),
+        text.token_count(F.col("text")).alias("nw"),
+        text.bpe_ish_token_count(F.col("text")).alias("nb"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.expr(
+            "cast(case when sum(nc) = 0 then 0"
+            " else sum(nw) * 1000000 div sum(nc) end as bigint)"
+        ).alias("word_fertility_ppm"),
+        F.expr(
+            "cast(case when sum(nc) = 0 then 0"
+            " else sum(nb) * 1000000 div sum(nc) end as bigint)"
+        ).alias("bpe_fertility_ppm"),
+    )
+
+
+@register(
+    "char_entropy_profile",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    ch AS (SELECT doc_id, unnest(regexp_extract_all(nt, '[a-z0-9 ]')) AS ch
+           FROM n),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS slc
+          FROM cc GROUP BY 1)
+    SELECT doc_id, n AS n_chars,
+           CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                - slc // n AS BIGINT) AS entropy_unat,
+           CAST(CASE WHEN CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                          - slc // n < 2500000
+                     THEN 1 ELSE 0 END AS INT) AS low_entropy
+    FROM d
+    """,
+)
+def char_entropy_profile(spark, sf_dir):
+    """Character-level Shannon entropy per document over the normalized
+    [a-z0-9 ] alphabet, in integer micro-nats — the cheapest gibberish /
+    mojibake / key-mash detector (natural English sits near 2.9-3.1 nats;
+    a repeated-character or single-token spam doc collapses toward 0, and
+    low_entropy flags below 2.5 nats). H = ln n - (1/n) * sum c*ln c with
+    the registry's exact-integer convention: ln is rounded to micro-nats
+    once per DISTINCT per-doc count (ln parity note at _LM_CTE), scaled by
+    exact BIGINT multiply/sums, floor-div by n (operands non-negative ->
+    div parity). Plan: chars explode to (doc, char)-keyed partial
+    aggregation — the shuffle carries the 37-symbol histogram per doc, not
+    text; at 100 TB this is one map-side-combined exchange at
+    37x-doc-count grain."""
+    docs = _t(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    text.normalize(F.col("text")), F.lit("[a-z0-9 ]"), 0
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        ).cast("long").alias("slc"),
+    )
+    ent = (
+        F.round(F.log(F.col("n").cast("double")) * 1000000).cast("long")
+        - F.expr("slc div n")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        ent.cast("long").alias("entropy_unat"),
+        F.when(ent < 2500000, 1).otherwise(0).cast("int").alias("low_entropy"),
+    )
+
+
+@register(
+    "padding_waste_audit",
+    r"""
+    WITH t AS (SELECT doc_id, len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n FROM documents),
+    b AS (SELECT doc_id, least(n, 2048) AS n_eff,
+                 CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                      WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                      WHEN n <= 1024 THEN 1024 ELSE 2048 END AS cap
+          FROM t)
+    SELECT CAST(cap AS BIGINT) AS seq_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_eff) AS BIGINT) AS n_tokens,
+           CAST(sum(cap) AS BIGINT) AS n_slots,
+           CAST((sum(cap) - sum(n_eff)) * 1000000 // sum(cap) AS BIGINT)
+               AS waste_ppm
+    FROM b GROUP BY 1
+    """,
+)
+def padding_waste_audit(spark, sf_dir):
+    """Sequence-length bucketing audit: assign each document's BPE-ish
+    token count to the next power-of-two batch bucket (64..2048, longer
+    docs truncated to the 2048 cap, as a fixed-max-seq-len trainer would)
+    and measure the padding waste per bucket — the fraction of batch slots
+    a length-bucketed loader burns on pad tokens (waste_ppm). Read next to
+    training_pack_bins (greedy packing), this is the bucketing-vs-packing
+    trade quantified. Bucket ladder is an integer CASE (no float log2 ->
+    no rounding-parity surface); pure column exprs + one map-side-combined
+    aggregate at 6-bucket grain."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n")
+    )
+    b = t.select(
+        F.least(F.col("n"), F.lit(2048)).alias("n_eff"),
+        F.when(F.col("n") <= 64, 64)
+        .when(F.col("n") <= 128, 128)
+        .when(F.col("n") <= 256, 256)
+        .when(F.col("n") <= 512, 512)
+        .when(F.col("n") <= 1024, 1024)
+        .otherwise(2048)
+        .alias("cap"),
+    )
+    return b.groupBy(F.col("cap").cast("long").alias("seq_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_eff").cast("long").alias("n_tokens"),
+        F.sum("cap").cast("long").alias("n_slots"),
+        F.expr(
+            "cast((sum(cap) - sum(n_eff)) * 1000000 div sum(cap) as bigint)"
+        ).alias("waste_ppm"),
+    )
+
+
+@register(
+    "quality_dup_calibration",
+    rf"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS np,
+               CASE WHEN trim(lower(text)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS sw,
+               {_HASH15.format(x=_NORM_SQL)} AS fp
+        FROM documents
+    ),
+    s AS (SELECT doc_id, fp,
+                 800 * least(nc, 500)
+                 + CASE WHEN nt = 0 THEN 0
+                        ELSE least(2000000 * sw // nt, 400000) END
+                 + CASE WHEN nc = 0 THEN 200000
+                        ELSE 200000 - least(800000 * np // nc, 200000) END
+                     AS s_int
+          FROM q),
+    dup AS (SELECT fp FROM s GROUP BY fp HAVING count(*) >= 2),
+    fl AS (SELECT s.doc_id, s.s_int,
+                  CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+           FROM s LEFT JOIN dup ON s.fp = dup.fp),
+    nt2 AS (SELECT doc_id, s_int, is_dup,
+                   ntile(10) OVER (ORDER BY s_int, doc_id) AS decile
+            FROM fl)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup,
+           CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+           CAST(sum(s_int) // count(*) AS BIGINT) AS mean_score_micro
+    FROM nt2 GROUP BY 1
+    """,
+)
+def quality_dup_calibration(spark, sf_dir):
+    """Calibration of the heuristic quality score against exact
+    duplication: docs binned into quality deciles, per-decile exact-dup
+    rate — the audit that tells a curation pipeline whether its quality
+    filter is ALSO buying dedup (falling dup_ppm with rising decile) or is
+    orthogonal to it, i.e. whether filter-then-dedup ordering matters.
+    The quality score is re-derived in EXACT INTEGER arithmetic (micro
+    units, floor-div ladder mirroring text_quality's 0.4/0.4/0.2 blend) so
+    the decile boundary is bit-identical cross-engine with no double
+    rounding surface; dup flag = normalized-content fingerprint seen >= 2
+    times (hash-groupBy, only 8-byte hashes shuffle); decile via the
+    distributed global_ntile (two-phase range exchange — never a one-task
+    data-grain window; the ntile in the ORACLE string is DuckDB-side
+    only).
+
+    Eager note: global_ntile's offset collect runs at plan-build time;
+    plan tooling must reuse _PLAN_CACHE."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("nc"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), r"[!-/:-@\[-`{-~]", ""))
+        ).alias("np"),
+        text.token_count(F.lower(F.col("text"))).alias("nt"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x.isin(
+                    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"
+                ),
+            )
+        ).alias("sw"),
+        md5_long(text.normalize(F.col("text"))).alias("fp"),
+    )
+    s = q.select(
+        "doc_id",
+        "fp",
+        (
+            800 * F.least(F.col("nc"), F.lit(500))
+            + F.when(F.col("nt") == 0, 0).otherwise(
+                F.least(F.expr("2000000 * sw div nt"), F.lit(400000))
+            )
+            + F.when(F.col("nc") == 0, 200000).otherwise(
+                200000 - F.least(F.expr("800000 * np div nc"), F.lit(200000))
+            )
+        ).alias("s_int"),
+    )
+    dup = s.groupBy("fp").agg(F.count(F.lit(1)).alias("nfp")).filter(
+        F.col("nfp") >= 2
+    )
+    fl = s.join(dup.select("fp", "nfp"), "fp", "left").select(
+        "doc_id",
+        "s_int",
+        F.when(F.col("nfp").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    nt2 = global_ntile(fl, ["s_int", "doc_id"], 10, "decile")
+    return nt2.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.expr("cast(sum(is_dup) * 1000000 div count(*) as bigint)").alias(
+            "dup_ppm"
+        ),
+        F.expr("cast(sum(s_int) div count(*) as bigint)").alias(
+            "mean_score_micro"
+        ),
+    )
