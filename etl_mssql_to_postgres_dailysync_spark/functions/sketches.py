@@ -27,16 +27,27 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def _bucket(col: Column, seed: int, width: int) -> Column:
-    return md5_long(col, seed) % F.lit(width)
-
-
 def cms_hash_pairs(df: DataFrame, key_col: str, depth: int = CMS_DEPTH,
                    width: int = CMS_WIDTH) -> DataFrame:
     """Explode each row into its ``depth`` (seed, bucket) coordinates — one
-    scan, whole-stage-codegen'd md5s, no Python."""
+    scan, ONE whole-stage-codegen'd md5 per row, no Python.
+
+    The d per-seed hash functions are disjoint 12-bit slices of a single
+    md5 digest (seed s reads hex chars [3s, 3s+3); 12 bits = 4096 values,
+    an exact multiple of width=1024, so the modulus stays perfectly
+    uniform). md5's output bits are uniform and the slices are disjoint,
+    which is all the CMS analysis needs from its "independent" rows — and
+    one digest instead of d cuts the dominant sketch-build cost (hashing)
+    by d at 100 TB. Requires 3*depth <= 32 hex chars (depth <= 10)."""
+    assert 3 * depth <= 32, "depth > 10 would overrun the md5 digest"
+    assert 4096 % width == 0, "width must divide 4096 for a uniform modulus"
+    hexd = F.md5(F.col(key_col).cast("string"))
     pairs = F.array(*[
-        F.struct(F.lit(s).alias("seed"), _bucket(F.col(key_col), s, width).alias("bucket"))
+        F.struct(
+            F.lit(s).alias("seed"),
+            (F.conv(F.substring(hexd, 1 + 3 * s, 3), 16, 10).cast("bigint")
+             % F.lit(width)).alias("bucket"),
+        )
         for s in range(depth)
     ])
     return df.select(F.col(key_col), F.explode(pairs).alias("p")).select(
@@ -78,10 +89,11 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
 def cms_oracle_pairs_sql(table: str, key_expr: str, depth: int = CMS_DEPTH,
                          width: int = CMS_WIDTH) -> str:
     """DuckDB twin of :func:`cms_hash_pairs` as a SELECT producing
-    (key, seed, bucket)."""
+    (key, seed, bucket) — same single-digest 12-bit-slice scheme."""
     arms = " UNION ALL ".join(
         f"SELECT {key_expr} AS k, {s} AS seed, "
-        f"{md5_long_sql(key_expr, s)} % {width} AS bucket FROM {table}"
+        f"CAST('0x' || substr(md5({key_expr}), {1 + 3 * s}, 3) AS BIGINT)"
+        f" % {width} AS bucket FROM {table}"
         for s in range(depth)
     )
     return arms

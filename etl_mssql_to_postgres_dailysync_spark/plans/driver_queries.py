@@ -3024,10 +3024,12 @@ def waiting_supplier_orders(spark, sf_dir):
 # CountMin frequency sketch (functions/sketches.py)
 # ---------------------------------------------------------------------------
 
+# probe coordinates under the same single-digest 12-bit-slice scheme as
+# sketches.cms_hash_pairs / cms_oracle_pairs_sql
 _CMS_PROBE_COORDS = " UNION ALL ".join(
     f"SELECT user_id, exact_cnt, {s} AS seed, "
-    + sketches.md5_long_sql("CAST(user_id AS VARCHAR)", s)
-    + f" % {sketches.CMS_WIDTH} AS bucket FROM probes"
+    f"CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), {1 + 3 * s}, 3) AS BIGINT)"
+    f" % {sketches.CMS_WIDTH} AS bucket FROM probes"
     for s in range(sketches.CMS_DEPTH)
 )
 
