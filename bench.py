@@ -99,6 +99,7 @@ TRANCHE = [
     "dsir_importance_weights",
     "char_entropy_profile",
     "quality_dup_calibration",
+    "bloom_semijoin_reduction",
 ]
 
 

@@ -10730,3 +10730,82 @@ def quality_dup_calibration(spark, sf_dir):
             "mean_score_micro"
         ),
     )
+
+
+@register(
+    "bloom_semijoin_reduction",
+    f"""
+    WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    bpos AS (SELECT DISTINCT unnest({sketches.bloom_positions_sql("CAST(o_orderkey AS VARCHAR)")}) AS pos
+             FROM sel),
+    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    pk AS (SELECT l_orderkey,
+                  unnest({sketches.bloom_positions_sql("CAST(l_orderkey AS VARCHAR)")}) AS pos
+           FROM probe),
+    ok AS (SELECT l_orderkey FROM pk JOIN bpos USING (pos)
+           GROUP BY 1 HAVING count(*) = {sketches.BLOOM_K}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_fact,
+                 CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sel s
+                                            WHERE s.o_orderkey = l.l_orderkey)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS exact_pass,
+                 CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ok o
+                                            WHERE o.l_orderkey = l.l_orderkey)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass
+          FROM lineitem l)
+    SELECT n_fact, exact_pass, bloom_pass,
+           CAST(CASE WHEN bloom_pass = 0 THEN 0
+                     ELSE (bloom_pass - exact_pass) * 1000000 // bloom_pass END
+               AS BIGINT) AS fp_ppm,
+           CAST((n_fact - bloom_pass) * 1000000 // n_fact AS BIGINT)
+               AS reduction_ppm
+    FROM m
+    """,
+)
+def bloom_semijoin_reduction(spark, sf_dir):
+    """Semi-join reduction pre-flight: how many fact rows does a Bloom
+    filter on the selected dimension keys eliminate BEFORE the join
+    shuffle, and at what false-positive cost — the decision instrument for
+    runtime-filter pushdown at 100 TB (ship an m-bit filter to the fact
+    scan instead of shuffling the fact table; worthwhile when
+    reduction_ppm is high and fp_ppm bounds the wasted pass-through).
+    Build side: urgent orders' keys -> <= m_bits-row position set
+    (broadcastable at ANY corpus size — state is O(m), not O(keys)).
+    Probe side: DISTINCT fact keys hash k positions each and keep keys
+    with all k set; the fact table is counted against exact semi-join
+    membership vs bloom membership. All counts integer, fp/reduction in
+    ppm with non-negative floor-div. The oracle replays the filter
+    BIT-FOR-BIT (same md5 positions), so the measured fp_ppm itself is
+    cross-engine-verified, not just bounded. Bloom guarantee pytest: every
+    exact member passes the filter (zero false negatives)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = sketches.bloom_build(sel, "o_orderkey")
+    passed = (
+        sketches.bloom_probe(lineitem.select("l_orderkey"), "l_orderkey", bloom)
+        .filter(F.col("might_contain") == 1)
+        .select("l_orderkey")
+    )
+    flags = (
+        lineitem.select("l_orderkey")
+        .join(sel.withColumn("__e__", F.lit(1)).withColumnRenamed("o_orderkey", "l_orderkey"),
+              "l_orderkey", "left")
+        .join(passed.withColumn("__b__", F.lit(1)), "l_orderkey", "left")
+    )
+    m = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(F.coalesce(F.col("__e__"), F.lit(0))).cast("long").alias("exact_pass"),
+        F.sum(F.coalesce(F.col("__b__"), F.lit(0))).cast("long").alias("bloom_pass"),
+    )
+    return m.select(
+        "n_fact",
+        "exact_pass",
+        "bloom_pass",
+        F.expr(
+            "cast(case when bloom_pass = 0 then 0"
+            " else (bloom_pass - exact_pass) * 1000000 div bloom_pass end as bigint)"
+        ).alias("fp_ppm"),
+        F.expr(
+            "cast((n_fact - bloom_pass) * 1000000 div n_fact as bigint)"
+        ).alias("reduction_ppm"),
+    )

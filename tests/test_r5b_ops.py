@@ -168,3 +168,23 @@ def test_quality_dup_calibration_consistency(spark):
     for r in rows:
         assert r["dup_ppm"] == r["n_dup"] * 1000000 // r["n_docs"]
         assert 0 <= r["n_dup"] <= r["n_docs"]
+
+
+def test_bloom_semijoin_zero_false_negatives(spark):
+    """The Bloom guarantee: no exact member is ever filtered out
+    (bloom_pass >= exact_pass), the filter only ever reduces the fact side
+    (bloom_pass <= n_fact), and the emitted ppm ratios reproduce from the
+    emitted integer counts."""
+    r = QUERIES["bloom_semijoin_reduction"](spark, SF_DIR).collect()[0]
+    assert r["exact_pass"] <= r["bloom_pass"] <= r["n_fact"]
+    assert r["fp_ppm"] == (
+        0
+        if r["bloom_pass"] == 0
+        else (r["bloom_pass"] - r["exact_pass"]) * 1000000 // r["bloom_pass"]
+    )
+    assert r["reduction_ppm"] == (
+        (r["n_fact"] - r["bloom_pass"]) * 1000000 // r["n_fact"]
+    )
+    # the probed predicate (~20% of orders) must actually reduce the fact
+    # side for the instrument to be meaningful
+    assert r["bloom_pass"] < r["n_fact"]
