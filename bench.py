@@ -100,6 +100,7 @@ TRANCHE = [
     "char_entropy_profile",
     "quality_dup_calibration",
     "bloom_semijoin_reduction",
+    "hll_distinct_by_source",
 ]
 
 

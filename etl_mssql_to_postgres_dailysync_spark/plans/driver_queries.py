@@ -10809,3 +10809,269 @@ def bloom_semijoin_reduction(spark, sf_dir):
             "cast((n_fact - bloom_pass) * 1000000 div n_fact as bigint)"
         ).alias("reduction_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (Flajolet et al. 2007): m=1024 registers from
+# md5 bits, so the oracle replays the REGISTERS bit-for-bit — unlike
+# approx_count_distinct, whose HLL++ internals have no DuckDB twin.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 1024  # registers (p=10); bucket = low 10 bits of the 60-bit hash
+_HLL_VBITS = 50  # remaining value bits; rho in [1, 51]
+# alpha_m * m^2 scaled exactly: 0.721 * 2^20 * 2^51 (alpha for m>=128 is
+# 0.7213/(1+1.079/m) ~ 0.7205; the standard 0.721 milli approximation keeps
+# the arithmetic integer-exact and engine-identical)
+_HLL_NUM = 721 * (1 << 71)  # = alpha_milli * m^2 * 2^51, 25 digits
+_HLL_LN_M_UNAT = 6931472  # round(ln(1024) * 1e6), pinned by test vs math.log
+
+_HLL_REG_SQL = f"""
+    h AS (SELECT event_type, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                                  AS BIGINT) AS h
+          FROM events),
+    r AS (SELECT event_type, h % {_HLL_M} AS bucket,
+                 CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_VBITS + 1}
+                      ELSE {_HLL_VBITS + 1} - length(bin(h // {_HLL_M})) END AS rho
+          FROM h),
+    reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2)
+"""
+
+
+def _hll_est_sql(raw: str, vz: str) -> str:
+    """The estimate with linear-counting small-range correction, all
+    integer: raw below 2.5m with empty registers -> m * ln(m / V)."""
+    return f"""CAST(CASE WHEN {vz} > 0 AND {raw} < {5 * _HLL_M // 2}
+                 THEN {_HLL_M} * ({_HLL_LN_M_UNAT}
+                      - CAST(round(ln(CAST({vz} AS DOUBLE)) * 1000000) AS BIGINT))
+                      // 1000000
+                 ELSE {raw} END AS BIGINT)"""
+
+
+@register(
+    "hll_distinct_by_source",
+    f"""
+    WITH {_HLL_REG_SQL},
+    agg AS (SELECT event_type, count(*) AS n_present,
+                   {_HLL_M} - count(*) AS v_zero,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj))
+                        AS BIGINT) AS s_present
+            FROM reg GROUP BY 1),
+    s AS (SELECT event_type, n_present, v_zero,
+                 s_present + v_zero * (CAST(1 AS BIGINT) << {_HLL_VBITS + 1})
+                     AS s_sum
+          FROM agg),
+    e AS (SELECT event_type, n_present, v_zero, s_sum,
+                 CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                      // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT)
+                     AS raw_est
+          FROM s),
+    x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1),
+    f AS (SELECT e.event_type, e.n_present, e.v_zero, e.s_sum,
+                 {_hll_est_sql("e.raw_est", "e.v_zero")} AS hll_est,
+                 CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+          FROM e JOIN x USING (event_type))
+    SELECT event_type, CAST(n_present AS BIGINT) AS n_present,
+           CAST(v_zero AS BIGINT) AS v_zero, s_sum, hll_est, exact_distinct,
+           CAST(abs(hll_est - exact_distinct) * 1000000 // exact_distinct
+                AS BIGINT) AS err_ppm
+    FROM f
+    """,
+)
+def hll_distinct_by_source(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type, built from
+    engine-portable md5 bits (bucket = low 10 hash bits, rho = leading-zero
+    rank of the remaining 50 bits via length(bin(v)) — identical string
+    semantics in Spark and DuckDB), so the oracle replays the REGISTER FILE
+    bit-for-bit, not just an error bound: n_present / v_zero / s_sum pin
+    every register. The estimator is exact integer arithmetic end-to-end:
+    alpha*m^2*2^51 is a 25-digit DECIMAL(38) literal over the exact
+    harmonic sum s_sum (int64-safe: <= m * 2^51 = 2^61), and the
+    linear-counting small-range branch uses the micro-nat ln convention.
+    Sketch state is m=1024 rows per group at ANY corpus size; merging
+    day/partition sketches is register-wise MAX (hll_union_merge proves
+    it); standard error ~ 1.04/sqrt(m) = 3.3%, pytest-asserted at 5 sigma."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    r = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, _HLL_VBITS + 1)
+        .otherwise(
+            F.lit(_HLL_VBITS + 1)
+            - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    ).withColumn(
+        "s_sum",
+        F.col("s_present")
+        + F.col("v_zero") * F.lit(1 << (_HLL_VBITS + 1)).cast("long"),
+    )
+    e = s.withColumn(
+        "raw_est",
+        F.expr(
+            f"cast(cast('{_HLL_NUM}' as decimal(38,0))"
+            f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
+        ),
+    )
+    x = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.expr(
+        f"cast(case when v_zero > 0 and raw_est < {5 * _HLL_M // 2}"
+        f" then {_HLL_M} * ({_HLL_LN_M_UNAT}"
+        f" - cast(round(ln(cast(v_zero as double)) * 1000000) as bigint))"
+        f" div 1000000"
+        f" else raw_est end as bigint)"
+    )
+    return (
+        e.join(x, "event_type")
+        .withColumn("hll_est", est)
+        .select(
+            "event_type",
+            F.col("n_present").cast("long").alias("n_present"),
+            F.col("v_zero").cast("long").alias("v_zero"),
+            "s_sum",
+            "hll_est",
+            "exact_distinct",
+            F.expr(
+                "cast(abs(hll_est - exact_distinct) * 1000000"
+                " div exact_distinct as bigint)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+@register(
+    "hll_union_merge",
+    f"""
+    WITH {_HLL_REG_SQL},
+    merged AS (SELECT bucket, max(mj) AS mj FROM reg GROUP BY 1),
+    agg AS (SELECT count(*) AS n_present, {_HLL_M} - count(*) AS v_zero,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj))
+                        AS BIGINT) AS s_present
+            FROM merged),
+    s AS (SELECT n_present, v_zero,
+                 s_present + v_zero * (CAST(1 AS BIGINT) << {_HLL_VBITS + 1})
+                     AS s_sum
+          FROM agg),
+    e AS (SELECT n_present, v_zero, s_sum,
+                 CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                      // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT)
+                     AS raw_est
+          FROM s),
+    parts AS (SELECT CAST(sum(pt) AS BIGINT) AS sum_of_parts
+              FROM (SELECT count(DISTINCT user_id) AS pt
+                    FROM events GROUP BY event_type) q),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+            FROM events),
+    x AS (SELECT tot.exact_union, parts.sum_of_parts
+          FROM parts CROSS JOIN tot),
+    f AS (SELECT e.n_present, e.v_zero, e.s_sum,
+                 {_hll_est_sql("e.raw_est", "e.v_zero")} AS hll_union_est,
+                 CAST(x.exact_union AS BIGINT) AS exact_union, x.sum_of_parts
+          FROM e CROSS JOIN x)
+    SELECT n_present, v_zero, s_sum, hll_union_est, exact_union, sum_of_parts,
+           CAST(abs(hll_union_est - exact_union) * 1000000 // exact_union
+                AS BIGINT) AS err_ppm
+    FROM f
+    """,
+)
+def hll_union_merge(spark, sf_dir):
+    """The property that makes HLL the 100 TB distinct-counter: merging
+    per-source (or per-day, per-partition, per-executor) sketches is a
+    REGISTER-WISE MAX — this query merges the per-event-type register
+    files of hll_distinct_by_source into one union sketch and checks the
+    estimate against the exact distinct-user union (which sum_of_parts
+    overcounts whenever users span event types — the sketch handles the
+    overlap for free, a sum of exact per-partition counts cannot).
+    Identical register/estimator conventions to hll_distinct_by_source;
+    the merged register file is again pinned bit-for-bit by
+    (n_present, v_zero, s_sum)."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        "event_type",
+    )
+    r = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, _HLL_VBITS + 1)
+        .otherwise(
+            F.lit(_HLL_VBITS + 1)
+            - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    # per-(type, bucket) registers first, then register-wise MAX across
+    # types: literally the merge path a per-partition rollup would take
+    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+    merged = reg.groupBy("bucket").agg(F.max("mj").alias("mj"))
+    s = merged.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    ).withColumn(
+        "s_sum",
+        F.col("s_present")
+        + F.col("v_zero") * F.lit(1 << (_HLL_VBITS + 1)).cast("long"),
+    )
+    e = s.withColumn(
+        "raw_est",
+        F.expr(
+            f"cast(cast('{_HLL_NUM}' as decimal(38,0))"
+            f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
+        ),
+    )
+    x = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("pt"))
+        .agg(F.sum("pt").cast("long").alias("sum_of_parts"))
+        .crossJoin(
+            F.broadcast(
+                events.agg(
+                    F.countDistinct("user_id").cast("long").alias("exact_union")
+                )
+            )
+        )
+    )
+    est = F.expr(
+        f"cast(case when v_zero > 0 and raw_est < {5 * _HLL_M // 2}"
+        f" then {_HLL_M} * ({_HLL_LN_M_UNAT}"
+        f" - cast(round(ln(cast(v_zero as double)) * 1000000) as bigint))"
+        f" div 1000000"
+        f" else raw_est end as bigint)"
+    )
+    return (
+        e.crossJoin(F.broadcast(x))
+        .withColumn("hll_union_est", est)
+        .select(
+            F.col("n_present").cast("long").alias("n_present"),
+            F.col("v_zero").cast("long").alias("v_zero"),
+            "s_sum",
+            "hll_union_est",
+            "exact_union",
+            "sum_of_parts",
+            F.expr(
+                "cast(abs(hll_union_est - exact_union) * 1000000"
+                " div exact_union as bigint)"
+            ).alias("err_ppm"),
+        )
+    )

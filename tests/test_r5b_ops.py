@@ -188,3 +188,72 @@ def test_bloom_semijoin_zero_false_negatives(spark):
     # the probed predicate (~20% of orders) must actually reduce the fact
     # side for the instrument to be meaningful
     assert r["bloom_pass"] < r["n_fact"]
+
+
+def _hll_registers(user_ids) -> dict[int, int]:
+    """Pure-Python replica of the HLL register file: bucket = low 10 bits
+    of the 60-bit md5 hash, rho = 51 - bitlength(top 50 bits)."""
+    regs: dict[int, int] = {}
+    for u in user_ids:
+        h = _md5_long(str(u))
+        b, v = h % 1024, h // 1024
+        rho = 51 if v == 0 else 51 - v.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_pure_python(spark):
+    """The sketch itself (n_present, v_zero, s_sum) must equal an
+    independent Python construction of the registers — bit-for-bit, per
+    event type — and the emitted estimate must sit within 5 sigma
+    (sigma = 1.04/sqrt(1024) ~ 3.3%) of the exact distinct count."""
+    events = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    rows = QUERIES["hll_distinct_by_source"](spark, SF_DIR).collect()
+    assert len(rows) == events["event_type"].nunique()
+    for r in rows:
+        users = events.loc[
+            events["event_type"] == r["event_type"], "user_id"
+        ].unique()
+        regs = _hll_registers(users)
+        assert r["n_present"] == len(regs)
+        assert r["v_zero"] == 1024 - len(regs)
+        s = sum(1 << (51 - m) for m in regs.values()) + r["v_zero"] * (1 << 51)
+        assert r["s_sum"] == s
+        exact = len(users)
+        assert r["exact_distinct"] == exact
+        assert abs(r["hll_est"] - exact) <= max(0.165 * exact, 3), (
+            r["event_type"],
+            r["hll_est"],
+            exact,
+        )
+        assert r["err_ppm"] == abs(r["hll_est"] - exact) * 1000000 // exact
+
+
+def test_hll_union_is_registerwise_max(spark):
+    """Merging = register-wise MAX: the union sketch must equal the merge
+    of the per-type Python register files, and the union estimate must be
+    within 5 sigma of the exact union (which sum_of_parts can only
+    overcount)."""
+    events = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    r = QUERIES["hll_union_merge"](spark, SF_DIR).collect()[0]
+    merged: dict[int, int] = {}
+    for et in events["event_type"].unique():
+        for b, m in _hll_registers(
+            events.loc[events["event_type"] == et, "user_id"].unique()
+        ).items():
+            merged[b] = max(merged.get(b, 0), m)
+    assert r["n_present"] == len(merged)
+    s = sum(1 << (51 - m) for m in merged.values()) + r["v_zero"] * (1 << 51)
+    assert r["s_sum"] == s
+    exact = events["user_id"].nunique()
+    assert r["exact_union"] == exact
+    assert r["sum_of_parts"] >= r["exact_union"]
+    assert abs(r["hll_union_est"] - exact) <= max(0.165 * exact, 3)
+
+
+def test_hll_ln_m_constant_pinned():
+    """The linear-counting branch hardcodes round(ln(1024)*1e6); pin it."""
+    from etl_mssql_to_postgres_dailysync_spark.plans import driver_queries as dq
+
+    assert dq._HLL_LN_M_UNAT == _round_half_up(math.log(1024) * 1e6)
+    assert dq._HLL_NUM == 721 * (1 << 71)
