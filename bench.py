@@ -101,6 +101,7 @@ TRANCHE = [
     "quality_dup_calibration",
     "bloom_semijoin_reduction",
     "hll_distinct_by_source",
+    "cms_heavy_hitters_twopass",
 ]
 
 

@@ -11075,3 +11075,209 @@ def hll_union_merge(spark, sf_dir):
             ).alias("err_ppm"),
         )
     )
+
+
+@register(
+    "cms_heavy_hitters_twopass",
+    f"""
+    WITH pairs AS ({sketches.cms_oracle_pairs_sql("events", "CAST(user_id AS VARCHAR)")}),
+    sketch AS (SELECT seed, bucket, count(*) AS counter FROM pairs GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    coords AS (SELECT user_id, seed,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1 + 3 * seed, 3) AS BIGINT)
+                          % {sketches.CMS_WIDTH} AS bucket
+               FROM keys CROSS JOIN (SELECT unnest(range({sketches.CMS_DEPTH})) AS seed)),
+    est AS (SELECT user_id, CAST(min(counter) AS BIGINT) AS cms_est
+            FROM coords JOIN sketch USING (seed, bucket) GROUP BY 1),
+    thr AS (SELECT CAST(5 * count(*) // (4 * count(DISTINCT user_id)) AS BIGINT) AS t
+            FROM events),
+    cand AS (SELECT user_id, cms_est, thr.t FROM est CROSS JOIN thr
+             WHERE cms_est >= thr.t),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM events WHERE user_id IN (SELECT user_id FROM cand)
+              GROUP BY 1)
+    SELECT c.user_id, c.cms_est, e.exact_cnt, c.t AS threshold,
+           CAST(CASE WHEN e.exact_cnt >= c.t THEN 1 ELSE 0 END AS INT)
+               AS is_true_hh
+    FROM cand c JOIN exact e USING (user_id)
+    """,
+)
+def cms_heavy_hitters_twopass(spark, sf_dir):
+    """Exact heavy hitters at sketch cost: the sketch->verify two-pass
+    pattern. Pass 1 probes every distinct key against the CMS; because CMS
+    only ever OVERcounts, every key with exact count >= T has cms_est >= T
+    — the candidate set provably misses NO true heavy hitter (pytest
+    asserts this against ground truth). Pass 2 exactly counts ONLY the
+    candidate keys (a semi-join-reduced aggregation; candidate mass is
+    |true HH| + the sketch's additive-collision false positives, tiny next
+    to the key domain). At 100 TB this replaces a full-key-domain count
+    with one d*w sketch + one filtered count — the same two-pass shape
+    production heavy-hitter systems use. is_true_hh marks which candidates
+    survive exact verification; every emitted column is an exact integer,
+    and the oracle replays the sketch bit-for-bit.
+
+    Resolution note (the honest 100 TB knob): CMS error is ADDITIVE
+    (~N/w per seed), so at fixed w the candidate set widens as N grows
+    past w * threshold — correctness never degrades (supersets only),
+    but pass-2 cost does; at cluster scale you size w ~ N/(eps * T),
+    which keeps the sketch a few MB for any realistic N."""
+    events = _t(spark, sf_dir, "events")
+    sketch = sketches.cms_build(events, "user_id")
+    keys = events.select("user_id").distinct()
+    est = sketches.cms_estimate(sketch, keys, "user_id").withColumnRenamed(
+        "cms_est", "cms_est_raw"
+    )
+    # scale-relative threshold: 1.25x the mean per-key count, a 1-row
+    # scalar (the fixture's per-user counts are near-uniform, so the HH
+    # band sits just above the mean)
+    thr = events.agg(
+        F.expr("cast(5 * count(*) div (4 * count(distinct user_id)) as bigint)")
+        .alias("t")
+    )
+    cand = (
+        est.crossJoin(F.broadcast(thr))
+        .filter(F.col("cms_est_raw") >= F.col("t"))
+        .select("user_id", F.col("cms_est_raw").alias("cms_est"), "t")
+    )
+    exact = (
+        events.join(F.broadcast(cand.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        cand.join(exact, "user_id")
+        .select(
+            "user_id",
+            "cms_est",
+            "exact_cnt",
+            F.col("t").alias("threshold"),
+            F.when(F.col("exact_cnt") >= F.col("t"), 1).otherwise(0)
+            .cast("int")
+            .alias("is_true_hh"),
+        )
+    )
+
+
+@register(
+    "quality_selection_frontier",
+    rf"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS np,
+               CASE WHEN trim(lower(text)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS sw
+        FROM documents
+    ),
+    s AS (SELECT doc_id, nt AS n_tokens,
+                 800 * least(nc, 500)
+                 + CASE WHEN nt = 0 THEN 0
+                        ELSE least(2000000 * sw // nt, 400000) END
+                 + CASE WHEN nc = 0 THEN 200000
+                        ELSE 200000 - least(800000 * np // nc, 200000) END
+                     AS s_int
+          FROM q),
+    nt2 AS (SELECT doc_id, n_tokens, s_int,
+                   ntile(10) OVER (ORDER BY s_int, doc_id) AS decile
+            FROM s),
+    d AS (SELECT decile, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(min(s_int) AS BIGINT) AS score_floor
+          FROM nt2 GROUP BY 1),
+    c AS (SELECT decile, n_docs, n_tokens, score_floor,
+                 sum(n_docs) OVER (ORDER BY decile DESC
+                                   ROWS UNBOUNDED PRECEDING) AS docs_kept,
+                 sum(n_tokens) OVER (ORDER BY decile DESC
+                                     ROWS UNBOUNDED PRECEDING) AS tokens_kept
+          FROM d),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                 CAST(sum(n_tokens) AS BIGINT) AS tt FROM d)
+    SELECT CAST(decile AS INT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens, score_floor,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           CAST(docs_kept * 1000000 // t.td AS BIGINT) AS docs_kept_ppm,
+           CAST(tokens_kept * 1000000 // t.tt AS BIGINT) AS tokens_kept_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def quality_selection_frontier(spark, sf_dir):
+    """The filter-threshold frontier: if the pipeline keeps only documents
+    at or above each quality decile's score floor, how many docs and how
+    much token mass survive — the curve a curation run reads to pick its
+    threshold (token budget vs quality floor; the complement of
+    quality_dup_calibration, which tells you what duplication each stratum
+    carries). Same exact-integer quality score and distributed global_ntile
+    decile as the calibration query; the cumulative kept-mass window runs
+    over the 10-ROW decile aggregate in descending-quality order (windows
+    above aggregates are the sanctioned global-window shape), and the
+    1-row total is a scalar crossJoin. All outputs exact integers / ppm.
+
+    Eager note: global_ntile's offset collect runs at plan-build time;
+    plan tooling must reuse _PLAN_CACHE."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("nc"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), r"[!-/:-@\[-`{-~]", ""))
+        ).alias("np"),
+        text.token_count(F.lower(F.col("text"))).alias("nt"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x.isin(
+                    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"
+                ),
+            )
+        ).alias("sw"),
+    )
+    s = q.select(
+        "doc_id",
+        F.col("nt").alias("n_tokens"),
+        (
+            800 * F.least(F.col("nc"), F.lit(500))
+            + F.when(F.col("nt") == 0, 0).otherwise(
+                F.least(F.expr("2000000 * sw div nt"), F.lit(400000))
+            )
+            + F.when(F.col("nc") == 0, 200000).otherwise(
+                200000 - F.least(F.expr("800000 * np div nc"), F.lit(200000))
+            )
+        ).alias("s_int"),
+    )
+    nt2 = global_ntile(s, ["s_int", "doc_id"], 10, "decile")
+    d = nt2.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("s_int").cast("long").alias("score_floor"),
+    )
+    w = (
+        Window.orderBy(F.col("decile").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("docs_kept", F.sum("n_docs").over(w)).withColumn(
+        "tokens_kept", F.sum("n_tokens").over(w)
+    )
+    t = d.agg(
+        F.sum("n_docs").cast("long").alias("td"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "score_floor",
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.expr("cast(docs_kept * 1000000 div td as bigint)").alias(
+            "docs_kept_ppm"
+        ),
+        F.expr("cast(tokens_kept * 1000000 div tt as bigint)").alias(
+            "tokens_kept_ppm"
+        ),
+    )

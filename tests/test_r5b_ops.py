@@ -257,3 +257,46 @@ def test_hll_ln_m_constant_pinned():
 
     assert dq._HLL_LN_M_UNAT == _round_half_up(math.log(1024) * 1e6)
     assert dq._HLL_NUM == 721 * (1 << 71)
+
+
+def test_cms_heavy_hitters_no_misses(spark):
+    """The two-pass guarantee: every key whose EXACT count clears the
+    threshold appears in the candidate output with is_true_hh = 1 (CMS
+    only overcounts, so candidates are a superset of true heavy hitters),
+    and every candidate's cms_est >= its exact count."""
+    events = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    counts = events.groupby("user_id").size()
+    t = 5 * len(events) // (4 * events["user_id"].nunique())
+    true_hh = {int(u) for u, n in counts.items() if n >= t}
+    rows = QUERIES["cms_heavy_hitters_twopass"](spark, SF_DIR).collect()
+    got = {r["user_id"]: r for r in rows}
+    assert true_hh <= set(got), f"missed heavy hitters: {true_hh - set(got)}"
+    for r in rows:
+        assert r["threshold"] == t
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["exact_cnt"] == counts[r["user_id"]]
+        assert r["is_true_hh"] == (1 if r["user_id"] in true_hh else 0)
+
+
+def test_quality_selection_frontier_monotone(spark):
+    """Kept mass is cumulative from the top decile down: docs_kept /
+    tokens_kept strictly increase as the threshold drops, the bottom
+    decile keeps everything (ppm = 1e6), score floors are non-decreasing
+    in decile, and every ppm reproduces from the emitted integers."""
+    rows = sorted(
+        QUERIES["quality_selection_frontier"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    td = sum(r["n_docs"] for r in rows)
+    tt = sum(r["n_tokens"] for r in rows)
+    assert rows[0]["docs_kept"] == td and rows[0]["docs_kept_ppm"] == 1000000
+    assert rows[0]["tokens_kept"] == tt and rows[0]["tokens_kept_ppm"] == 1000000
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["score_floor"] <= hi["score_floor"]
+        assert lo["docs_kept"] > hi["docs_kept"]
+        assert lo["docs_kept"] - lo["n_docs"] == hi["docs_kept"]
+        assert lo["tokens_kept"] - lo["n_tokens"] == hi["tokens_kept"]
+    for r in rows:
+        assert r["docs_kept_ppm"] == r["docs_kept"] * 1000000 // td
+        assert r["tokens_kept_ppm"] == r["tokens_kept"] * 1000000 // tt
