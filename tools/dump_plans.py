@@ -53,6 +53,10 @@ SHOWCASE = {
     "grouped_weighted_median": "weight pre-aggregated to (group, value) grain with map-side combine BEFORE the cumulative window — the window sees the value domain, never data rows",
     "kmv_cross_source_jaccard": "mergeable KMV union: k-row-per-source state, pairwise arms over source-grain aggregates only",
     "ngram_novelty_curve": "shingle-keyed min + join-back; decile via distributed global_ntile — no data-grain global window",
+    "dsir_importance_weights": "TWO corpus passes: one conditional-sum groupBy builds both hashed-unigram models; apply is a B-row equi-join + 1-row scalar",
+    "hll_distinct_by_source": "HLL registers from ONE md5 per row; per-group state is m=1024 rows at any corpus size",
+    "bloom_semijoin_reduction": "m-bit filter broadcast to the fact side; exact/bloom membership counted in one pass over fact keys",
+    "cms_heavy_hitters_twopass": "sketch->verify: d*w sketch pass, then exact count ONLY of the semi-join-reduced candidates",
 }
 
 

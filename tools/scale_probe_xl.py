@@ -68,6 +68,14 @@ PROBES = [
     "grouped_weighted_median",
     "embedding_covariance_topk",
     "ngram_novelty_curve",
+    # r5b tranche: model state fixed (DSIR 4096 buckets, HLL 1024
+    # registers, bloom m bits); char entropy shuffles 37-symbol
+    # histograms; CMS HH pass-2 cost is the documented candidate widening
+    "dsir_importance_weights",
+    "char_entropy_profile",
+    "hll_distinct_by_source",
+    "bloom_semijoin_reduction",
+    "cms_heavy_hitters_twopass",
 ]
 
 
