@@ -11281,3 +11281,51 @@ def quality_selection_frontier(spark, sf_dir):
             "tokens_kept_ppm"
         ),
     )
+
+
+@register(
+    "lsh_scurve_theory",
+    """
+    WITH g AS (SELECT unnest(range(0, 21)) AS i),
+    j AS (SELECT i, i / 20.0 AS jc FROM g),
+    p AS (SELECT i, jc,
+                 (jc * jc) * (jc * jc) AS j4,
+                 jc * jc AS j2
+          FROM j)
+    SELECT CAST(i AS BIGINT) AS grid_i, jc AS jaccard,
+           1.0 - ((1.0 - j4) * (1.0 - j4)) * ((1.0 - j4) * (1.0 - j4))
+               AS p_cand_4x4,
+           1.0 - (((1.0 - j2) * (1.0 - j2)) * ((1.0 - j2) * (1.0 - j2)))
+               * (((1.0 - j2) * (1.0 - j2)) * ((1.0 - j2) * (1.0 - j2)))
+               AS p_cand_8x2
+    FROM p
+    """,
+)
+def lsh_scurve_theory(spark, sf_dir):
+    """The analytic MinHash-LSH S-curve P(candidate | J) = 1-(1-J^r)^b for
+    BOTH audited banding geometries (b=4,r=4 and b=8,r=2 over 16 hashes) on
+    a 21-point Jaccard grid — the theory table a 100 TB run reads NEXT TO
+    the measured dedup_lsh_audit precision/recall to pick (b, r) before
+    committing the shuffle: 4x4 suppresses low-J noise (steep knee near
+    J~0.7), 8x2 trades precision for recall (knee near J~0.35). Every
+    probability is computed by REPEATED IEEE MULTIPLICATION of exactly
+    representable grid points (i/20 is a correctly-rounded division, *, -
+    are single IEEE ops) — no pow(), no exp/ln — so both engines produce
+    bit-identical doubles and the oracle hash-matches floating point
+    without any rounding convention. Driver-literal 21-row spine; no data
+    scanned."""
+    j = spark.range(0, 21).select(
+        F.col("id").cast("long").alias("grid_i"),
+        (F.col("id") / F.lit(20.0)).alias("jc"),
+    )
+    p = j.withColumn("j2", F.col("jc") * F.col("jc")).withColumn(
+        "j4", (F.col("jc") * F.col("jc")) * (F.col("jc") * F.col("jc"))
+    )
+    q14 = (1.0 - F.col("j4")) * (1.0 - F.col("j4"))
+    q12 = (1.0 - F.col("j2")) * (1.0 - F.col("j2"))
+    return p.select(
+        "grid_i",
+        F.col("jc").alias("jaccard"),
+        (F.lit(1.0) - q14 * q14).alias("p_cand_4x4"),
+        (F.lit(1.0) - (q12 * q12) * (q12 * q12)).alias("p_cand_8x2"),
+    )

@@ -300,3 +300,25 @@ def test_quality_selection_frontier_monotone(spark):
     for r in rows:
         assert r["docs_kept_ppm"] == r["docs_kept"] * 1000000 // td
         assert r["tokens_kept_ppm"] == r["tokens_kept"] * 1000000 // tt
+
+
+def test_lsh_scurve_theory_shape(spark):
+    """Endpoints exact (P=0 at J=0, P=1 at J=1), both curves strictly
+    increasing, the high-recall 8x2 geometry dominates 4x4 everywhere in
+    (0,1), and values agree with an independent Python evaluation of
+    1-(1-J^r)^b to strict float tolerance."""
+    rows = sorted(
+        QUERIES["lsh_scurve_theory"](spark, SF_DIR).collect(),
+        key=lambda r: r["grid_i"],
+    )
+    assert len(rows) == 21
+    assert rows[0]["p_cand_4x4"] == 0.0 and rows[0]["p_cand_8x2"] == 0.0
+    assert rows[-1]["p_cand_4x4"] == 1.0 and rows[-1]["p_cand_8x2"] == 1.0
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["p_cand_4x4"] > lo["p_cand_4x4"]
+        assert hi["p_cand_8x2"] > lo["p_cand_8x2"]
+    for r in rows[1:-1]:
+        j = r["grid_i"] / 20.0
+        assert r["p_cand_8x2"] > r["p_cand_4x4"]
+        assert abs(r["p_cand_4x4"] - (1 - (1 - j**4) ** 4)) < 1e-12
+        assert abs(r["p_cand_8x2"] - (1 - (1 - j**2) ** 8)) < 1e-12
