@@ -102,6 +102,7 @@ TRANCHE = [
     "bloom_semijoin_reduction",
     "hll_distinct_by_source",
     "cms_heavy_hitters_twopass",
+    "hll_incremental_daily",
 ]
 
 

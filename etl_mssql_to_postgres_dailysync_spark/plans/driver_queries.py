@@ -11329,3 +11329,195 @@ def lsh_scurve_theory(spark, sf_dir):
         (F.lit(1.0) - q14 * q14).alias("p_cand_4x4"),
         (F.lit(1.0) - (q12 * q12) * (q12 * q12)).alias("p_cand_8x2"),
     )
+
+
+@register(
+    "hll_incremental_daily",
+    f"""
+    WITH h AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT day, h % {_HLL_M} AS bucket,
+                 CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_VBITS + 1}
+                      ELSE {_HLL_VBITS + 1} - length(bin(h // {_HLL_M})) END AS rho
+          FROM h),
+    reg AS (SELECT day, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM h),
+    grid AS (SELECT d.day, b.bucket FROM days d
+             CROSS JOIN (SELECT unnest(range({_HLL_M})) AS bucket) b),
+    g AS (SELECT grid.day, grid.bucket, coalesce(reg.mj, 0) AS mj
+          FROM grid LEFT JOIN reg
+            ON reg.day = grid.day AND reg.bucket = grid.bucket),
+    cum AS (SELECT day, bucket,
+                   max(mj) OVER (PARTITION BY bucket ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS mj
+            FROM g),
+    s AS (SELECT day,
+                 CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS v_zero,
+                 CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj))
+                      AS BIGINT) AS s_sum
+          FROM cum GROUP BY 1),
+    e AS (SELECT day, v_zero, s_sum,
+                 CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                      // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT)
+                     AS raw_est
+          FROM s),
+    x AS (SELECT CAST(a.d AS VARCHAR) AS day,
+                 CAST(count(DISTINCT b.user_id) AS BIGINT) AS exact_cum
+          FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) a
+          JOIN events b ON CAST(b.ts AS DATE) <= a.d
+          GROUP BY 1),
+    f AS (SELECT e.day, e.v_zero, e.s_sum,
+                 {_hll_est_sql("e.raw_est", "e.v_zero")} AS hll_cum_est,
+                 x.exact_cum
+          FROM e JOIN x USING (day))
+    SELECT day, CAST(v_zero AS BIGINT) AS v_zero, s_sum, hll_cum_est,
+           exact_cum,
+           CAST(abs(hll_cum_est - exact_cum) * 1000000 // exact_cum AS BIGINT)
+               AS err_ppm
+    FROM f
+    """,
+)
+def hll_incremental_daily(spark, sf_dir):
+    """The incremental-maintenance path of the portable HLL: one register
+    file PER DAY (the shape a daily micro-batch checkpoint persists —
+    m=1024 rows/day regardless of volume), then the running
+    distinct-users-to-date curve falls out of a register-wise cumulative
+    MAX window partitioned by bucket (1024 independent day-length series —
+    never a data-grain window) with the estimator evaluated per day. This
+    is what replaces cumulative_distinct_users' exact O(days x users)
+    recount at 100 TB: arriving data only touches today's sketch; history
+    is re-aggregated from m-row checkpoints. Exact cumulative distinct
+    sits alongside for the audit (fixture-scale only — the quadratic
+    day-join is the thing the sketch deletes). Same register/estimator
+    conventions as hll_distinct_by_source, oracle replays every register.
+
+    Day key is formatted as VARCHAR per the DATE-output parity convention."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    r = h.select(
+        "day",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, _HLL_VBITS + 1)
+        .otherwise(
+            F.lit(_HLL_VBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    reg = r.groupBy("day", "bucket").agg(F.max("rho").alias("mj"))
+    # dense day x register grid (sketch-state-sized: days * m rows no
+    # matter the data volume) so a bucket set on day d persists through
+    # every later day's register file; unset registers carry mj = 0
+    days = h.select("day").distinct()
+    buckets = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    g = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(reg, ["day", "bucket"], "left")
+        .select("day", "bucket", F.coalesce(F.col("mj"), F.lit(0)).alias("mj"))
+    )
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select("day", "bucket", F.max("mj").over(wcum).alias("mj"))
+    s = cum.groupBy("day").agg(
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_sum"),
+    )
+    e = s.withColumn(
+        "raw_est",
+        F.expr(
+            f"cast(cast('{_HLL_NUM}' as decimal(38,0))"
+            f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
+        ),
+    )
+    days = events.select(F.col("ts").cast("date").alias("d")).distinct()
+    x = (
+        days.join(events, F.col("ts").cast("date") <= F.col("d"))
+        .groupBy(F.col("d").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_cum"))
+    )
+    est = F.expr(
+        f"cast(case when v_zero > 0 and raw_est < {5 * _HLL_M // 2}"
+        f" then {_HLL_M} * ({_HLL_LN_M_UNAT}"
+        f" - cast(round(ln(cast(v_zero as double)) * 1000000) as bigint))"
+        f" div 1000000"
+        f" else raw_est end as bigint)"
+    )
+    return (
+        e.join(x, "day")
+        .withColumn("hll_cum_est", est)
+        .select(
+            "day",
+            F.col("v_zero").cast("long").alias("v_zero"),
+            "s_sum",
+            "hll_cum_est",
+            "exact_cum",
+            F.expr(
+                "cast(abs(hll_cum_est - exact_cum) * 1000000"
+                " div exact_cum as bigint)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+@register(
+    "dedup_survivorship_by_source",
+    f"""
+    WITH f AS (SELECT doc_id, source, {_HASH15.format(x=_NORM_SQL)} AS fp
+               FROM documents),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN f.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS kept_ppm
+    FROM f JOIN keep k USING (fp)
+    GROUP BY 1
+    """,
+)
+def dedup_survivorship_by_source(spark, sf_dir):
+    """Curation-equity audit: after exact dedup (min-doc_id-keeps per
+    normalized-content fingerprint), which SOURCES lost what — the
+    instrument that catches a dedup pass silently gutting one corpus slice
+    (a mirror site or syndicated feed loses everything to whichever copy
+    sorts first; per-source kept_ppm makes that visible before training
+    mixes go wrong, and pairs with dedup_cross_source_matrix which
+    attributes WHERE the duplicates point). One fingerprint groupBy + one
+    fingerprint-keyed join-back — only (hash, id) pairs shuffle, text
+    never moves; survivorship conservation (sum kept = distinct
+    fingerprints; kept + dropped = docs) pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "source", md5_long(text.normalize(F.col("text"))).alias("fp")
+    )
+    keep = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept_flag = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        f.join(keep, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+            F.sum(1 - kept_flag).cast("long").alias("n_dropped"),
+            F.expr(
+                "cast(sum(case when doc_id = keep_id then 1 else 0 end)"
+                " * 1000000 div count(*) as bigint)"
+            ).alias("kept_ppm"),
+        )
+    )

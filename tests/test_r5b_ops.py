@@ -322,3 +322,44 @@ def test_lsh_scurve_theory_shape(spark):
         assert r["p_cand_8x2"] > r["p_cand_4x4"]
         assert abs(r["p_cand_4x4"] - (1 - (1 - j**4) ** 4)) < 1e-12
         assert abs(r["p_cand_8x2"] - (1 - (1 - j**2) ** 8)) < 1e-12
+
+
+def test_hll_incremental_monotone_registers(spark):
+    """The cumulative sketch can only grow: v_zero and s_sum are
+    non-increasing day over day (register-wise MAX is monotone), the
+    estimate tracks the exact cumulative distinct within 5 sigma every
+    day, and exact_cum matches an independent pandas recount."""
+    events = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    events["day"] = events["ts"].dt.date.astype(str)
+    rows = sorted(
+        QUERIES["hll_incremental_daily"](spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == events["day"].nunique()
+    seen: set = set()
+    prev = None
+    for r in rows:
+        seen |= set(events.loc[events["day"] <= r["day"], "user_id"])
+        assert r["exact_cum"] == len(seen)
+        assert abs(r["hll_cum_est"] - r["exact_cum"]) <= max(
+            0.165 * r["exact_cum"], 3
+        ), r["day"]
+        if prev is not None:
+            assert r["v_zero"] <= prev["v_zero"]
+            assert r["s_sum"] <= prev["s_sum"]
+        prev = r
+
+
+def test_dedup_survivorship_conservation(spark):
+    """kept + dropped = docs per source; total kept across sources equals
+    the number of distinct fingerprints (exactly one survivor per content
+    cluster — reconciled against dedup_exact's group count); kept_ppm
+    reproduces from the integers."""
+    rows = QUERIES["dedup_survivorship_by_source"](spark, SF_DIR).collect()
+    docs = _docs()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    n_clusters = len(QUERIES["dedup_exact"](spark, SF_DIR).collect())
+    assert sum(r["n_kept"] for r in rows) == n_clusters
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["kept_ppm"] == r["n_kept"] * 1000000 // r["n_docs"]
