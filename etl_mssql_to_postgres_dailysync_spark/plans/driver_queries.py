@@ -11521,3 +11521,96 @@ def dedup_survivorship_by_source(spark, sf_dir):
             ).alias("kept_ppm"),
         )
     )
+
+
+@register(
+    "sessionize_gap_sensitivity",
+    """
+    WITH e AS (SELECT g.gap_s, user_id, ts, event_id
+               FROM events CROSS JOIN (SELECT unnest([900, 1800, 3600]) AS gap_s) g),
+    l AS (SELECT *, lag(ts) OVER (PARTITION BY gap_s, user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > CAST(gap_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY gap_s, user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+    per AS (SELECT gap_s, user_id, sid, count(*) AS n_ev,
+                   CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                        AS BIGINT) AS dur_s
+            FROM s GROUP BY 1, 2, 3)
+    SELECT CAST(gap_s AS BIGINT) AS gap_s,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(n_ev) * 1000 // count(*) AS BIGINT)
+               AS events_per_session_milli,
+           CAST(sum(dur_s) // count(*) AS BIGINT) AS mean_duration_s
+    FROM per GROUP BY 1
+    """,
+)
+def sessionize_gap_sensitivity(spark, sf_dir):
+    """Session-gap parameter sweep: sessionization statistics at 15/30/60
+    minute inactivity gaps in ONE pass — the sensitivity table that tells
+    an events pipeline whether its session definition is stable (session
+    count and singleton rate barely move across gaps) or sits on a cliff
+    (halving the gap doubles sessions -> the metric is an artifact of the
+    parameter, not the behavior). The gap triple rides the stream as an
+    exploded literal (3x the rows, gap in the window partition key — one
+    window pass, one shuffle keyed by (gap, user), parallel across both),
+    never three separate jobs; all times are integer epoch MICROSECONDS
+    (unix_micros / epoch_us — identical integer semantics, no double
+    epoch()), durations floor-divided to seconds, ratios in milli units.
+    Reference anchor: the 30-min arm is exactly the `sessionize` query's
+    definition (same lag/flag/cumsum construction, filters.py:22 cites)."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        F.explode(F.array(F.lit(900), F.lit(1800), F.lit(3600))).alias("gap_s"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("gap_s", "user_id").orderBy("ts", "event_id")
+    l = e.withColumn("prev", F.lag("ts").over(w))
+    f = l.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+                > F.col("gap_s").cast("long") * 1000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = f.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = s.groupBy("gap_s", "user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.expr(
+            "cast((unix_micros(max(ts)) - unix_micros(min(ts)))"
+            " div 1000000 as bigint)"
+        ).alias("dur_s"),
+    )
+    return per.groupBy(F.col("gap_s").cast("long").alias("gap_s")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.expr("cast(sum(n_ev) * 1000 div count(*) as bigint)").alias(
+            "events_per_session_milli"
+        ),
+        F.expr("cast(sum(dur_s) div count(*) as bigint)").alias(
+            "mean_duration_s"
+        ),
+    )

@@ -363,3 +363,25 @@ def test_dedup_survivorship_conservation(spark):
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert r["kept_ppm"] == r["n_kept"] * 1000000 // r["n_docs"]
+
+
+def test_sessionize_gap_sensitivity_monotone(spark):
+    """Widening the gap can only merge sessions: n_sessions and
+    n_singletons are non-increasing in gap_s, total events are conserved
+    at every gap, the 30-min arm reconciles exactly with the standalone
+    sessionize query, and ratios reproduce from the integers."""
+    rows = sorted(
+        QUERIES["sessionize_gap_sensitivity"](spark, SF_DIR).collect(),
+        key=lambda r: r["gap_s"],
+    )
+    assert [r["gap_s"] for r in rows] == [900, 1800, 3600]
+    n_events = rows[0]["n_events"]
+    for r in rows:
+        assert r["n_events"] == n_events
+        assert 0 <= r["n_singletons"] <= r["n_sessions"] <= n_events
+        assert r["events_per_session_milli"] == r["n_events"] * 1000 // r["n_sessions"]
+    for wide, narrow in zip(rows[1:], rows):
+        assert wide["n_sessions"] <= narrow["n_sessions"]
+        assert wide["mean_duration_s"] >= narrow["mean_duration_s"]
+    sess30 = QUERIES["sessionize"](spark, SF_DIR).count()
+    assert rows[1]["n_sessions"] == sess30
