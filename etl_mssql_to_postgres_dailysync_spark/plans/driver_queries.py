@@ -11614,3 +11614,153 @@ def sessionize_gap_sensitivity(spark, sf_dir):
             "mean_duration_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: 14-bit x 2 Morton interleave, generated as explicit
+# shift/mask sums so BOTH engines evaluate the identical integer expression
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 14
+_Z_FILES = 32
+_Z_BOX = (2, 7, 10, 19)  # user in [2,7], day-index in [10,19]
+
+
+def _z_interleave_duck(x: str, y: str) -> str:
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_spark(x: str, y: str) -> str:
+    terms = [
+        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})" for i in range(_Z_BITS)
+    ]
+    terms += [
+        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_pruning_audit",
+    f"""
+    WITH e AS (SELECT event_id, ts, CAST(user_id AS BIGINT) AS u,
+                      CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                           AS BIGINT) AS d
+               FROM events),
+    z AS (SELECT *, {_z_interleave_duck('u', 'd')} AS zv FROM e),
+    lt AS (SELECT u, d, ntile({_Z_FILES}) OVER (ORDER BY ts, event_id) AS f
+           FROM z),
+    lz AS (SELECT u, d, ntile({_Z_FILES}) OVER (ORDER BY zv, event_id) AS f
+           FROM z),
+    both_l AS (SELECT 'time_ordered' AS layout, u, d, f FROM lt
+               UNION ALL
+               SELECT 'z_ordered' AS layout, u, d, f FROM lz),
+    files AS (SELECT layout, f, count(*) AS n_rows,
+                     min(u) AS min_u, max(u) AS max_u,
+                     min(d) AS min_d, max(d) AS max_d
+              FROM both_l GROUP BY 1, 2),
+    scan AS (SELECT layout,
+                    count(*) AS n_files,
+                    sum(CASE WHEN max_u >= {_Z_BOX[0]} AND min_u <= {_Z_BOX[1]}
+                              AND max_d >= {_Z_BOX[2]} AND min_d <= {_Z_BOX[3]}
+                             THEN 1 ELSE 0 END) AS files_scanned,
+                    sum(CASE WHEN max_u >= {_Z_BOX[0]} AND min_u <= {_Z_BOX[1]}
+                              AND max_d >= {_Z_BOX[2]} AND min_d <= {_Z_BOX[3]}
+                             THEN n_rows ELSE 0 END) AS rows_scanned
+             FROM files GROUP BY 1),
+    hit AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM e
+            WHERE u BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+              AND d BETWEEN {_Z_BOX[2]} AND {_Z_BOX[3]}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS rows_total FROM e)
+    SELECT s.layout, CAST(s.n_files AS BIGINT) AS n_files,
+           CAST(s.files_scanned AS BIGINT) AS files_scanned,
+           CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+           h.rows_matched, t.rows_total,
+           CAST(s.rows_scanned * 1000000 // t.rows_total AS BIGINT)
+               AS scan_ppm
+    FROM scan s CROSS JOIN hit h CROSS JOIN tot t
+    """,
+)
+def zorder_pruning_audit(spark, sf_dir):
+    """The lakehouse layout decision, measured: the same events written as
+    32 files in arrival (time) order vs Z-order (14-bit Morton
+    interleave of user x day, generated as an explicit shift/mask sum both
+    engines evaluate identically), then a 2-D box predicate (user range x
+    day range) is answered from per-file min/max zone maps alone —
+    files_scanned / rows_scanned per layout is exactly the scan cost a
+    TxnTable-style reader (sources/txn_table.py zone-map pruning) would
+    pay. Time-ordered files are tight on day and useless on user, so the
+    box hits almost every file; Z-ordered files bound BOTH dimensions, so
+    pruning multiplies. File assignment uses the distributed global_ntile
+    (two-phase, never a one-task window); everything downstream of it is
+    file-grain (32 rows per layout). The exact box count sits
+    alongside as rows_matched: zone maps are a superset guarantee
+    (rows_scanned >= rows_matched, pytest-asserted), never a filter.
+
+    Eager note: global_ntile's offset collect runs at plan-build time;
+    plan tooling must reuse _PLAN_CACHE."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_ntile
+
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "ts",
+        F.col("user_id").cast("long").alias("u"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    z = e.withColumn("zv", F.expr(_z_interleave_spark("u", "d")))
+    lt = global_ntile(z, ["ts", "event_id"], _Z_FILES, "f").select(
+        F.lit("time_ordered").alias("layout"), "u", "d", "f"
+    )
+    lz = global_ntile(z, ["zv", "event_id"], _Z_FILES, "f").select(
+        F.lit("z_ordered").alias("layout"), "u", "d", "f"
+    )
+    files = (
+        lt.unionByName(lz)
+        .groupBy("layout", "f")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+        )
+    )
+    u0, u1, d0, d1 = _Z_BOX
+    overlaps = (
+        (F.col("max_u") >= u0)
+        & (F.col("min_u") <= u1)
+        & (F.col("max_d") >= d0)
+        & (F.col("min_d") <= d1)
+    )
+    scan = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(overlaps, 1).otherwise(0)).cast("long").alias("files_scanned"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    hit = e.filter(
+        F.col("u").between(u0, u1) & F.col("d").between(d0, d1)
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("rows_total"))
+    return (
+        scan.crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "layout",
+            "n_files",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matched",
+            "rows_total",
+            F.expr(
+                "cast(rows_scanned * 1000000 div rows_total as bigint)"
+            ).alias("scan_ppm"),
+        )
+    )

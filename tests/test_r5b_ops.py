@@ -385,3 +385,21 @@ def test_sessionize_gap_sensitivity_monotone(spark):
         assert wide["mean_duration_s"] >= narrow["mean_duration_s"]
     sess30 = QUERIES["sessionize"](spark, SF_DIR).count()
     assert rows[1]["n_sessions"] == sess30
+
+
+def test_zorder_prunes_at_least_as_well_as_time_layout(spark):
+    """Zone maps are a superset guarantee (scanned >= matched, identical
+    matched/total across layouts, scanned <= total), and the Z-ordered
+    layout never scans more files than the time-ordered one for the 2-D
+    box — the property the layout exists to provide."""
+    rows = {r["layout"]: r for r in QUERIES["zorder_pruning_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {"time_ordered", "z_ordered"}
+    t, z = rows["time_ordered"], rows["z_ordered"]
+    assert t["rows_matched"] == z["rows_matched"]
+    assert t["rows_total"] == z["rows_total"]
+    for r in (t, z):
+        assert r["n_files"] == 32
+        assert r["rows_matched"] <= r["rows_scanned"] <= r["rows_total"]
+        assert r["scan_ppm"] == r["rows_scanned"] * 1000000 // r["rows_total"]
+    assert z["files_scanned"] <= t["files_scanned"]
+    assert z["rows_scanned"] <= t["rows_scanned"]
