@@ -103,6 +103,8 @@ TRANCHE = [
     "hll_distinct_by_source",
     "cms_heavy_hitters_twopass",
     "hll_incremental_daily",
+    "sessionize_gap_sensitivity",
+    "zorder_pruning_audit",
 ]
 
 
