@@ -10704,10 +10704,15 @@ def quality_dup_calibration(spark, sf_dir):
         (
             800 * F.least(F.col("nc"), F.lit(500))
             + F.when(F.col("nt") == 0, 0).otherwise(
-                F.least(F.expr("2000000 * sw div nt"), F.lit(400000))
+                F.least(
+                    F.expr("2000000 * cast(sw as bigint) div nt"), F.lit(400000)
+                )
             )
             + F.when(F.col("nc") == 0, 200000).otherwise(
-                200000 - F.least(F.expr("800000 * np div nc"), F.lit(200000))
+                200000
+                - F.least(
+                    F.expr("800000 * cast(np as bigint) div nc"), F.lit(200000)
+                )
             )
         ).alias("s_int"),
     )
@@ -11243,10 +11248,15 @@ def quality_selection_frontier(spark, sf_dir):
         (
             800 * F.least(F.col("nc"), F.lit(500))
             + F.when(F.col("nt") == 0, 0).otherwise(
-                F.least(F.expr("2000000 * sw div nt"), F.lit(400000))
+                F.least(
+                    F.expr("2000000 * cast(sw as bigint) div nt"), F.lit(400000)
+                )
             )
             + F.when(F.col("nc") == 0, 200000).otherwise(
-                200000 - F.least(F.expr("800000 * np div nc"), F.lit(200000))
+                200000
+                - F.least(
+                    F.expr("800000 * cast(np as bigint) div nc"), F.lit(200000)
+                )
             )
         ).alias("s_int"),
     )
@@ -11443,9 +11453,9 @@ def hll_incremental_daily(spark, sf_dir):
             f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
         ),
     )
-    days = events.select(F.col("ts").cast("date").alias("d")).distinct()
+    exact_days = events.select(F.col("ts").cast("date").alias("d")).distinct()
     x = (
-        days.join(events, F.col("ts").cast("date") <= F.col("d"))
+        exact_days.join(events, F.col("ts").cast("date") <= F.col("d"))
         .groupBy(F.col("d").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("exact_cum"))
     )

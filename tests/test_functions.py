@@ -623,3 +623,55 @@ class TestSemDedupBloom:
         # with m=2^18 and 600 set bits, false positives are ~(600/262144)^3
         fp = sum(probed[str(i)] for i in range(200, 400))
         assert fp == 0
+
+
+def test_global_row_number_frozen_against_nondeterministic_recompute(spark):
+    """Regression guard for the r5 ``cache=False`` footgun
+    (operators/cumsum.py): global_row_number runs TWO jobs (per-partition
+    offsets, then the ranked output) over a ``repartitionByRange`` whose
+    sampled boundaries are NOT guaranteed stable across recomputations.
+    The fix freezes the local-rank stage with an unconditional eager
+    localCheckpoint so the second job cannot re-plan the exchange. This
+    test feeds an input whose every re-evaluation yields DIFFERENT values
+    (mapInPandas with os.urandom-seeded draws): if the two jobs ever see
+    separate evaluations again, the collected offsets mismatch the output
+    partitioning and the ranks stop being a permutation of 1..N."""
+    import os as _os
+
+    import pandas as pd
+
+    def _nondet(batches):
+        rng_seed = int.from_bytes(_os.urandom(4), "big")
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        for b in batches:
+            yield pd.DataFrame(
+                {"k": b["id"], "v": rng.integers(0, 1_000_000, size=len(b))}
+            )
+
+    base = spark.range(0, 500, numPartitions=8)
+    df = base.mapInPandas(_nondet, "k long, v long")
+
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import (
+        global_row_number,
+    )
+
+    ranked, total = global_row_number(df, ["v", "k"], "rn", num_partitions=8)
+    rows = ranked.collect()
+    assert total == 500
+    # exact permutation of 1..N — divergent offsets produce gaps/duplicates
+    assert sorted(r["rn"] for r in rows) == list(range(1, 501))
+    # ranks consistent with the FROZEN values in this same materialization
+    by_rank = sorted(rows, key=lambda r: r["rn"])
+    assert all(
+        (a["v"], a["k"]) < (b["v"], b["k"])
+        for a, b in zip(by_rank, by_rank[1:])
+    )
+    # structural half: lineage is TRUNCATED at the checkpoint — the output
+    # plan must scan the materialized RDD, with no range exchange (and no
+    # nondeterministic source) left to re-sample on the second job
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert "repartitionbyrange" not in plan.lower()
+    assert "RepartitionByExpression" not in plan

@@ -175,3 +175,17 @@ def test_global_window_sits_above_aggregate(spark, name):
             f"{name} plans a GLOBAL window over non-aggregated input "
             f"(single-task at scale):\n{node.toString()[:2000]}"
         )
+
+
+def test_gate_metadata_names_exist_in_registry():
+    """The documentation sets in this module (EXECUTES_AT_BUILD,
+    ALLOWED_NESTED_LOOP, ALLOWED_GLOBAL_WINDOW) must not drift from the
+    registry: a renamed or deleted query would otherwise leave a stale
+    entry that reads as if the gate still covers (or exempts) it."""
+    for label, names in (
+        ("EXECUTES_AT_BUILD", EXECUTES_AT_BUILD),
+        ("ALLOWED_NESTED_LOOP", set(ALLOWED_NESTED_LOOP)),
+        ("ALLOWED_GLOBAL_WINDOW", set(ALLOWED_GLOBAL_WINDOW)),
+    ):
+        stale = set(names) - set(QUERIES)
+        assert not stale, f"{label} names not in QUERIES registry: {sorted(stale)}"
