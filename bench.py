@@ -3,21 +3,42 @@
 
 Output protocol (r5): the driver keeps only a fixed-size tail of stdout and
 json-parses the LAST line, so the LAST line printed is the compact headline
-metric {"metric", "value", "unit", "queries", "sf"} and nothing else —
-r4's artifact came back "parsed": null because spread/runs_per_query made
-that single line overflow the tail window. Everything diagnostic (per-query
-spread, runs_per_query, the non-headline tranche section) is printed on
-EARLIER lines and also written whole to BENCH_FULL.json next to this file.
+metric {"metric", "value", "unit", "queries", "sf", "noise_floor"} and
+nothing else — r4's artifact came back "parsed": null because
+spread/runs_per_query made that single line overflow the tail window.
+Everything diagnostic (per-query spread, per-query noise floors,
+runs_per_query, the non-headline tranche section) is printed on EARLIER
+lines and also written whole to BENCH_FULL.json next to this file.
+
+Measurement protocol (r6, noise-aware): two same-day full-bench runs on
+identical r5 code measured 23.65 s and 25.79 s — ±10% host noise that a
+single median-of-3 cannot see across runs, so any sub-10% round-over-round
+claim was unresolvable. The headline set now runs as TWO interleaved passes
+(A then B, each a median of N_RUNS round-robin runs after a shared warm-up):
+
+* per-query reported figure = min(median_A, median_B) — the least-noise
+  estimate of the query's true cost on this host;
+* per-query noise floor      = |median_A - median_B| — the measured
+  within-session between-pass disagreement on IDENTICAL code;
+* headline "noise_floor"     = |sum(median_A) - sum(median_B)|.
+
+REGRESSION RULE (the written-down adjudication, r5 verdict ask #5): a query
+q counts as a regression between rounds only if
+    new_q - old_q > max(noise_floor_q(new round), noise_floor_q(old round),
+                        0.05 s)
+i.e. the movement must exceed the larger recorded noise floor of the two
+measurements being compared (the 0.05 s floor absorbs timer granularity on
+sub-100 ms queries). Anything smaller is host noise by instrument, not
+claim. Per-query noise floors live in BENCH_FULL.json["diag"]
+["noise_floor"] / ["tranche_noise_floor"]; the round artifact
+BENCH_r{N}.json carries the headline-total floor on its parsed last line.
 
 Each query is executed as a full pipeline-to-action (count of the final
-DataFrame). After a warm-up pass, every query is timed N_RUNS times and the
-reported figure is the PER-QUERY MEDIAN — single-shot timings on a shared
-box carry enough scheduler/GC jitter to fake ±50% regressions (r3's bench
-showed six 'regressions' on unchanged plans that re-runs couldn't
-reproduce); a median-of-3 makes a round-over-round delta a real signal.
-Runs are interleaved round-robin (all queries run 1, then run 2, ...) so a
-transient system-wide stall degrades one run of many queries (discarded by
-the median) instead of all runs of one query.
+DataFrame). Runs are interleaved round-robin (all queries run 1, then run
+2, ...) so a transient system-wide stall degrades one run of many queries
+(discarded by the median) instead of all runs of one query; the A/B split
+is temporal (first N_RUNS rounds = A, next N_RUNS = B) so slow host drift
+lands BETWEEN the passes and shows up in the floor.
 """
 
 from __future__ import annotations
@@ -108,6 +129,12 @@ TRANCHE = [
 ]
 
 
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -119,30 +146,58 @@ def main() -> None:
     qs = entry_mod.queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
-
-    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    def run_set(
+        names: list[str], passes: int
+    ) -> tuple[dict[str, float], dict[str, float], dict[str, float], float | None]:
+        """Returns (timings, spread, noise_floor, total_floor). With
+        passes=2 the timing is min-of-pass-medians, the per-query floor is
+        the between-pass delta, and total_floor = |sum(A) - sum(B)|; with
+        passes=1 the timing is the single median and the floors are {}/None."""
         names = [n for n in names if n in qs]
         # Warm-up pass: run every query once so the timed passes measure
         # steady-state execution (JIT-compiled codegen, Python worker pool,
         # OS page cache) rather than single-shot JVM/interpreter warm-up.
         for name in names:
             qs[name](spark, sf_dir).count()
-        samples: dict[str, list[float]] = {name: [] for name in names}
-        for _ in range(n_runs):
-            for name in names:
-                t0 = time.time()
-                qs[name](spark, sf_dir).count()
-                samples[name].append(time.time() - t0)
-        timings = {name: round(median(ts), 3) for name, ts in samples.items()}
-        spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
-        return timings, spread
+        pass_medians: list[dict[str, float]] = []
+        all_samples: dict[str, list[float]] = {name: [] for name in names}
+        for _ in range(passes):
+            samples: dict[str, list[float]] = {name: [] for name in names}
+            for _ in range(n_runs):
+                for name in names:
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    dt = time.time() - t0
+                    samples[name].append(dt)
+                    all_samples[name].append(dt)
+            pass_medians.append({n: median(ts) for n, ts in samples.items()})
+        timings = {
+            n: round(min(pm[n] for pm in pass_medians), 3) for n in names
+        }
+        spread = {
+            n: round(max(ts) - min(ts), 3) for n, ts in all_samples.items()
+        }
+        noise = (
+            {
+                n: round(
+                    max(pm[n] for pm in pass_medians)
+                    - min(pm[n] for pm in pass_medians),
+                    3,
+                )
+                for n in names
+            }
+            if passes > 1
+            else {}
+        )
+        pass_totals = [sum(pm.values()) for pm in pass_medians]
+        total_floor = (
+            round(max(pass_totals) - min(pass_totals), 3) if passes > 1 else None
+        )
+        return timings, spread, noise, total_floor
 
-    timings, spread = run_set(HEADLINE)
-    tranche_timings, tranche_spread = run_set(TRANCHE)
+    headline_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    timings, spread, noise, total_floor = run_set(HEADLINE, headline_passes)
+    tranche_timings, tranche_spread, _, _ = run_set(TRANCHE, 1)
 
     headline_line = {
         "metric": "headline_queries_total",
@@ -150,6 +205,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "noise_floor": total_floor,
     }
     tranche_line = {
         "metric": "tranche_queries_total",
@@ -160,7 +216,9 @@ def main() -> None:
     }
     diag_line = {
         "runs_per_query": n_runs,
+        "headline_passes": headline_passes,
         "spread": spread,
+        "noise_floor": noise,
         "tranche_spread": tranche_spread,
     }
     full = {"headline": headline_line, "tranche": tranche_line, "diag": diag_line}

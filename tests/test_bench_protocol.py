@@ -26,6 +26,7 @@ def test_final_line_fits_driver_tail_window():
         "unit": "sec",
         "queries": {name: 999.999 for name in bench.HEADLINE},
         "sf": 0.1,
+        "noise_floor": 9999.999,
     }
     line = json.dumps(worst)
     assert len(line) < 1800, (

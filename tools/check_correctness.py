@@ -3,13 +3,21 @@ twin on DuckDB at a given scale factor and reports row-count / schema /
 value-level matches — the same gate the round driver applies
 (CORRECTNESS_r{N}.json), runnable in-loop.
 
-Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [--resume]
+                                         [sf_dir] [query ...]
 
 ``--json`` additionally writes {"sf_dir", "n_queries", "n_ok", "n_fail",
 "queries": {name: {"status": OK|ROWS|FAIL, "rows": n, "wall_s": t}}} — the
 committed ALLGREEN_r{N}.json artifact: the round driver samples only 50 of
 the registry per round, so this full-registry snapshot is what lets the
 judge diff total coverage instead of re-spot-checking the unsampled 150.
+
+``--resume`` (requires ``--json``): if OUT.json already exists, queries it
+recorded as OK/ROWS are carried over and skipped; only FAILs and not-yet-run
+queries execute. The merged file counts its ``invocations`` so the artifact
+itself says whether it came from one clean run (invocations=1) or a resumed
+sequence — r5's sf0.1 snapshot was honest but hand-merged from four runs,
+which made the audit trail murky (r5 verdict ask #7).
 """
 
 from __future__ import annotations
@@ -107,19 +115,45 @@ def main() -> int:
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: check_correctness.py [--json OUT.json] [SF_DIR] [query ...]")
+            print("usage: check_correctness.py [--json OUT.json] [--resume] [SF_DIR] [query ...]")
             return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
+        if not json_out:
+            print("--resume requires --json OUT.json")
+            return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    invocations = 1
+    prior: dict[str, dict] = {}
+    if resume and json_out:
+        try:
+            with open(json_out) as f:
+                prev = json.load(f)
+            if prev.get("sf_dir") != sf_dir:
+                print(f"--resume: {json_out} was for {prev.get('sf_dir')}, not {sf_dir}")
+                return 2
+            prior = {
+                n: r
+                for n, r in prev.get("queries", {}).items()
+                if r.get("status") in ("OK", "ROWS")
+            }
+            invocations = int(prev.get("invocations", 1)) + 1
+            print(f"resuming: {len(prior)} green queries carried over")
+        except FileNotFoundError:
+            pass
     spark = get_spark(app_name="check-correctness")
     con = duck_con(sf_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = dict(prior)
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in prior:
             continue
         t0 = time.time()
         try:
@@ -167,6 +201,7 @@ def main() -> int:
                     "n_queries": len(results),
                     "n_ok": sum(1 for r in results.values() if r["status"] in ("OK", "ROWS")),
                     "n_fail": failures,
+                    "invocations": invocations,
                     "queries": results,
                 },
                 f,
