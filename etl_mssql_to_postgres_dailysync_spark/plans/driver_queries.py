@@ -8753,7 +8753,10 @@ def stratified_source_sample(spark, sf_dir):
 
 
 _LSHW_BITS = 16  # 2^16 buckets: enumeration is 65536 masks/query — heap only
-_LSHW_T = 8192   # scan fraction 12.5%
+_LSHW_T = 16384  # scan fraction 25% — matches the narrow tier's fraction
+# (r6 frontier, RECALL.md: at MATCHED scan fraction the wide tier beats the
+# narrow one — 25%: 0.70 vs 0.64, 12.5%: 0.50 vs 0.40 — so the r5 "recall
+# dip" was an unequal-probe-budget comparison; 25% makes wide the best tier)
 
 
 @register(
@@ -8785,8 +8788,10 @@ _LSHW_T = 8192   # scan fraction 12.5%
     """,
 )
 def similarity_ann_lsh_wide(spark, sf_dir):
-    """The fine-bucket LSH regime: 2^16 buckets, 8192 margin-ordered probes
-    (12.5% scan). At 100 TB this is the geometry that matters — bucket
+    """The fine-bucket LSH regime: 2^16 buckets, 16384 margin-ordered probes
+    (25% scan — the same scan fraction as the narrow bits=12 tier, where the
+    wide geometry wins on recall: 0.70 vs 0.64 at sf0.1, see RECALL.md's
+    frontier). At 100 TB this is the geometry that matters — bucket
     count must clear executor-partition count by orders of magnitude for
     the bucket equi-join to spread — and it is exactly where per-row mask
     enumeration becomes impossible (65536 subsets/query); the heap

@@ -131,6 +131,39 @@ def main() -> None:
             f"pq_adc m={m} k={cbk} ncand={ncand} ts={ts}: "
             f"recall@5={rec:.3f} ({dt:.2f}s)"
         )
+    lines += [
+        "",
+        "## Knob frontier: ann_lsh_wide (registry point: bits=16, T=16384)",
+        "",
+        "The bits=16 tier is the 100 TB-shaped bucket geometry (2^16 buckets",
+        "must dwarf executor-partition count for the bucket equi-join to",
+        "spread) — and through r5 it looked like the LEAST accurate tier.",
+        "The frontier shows that was an unequal-budget comparison: at a",
+        "MATCHED corpus-scan fraction the wide tier beats the narrow one",
+        "(25%: 0.70 vs 0.64; 12.5%: 0.50 vs 0.40), so the r6 registry point",
+        "moved to T=16384 — the narrow tier's scan fraction, more recall.",
+        "T is the probe budget (buckets scanned per query, T/2^bits of the",
+        "corpus); bits=12 rows put the narrow tier's geometry on the same",
+        "axis for comparison.",
+        "",
+        "| bits | T probes | corpus scanned | recall@5 | wall s |",
+        "|---|---|---|---|---|",
+    ]
+    for bits, T in [
+        (16, 2048),   # 3.1% scan
+        (16, 8192),   # 12.5% scan (the r5 registry point)
+        (16, 16384),  # registry point since r6: 25% scan
+        (16, 32768),  # 50% scan
+        (12, 512),    # narrow tier, same 12.5% scan fraction
+        (12, 1024),   # narrow tier, 25% scan
+    ]:
+        rec, dt = frontier(S.lsh_bucketed_topk, bits=bits, margin_probes=T)
+        lines.append(
+            f"| {bits} | {T} | {T / (1 << bits):.1%} | {rec:.3f} | {dt:.2f} |"
+        )
+        print(
+            f"ann_lsh_wide bits={bits} T={T}: recall@5={rec:.3f} ({dt:.2f}s)"
+        )
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote RECALL.md")
