@@ -11779,3 +11779,135 @@ def zorder_pruning_audit(spark, sf_dir):
             ).alias("scan_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: SCD Type-2 dimension maintenance — the historical counterpart of the
+# reference's Type-1 overwrite sync (dags/mssql_to_postgresql_orders_daily.py
+# destroys the previous attribute value on every upsert; SCD2 keeps it as a
+# [valid_from, valid_to) interval). operators/scd.py.
+# ---------------------------------------------------------------------------
+
+_SCD2_DIM_SQL = """
+    ev AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               arg_max(o_orderpriority, o_orderkey) AS priority
+        FROM orders GROUP BY 1, 2),
+    chg AS (
+        SELECT o_custkey, d, priority,
+               lag(priority) OVER w AS prev,
+               lag(d) OVER w AS prev_d
+        FROM ev WINDOW w AS (PARTITION BY o_custkey ORDER BY d ASC)),
+    cp AS (SELECT o_custkey, d, priority FROM chg
+           WHERE prev_d IS NULL OR priority <> prev),
+    iv AS (
+        SELECT o_custkey, priority, d,
+               lead(d) OVER w2 AS vt,
+               row_number() OVER w2 AS version
+        FROM cp WINDOW w2 AS (PARTITION BY o_custkey ORDER BY d ASC))
+"""
+
+
+@register(
+    "scd2_priority_history",
+    f"""
+    WITH {_SCD2_DIM_SQL}
+    SELECT o_custkey, priority,
+           CAST(d AS VARCHAR) AS valid_from,
+           CAST(vt AS VARCHAR) AS valid_to,
+           CAST(version AS INT) AS version,
+           vt IS NULL AS is_current
+    FROM iv
+    """,
+)
+def scd2_priority_history(spark, sf_dir):
+    """SCD Type-2 dimension build: each customer's o_orderpriority history
+    as [valid_from, valid_to) intervals with version ordinals and an
+    is_current flag — the warehouse pattern the reference's Type-1 daily
+    overwrite (ON CONFLICT DO UPDATE, dags/mssql_to_postgresql_orders_daily.py:296)
+    cannot answer point-in-time questions with. Last-writer-wins inside one
+    (customer, day) cell is a max-struct AGGREGATE pick (map-side
+    combinable, mirroring the conditional-upsert version guard in
+    operators/merge.py), then change-point detection and interval closing
+    are lag/lead windows partitioned BY CUSTOMER — millions of independent
+    short series at 100 TB, never a global window; one key shuffle reused
+    by all three steps."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.scd import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    dim = scd2_from_events(
+        ev, keys=["o_custkey"], ts_col="d",
+        attr_cols=["o_orderpriority"], pick_col="o_orderkey",
+    )
+    return dim.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        F.col("version").cast("int").alias("version"),
+        "is_current",
+    )
+
+
+@register(
+    "scd2_point_in_time",
+    f"""
+    WITH {_SCD2_DIM_SQL},
+    f AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS fd,
+                 o_orderpriority
+          FROM orders)
+    SELECT f.o_orderkey,
+           CAST(iv.version AS INT) AS version,
+           iv.priority AS dim_priority,
+           f.o_orderpriority = iv.priority AS matches_event
+    FROM f JOIN iv ON f.o_custkey = iv.o_custkey
+       AND iv.d <= f.fd AND (iv.vt IS NULL OR f.fd < iv.vt)
+    """,
+)
+def scd2_point_in_time(spark, sf_dir):
+    """Point-in-time join against the SCD2 dimension: every order row
+    retrieves the priority interval that was valid ON ITS OWN DATE
+    (valid_from <= ts < valid_to) — the query SCD2 exists for. Planned as a
+    key equi-join (hash/sort-merge on o_custkey) with the interval
+    predicate as a post-match residual: each fact matches exactly one
+    interval, so cost is O(facts), never a nested loop (plan-sweep gated).
+    matches_event is FALSE exactly where a later same-day order won the
+    last-writer pick — the Type-1-vs-Type-2 divergence made visible."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_events,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    dim = scd2_from_events(
+        ev, keys=["o_custkey"], ts_col="d",
+        attr_cols=["o_orderpriority"], pick_col="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("dim_priority"),
+        "valid_from", "valid_to", "version",
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("fd"),
+        "o_orderpriority",
+    )
+    joined = point_in_time_join(facts, dim, keys=["o_custkey"], fact_ts="fd")
+    return joined.select(
+        "o_orderkey",
+        F.col("version").cast("int").alias("version"),
+        "dim_priority",
+        (F.col("o_orderpriority") == F.col("dim_priority")).alias("matches_event"),
+    )
