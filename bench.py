@@ -126,6 +126,10 @@ TRANCHE = [
     "hll_incremental_daily",
     "sessionize_gap_sensitivity",
     "zorder_pruning_audit",
+    # r6 additions
+    "scd2_priority_history",
+    "scd2_point_in_time",
+    "bpe_train_merges",
 ]
 
 

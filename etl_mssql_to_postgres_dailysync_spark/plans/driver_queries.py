@@ -11911,3 +11911,80 @@ def scd2_point_in_time(spark, sf_dir):
         "dim_priority",
         (F.col("o_orderpriority") == F.col("dim_priority")).alias("matches_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merges (round 6)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled K-stage DuckDB twin of functions/bpe.train_merges: each
+    stage re-derives pair counts from the previous symbol table, picks the
+    (cnt DESC, 'x y' ASC) argmax, and applies the same fenced replace. The
+    unrolled CTE chain IS the loop — stage i's vocab references stage i-1."""
+    stages = [
+        f"""wc AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_TOKS_SQL}) AS tok
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE tok <> '' GROUP BY 1),
+v0 AS (SELECT word, wc,
+              '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS seq
+       FROM wc)"""
+    ]
+    prev = "v0"
+    for i in range(1, k + 1):
+        stages.append(
+            f"""p{i} AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc,
+               unnest(list_transform(range(1, len(toks)),
+                                     j -> toks[j] || ' ' || toks[j + 1])) AS pair
+        FROM (SELECT wc, list_filter(string_split(seq, '||'), t -> t <> '') AS toks
+              FROM {prev}))
+  GROUP BY 1),
+b{i} AS (
+  SELECT {i} AS step, split_part(pair, ' ', 1) AS x,
+         split_part(pair, ' ', 2) AS y, cnt
+  FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{i} AS (
+  SELECT word, wc,
+         replace(seq, '|' || b.x || '||' || b.y || '|',
+                 '|' || b.x || b.y || '|') AS seq
+  FROM {prev}, b{i} b)"""
+        )
+        prev = f"v{i}"
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, x, y, x || y AS merged, cnt FROM b{i}" for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\nSELECT * FROM (" + union + ")"
+
+
+@register("bpe_train_merges", _bpe_oracle(_BPE_MERGES))
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training: the ordered merge table (step, x, y, merged,
+    cnt) for the first 8 merges over the documents corpus, greedy
+    left-to-right pair fusion weighted by word frequency (Sennrich 2016).
+
+    Scale posture (see functions/bpe.py): the corpus scan and every
+    per-round pair-count aggregate are distributed over the word-frequency
+    table (which may hold billions of distinct words at 100 TB — the part
+    in-memory trainers like HF tokenizers cannot do); only the 1-row argmax
+    pair crosses to the driver each round, the bounded-collect pattern
+    sanctioned for similarity_ann_ivf_trained. Ties on pair count break on
+    the ascending 'x y' pair string on both engines (space sorts below all
+    symbol bytes, so combined-string order == (x, y) tuple order).
+    EXECUTES_AT_BUILD: the training loop collects per iteration."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    wc = (
+        docs.select(F.explode(text.tokens(text.normalize(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    return bpe.train_merges(spark, wc, _BPE_MERGES)

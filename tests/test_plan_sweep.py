@@ -50,6 +50,7 @@ EXECUTES_AT_BUILD = {
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
     "similarity_ann_ivf_trained",  # training loop collects per iteration
+    "bpe_train_merges",  # per-round 1-row argmax collect in the merge loop
     "similarity_pq_adc",  # codebook training collects the sample
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
 }
