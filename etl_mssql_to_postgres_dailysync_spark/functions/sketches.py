@@ -100,6 +100,115 @@ def cms_oracle_pairs_sql(table: str, key_expr: str, depth: int = CMS_DEPTH,
 
 
 # ---------------------------------------------------------------------------
+# CountSketch (Charikar-Chen-Farach-Colton, ICALP 2002): the SIGNED cousin of
+# the CountMin above.  Each seed hashes a key to a bucket AND a +-1 sign; the
+# bucket counter accumulates sign * count, and the point estimate is the
+# MEDIAN over seeds of sign * counter.  Unlike CMS (pure overestimate,
+# collisions only inflate), CountSketch is UNBIASED: colliding keys cancel in
+# expectation, so light keys are not systematically over-counted — the right
+# tool when the downstream consumer subtracts or compares frequencies rather
+# than thresholding them.  Same engine-portable single-digest scheme: seed s
+# takes its 12-bit bucket from hex chars [3s, 3s+3) of ONE md5 per row and
+# its sign from the parity of hex char 3*depth + s, so a DuckDB oracle
+# replays every counter bit-for-bit.  depth is ODD so the median is an exact
+# order statistic (no averaging, no float, no trunc-vs-floor hazard).
+# Sketch state: depth * width rows regardless of input; merge = counter SUM.
+# ---------------------------------------------------------------------------
+
+CS_DEPTH = 5
+CS_WIDTH = 1024
+
+
+def cs_hash_triples(df: DataFrame, key_col: str, depth: int = CS_DEPTH,
+                    width: int = CS_WIDTH) -> DataFrame:
+    """Explode each row into ``depth`` (seed, bucket, sign) coordinates —
+    one whole-stage-codegen'd md5 per row, no Python.  Bucket slices are the
+    same disjoint 12-bit windows as the CMS; the sign bit for seed s is the
+    parity of the single hex char at 1-based position ``3*depth + s + 1``,
+    disjoint from every bucket slice.  Requires 4*depth <= 32 hex chars."""
+    assert depth % 2 == 1, "depth must be odd for an exact-order-stat median"
+    assert 4 * depth <= 32, "bucket+sign slices would overrun the md5 digest"
+    assert 4096 % width == 0, "width must divide 4096 for a uniform modulus"
+    hexd = F.md5(F.col(key_col).cast("string"))
+    triples = F.array(*[
+        F.struct(
+            F.lit(s).alias("seed"),
+            (F.conv(F.substring(hexd, 1 + 3 * s, 3), 16, 10).cast("bigint")
+             % F.lit(width)).alias("bucket"),
+            (F.lit(1) - F.lit(2) * (
+                F.conv(F.substring(hexd, 1 + 3 * depth + s, 1), 16, 10)
+                .cast("bigint") % F.lit(2)
+            )).cast("bigint").alias("sign"),
+        )
+        for s in range(depth)
+    ])
+    return df.select(F.col(key_col), F.explode(triples).alias("p")).select(
+        F.col(key_col), F.col("p.seed").alias("seed"),
+        F.col("p.bucket").alias("bucket"), F.col("p.sign").alias("sign")
+    )
+
+
+def cs_build(df: DataFrame, key_col: str, depth: int = CS_DEPTH,
+             width: int = CS_WIDTH) -> DataFrame:
+    """Build the signed sketch: (seed, bucket, counter) with
+    counter = SUM(sign).  Partial aggregation bounds every task's output at
+    depth*width rows however large its input."""
+    return (
+        cs_hash_triples(df, key_col, depth, width)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("counter"))
+    )
+
+
+def cs_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): counters add
+    (signs already folded in at build time)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("seed", "bucket").agg(
+        F.sum("counter").cast("bigint").alias("counter"))
+
+
+def cs_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                depth: int = CS_DEPTH, width: int = CS_WIDTH) -> DataFrame:
+    """Point-estimate each probe key: median over seeds of
+    sign * bucket-counter.  With odd depth the median is the exact middle
+    order statistic of the sorted per-seed values — pure integer, identical
+    in both engines.  The sketch (<= depth*width rows) broadcasts; probe
+    keys never shuffle the fact side."""
+    coords = cs_hash_triples(probes, key_col, depth, width)
+    vals = coords.join(F.broadcast(sketch), ["seed", "bucket"], "left").select(
+        F.col(key_col),
+        (F.col("sign") * F.coalesce(F.col("counter"), F.lit(0))).alias("v"),
+    )
+    mid = depth // 2 + 1  # 1-based middle index for element_at
+    return vals.groupBy(key_col).agg(
+        F.element_at(F.array_sort(F.collect_list("v")), mid)
+        .cast("bigint").alias("cs_est"),
+        F.min("v").cast("bigint").alias("cs_min"),
+        F.max("v").cast("bigint").alias("cs_max"),
+    )
+
+
+def cs_oracle_triples_sql(table: str, key_expr: str, depth: int = CS_DEPTH,
+                          width: int = CS_WIDTH) -> str:
+    """DuckDB twin of :func:`cs_hash_triples` as a SELECT producing
+    (k, seed, bucket, sign) — same single-digest slice + parity-sign
+    scheme."""
+    arms = " UNION ALL ".join(
+        f"SELECT {key_expr} AS k, {s} AS seed, "
+        f"CAST('0x' || substr(md5({key_expr}), {1 + 3 * s}, 3) AS BIGINT)"
+        f" % {width} AS bucket, "
+        f"CAST(1 - 2 * (CAST('0x' || substr(md5({key_expr}),"
+        f" {1 + 3 * depth + s}, 1) AS BIGINT) % 2) AS BIGINT) AS sign"
+        f" FROM {table}"
+        for s in range(depth)
+    )
+    return arms
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter (bounded-memory membership), engine-portable like the CMS:
 # bit positions come from md5 so a DuckDB oracle replays the EXACT filter.
 # The filter materializes as a DataFrame of distinct set positions — at most

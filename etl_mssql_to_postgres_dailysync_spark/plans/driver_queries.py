@@ -11988,3 +11988,72 @@ def bpe_train_merges(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )
     return bpe.train_merges(spark, wc, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# CountSketch: the signed, UNBIASED frequency sketch (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+_CS_PROBE_ARMS = sketches.cs_oracle_triples_sql(
+    "probes", "CAST(user_id AS VARCHAR)"
+).replace("SELECT CAST(user_id AS VARCHAR) AS k,",
+          "SELECT user_id, exact_cnt,")
+
+
+@register(
+    "countsketch_unbiased_freq",
+    f"""
+    WITH triples AS ({sketches.cs_oracle_triples_sql("events", "CAST(user_id AS VARCHAR)")}),
+    sketch AS (SELECT seed, bucket, CAST(sum(sign) AS BIGINT) AS counter
+               FROM triples GROUP BY 1, 2),
+    probes AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+               ORDER BY exact_cnt DESC, user_id ASC LIMIT 10),
+    coords AS ({_CS_PROBE_ARMS}),
+    vals AS (SELECT user_id, exact_cnt,
+                    sign * coalesce(counter, 0) AS v
+             FROM coords LEFT JOIN sketch USING (seed, bucket)),
+    est AS (SELECT user_id, exact_cnt,
+                   CAST(list_sort(list(v))[{sketches.CS_DEPTH // 2 + 1}] AS BIGINT)
+                       AS cs_est,
+                   CAST(min(v) AS BIGINT) AS cs_min,
+                   CAST(max(v) AS BIGINT) AS cs_max
+            FROM vals GROUP BY 1, 2)
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt, cs_est,
+           cs_est - CAST(exact_cnt AS BIGINT) AS bias_diff, cs_min, cs_max
+    FROM est
+    """,
+)
+def countsketch_unbiased_freq(spark, sf_dir):
+    """CountSketch (Charikar et al. 2002) over event user_ids, probed at
+    the exact top-10 heavy hitters — the signed, UNBIASED counterpart of
+    cms_frequency_sketch on the same key domain, so the two sketches'
+    error characters are directly comparable: CMS only over-counts
+    (collisions inflate), CountSketch's random +-1 signs cancel colliding
+    keys in expectation and the median-of-5 bounds the variance.  The
+    oracle rebuilds THE SKETCH ITSELF (same single-md5-digest bucket
+    slices + parity sign bits, integer counters, exact middle order
+    statistic) bit-for-bit.  bias_diff = cs_est - exact is emitted raw
+    (signed, no division) — under CMS this column would be >= 0 by
+    construction; here it straddles zero.  Sketch state: 5 x 1024
+    counters at ANY input scale; build is one scan + one map-side-combined
+    shuffle of <= d*w groups; estimation broadcasts the sketch."""
+    events = _t(spark, sf_dir, "events")
+    sketch = sketches.cs_build(events, "user_id")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    est = sketches.cs_estimate(sketch, exact.select("user_id"), "user_id")
+    return (
+        exact.join(F.broadcast(est), ["user_id"])
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            "cs_est",
+            (F.col("cs_est") - F.col("exact_cnt")).cast("bigint").alias("bias_diff"),
+            "cs_min",
+            "cs_max",
+        )
+    )

@@ -1,0 +1,128 @@
+"""Property tests for the r6 operator tranche, beyond oracle parity.
+
+Oracle twins pin cross-engine equality; these pin the MATHEMATICAL
+contracts — exact agreement with an independent pure-Python replication,
+the mergeability law, the bounded-state guarantee, and the deterministic
+error bound the sketch's analysis promises.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_mssql_to_postgres_dailysync_spark.functions import sketches
+
+
+def _cs_coords(key: str, depth: int = sketches.CS_DEPTH,
+               width: int = sketches.CS_WIDTH) -> list[tuple[int, int, int]]:
+    """Pure-Python replica of cs_hash_triples for one key."""
+    hx = hashlib.md5(key.encode()).hexdigest()
+    out = []
+    for s in range(depth):
+        bucket = int(hx[3 * s:3 * s + 3], 16) % width
+        sign = 1 - 2 * (int(hx[3 * depth + s], 16) % 2)
+        out.append((s, bucket, sign))
+    return out
+
+
+def _py_sketch(counts: dict[str, int]) -> dict[tuple[int, int], int]:
+    sk: dict[tuple[int, int], int] = {}
+    for k, c in counts.items():
+        for s, b, g in _cs_coords(k):
+            sk[(s, b)] = sk.get((s, b), 0) + g * c
+    return sk
+
+
+def _py_estimate(sk: dict[tuple[int, int], int], key: str) -> int:
+    vals = sorted(g * sk.get((s, b), 0) for s, b, g in _cs_coords(key))
+    return vals[len(vals) // 2]
+
+
+def _df_from_counts(spark, counts: dict[str, int]):
+    rows = [(k,) for k, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "k string")
+
+
+COUNTS_A = {f"user_{i}": (i * 7) % 13 + 1 for i in range(40)}
+COUNTS_B = {f"user_{i}": (i * 3) % 5 + 1 for i in range(20, 60)}
+
+
+def test_countsketch_matches_pure_python_replica(spark):
+    """Every (seed, bucket, counter) of the distributed build and every
+    median estimate agree EXACTLY with an independent single-process
+    implementation of the same scheme."""
+    df = _df_from_counts(spark, COUNTS_A)
+    got = {
+        (r["seed"], r["bucket"]): r["counter"]
+        for r in sketches.cs_build(df, "k").collect()
+    }
+    want_full = _py_sketch(COUNTS_A)
+    want = {kb: c for kb, c in want_full.items() if c != 0}
+    # the distributed build emits a row per touched (seed,bucket) even when
+    # signs cancel to 0; the python replica keeps them too — compare on the
+    # union with 0-defaults
+    for kb in set(got) | set(want_full):
+        assert got.get(kb, 0) == want_full.get(kb, 0), kb
+
+    probes = spark.createDataFrame([(k,) for k in list(COUNTS_A)[:10]], "k string")
+    est = {
+        r["k"]: r["cs_est"]
+        for r in sketches.cs_estimate(
+            sketches.cs_build(df, "k"), probes, "k"
+        ).collect()
+    }
+    for k in list(COUNTS_A)[:10]:
+        assert est[k] == _py_estimate(want_full, k), k
+
+
+def test_countsketch_merge_equals_whole(spark):
+    """Mergeability: cs_merge(build(A), build(B)) == build(A ++ B) exactly,
+    counter for counter — the law that makes per-day / per-partition
+    sketches composable at 100 TB."""
+    da = _df_from_counts(spark, COUNTS_A)
+    db = _df_from_counts(spark, COUNTS_B)
+    merged = {
+        (r["seed"], r["bucket"]): r["counter"]
+        for r in sketches.cs_merge(
+            sketches.cs_build(da, "k"), sketches.cs_build(db, "k")
+        ).collect()
+    }
+    whole = {
+        (r["seed"], r["bucket"]): r["counter"]
+        for r in sketches.cs_build(da.unionByName(db), "k").collect()
+    }
+    for kb in set(merged) | set(whole):
+        assert merged.get(kb, 0) == whole.get(kb, 0), kb
+
+
+def test_countsketch_state_bound_and_error_bound(spark):
+    """(1) Sketch state never exceeds depth*width rows and each |counter|
+    <= total input rows.  (2) Deterministic error bound: with one heavy key
+    (1000 rows) and 10 singletons, every colliding singleton moves any
+    bucket by at most +-1, so |median_est - 1000| <= 10 REGARDLESS of where
+    the hashes land."""
+    counts = {"heavy": 1000, **{f"light_{i}": 1 for i in range(10)}}
+    df = _df_from_counts(spark, counts)
+    sk = sketches.cs_build(df, "k")
+    rows = sk.collect()
+    assert len(rows) <= sketches.CS_DEPTH * sketches.CS_WIDTH
+    n_total = sum(counts.values())
+    assert all(abs(r["counter"]) <= n_total for r in rows)
+
+    probes = spark.createDataFrame([("heavy",)], "k string")
+    est = sketches.cs_estimate(sk, probes, "k").collect()[0]
+    assert abs(est["cs_est"] - 1000) <= 10
+    assert est["cs_min"] <= est["cs_est"] <= est["cs_max"]
+
+
+def test_countsketch_estimate_missing_key_bounded(spark):
+    """A key absent from the build side estimates near zero: each of its
+    buckets holds only collision noise, bounded by the colliders' total
+    count."""
+    df = _df_from_counts(spark, {"only": 5})
+    sk = sketches.cs_build(df, "k")
+    probes = spark.createDataFrame([("never_seen",)], "k string")
+    est = sketches.cs_estimate(sk, probes, "k").collect()[0]
+    assert abs(est["cs_est"]) <= 5
