@@ -12141,3 +12141,163 @@ def dedup_winnowing_overlap(spark, sf_dir):
         F.col("shared_fp").desc(), F.col("containment_ppm").desc(),
         F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense cosine + sparse keyword arms fused by RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_ARM_TOPK = 20
+_LN_UNAT = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    dscored AS (
+        SELECT q.query_id, c.neighbor_id, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    dense AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS dr
+        FROM dscored QUALIFY dr <= {_RRF_ARM_TOPK}
+    ),
+    dt AS (SELECT doc_id, unnest(list_distinct(
+                     list_filter(regexp_split_to_array({_NORM_SQL}, ' '),
+                                 t -> t <> ''))) AS tok
+           FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+    idf AS (SELECT tok, {_LN_UNAT.format(x="(SELECT nd FROM n)")}
+                        - {_LN_UNAT.format(x="count(*)")} AS idf_unat
+            FROM dt GROUP BY tok),
+    qt AS (SELECT doc_id AS query_id, tok FROM dt WHERE doc_id < 5),
+    sscore AS (SELECT qt.query_id, dt.doc_id AS neighbor_id,
+                      CAST(sum(idf.idf_unat) AS BIGINT) AS score_unat
+               FROM qt JOIN dt ON dt.tok = qt.tok AND dt.doc_id <> qt.query_id
+               JOIN idf ON idf.tok = qt.tok
+               GROUP BY 1, 2),
+    sparse AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_unat DESC, neighbor_id ASC) AS sr
+        FROM sscore QUALIFY sr <= {_RRF_ARM_TOPK}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+               coalesce(d.dr, 0) AS dense_rank,
+               coalesce(s.sr, 0) AS sparse_rank,
+               (CASE WHEN d.dr IS NULL THEN 0
+                     ELSE 1000000 // ({_RRF_K} + d.dr) END)
+             + (CASE WHEN s.sr IS NULL THEN 0
+                     ELSE 1000000 // ({_RRF_K} + s.sr) END) AS rrf_ppm
+        FROM dense d FULL OUTER JOIN sparse s
+          ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_ppm DESC, neighbor_id ASC)
+                      AS fused_rank
+        FROM fused QUALIFY fused_rank <= 10
+    )
+    SELECT query_id, neighbor_id, CAST(dense_rank AS INT) AS dense_rank,
+           CAST(sparse_rank AS INT) AS sparse_rank,
+           CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM ranked
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    a dense arm (exact cosine top-20 per query embedding, broadcast
+    queries — similarity.brute_force_topk's plan) and a sparse arm
+    (idf-weighted distinct-term overlap in micro-nats, per the ln-unat
+    parity convention) fused by RRF_ppm = sum over arms of
+    1e6 div (60 + rank), absent arm contributing 0 — the standard
+    RAG-retrieval combiner where neither embedding nor keyword recall
+    alone suffices.  vec_id aligns with doc_id in the fixture corpus, so
+    both arms retrieve over the same identity space.
+
+    Scale: dense arm = broadcast 5 queries x corpus scan (shuffle-free
+    score, per-query top-k window); sparse arm joins the 5 queries'
+    term set against the corpus posting lists keyed by token (the idf
+    table is token-grain, built with one map-side-combined groupBy), so
+    the fact side shuffles once on token; fusion is a full-outer join of
+    two <= 5 x 20-row arms.  Pure integer output end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+
+    dense = (
+        similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb,
+                                    k=_RRF_ARM_TOPK)
+        .select("query_id", "neighbor_id", F.col("rank").alias("dr"))
+    )
+
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(text.tokens(text.normalize(F.col("text"))),
+                         lambda t: t != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    nd = dt.select(F.countDistinct("doc_id").alias("nd"))
+    ln = lambda c: F.expr(f"cast(round(ln(cast({c} as double)) * 1000000) as bigint)")
+    idf = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select("tok", (ln("nd") - ln("df")).alias("idf_unat"))
+    )
+    qt = dt.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    sscore = (
+        dt.join(F.broadcast(qt.join(idf, "tok")), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum("idf_unat").cast("bigint").alias("score_unat"))
+    )
+    wsr = Window.partitionBy("query_id").orderBy(
+        F.col("score_unat").desc(), F.col("neighbor_id").asc()
+    )
+    sparse = (
+        sscore.withColumn("sr", F.row_number().over(wsr))
+        .filter(F.col("sr") <= _RRF_ARM_TOPK)
+        .select("query_id", "neighbor_id", "sr")
+    )
+
+    fused = (
+        dense.join(sparse, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id", "neighbor_id",
+            F.coalesce(F.col("dr"), F.lit(0)).alias("dense_rank"),
+            F.coalesce(F.col("sr"), F.lit(0)).alias("sparse_rank"),
+            (
+                F.when(F.col("dr").isNull(), F.lit(0))
+                .otherwise(F.expr(f"1000000 div ({_RRF_K} + dr)"))
+                + F.when(F.col("sr").isNull(), F.lit(0))
+                .otherwise(F.expr(f"1000000 div ({_RRF_K} + sr)"))
+            ).cast("bigint").alias("rrf_ppm"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            F.col("sparse_rank").cast("int").alias("sparse_rank"),
+            "rrf_ppm",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

@@ -208,3 +208,112 @@ def test_winnowing_density_and_coverage(spark):
     # sparsification (density 1.0) and over-sparsification (< 1/w density
     # would violate window coverage)
     assert n_grams * 0.1 <= len(fps) <= n_grams * 0.8
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search RRF (plans/driver_queries.hybrid_search_rrf)
+# ---------------------------------------------------------------------------
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _round6(x: float) -> float:
+    """Spark F.round semantics on DOUBLE: exact BigDecimal(double), HALF_UP."""
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def test_hybrid_rrf_matches_pure_python_replica(spark):
+    """Full independent replication at sf0.001: dense arm (sequential IEEE
+    cosine fold + HALF_UP round-6, ties by id), sparse arm (micro-nat idf
+    overlap), RRF fusion with 1e6 // (60 + rank) and 0 for absent — the
+    top-10 per query must agree row for row."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()}
+    norms = {}
+    for vid, v in vecs.items():
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        norms[vid] = math.sqrt(acc)
+
+    def cos(a, b):
+        acc = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            acc = acc + x * y
+        return _round6(acc / (norms[a] * norms[b]))
+
+    qids = [q for q in sorted(vecs) if q < 5]
+    dense = {}
+    for q in qids:
+        scored = sorted(
+            ((cos(q, c), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        dense[q] = {c: r + 1 for r, (_, c) in enumerate(scored)}
+
+    toks = {
+        r.doc_id: set(_re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")) - {""}
+        for r in docs.itertuples()
+    }
+    df_cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+    nd = sum(1 for ts in toks.values() if ts)
+    ln_u = lambda x: int(Decimal(math.log(x) * 1e6).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP))
+    sparse = {}
+    for q in qids:
+        scores = {}
+        for c, ts in toks.items():
+            if c == q:
+                continue
+            shared = toks[q] & ts
+            if shared:
+                scores[c] = sum(ln_u(nd) - ln_u(df_cnt[t]) for t in shared)
+        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:20]
+        sparse[q] = {c: r + 1 for r, (c, _) in enumerate(ranked)}
+
+    want = {}
+    for q in qids:
+        fused = {}
+        for c in set(dense[q]) | set(sparse[q]):
+            dr, sr = dense[q].get(c, 0), sparse[q].get(c, 0)
+            ppm = (1000000 // (60 + dr) if dr else 0) + (
+                1000000 // (60 + sr) if sr else 0)
+            fused[c] = (dr, sr, ppm)
+        top = sorted(fused.items(), key=lambda t: (-t[1][2], t[0]))[:10]
+        for fr, (c, (dr, sr, ppm)) in enumerate(top):
+            want[(q, c)] = (dr, sr, ppm, fr + 1)
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["dense_rank"], r["sparse_rank"], r["rrf_ppm"], r["fused_rank"])
+        for r in QUERIES["hybrid_search_rrf"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_hybrid_rrf_both_arms_dominate(spark):
+    """RRF contract: any result present in BOTH arms outranks any result
+    of the same query present in only one arm at equal-or-worse arm rank
+    (its ppm strictly exceeds either single contribution)."""
+    rows = QUERIES["hybrid_search_rrf"](spark, SF_DIR).collect()
+    for r in rows:
+        if r["dense_rank"] > 0 and r["sparse_rank"] > 0:
+            both = 1000000 // (60 + r["dense_rank"]) + 1000000 // (
+                60 + r["sparse_rank"])
+            assert r["rrf_ppm"] == both
+            assert r["rrf_ppm"] > 1000000 // (60 + r["dense_rank"])
+        else:
+            arm = max(r["dense_rank"], r["sparse_rank"])
+            assert r["rrf_ppm"] == 1000000 // (60 + arm)
