@@ -12301,3 +12301,123 @@ def hybrid_search_rrf(spark, sf_dir):
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_D = 64     # source dimensionality
+_JL_K = 16     # projected dimensionality
+_JL_NPAIRS_IDS = 32   # audit pair population: vec_id < 32 -> 496 pairs
+
+
+@register(
+    "jl_projection_distortion",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * {similarity.QUANT_SCALE})
+                                    AS BIGINT)) AS q
+               FROM embeddings WHERE vec_id < {_JL_NPAIRS_IDS}),
+    m AS (SELECT i.i, j.j,
+                 CAST(1 - 2 * (CAST('0x' || substr(md5('jl_' || i.i || '_' || j.j), 1, 1)
+                               AS BIGINT) % 2) AS BIGINT) AS s
+          FROM (SELECT unnest(range({_JL_D})) AS i) i
+          CROSS JOIN (SELECT unnest(range({_JL_K})) AS j) j),
+    x AS (SELECT vec_id, u.i AS i, q[u.i + 1] AS xi
+          FROM e, unnest(range({_JL_D})) AS u(i)),
+    proj AS (SELECT x.vec_id, m.j, CAST(sum(m.s * x.xi) AS BIGINT) AS pj
+             FROM x JOIN m ON m.i = x.i GROUP BY 1, 2),
+    dfull AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(list_sum(list_transform(range({_JL_D}),
+                          k -> (a.q[k + 1] - b.q[k + 1]) * (a.q[k + 1] - b.q[k + 1])))
+                          AS BIGINT) AS d2_full
+              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    dproj AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(sum((a.pj - b.pj) * (a.pj - b.pj)) AS BIGINT) AS d2_proj
+              FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+    SELECT f.vec_a, f.vec_b, f.d2_full, p.d2_proj,
+           CAST(CAST(p.d2_proj AS HUGEINT) * 1000000
+                // ({_JL_K} * CAST(f.d2_full AS HUGEINT)) AS BIGINT) AS ratio_ppm
+    FROM dfull f JOIN dproj p ON p.vec_a = f.vec_a AND p.vec_b = f.vec_b
+    """,
+)
+def jl_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss dimension reduction audit: project the 64-dim
+    embeddings to 16 dims with a deterministic Rademacher (+-1) matrix
+    whose signs come from md5('jl_i_j') hex parity, then measure the
+    squared-distance distortion ratio d2_proj / (k * d2_full) in ppm over
+    all 496 pairs of the first 32 vectors.  E[|Rx|^2] = k * |x|^2 for +-1
+    entries, so the ratio concentrates at 1e6 — the decision table for
+    running ANN on 4x-smaller vectors at 100 TB (store cost and cosine
+    fold both shrink by d/k).  All arithmetic is exact integers after the
+    QUANT_SCALE micro-quantization (sign-weighted sums are order-free), so
+    the oracle replays projection, distances and ratios bit-for-bit; the
+    wide product d2_proj * 1e6 goes through DECIMAL(38,0) per the gini
+    convention (DuckDB sums are HUGEINT natively).
+
+    Scale: the projection is a broadcast join against the 1024-row (i,j)
+    sign matrix + a (vec, j)-grain integer sum — one shuffle of k rows per
+    vector, never a driver loop; at 100 TB the pair audit runs on a
+    bounded sample exactly as here (496 pairs), while the projection
+    itself is embarrassingly parallel."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_NPAIRS_IDS
+    ).select("vec_id", similarity.quantize_vec(F.col("embedding")).alias("q"))
+
+    iidx = spark.range(_JL_D).select(F.col("id").cast("long").alias("i"))
+    jidx = spark.range(_JL_K).select(F.col("id").cast("long").alias("j"))
+    m = iidx.crossJoin(jidx).select(
+        "i", "j",
+        (F.lit(1) - F.lit(2) * (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jl_"), F.col("i").cast("string"),
+                                   F.lit("_"), F.col("j").cast("string"))),
+                    1, 1),
+                16, 10).cast("bigint") % F.lit(2)
+        )).cast("bigint").alias("s"),
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("q").alias("i", "xi")
+    ).select("vec_id", F.col("i").cast("long").alias("i"), "xi")
+    proj = (
+        x.join(F.broadcast(m), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("xi")).cast("bigint").alias("pj"))
+    )
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    dfull = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.expr(
+                f"cast(aggregate(sequence(0, {_JL_D - 1}), cast(0 as bigint),"
+                f" (acc, k) -> acc + (qa[k] - qb[k]) * (qa[k] - qb[k]))"
+                f" as bigint)"
+            ).alias("d2_full"),
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("vec_a"), "j", F.col("pj").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("vec_b"), "j", F.col("pj").alias("pb"))
+    dproj = (
+        pa.join(pb, "j")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb")))
+            .cast("bigint")
+            .alias("d2_proj")
+        )
+    )
+    return dfull.join(dproj, ["vec_a", "vec_b"]).select(
+        "vec_a", "vec_b", "d2_full", "d2_proj",
+        F.expr(
+            f"cast(cast(d2_proj as decimal(38,0)) * 1000000"
+            f" div ({_JL_K} * cast(d2_full as decimal(38,0))) as bigint)"
+        ).alias("ratio_ppm"),
+    )

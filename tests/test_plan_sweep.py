@@ -29,6 +29,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ALLOWED_NESTED_LOOP: dict[str, str] = {
     "similarity_brute_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
     "hybrid_search_rrf": "by design: dense arm = corpus x broadcast(5 queries via vec_id<5 filter)",
+    "jl_projection_distortion": "by design: bounded audit-pair population (vec_id<32 both sides, 496 pairs)",
     "similarity_quantized_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
     "knn_label_agreement": "by design: corpus x broadcast(50 queries via vec_id<50 filter)",
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",

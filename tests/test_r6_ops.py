@@ -317,3 +317,61 @@ def test_hybrid_rrf_both_arms_dominate(spark):
         else:
             arm = max(r["dense_rank"], r["sparse_rank"])
             assert r["rrf_ppm"] == 1000000 // (60 + arm)
+
+
+# ---------------------------------------------------------------------------
+# JL projection distortion (plans/driver_queries.jl_projection_distortion)
+# ---------------------------------------------------------------------------
+
+
+def _jl_sign(i: int, j: int) -> int:
+    return 1 - 2 * (int(hashlib.md5(f"jl_{i}_{j}".encode()).hexdigest()[0], 16) % 2)
+
+
+def test_jl_matches_pure_python_replica(spark):
+    """Exact integer agreement with an independent replication of the
+    quantization, Rademacher projection, both distance arms and the
+    HUGEINT ratio at sf0.001."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb[emb.vec_id < 32]
+    q = {
+        r.vec_id: [_round_q(float(x)) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    proj = {
+        vid: [sum(_jl_sign(i, j) * xi for i, xi in enumerate(qs))
+              for j in range(16)]
+        for vid, qs in q.items()
+    }
+    want = {}
+    ids = sorted(q)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d2f = sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+            d2p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            want[(a, b)] = (d2f, d2p, d2p * 1000000 // (16 * d2f))
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["d2_full"], r["d2_proj"], r["ratio_ppm"])
+        for r in QUERIES["jl_projection_distortion"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def _round_q(x: float) -> int:
+    """QUANT_SCALE micro-quantization with Spark F.round HALF_UP."""
+    return int(Decimal(x * 1000000.0).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_jl_concentration_law(spark):
+    """E[d2_proj] = k * d2_full for Rademacher projections: the measured
+    ratio distribution must center near 1e6 ppm and not collapse — the
+    property that makes the 4x-cheaper projected space usable at all."""
+    rows = QUERIES["jl_projection_distortion"](spark, SF_DIR).collect()
+    ratios = [r["ratio_ppm"] for r in rows]
+    assert len(ratios) == 32 * 31 // 2
+    mean = sum(ratios) / len(ratios)
+    assert 700_000 < mean < 1_300_000
+    inside = sum(1 for r in ratios if 300_000 < r < 2_200_000)
+    assert inside >= len(ratios) * 0.8
+    assert all(r["d2_proj"] >= 0 and r["d2_full"] > 0 for r in rows)
