@@ -12421,3 +12421,139 @@ def jl_projection_distortion(spark, sf_dir):
             f" div ({_JL_K} * cast(d2_full as decimal(38,0))) as bigint)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes) vs OLS
+# ---------------------------------------------------------------------------
+
+_TS_OFF = 10**12   # offset making every integer division non-negative
+
+
+@register(
+    "theil_sen_trend",
+    f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        GROUP BY 1),
+    pairs AS (
+        SELECT a.x AS xa, b.x AS xb,
+               CAST(((b.cents - a.cents) * 1000 + {_TS_OFF} * (b.x - a.x))
+                    // (b.x - a.x) - {_TS_OFF} AS BIGINT) AS slope_milli
+        FROM daily a JOIN daily b ON b.x > a.x),
+    np AS (SELECT count(*) AS n_pairs FROM pairs),
+    ranked AS (
+        SELECT slope_milli,
+               row_number() OVER (ORDER BY slope_milli ASC, xa ASC, xb ASC) AS rn
+        FROM pairs),
+    ts AS (SELECT slope_milli AS ts_slope_milli FROM ranked, np
+           WHERE rn = (n_pairs + 1) // 2),
+    resid AS (
+        SELECT d.cents * 1000 - t.ts_slope_milli * d.x AS r_milli, d.x
+        FROM daily d, ts t),
+    nd AS (SELECT count(*) AS n_days FROM daily),
+    rranked AS (
+        SELECT r_milli, row_number() OVER (ORDER BY r_milli ASC, x ASC) AS rn
+        FROM resid),
+    icept AS (SELECT r_milli AS ts_intercept_milli FROM rranked, nd
+              WHERE rn = (n_days + 1) // 2),
+    ols AS (
+        SELECT CAST((
+                 (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * cents)
+                  - CAST(sum(x) AS HUGEINT) * sum(cents)) * 1000
+                 + CAST({_TS_OFF} AS HUGEINT)
+                   * (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+                      - CAST(sum(x) AS HUGEINT) * sum(x))
+               ) // (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+                     - CAST(sum(x) AS HUGEINT) * sum(x))
+               - {_TS_OFF} AS BIGINT) AS ols_slope_milli
+        FROM daily)
+    SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(np.n_pairs AS BIGINT) AS n_pairs,
+           ts.ts_slope_milli, icept.ts_intercept_milli, ols.ols_slope_milli
+    FROM nd, np, ts, icept, ols
+    """,
+)
+def theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend over Q1-1995 daily revenue: the median of all
+    pairwise slopes (milli-cents/day) with its median-residual intercept,
+    next to the OLS slope it robustifies — the estimator that shrugs off
+    the outlier days that drag least-squares (29% breakdown point).  The
+    pair population is DAY-grain (n*(n-1)/2 over ~90 aggregated days), so
+    its size is fixed by the calendar window, not data volume — at 100 TB
+    the only data-sized work is the one groupBy(day) scan.  Median =
+    exact lower-middle order statistic; every division is made
+    non-negative by the {_TS_OFF} offset trick (Spark div truncates,
+    DuckDB // floors — they agree only on non-negative operands), and the
+    OLS normal-equation products run in DECIMAL(38,0)/HUGEINT."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            filters.date_range_partition("o_orderdate", "1995-01-01", "1995-03-31")
+        )
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("x").alias("xb"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .select(
+            "xa", "xb",
+            F.expr(
+                f"cast(((cb - ca) * 1000 + cast({_TS_OFF} as bigint) * (xb - xa))"
+                f" div (xb - xa) - cast({_TS_OFF} as bigint) as bigint)"
+            ).alias("slope_milli"),
+        )
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    wslope = Window.orderBy(F.col("slope_milli").asc(), F.col("xa").asc(), F.col("xb").asc())
+    ts = (
+        pairs.withColumn("rn", F.row_number().over(wslope))
+        .crossJoin(F.broadcast(np_))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(F.col("slope_milli").alias("ts_slope_milli"))
+    )
+    resid = daily.crossJoin(F.broadcast(ts)).select(
+        (F.col("cents") * 1000 - F.col("ts_slope_milli") * F.col("x")).alias("r_milli"),
+        "x",
+    )
+    nd_ = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    wr = Window.orderBy(F.col("r_milli").asc(), F.col("x").asc())
+    icept = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(nd_))
+        .filter(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("r_milli").alias("ts_intercept_milli"))
+    )
+    ols = daily.agg(
+        F.expr(
+            f"cast(((cast(count(*) as decimal(38,0)) * sum(cast(x as decimal(38,0)) * cents)"
+            f" - cast(sum(x) as decimal(38,0)) * sum(cents)) * 1000"
+            f" + cast({_TS_OFF} as decimal(38,0))"
+            f" * (cast(count(*) as decimal(38,0)) * sum(cast(x as decimal(38,0)) * x)"
+            f" - cast(sum(x) as decimal(38,0)) * sum(x)))"
+            f" div (cast(count(*) as decimal(38,0)) * sum(cast(x as decimal(38,0)) * x)"
+            f" - cast(sum(x) as decimal(38,0)) * sum(x))"
+            f" - {_TS_OFF} as bigint)"
+        ).alias("ols_slope_milli")
+    )
+    return (
+        nd_.crossJoin(np_).crossJoin(ts).crossJoin(icept).crossJoin(ols)
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "ts_slope_milli", "ts_intercept_milli", "ols_slope_milli",
+        )
+    )

@@ -375,3 +375,58 @@ def test_jl_concentration_law(spark):
     inside = sum(1 for r in ratios if 300_000 < r < 2_200_000)
     assert inside >= len(ratios) * 0.8
     assert all(r["d2_proj"] >= 0 and r["d2_full"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen trend (plans/driver_queries.theil_sen_trend)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def test_theil_sen_matches_pure_python_replica(spark):
+    """Independent replication at sf0.001: daily cents, all pairwise
+    floor-division slopes, lower-middle medians, HUGEINT OLS — every
+    output integer must match exactly."""
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    d = orders.copy()
+    d["day"] = pd.to_datetime(d["o_orderdate"]).dt.date
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 3, 31)
+    d = d[(d.day >= lo) & (d.day <= hi)]
+    d["cents"] = d["o_totalprice"].map(_round_cents)
+    daily = d.groupby("day")["cents"].sum()
+    epoch = _dt.date(1992, 1, 1)
+    xs = [( (day - epoch).days, int(c)) for day, c in sorted(daily.items())]
+
+    slopes = []
+    for ai in range(len(xs)):
+        for bi in range(ai + 1, len(xs)):
+            (xa, ca), (xb, cb) = xs[ai], xs[bi]
+            # floor division == the offset-trick expression on both engines
+            slopes.append(((cb - ca) * 1000) // (xb - xa))
+    slopes.sort()
+    n_pairs = len(slopes)
+    ts_slope = slopes[(n_pairs + 1) // 2 - 1]
+    resid = sorted(c * 1000 - ts_slope * x for x, c in xs)
+    n_days = len(xs)
+    ts_icept = resid[(n_days + 1) // 2 - 1]
+
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(c for _, c in xs)
+    sxy = sum(x * c for x, c in xs)
+    sxx = sum(x * x for x, _ in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    ols = (num * 1000) // den  # floor division, den > 0
+
+    row = QUERIES["theil_sen_trend"](spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n_days
+    assert row["n_pairs"] == n_pairs
+    assert row["ts_slope_milli"] == ts_slope
+    assert row["ts_intercept_milli"] == ts_icept
+    assert row["ols_slope_milli"] == ols
+    assert min(slopes) <= row["ts_slope_milli"] <= max(slopes)
+
+
+def _round_cents(x: float) -> int:
+    return int(Decimal(x * 100.0).quantize(Decimal(1), rounding=ROUND_HALF_UP))
