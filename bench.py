@@ -130,6 +130,11 @@ TRANCHE = [
     "scd2_priority_history",
     "scd2_point_in_time",
     "bpe_train_merges",
+    "countsketch_unbiased_freq",
+    "dedup_winnowing_overlap",
+    "hybrid_search_rrf",
+    "jl_projection_distortion",
+    "theil_sen_trend",
 ]
 
 

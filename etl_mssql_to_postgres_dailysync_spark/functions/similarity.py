@@ -865,3 +865,63 @@ def semdedup_prune(
             F.col("__dropped_id__").isNull().cast("int").alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998): greedy
+# diversified re-ranking of a bounded candidate set.  This is the canonical
+# "Spark can't say it declaratively" operator: each selection step depends
+# on the full set selected so far, so it runs as an Arrow-batched
+# applyInPandas over per-query groups (candidate sets are index-bounded —
+# top-k from a first-stage retriever — so the group is tiny however large
+# the corpus).  Pure integer math inside: score keys are 7*rel - 3*maxsim
+# in tenths-of-micro (lambda = 0.7 without any division), ties break on
+# ascending candidate id, making the selection bit-reproducible and
+# oracle-replayable.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA_NUM = 7   # lambda = 0.7 as the exact fraction 7/10
+MMR_LAMBDA_DEN_COMP = 3
+
+
+def mmr_select(pair_frame: DataFrame, k: int) -> DataFrame:
+    """Greedy MMR over per-query candidate sets.
+
+    ``pair_frame`` columns: query_id, a (candidate id), rel (micro int
+    relevance of a), b (other candidate id, b <> a), s (micro int pairwise
+    similarity a~b).  Every candidate of a query appears as ``a`` with its
+    full pair row set, so one group carries the whole matrix.  Returns
+    (query_id, vec_id, mmr_rank, score_x10micro): rank r's score key is
+    7*rel - 3*max(sim to already-selected), the first pick scoring 7*rel.
+    """
+    schema = ("query_id long, vec_id long, mmr_rank int, score_x10micro long")
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[row.a] = row.rel
+            sim[(row.a, row.b)] = row.s
+        qid = pdf["query_id"].iloc[0]
+        remaining = set(rel)
+        selected = []
+        out = []
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:
+                ms = max((sim.get((c, s), 0) for s in selected), default=0)
+                key = (MMR_LAMBDA_NUM * rel[c]
+                       - (MMR_LAMBDA_DEN_COMP * ms if selected else 0))
+                if best is None or (key, -c) > (best[0], -best[1]):
+                    best = (key, c)
+            key, c = best
+            remaining.discard(c)
+            selected.append(c)
+            out.append((qid, c, len(selected), key))
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank", "score_x10micro"]
+        )
+
+    return pair_frame.groupBy("query_id").applyInPandas(_greedy, schema=schema)

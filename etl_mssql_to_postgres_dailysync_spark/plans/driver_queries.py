@@ -12557,3 +12557,117 @@ def theil_sen_trend(spark, sf_dir):
             "ts_slope_milli", "ts_intercept_milli", "ols_slope_milli",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (functions/similarity.mmr_select)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_NCAND = 20
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled greedy-selection oracle (same pattern as _bpe_oracle): one
+    CTE stage per MMR pick; stage i scores every unselected candidate by
+    7*rel - 3*max(sim to the i-1 already-selected) and takes the
+    (key DESC, cand ASC) winner per query."""
+    cos = "round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6)"
+    pcos = "round(list_cosine_similarity(x.va::DOUBLE[], y.va::DOUBLE[]), 6)"
+    stages = [f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_MMR_K}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (SELECT q.query_id, c.neighbor_id, {cos} AS sim
+               FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+    cands AS (SELECT query_id, neighbor_id,
+                     CAST(round(sim * 1000000) AS BIGINT) AS rel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM scored QUALIFY rn <= {_MMR_NCAND}),
+    cv AS (SELECT ca.query_id, ca.neighbor_id AS a, ca.rel, e.embedding AS va
+           FROM cands ca JOIN embeddings e ON e.vec_id = ca.neighbor_id),
+    ps AS (SELECT x.query_id, x.a, y.a AS b,
+                  CAST(round({pcos} * 1000000) AS BIGINT) AS s
+           FROM cv x JOIN cv y ON x.query_id = y.query_id AND x.a <> y.a),
+    rel AS (SELECT query_id, a, rel FROM cv),
+    s1 AS (SELECT query_id, a AS cand, CAST(7 * rel AS BIGINT) AS key, 1 AS step
+           FROM (SELECT query_id, a, rel,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY 7 * rel DESC, a ASC) AS rn
+                 FROM rel) WHERE rn = 1)"""]
+    prev_sels = ["s1"]
+    for i in range(2, k + 1):
+        sel_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev_sels)
+        stages.append(f"""
+    sel{i} AS ({sel_union}),
+    m{i} AS (SELECT r.query_id, r.a,
+                    CAST(7 * r.rel - 3 * max(p.s) AS BIGINT) AS key
+             FROM rel r
+             JOIN sel{i} sl ON sl.query_id = r.query_id
+             JOIN ps p ON p.query_id = r.query_id AND p.a = r.a
+                       AND p.b = sl.cand
+             WHERE NOT EXISTS (SELECT 1 FROM sel{i} z
+                               WHERE z.query_id = r.query_id AND z.cand = r.a)
+             GROUP BY r.query_id, r.a, r.rel),
+    s{i} AS (SELECT query_id, a AS cand, key, {i} AS step
+             FROM (SELECT query_id, a, key,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY key DESC, a ASC) AS rn
+                   FROM m{i}) WHERE rn = 1)""")
+        prev_sels.append(f"s{i}")
+    final_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev_sels)
+    return ("WITH " + ",".join(stages)
+            + f"""
+    SELECT query_id, cand AS vec_id, CAST(step AS INT) AS mmr_rank,
+           key AS score_x10micro
+    FROM ({final_union})""")
+
+
+@register("mmr_diversified_topk", _mmr_oracle(_MMR_K))
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's exact cosine top-20, greedily select 5 results
+    maximizing 0.7*relevance - 0.3*max-similarity-to-already-picked — the
+    diversity-aware second stage of a retrieval pipeline (dedupes
+    near-identical hits that a pure top-k returns).  Greedy selection is
+    inherently sequential IN k but embarrassingly parallel ACROSS queries,
+    so it runs as an Arrow-batched applyInPandas over per-query candidate
+    groups (<= 20 rows each; the only data-sized work is the first-stage
+    retriever) with pure integer score keys (7*rel - 3*maxsim in
+    tenths-of-micro — lambda=0.7 with no division, no float, no
+    trunc-vs-floor hazard).  The oracle unrolls the same greedy loop as
+    5 chained CTE stages (the _bpe_oracle pattern), replaying every pick
+    and tie-break bit-for-bit."""
+    from etl_mssql_to_postgres_dailysync_spark.functions import vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < _MMR_K), emb, k=_MMR_NCAND
+    ).select(
+        "query_id", "neighbor_id",
+        F.expr("cast(round(sim * 1000000) as bigint)").alias("rel"),
+    )
+    cv = cands.join(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("va")),
+        F.col("neighbor_id") == F.col("vec_id"),
+    ).select(
+        "query_id", F.col("neighbor_id").alias("a"), "rel", "va",
+        vectors.norm(F.col("va")).alias("na"),
+    )
+    x = cv.select("query_id", "a", "rel", "va", "na")
+    y = cv.select(
+        F.col("query_id").alias("qy"), F.col("a").alias("b"),
+        F.col("va").alias("vb"), F.col("na").alias("nb"),
+    )
+    pf = (
+        x.join(y, (F.col("query_id") == F.col("qy")) & (F.col("a") != F.col("b")))
+        .select(
+            "query_id", "a", "rel", "b",
+            F.round(
+                vectors.cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ) * 1_000_000
+            ).cast("long").alias("s"),
+        )
+    )
+    return similarity.mmr_select(pf, _MMR_K)

@@ -430,3 +430,58 @@ def test_theil_sen_matches_pure_python_replica(spark):
 
 def _round_cents(x: float) -> int:
     return int(Decimal(x * 100.0).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (similarity.mmr_select)
+# ---------------------------------------------------------------------------
+
+from etl_mssql_to_postgres_dailysync_spark.functions import similarity as _sim
+
+
+def test_mmr_greedy_matches_pure_python(spark):
+    """The applyInPandas greedy loop on a hand-built candidate matrix must
+    reproduce the textbook MMR trace exactly — including the first pick
+    (pure relevance), the penalty switch-on, and ascending-id tie-breaks."""
+    # candidates: 1 (rel 90), 2 (rel 89, near-dup of 1), 3 (rel 50), 4 (rel 50)
+    rel = {1: 90, 2: 89, 3: 50, 4: 50}
+    sim = {(1, 2): 95, (2, 1): 95, (1, 3): 10, (3, 1): 10,
+           (1, 4): 10, (4, 1): 10, (2, 3): 10, (3, 2): 10,
+           (2, 4): 10, (4, 2): 10, (3, 4): 0, (4, 3): 0}
+    rows = [
+        (0, a, rel[a], b, sim[(a, b)])
+        for a in rel for b in rel if a != b
+    ]
+    pf = spark.createDataFrame(
+        rows, "query_id long, a long, rel long, b long, s long")
+    got = [
+        (r["vec_id"], r["mmr_rank"], r["score_x10micro"])
+        for r in _sim.mmr_select(pf, 3).orderBy("mmr_rank").collect()
+    ]
+    # pick 1: argmax 7*rel -> cand 1 (630)
+    # pick 2: cand 2 key 7*89-3*95=338; cand 3/4 key 7*50-3*10=320 -> cand 2
+    # pick 3: cand 3 key 320, cand 4 key 320 -> tie -> lower id 3
+    assert got == [(1, 1, 630), (2, 2, 338), (3, 3, 320)]
+
+
+def test_mmr_registered_query_diversifies(spark):
+    """On the real corpus the MMR top-5 must (a) start from the cosine
+    argmax, (b) never repeat a candidate, (c) produce non-increasing
+    greedy score keys per query, and (d) come from the top-20 candidate
+    pool of the first stage."""
+    from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES as Q
+
+    mmr = Q["mmr_diversified_topk"](spark, SF_DIR).collect()
+    brute = Q["similarity_brute_topk"](spark, SF_DIR).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    by_q: dict[int, list] = {}
+    for r in sorted(mmr, key=lambda r: (r["query_id"], r["mmr_rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 5
+    for q, rows in by_q.items():
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 5
+        assert ids[0] == top1[q], "first MMR pick must be the cosine argmax"
+        keys = [r["score_x10micro"] for r in rows]
+        # greedy keys can only fall once the penalty is active (rank >= 2)
+        assert all(keys[i] >= keys[i + 1] for i in range(1, len(keys) - 1))
