@@ -135,6 +135,7 @@ TRANCHE = [
     "hybrid_search_rrf",
     "jl_projection_distortion",
     "theil_sen_trend",
+    "mmr_diversified_topk",
 ]
 
 

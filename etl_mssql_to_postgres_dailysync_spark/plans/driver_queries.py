@@ -12671,3 +12671,100 @@ def mmr_diversified_topk(spark, sf_dir):
         )
     )
     return similarity.mmr_select(pf, _MMR_K)
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch conversion attribution (first / last / linear / U-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_multi_touch",
+    """
+    WITH conv AS (SELECT user_id, ts AS cts, event_id AS conv_id
+                  FROM events WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, ts, event_id, event_type
+              FROM events WHERE event_type IN ('view', 'click', 'signup')),
+    j AS (SELECT c.conv_id, t.event_id, t.event_type,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.ts ASC, t.event_id ASC) AS rn_a,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.ts DESC, t.event_id DESC) AS rn_d,
+                 count(*) OVER (PARTITION BY c.conv_id) AS n
+          FROM conv c JOIN touch t
+            ON t.user_id = c.user_id
+           AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 24 HOURS),
+    w AS (SELECT conv_id, event_type,
+                 CASE WHEN rn_a = 1 THEN 1000000 ELSE 0 END AS first_ppm,
+                 CASE WHEN rn_d = 1 THEN 1000000 ELSE 0 END AS last_ppm,
+                 1000000 // n AS linear_ppm,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN rn_a = 1 OR rn_d = 1 THEN 400000
+                      ELSE 200000 // (n - 2) END AS ushape_ppm
+          FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(first_ppm) AS BIGINT) AS first_touch_ppm,
+           CAST(sum(last_ppm) AS BIGINT) AS last_touch_ppm,
+           CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm,
+           CAST(sum(ushape_ppm) AS BIGINT) AS ushape_ppm
+    FROM w GROUP BY 1
+    """,
+)
+def attribution_multi_touch(spark, sf_dir):
+    """Multi-touch conversion attribution over a 24-hour lookback: every
+    purchase credits the user's preceding view/click/signup touches under
+    four standard models at once — first-touch, last-touch, linear, and
+    U-shaped (position-based 40/40/20; n=1 -> 100%, n=2 -> 50/50) — all
+    in exact integer ppm (every division non-negative, so Spark div ==
+    DuckDB //), aggregated to credit totals per touch channel.
+
+    Scale: the conversion-touch pairing is an equi-join on user_id with a
+    sargable time-range predicate (24h lookback bounds the per-conversion
+    fan-out); the per-conversion windows partition by conv_id (never
+    data-grain global).  At 100 TB the join co-locates by bucketing both
+    sides on user_id — same posture as operators/joins.range_join — and
+    skewed power-users are bounded by the lookback window itself."""
+    events = _t(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", "event_id", "event_type")
+    j = conv.join(
+        touch,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("ts") < F.col("cts"))
+        & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    wa = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wn = Window.partitionBy("conv_id")
+    scored = j.select(
+        "conv_id", "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).select(
+        "conv_id", "event_type",
+        F.when(F.col("rn_a") == 1, 1000000).otherwise(0).alias("first_ppm"),
+        F.when(F.col("rn_d") == 1, 1000000).otherwise(0).alias("last_ppm"),
+        F.expr("1000000 div n").alias("linear_ppm"),
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn_a") == 1) | (F.col("rn_d") == 1), 400000)
+        .otherwise(F.expr("200000 div (n - 2)"))
+        .alias("ushape_ppm"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+        F.sum("first_ppm").cast("bigint").alias("first_touch_ppm"),
+        F.sum("last_ppm").cast("bigint").alias("last_touch_ppm"),
+        F.sum("linear_ppm").cast("bigint").alias("linear_ppm"),
+        F.sum("ushape_ppm").cast("bigint").alias("ushape_ppm"),
+    )

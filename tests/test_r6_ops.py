@@ -485,3 +485,51 @@ def test_mmr_registered_query_diversifies(spark):
         keys = [r["score_x10micro"] for r in rows]
         # greedy keys can only fall once the penalty is active (rank >= 2)
         assert all(keys[i] >= keys[i + 1] for i in range(1, len(keys) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (plans/driver_queries.attribution_multi_touch)
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_conservation_laws(spark):
+    """Credit conservation: summed over channels, (a) first-touch and
+    last-touch credit each equal exactly 1e6 per attributed conversion,
+    (b) linear credit equals 1e6 per conversion minus only truncation
+    remainders (< n_touches per conversion), (c) U-shaped likewise.
+    Checked against an independent pandas replication of the 24h-lookback
+    pairing."""
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    conv = ev[ev.event_type == "purchase"]
+    touch = ev[ev.event_type.isin(["view", "click", "signup"])]
+    per_conv = {}
+    for c in conv.itertuples():
+        t = touch[(touch.user_id == c.user_id)
+                  & (touch.ts < c.ts)
+                  & (touch.ts >= c.ts - pd.Timedelta(hours=24))]
+        if len(t):
+            per_conv[c.event_id] = t.sort_values(["ts", "event_id"])
+    n_attr = len(per_conv)
+
+    rows = QUERIES["attribution_multi_touch"](spark, SF_DIR).collect()
+    tot_first = sum(r["first_touch_ppm"] for r in rows)
+    tot_last = sum(r["last_touch_ppm"] for r in rows)
+    tot_linear = sum(r["linear_ppm"] for r in rows)
+    tot_ushape = sum(r["ushape_ppm"] for r in rows)
+    tot_touches = sum(r["n_touches"] for r in rows)
+
+    assert tot_first == n_attr * 1000000
+    assert tot_last == n_attr * 1000000
+    assert tot_touches == sum(len(t) for t in per_conv.values())
+    # linear: each conversion contributes n * (1e6 // n) in [1e6-n+1, 1e6]
+    lin_exact = sum(len(t) * (1000000 // len(t)) for t in per_conv.values())
+    assert tot_linear == lin_exact
+    # u-shape replication
+    def ush(n):
+        if n == 1:
+            return 1000000
+        if n == 2:
+            return 1000000
+        return 800000 + (n - 2) * (200000 // (n - 2))
+    assert tot_ushape == sum(ush(len(t)) for t in per_conv.values())
