@@ -12768,3 +12768,97 @@ def attribution_multi_touch(spark, sf_dir):
         F.sum("linear_ppm").cast("bigint").alias("linear_ppm"),
         F.sum("ushape_ppm").cast("bigint").alias("ushape_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram probabilities
+# ---------------------------------------------------------------------------
+
+_KN_D_MILLI = 750   # absolute discount D = 0.75 in milli
+
+
+@register(
+    "text_kneser_ney_bigram",
+    f"""
+    WITH nt AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS toks
+                FROM documents WHERE length(trim(text)) > 0),
+    bg AS (SELECT toks[i] AS x, toks[i + 1] AS y
+           FROM nt, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+    c12 AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT x, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1fw
+           FROM c12 GROUP BY 1),
+    cbw AS (SELECT y, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY 1),
+    nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM c12),
+    top AS (SELECT x, y, c12,
+                   row_number() OVER (ORDER BY c12 DESC, x ASC, y ASC) AS rn
+            FROM c12 QUALIFY rn <= 30)
+    SELECT t.x, t.y, t.c12, c1.c1, c1.n1fw, cbw.n1bw, nbt.nbt,
+           CAST((greatest(t.c12 * 1000 - {_KN_D_MILLI}, 0) * 1000000)
+                // (c1.c1 * 1000)
+                + ({_KN_D_MILLI} * cbw.n1bw * 1000000 // nbt.nbt) * c1.n1fw
+                  // (c1.c1 * 1000) AS BIGINT) AS pkn_ppm,
+           CAST(t.c12 * 1000000 // c1.c1 AS BIGINT) AS pml_ppm
+    FROM top t
+    JOIN c1 ON c1.x = t.x
+    JOIN cbw ON cbw.y = t.y
+    CROSS JOIN nbt
+    """,
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998) for the corpus's top-30 bigrams, next to the
+    unsmoothed ML estimate: P_KN(y|x) = max(c12 - D, 0)/c1 +
+    (D * N1+(x,.) / c1) * N1+(.,y) / N1+(.,.) with absolute discount
+    D = 0.75 — the continuation-count smoother that fixes ML's zero mass
+    on unseen pairs (the "san francisco" pathology: frequent y only after
+    few x gets LOW continuation probability).  All arithmetic is staged
+    integer ppm with the SAME truncation order on both engines (inner
+    continuation term first, then the n1fw scaling, then the c1
+    division), every operand non-negative.
+
+    Scale: three count tables (bigram / left / right marginals) from one
+    bigram explode with map-side combine; model state is vocab-grain, not
+    corpus-grain, and merging shards = summing counts.  The top-30 window
+    is global but sits above the bigram-type aggregate (never data
+    grain)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    nt = docs.select(text.tokens(text.normalize(F.col("text"))).alias("toks"))
+    bg = nt.select(
+        F.posexplode(
+            F.expr(
+                "case when size(toks) >= 2 then"
+                " transform(sequence(1, size(toks) - 1),"
+                "           i -> struct(toks[i - 1] as x, toks[i] as y))"
+                " else array() end"
+            )
+        ).alias("p0", "b")
+    ).select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    c12 = bg.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("x").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),
+    )
+    cbw = c12.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("n1bw"))
+    nbt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("nbt"))
+    wtop = Window.orderBy(F.col("c12").desc(), F.col("x").asc(), F.col("y").asc())
+    top = (
+        c12.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 30)
+        .drop("rn")
+    )
+    return (
+        top.join(c1, "x")
+        .join(cbw, "y")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "x", "y", "c12", "c1", "n1fw", "n1bw", "nbt",
+            F.expr(
+                f"cast((greatest(c12 * 1000 - {_KN_D_MILLI}, 0) * 1000000)"
+                f" div (c1 * 1000)"
+                f" + ({_KN_D_MILLI} * n1bw * 1000000 div nbt) * n1fw"
+                f" div (c1 * 1000) as bigint)"
+            ).alias("pkn_ppm"),
+            F.expr("cast(c12 * 1000000 div c1 as bigint)").alias("pml_ppm"),
+        )
+    )

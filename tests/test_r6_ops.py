@@ -533,3 +533,55 @@ def test_attribution_conservation_laws(spark):
             return 1000000
         return 800000 + (n - 2) * (200000 // (n - 2))
     assert tot_ushape == sum(ush(len(t)) for t in per_conv.values())
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram (plans/driver_queries.text_kneser_ney_bigram)
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_matches_pure_python_replica(spark):
+    """Exact integer agreement with an independent replication of the
+    count tables and the staged-truncation KN formula at sf0.001; plus
+    the probability-mass law: for every context x in the result, the KN
+    mass summed over ALL observed successors stays <= 1e6 ppm (unseen
+    continuation mass is non-negative; truncation only lowers sums)."""
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    c12: dict[tuple[str, str], int] = {}
+    for t in docs.itertuples():
+        txt = _re.sub(r"\s+", " ", t.text.lower()).strip()
+        if not txt:
+            continue
+        toks = txt.split(" ")
+        for i in range(len(toks) - 1):
+            c12[(toks[i], toks[i + 1])] = c12.get((toks[i], toks[i + 1]), 0) + 1
+    c1: dict[str, int] = {}
+    n1fw: dict[str, int] = {}
+    n1bw: dict[str, int] = {}
+    for (x, y), c in c12.items():
+        c1[x] = c1.get(x, 0) + c
+        n1fw[x] = n1fw.get(x, 0) + 1
+        n1bw[y] = n1bw.get(y, 0) + 1
+    nbt = len(c12)
+
+    def pkn(x, y):
+        t1 = (max(c12[(x, y)] * 1000 - 750, 0) * 1000000) // (c1[x] * 1000)
+        t2 = (750 * n1bw[y] * 1000000 // nbt) * n1fw[x] // (c1[x] * 1000)
+        return t1 + t2
+
+    top = sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    want = {
+        (x, y): (c, c1[x], n1fw[x], n1bw[y], nbt, pkn(x, y),
+                 c * 1000000 // c1[x])
+        for (x, y), c in top
+    }
+    got = {
+        (r["x"], r["y"]): (r["c12"], r["c1"], r["n1fw"], r["n1bw"], r["nbt"],
+                           r["pkn_ppm"], r["pml_ppm"])
+        for r in QUERIES["text_kneser_ney_bigram"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    for x in {x for (x, _) in got}:
+        mass = sum(pkn(x, y) for (xx, y) in c12 if xx == x)
+        assert mass <= 1000000, x
