@@ -12862,3 +12862,150 @@ def text_kneser_ney_bigram(spark, sf_dir):
             F.expr("cast(c12 * 1000000 div c1 as bigint)").alias("pml_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sliding 28-day active users (register-file windowing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_sliding_28d_users",
+    f"""
+    WITH h AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                      CAST(CAST(CAST(ts AS DATE) AS VARCHAR) AS VARCHAR) AS day,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT x, day, h % {_HLL_M} AS bucket,
+                 CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_VBITS + 1}
+                      ELSE {_HLL_VBITS + 1} - length(bin(h // {_HLL_M})) END AS rho
+          FROM h),
+    reg AS (SELECT x, day, bucket, max(rho) AS mj FROM r GROUP BY 1, 2, 3),
+    days AS (SELECT DISTINCT x, day FROM h),
+    grid AS (SELECT d.x, d.day, b.bucket FROM days d
+             CROSS JOIN (SELECT unnest(range({_HLL_M})) AS bucket) b),
+    g AS (SELECT grid.x, grid.day, grid.bucket, coalesce(reg.mj, 0) AS mj
+          FROM grid LEFT JOIN reg
+            ON reg.x = grid.x AND reg.bucket = grid.bucket),
+    win AS (SELECT x, day, bucket,
+                   max(mj) OVER (PARTITION BY bucket ORDER BY x
+                                 RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS mj
+            FROM g),
+    s AS (SELECT x, day,
+                 CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                 CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj)) AS BIGINT)
+                     AS s_sum
+          FROM win GROUP BY 1, 2),
+    e AS (SELECT x, day, v_zero, s_sum,
+                 CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                      // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT) AS raw_est
+          FROM s),
+    xact AS (SELECT d.x, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS exact_28d
+             FROM (SELECT DISTINCT date_diff('day', DATE '2024-01-01',
+                                             CAST(ts AS DATE)) AS x FROM events) d
+             JOIN events ev
+               ON date_diff('day', DATE '2024-01-01', CAST(ev.ts AS DATE))
+                  BETWEEN d.x - 27 AND d.x
+             GROUP BY 1)
+    SELECT e.day, e.v_zero, e.s_sum,
+           {_hll_est_sql("e.raw_est", "e.v_zero")} AS hll_28d_est,
+           xact.exact_28d,
+           CAST(abs({_hll_est_sql("e.raw_est", "e.v_zero")} - xact.exact_28d)
+                * 1000000 // xact.exact_28d AS BIGINT) AS err_ppm
+    FROM e JOIN xact ON xact.x = e.x
+    """,
+)
+def hll_sliding_28d_users(spark, sf_dir):
+    """Sliding 28-day active users from DAILY HLL register files: one m-row
+    register checkpoint per day, then a per-bucket windowed MAX over an
+    integer-day RANGE frame (27 preceding) replays the union of the last
+    28 sketches — turning rolling_28d_active_users' exact O(days x events)
+    recount into O(days x m) register arithmetic.  Unlike the cumulative
+    variant (hll_incremental_daily), the sliding union genuinely needs the
+    per-day files (a running max cannot expire old days; the window re-max
+    over 28 bounded rows per bucket can).  The RANGE frame on the day
+    index keeps the 28-day semantics correct across calendar gaps.  Exact
+    rolling distinct rides along as the fixture-scale audit arm, same
+    register/estimator conventions as the rest of the HLL family.
+
+    Day key formatted VARCHAR per the DATE-output parity convention."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    r = h.select(
+        "x", "day",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, _HLL_VBITS + 1)
+        .otherwise(
+            F.lit(_HLL_VBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    reg = r.groupBy("x", "day", "bucket").agg(F.max("rho").alias("mj"))
+    days = h.select("x", "day").distinct()
+    buckets = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    g = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(reg, ["x", "bucket"], "left")
+        .select(
+            days["x"].alias("x"), days["day"].alias("day"), "bucket",
+            F.coalesce(F.col("mj"), F.lit(0)).alias("mj"),
+        )
+    )
+    wslide = (
+        Window.partitionBy("bucket").orderBy("x").rangeBetween(-27, 0)
+    )
+    win = g.select("x", "day", "bucket", F.max("mj").over(wslide).alias("mj"))
+    s = win.groupBy("x", "day").agg(
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_sum"),
+    )
+    e = s.withColumn(
+        "raw_est",
+        F.expr(
+            f"cast(cast('{_HLL_NUM}' as decimal(38,0))"
+            f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
+        ),
+    )
+    est = F.expr(
+        f"cast(case when v_zero > 0 and raw_est < {5 * _HLL_M // 2}"
+        f" then {_HLL_M} * ({_HLL_LN_M_UNAT}"
+        f" - cast(round(ln(cast(v_zero as double)) * 1000000) as bigint))"
+        f" div 1000000"
+        f" else raw_est end as bigint)"
+    )
+    dspine = h.select("x").distinct()
+    xact = (
+        dspine.join(
+            events.select(
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+                .cast("long")
+                .alias("ex"),
+                "user_id",
+            ),
+            (F.col("ex") >= F.col("x") - 27) & (F.col("ex") <= F.col("x")),
+        )
+        .groupBy("x")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_28d"))
+    )
+    return (
+        e.join(xact, "x")
+        .withColumn("hll_28d_est", est)
+        .select(
+            "day", "v_zero", "s_sum", "hll_28d_est", "exact_28d",
+            F.expr(
+                "cast(abs(hll_28d_est - exact_28d) * 1000000"
+                " div exact_28d as bigint)"
+            ).alias("err_ppm"),
+        )
+    )

@@ -585,3 +585,61 @@ def test_kneser_ney_matches_pure_python_replica(spark):
     for x in {x for (x, _) in got}:
         mass = sum(pkn(x, y) for (xx, y) in c12 if xx == x)
         assert mass <= 1000000, x
+
+
+# ---------------------------------------------------------------------------
+# HLL sliding 28d (plans/driver_queries.hll_sliding_28d_users)
+# ---------------------------------------------------------------------------
+
+
+def _hll_regs(user_ids) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for u in user_ids:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        b, v = h % 1024, h // 1024
+        rho = 51 if v == 0 else 51 - v.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_sliding_registers_expire_old_days(spark):
+    """The register file at each day must equal an HLL built from ONLY the
+    trailing 28 days' users (pure-python replication) — i.e. the window
+    genuinely expires old days, which the cumulative variant cannot.
+    Checked via v_zero/s_sum on the last day (whose window drops the first
+    two fixture days) and on an early day (prefix regime)."""
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    rows = {r["day"]: r for r in
+            QUERIES["hll_sliding_28d_users"](spark, SF_DIR).collect()}
+    epoch = _dt.date(2024, 1, 1)
+    for probe_day in [max(rows), min(rows)]:
+        d = _dt.date.fromisoformat(probe_day)
+        x = (d - epoch).days
+        sel = ev[((pd.to_datetime(ev.ts).dt.date.map(lambda v: (v - epoch).days))
+                  .between(x - 27, x))]
+        regs = _hll_regs(sel["user_id"])
+        v_zero = 1024 - len(regs)
+        s_sum = sum(1 << (51 - regs.get(b, 0)) for b in range(1024))
+        assert rows[probe_day]["v_zero"] == v_zero, probe_day
+        assert rows[probe_day]["s_sum"] == s_sum, probe_day
+        exact = sel["user_id"].nunique()
+        assert rows[probe_day]["exact_28d"] == exact
+
+
+def test_hll_sliding_prefix_equals_cumulative(spark):
+    """Consistency law between two registered queries: within the first 28
+    days the sliding window covers the whole history, so its estimate must
+    equal hll_incremental_daily's cumulative estimate day for day."""
+    slide = {r["day"]: r for r in
+             QUERIES["hll_sliding_28d_users"](spark, SF_DIR).collect()}
+    cum = {r["day"]: r for r in
+           QUERIES["hll_incremental_daily"](spark, SF_DIR).collect()}
+    epoch = _dt.date(2024, 1, 1)
+    checked = 0
+    for day, r in slide.items():
+        if (_dt.date.fromisoformat(day) - epoch).days <= 27:
+            assert r["s_sum"] == cum[day]["s_sum"], day
+            assert r["hll_28d_est"] == cum[day]["hll_cum_est"], day
+            checked += 1
+    assert checked >= 20
