@@ -13009,3 +13009,85 @@ def hll_sliding_28d_users(spark, sf_dir):
             ).alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation near-duplicate leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cv_leakage_neardup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hs AS (SELECT doc_id, sh AS h FROM sh),
+    seeds AS (SELECT * FROM (VALUES {_MH_SEED_VALUES}) AS t(seed, a, b)),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {dedup.MINHASH_P}) AS sig
+        FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS sigstr
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    bh AS (
+        SELECT doc_id, band,
+               CAST('0x' || substr(md5(sigstr || '#' || (1000 + band)), 1, 15) AS BIGINT) AS band_hash
+        FROM bands
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh a JOIN bh b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pf AS (
+        SELECT least(fa, fb) AS fold_lo, greatest(fa, fb) AS fold_hi
+        FROM (SELECT {md5_long_sql("CAST(id_a AS VARCHAR)", 42)} % 5 AS fa,
+                     {md5_long_sql("CAST(id_b AS VARCHAR)", 42)} % 5 AS fb
+              FROM pairs)
+    ),
+    g AS (SELECT fold_lo, fold_hi, count(*) AS n_pairs FROM pf GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM g)
+    SELECT CAST(fold_lo AS INT) AS fold_lo, CAST(fold_hi AS INT) AS fold_hi,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN fold_lo <> fold_hi THEN 1 ELSE 0 END AS INT) AS leak,
+           CAST(n_pairs * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN t
+    """,
+)
+def cv_leakage_neardup(spark, sf_dir):
+    """Train/eval contamination audit: how many MinHash-LSH near-duplicate
+    candidate pairs STRADDLE the deterministic 5-fold split — i.e. one copy
+    would train while its twin evaluates.  Composes two registered
+    primitives verbatim (dedup_minhash_lsh's 16-hash/4-band pair generation
+    and cv_fold_assignment's md5(doc_id,seed=42)%5 fold rule) into the
+    audit a split designer actually reads: the fold x fold pair-count
+    matrix with a leak flag and the share of total pair mass per cell.
+    Under a uniform hash split ~80% of near-dup mass leaks cross-fold
+    (1 - 1/k), which is exactly why dedup-then-split (or cluster-aware
+    folds via dedup_cluster_components) is the recommended order at 100 TB.
+    Scale: fold ids derive from the pair ids by hashing — no join back to
+    the documents table; everything after pair generation shuffles a
+    2-int-column frame, and the output is at most k*(k+1)/2 = 15 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3
+    )
+    pf = pairs.select(
+        (md5_long(F.col("id_a"), 42) % 5).alias("fa"),
+        (md5_long(F.col("id_b"), 42) % 5).alias("fb"),
+    ).select(
+        F.least("fa", "fb").cast("int").alias("fold_lo"),
+        F.greatest("fa", "fb").cast("int").alias("fold_hi"),
+    )
+    g = pf.groupBy("fold_lo", "fold_hi").agg(F.count(F.lit(1)).alias("n_pairs"))
+    t = g.agg(F.sum("n_pairs").cast("long").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "fold_lo", "fold_hi",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(F.col("fold_lo") != F.col("fold_hi"), 1).otherwise(0)
+        .cast("int")
+        .alias("leak"),
+        F.expr("n_pairs * 1000000 div total").alias("share_ppm"),
+    )

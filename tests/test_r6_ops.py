@@ -643,3 +643,37 @@ def test_hll_sliding_prefix_equals_cumulative(spark):
             assert r["hll_28d_est"] == cum[day]["hll_cum_est"], day
             checked += 1
     assert checked >= 20
+
+
+# ---------------------------------------------------------------------------
+# CV near-dup leakage (plans/driver_queries.cv_leakage_neardup)
+# ---------------------------------------------------------------------------
+
+
+def test_cv_leakage_conserves_pair_mass_and_flags(spark):
+    """The fold x fold matrix must partition the exact pair set produced by
+    dedup_minhash_lsh (conservation), each cell's leak flag must equal
+    fold_lo != fold_hi, and every pair's fold ids must replay the
+    cv_fold_assignment hash rule (pure-python md5 replica)."""
+    rows = QUERIES["cv_leakage_neardup"](spark, SF_DIR).collect()
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(pairs)
+    for r in rows:
+        assert r["leak"] == (1 if r["fold_lo"] != r["fold_hi"] else 0)
+        assert 0 <= r["fold_lo"] <= r["fold_hi"] <= 4
+
+    def fold(doc_id):
+        h = int(hashlib.md5(f"{doc_id}#42".encode()).hexdigest()[:15], 16)
+        return h % 5
+
+    from collections import Counter
+
+    expect = Counter()
+    for p in pairs:
+        fa, fb = fold(p["id_a"]), fold(p["id_b"])
+        expect[(min(fa, fb), max(fa, fb))] += 1
+    got = {(r["fold_lo"], r["fold_hi"]): r["n_pairs"] for r in rows}
+    assert got == dict(expect)
+    total = len(pairs)
+    for r in rows:
+        assert r["share_ppm"] == r["n_pairs"] * 1000000 // total
