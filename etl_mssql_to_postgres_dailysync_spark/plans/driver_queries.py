@@ -13091,3 +13091,202 @@ def cv_leakage_neardup(spark, sf_dir):
         .alias("leak"),
         F.expr("n_pairs * 1000000 div total").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL intersection via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_intersection_ie",
+    f"""
+    WITH {_HLL_REG_SQL},
+    agg1 AS (SELECT event_type, count(*) AS n_present,
+                    {_HLL_M} - count(*) AS v_zero,
+                    CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj))
+                         AS BIGINT) AS s_present
+             FROM reg GROUP BY 1),
+    e1 AS (SELECT event_type, v_zero,
+                  s_present + v_zero * (CAST(1 AS BIGINT) << {_HLL_VBITS + 1})
+                      AS s_sum
+           FROM agg1),
+    r1 AS (SELECT event_type, v_zero,
+                  CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                       // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT)
+                      AS raw_est
+           FROM e1),
+    est1 AS (SELECT event_type,
+                    {_hll_est_sql("raw_est", "v_zero")} AS hll_est
+             FROM r1),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM (SELECT DISTINCT event_type FROM events) a
+              JOIN (SELECT DISTINCT event_type FROM events) b
+                ON a.event_type < b.event_type),
+    ureg AS (SELECT p.type_a, p.type_b, r.bucket, max(r.mj) AS mj
+             FROM pairs p JOIN reg r
+               ON r.event_type = p.type_a OR r.event_type = p.type_b
+             GROUP BY 1, 2, 3),
+    uagg AS (SELECT type_a, type_b, {_HLL_M} - count(*) AS v_zero,
+                    CAST(sum(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - mj))
+                         AS BIGINT) AS s_present
+             FROM ureg GROUP BY 1, 2),
+    ue AS (SELECT type_a, type_b, v_zero,
+                  s_present + v_zero * (CAST(1 AS BIGINT) << {_HLL_VBITS + 1})
+                      AS s_sum
+           FROM uagg),
+    ur AS (SELECT type_a, type_b, v_zero,
+                  CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))
+                       // (CAST(1000 AS DECIMAL(38,0)) * s_sum) AS BIGINT)
+                      AS raw_est
+           FROM ue),
+    uest AS (SELECT type_a, type_b,
+                    {_hll_est_sql("raw_est", "v_zero")} AS est_union
+             FROM ur),
+    eu AS (SELECT DISTINCT event_type, user_id FROM events),
+    xact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    CAST(count(*) AS BIGINT) AS exact_inter
+             FROM eu a JOIN eu b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             GROUP BY 1, 2),
+    f AS (SELECT u.type_a, u.type_b,
+                 ea.hll_est AS est_a, eb.hll_est AS est_b, u.est_union,
+                 ea.hll_est + eb.hll_est - u.est_union AS est_inter,
+                 coalesce(x.exact_inter, 0) AS exact_inter
+          FROM uest u
+          JOIN est1 ea ON ea.event_type = u.type_a
+          JOIN est1 eb ON eb.event_type = u.type_b
+          LEFT JOIN xact x ON x.type_a = u.type_a AND x.type_b = u.type_b)
+    SELECT type_a, type_b, est_a, est_b, est_union,
+           CAST(est_inter AS BIGINT) AS est_inter, exact_inter,
+           CAST(abs(est_inter - exact_inter) * 1000000
+                // greatest(exact_inter, 1) AS BIGINT) AS err_ppm
+    FROM f
+    """,
+)
+def hll_intersection_ie(spark, sf_dir):
+    """Pairwise audience-overlap estimate |A∩B| = est(A)+est(B)-est(A∪B)
+    from the SAME m=1024 HLL register files hll_distinct_by_source builds:
+    the union arm is register-wise MAX (the only exact operation HLL
+    supports), so the whole overlap matrix for k sets costs k register
+    files + C(k,2) register merges of m rows each — never a re-scan of the
+    raw events.  Inclusion-exclusion is the textbook HLL intersection
+    (Flajolet et al. 2007 have no direct intersection estimator); its
+    error is relative to the UNION cardinality, so small overlaps carry
+    large relative error — exactly what err_ppm vs the exact
+    distinct-(user,type) self-join audit arm makes visible.  est_inter is
+    intentionally signed: a negative value is the sketch saying 'overlap
+    below noise floor', and clamping it would hide that.
+    Scale: register files are m rows per set regardless of volume; the
+    exact audit arm is fixture-only truth."""
+    events = _t(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    r = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, _HLL_VBITS + 1)
+        .otherwise(
+            F.lit(_HLL_VBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+
+    def estimate(stats, out_col):
+        e = stats.withColumn(
+            "s_sum",
+            F.col("s_present")
+            + F.col("v_zero") * F.lit(1 << (_HLL_VBITS + 1)).cast("long"),
+        ).withColumn(
+            "raw_est",
+            F.expr(
+                f"cast(cast('{_HLL_NUM}' as decimal(38,0))"
+                f" div (cast(1000 as decimal(38,0)) * s_sum) as bigint)"
+            ),
+        )
+        return e.withColumn(
+            out_col,
+            F.expr(
+                f"cast(case when v_zero > 0 and raw_est < {5 * _HLL_M // 2}"
+                f" then {_HLL_M} * ({_HLL_LN_M_UNAT}"
+                f" - cast(round(ln(cast(v_zero as double)) * 1000000) as bigint))"
+                f" div 1000000"
+                f" else raw_est end as bigint)"
+            ),
+        )
+
+    s1 = reg.groupBy("event_type").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    est1 = estimate(s1, "hll_est").select("event_type", "hll_est")
+
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    ureg = (
+        F.broadcast(pairs)
+        .join(
+            reg,
+            (reg["event_type"] == F.col("type_a"))
+            | (reg["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    us = ureg.groupBy("type_a", "type_b").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VBITS + 1} - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    uest = estimate(us, "est_union").select("type_a", "type_b", "est_union")
+
+    eu = events.select("event_type", "user_id").distinct()
+    xact = (
+        eu.alias("a")
+        .join(
+            eu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    f = (
+        uest.join(est1.withColumnRenamed("event_type", "type_a")
+                  .withColumnRenamed("hll_est", "est_a"), "type_a")
+        .join(est1.withColumnRenamed("event_type", "type_b")
+              .withColumnRenamed("hll_est", "est_b"), "type_b")
+        .join(xact, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0).cast("long")))
+        .withColumn("est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    )
+    return f.select(
+        "type_a", "type_b", "est_a", "est_b", "est_union",
+        F.col("est_inter").cast("long").alias("est_inter"),
+        "exact_inter",
+        F.expr(
+            "cast(abs(est_inter - exact_inter) * 1000000"
+            " div greatest(exact_inter, 1) as bigint)"
+        ).alias("err_ppm"),
+    )

@@ -677,3 +677,46 @@ def test_cv_leakage_conserves_pair_mass_and_flags(spark):
     total = len(pairs)
     for r in rows:
         assert r["share_ppm"] == r["n_pairs"] * 1000000 // total
+
+
+# ---------------------------------------------------------------------------
+# HLL intersection (plans/driver_queries.hll_intersection_ie)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_intersection_inclusion_exclusion_law(spark):
+    """est_inter must be exactly est_a + est_b - est_union on every row,
+    the per-type arms must agree with hll_distinct_by_source, and the
+    exact_inter audit column must equal a pandas recount of the pairwise
+    user-set overlap."""
+    rows = QUERIES["hll_intersection_ie"](spark, SF_DIR).collect()
+    assert rows
+    per_type = {r["event_type"]: r["hll_est"]
+                for r in QUERIES["hll_distinct_by_source"](spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    for r in rows:
+        assert r["est_inter"] == r["est_a"] + r["est_b"] - r["est_union"]
+        assert r["est_a"] == per_type[r["type_a"]]
+        assert r["est_b"] == per_type[r["type_b"]]
+        assert r["exact_inter"] == len(sets[r["type_a"]] & sets[r["type_b"]])
+
+
+def test_hll_intersection_union_register_merge(spark):
+    """For one probe pair, the union estimate must equal the estimate of an
+    HLL register file built from scratch over A ∪ B's users (pure-python) —
+    i.e. the register-wise MAX merge is lossless."""
+    rows = QUERIES["hll_intersection_ie"](spark, SF_DIR).collect()
+    r0 = rows[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    users = set(ev[ev.event_type.isin([r0["type_a"], r0["type_b"]])]["user_id"])
+    regs = _hll_regs(users)
+    v_zero = 1024 - len(regs)
+    s_sum = sum(1 << (51 - regs.get(b, 0)) for b in range(1024))
+    raw = (721 * (1 << 71)) // (1000 * s_sum)
+    if v_zero > 0 and raw < 2560:
+        import math
+        est = 1024 * (6931472 - round(math.log(v_zero) * 1000000)) // 1000000
+    else:
+        est = raw
+    assert r0["est_union"] == est
