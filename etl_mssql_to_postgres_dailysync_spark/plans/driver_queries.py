@@ -13290,3 +13290,110 @@ def hll_intersection_ie(spark, sf_dir):
             " div greatest(exact_inter, 1) as bigint)"
         ).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, q.qlabel, c.neighbor_id, c.clabel, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    pos AS (
+        SELECT query_id, neighbor_id AS pos_id, sim AS pos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS pr
+        FROM scored WHERE clabel = qlabel QUALIFY pr = 1
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id AS neg_id, sim AS neg_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored WHERE clabel <> qlabel QUALIFY rank <= 3
+    )
+    SELECT n.query_id, CAST(n.rank AS INT) AS rank, n.neg_id, n.neg_sim,
+           p.pos_id, p.pos_sim, n.neg_sim - p.pos_sim AS margin
+    FROM neg n JOIN pos p USING (query_id)
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives: for each anchor vector, the 3
+    most-similar DIFFERENT-label neighbors (the negatives a triplet/InfoNCE
+    loss learns most from) alongside the single most-similar SAME-label
+    neighbor (the positive), and the signed margin neg_sim - pos_sim — a
+    positive margin flags a negative that currently outranks the positive,
+    i.e. an active constraint.  Label-aware mining is the piece the plain
+    similarity_brute_topk family lacks; the scoring arm reuses its exact
+    broadcast-queries plan (one fold per pair via pre-hoisted norms), then
+    splits into two windows over the k*|anchors| candidate rows.  The
+    margin subtraction is identical-IEEE on identically rounded doubles,
+    so it carries no re-rounding.  Scale: the corpus scan is shuffle-free
+    (anchors broadcast); at 100 TB the scored arm swaps for one of the ANN
+    tiers (similarity_ann_lsh / _ivf) with the same window tail — mining
+    quality degrades gracefully with ANN recall, the plan does not change
+    shape."""
+    from etl_mssql_to_postgres_dailysync_spark.functions.vectors import (
+        cosine_prenormed,
+        norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "qlabel", "neighbor_id", "clabel",
+            cosine_prenormed(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    return neg.join(pos, "query_id").select(
+        "query_id", "rank", "neg_id", "neg_sim", "pos_id", "pos_sim",
+        (F.col("neg_sim") - F.col("pos_sim")).alias("margin"),
+    )

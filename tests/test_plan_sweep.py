@@ -32,6 +32,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "jl_projection_distortion": "by design: bounded audit-pair population (vec_id<32 both sides, 496 pairs)",
     "mmr_diversified_topk": "by design: first-stage retriever = corpus x broadcast(5 queries via vec_id<5 filter)",
     "similarity_quantized_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
+    "hard_negative_mining": "by design: corpus x broadcast(10 anchors via vec_id<10 filter), same scored arm as similarity_brute_topk",
     "knn_label_agreement": "by design: corpus x broadcast(50 queries via vec_id<50 filter)",
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",

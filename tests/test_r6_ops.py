@@ -218,6 +218,7 @@ import math
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+import pytest
 
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
@@ -720,3 +721,53 @@ def test_hll_intersection_union_register_merge(spark):
     else:
         est = raw
     assert r0["est_union"] == est
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (plans/driver_queries.hard_negative_mining)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_match_numpy_replica(spark):
+    """Ranks, ids, sims, and margins must agree with an independent numpy
+    recomputation of rounded cosine over the full fixture — negatives are
+    the top-3 different-label, the positive is the top-1 same-label, ties
+    break to lower id."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    rows = QUERIES["hard_negative_mining"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(ids[ids < 10])
+    for qid, rs in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = np.round(n @ n[qi], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        negs = [i for i in order if labels[i] != labels[qi]][:3]
+        pos = next(i for i in order if labels[i] == labels[qi])
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["neg_id"] for r in rs] == [ids[i] for i in negs]
+        for r, i in zip(rs, negs):
+            assert r["neg_sim"] == pytest.approx(sims[i], abs=2e-6)
+            assert r["pos_id"] == ids[pos]
+            assert r["margin"] == pytest.approx(r["neg_sim"] - r["pos_sim"])
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark):
+    """No negative may share the anchor's label or be the anchor itself;
+    every positive must share it."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    for r in QUERIES["hard_negative_mining"](spark, SF_DIR).collect():
+        assert r["neg_id"] != r["query_id"]
+        assert lab[r["neg_id"]] != lab[r["query_id"]]
+        assert lab[r["pos_id"]] == lab[r["query_id"]]
