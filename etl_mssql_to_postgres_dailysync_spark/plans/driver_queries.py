@@ -13397,3 +13397,113 @@ def hard_negative_mining(spark, sf_dir):
         "query_id", "rank", "neg_id", "neg_sim", "pos_id", "pos_sim",
         (F.col("neg_sim") - F.col("pos_sim")).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (weighted inverted-index join)
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_CAP = 50  # postings cap: pairs per term <= cap^2
+
+
+@register(
+    "tfidf_cosine_pairs",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    kept AS (SELECT term, df FROM dfreq WHERE df BETWEEN 2 AND {_TFIDF_DF_CAP}),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / kept.df) * 1000)
+                              AS BIGINT) AS w
+          FROM tf JOIN kept USING (term) CROSS JOIN n),
+    norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot, n_common,
+           round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+               AS cos_sim
+    FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+    WHERE round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+          >= 0.25
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted near-duplicate detection: document-pair cosine over sparse
+    TF-IDF vectors, computed as a SPARSE MATRIX PRODUCT through the
+    inverted index — postings self-join on term, partial products summed
+    per pair — never a dense pairwise loop.  Complements the unweighted
+    Jaccard family (dedup_ngram_jaccard): TF-IDF cosine keys on RARE
+    shared vocabulary, so it catches topically-identical rewrites that
+    share few exact shingles.  The vector space is restricted to terms
+    with df in [2, {_TFIDF_DF_CAP}] (the standard stop-term cut): df=1
+    terms cannot produce a pair, and high-df terms would blow the postings
+    self-join up by df^2 while contributing ~zero idf weight — the cap is
+    what bounds join fan-out at 100 TB (pairs per term <= cap^2), the
+    sparse analogue of dedup_ngram_jaccard_capped's shingle cap.  Integer
+    weights (tf x milli-nat idf) keep dot/norm sums exact int64
+    (w <= 2e7 per posting -> norm^2 <= ~1e18 at 2k-term docs; DECIMAL(38)
+    beyond); the only doubles are the final rounded cosine, identical IEEE
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.filter(F.col("df").between(2, _TFIDF_DF_CAP))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(kept, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("tf")
+                * F.expr(
+                    "cast(round(ln(cast(n_docs as double) / df) * 1000) as bigint)"
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+    return out.select("id_a", "id_b", "dot", "n_common", "cos_sim")

@@ -771,3 +771,66 @@ def test_hard_negatives_exclude_same_label_and_self(spark):
         assert r["neg_id"] != r["query_id"]
         assert lab[r["neg_id"]] != lab[r["query_id"]]
         assert lab[r["pos_id"]] == lab[r["query_id"]]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine pairs (plans/driver_queries.tfidf_cosine_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_matches_pandas_replica(spark):
+    """Pair set, integer dots, common-term counts, and rounded cosines must
+    agree exactly with an independent pandas/numpy replication of the
+    df-capped TF-IDF scheme (HALF_UP milli-nat idf, int64 weights)."""
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = len(docs)
+    tf: dict[tuple[int, str], int] = {}
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        for t in _re.sub(r"\s+", " ", txt.lower()).strip().split(" "):
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    kept = {t for t, d in df.items() if 2 <= d <= 50}
+    idf = {
+        t: int(Decimal(math.log(n_docs / df[t]) * 1000)
+               .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for t in kept
+    }
+    w: dict[int, dict[str, int]] = {}
+    for (doc_id, t), c in tf.items():
+        if t in kept:
+            w.setdefault(doc_id, {})[t] = c * idf[t]
+    n2 = {d: sum(v * v for v in ws.values()) for d, ws in w.items()}
+    expect = {}
+    ids = sorted(w)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            common = set(w[da]) & set(w[db])
+            if not common:
+                continue
+            dot = sum(w[da][t] * w[db][t] for t in common)
+            sim = round(dot / (math.sqrt(n2[da]) * math.sqrt(n2[db])), 6)
+            if sim >= 0.25:
+                expect[(da, db)] = (dot, len(common), sim)
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["n_common"], r["cos_sim"])
+        for r in QUERIES["tfidf_cosine_pairs"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0], k
+        assert got[k][1] == expect[k][1], k
+        assert got[k][2] == pytest.approx(expect[k][2], abs=1e-9), k
+
+
+def test_tfidf_pairs_need_rare_shared_vocabulary(spark):
+    """Every reported pair must share at least one kept-df term and its
+    cosine must sit in (0, 1] — the df cap guarantees no pair rides on
+    ubiquitous stop-terms alone."""
+    rows = QUERIES["tfidf_cosine_pairs"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_common"] >= 1
+        assert 0 < r["cos_sim"] <= 1.0
+        assert r["dot"] > 0
