@@ -13507,3 +13507,190 @@ def tfidf_cosine_pairs(spark, sf_dir):
         .filter(F.col("cos_sim") >= 0.25)
     )
     return out.select("id_a", "id_b", "dot", "n_common", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via staged-integer power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 4
+_PCA_SCALE = 1_000_000  # eigvec components held at 1e6 fixed point
+_PCA_OFF = 2_000_000    # offset making every rescale operand non-negative
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power-iteration CTE chain, one it{t} per iteration, each a
+    matvec over the full second-moment matrix followed by a max-abs integer
+    rescale (the +OFF trick keeps Spark div == DuckDB // on negatives)."""
+    its = ["v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(1000000 AS BIGINT) AS v)"]
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        its.append(f"""
+    w{t} AS (SELECT s.i AS j, sum(CAST(s.s_unit AS HUGEINT) * v.v) AS w
+             FROM smat s JOIN {prev} v ON v.j = s.j GROUP BY 1),
+    m{t} AS (SELECT max(abs(w)) AS mx FROM w{t}),
+    v{t} AS (SELECT w{t}.j,
+                    CAST((w{t}.w * {_PCA_SCALE} + CAST({_PCA_OFF} AS HUGEINT) * m{t}.mx)
+                         // m{t}.mx - {_PCA_OFF} AS BIGINT) AS v
+             FROM w{t} CROSS JOIN m{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings),
+    u AS (SELECT vec_id, CAST(i AS INT) AS i,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+          FROM e),
+    n AS (SELECT count(DISTINCT vec_id) AS n FROM u),
+    up AS (SELECT a.i AS i, b.i AS j, sum(a.m * b.m) AS sxy
+           FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2),
+    fullm AS (SELECT i, j, sxy FROM up
+              UNION ALL
+              SELECT j AS i, i AS j, sxy FROM up WHERE i < j),
+    smat AS (SELECT i, j,
+                    CAST((sxy + CAST({_COV_OFFSET} AS HUGEINT) * n.n) // n.n
+                         - {_COV_OFFSET} AS BIGINT) AS s_unit
+             FROM fullm CROSS JOIN n),
+    {",".join(its)},
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+            FROM {prev} ORDER BY abs(v) DESC, j ASC LIMIT 1),
+    vf AS (SELECT j, v * sgn.sg AS v FROM {prev} CROSS JOIN sgn),
+    num AS (SELECT sum(CAST(s.s_unit AS HUGEINT) * a.v * b.v) AS vsv
+            FROM smat s JOIN vf a ON a.j = s.i JOIN vf b ON b.j = s.j),
+    den AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM vf),
+    tr AS (SELECT CAST(sum(s_unit) AS BIGINT) AS trace_unit FROM smat WHERE i = j),
+    lam AS (SELECT CAST(num.vsv // den.vv AS BIGINT) AS lambda_unit
+            FROM num CROSS JOIN den)
+    SELECT CAST(vf.j AS INT) AS dim_i, CAST(vf.v AS BIGINT) AS v_unit,
+           lam.lambda_unit, tr.trace_unit,
+           CAST(lam.lambda_unit * 1000000 // tr.trace_unit AS BIGINT) AS share_ppm
+    FROM vf CROSS JOIN lam CROSS JOIN tr
+    """
+
+
+@register("pca_power_iteration", _pca_oracle_sql())
+def pca_power_iteration(spark, sf_dir):
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the d x d second-moment matrix S = (1/n) sum(m m^T) —
+    the spectral audit behind anisotropy checks (a corpus whose top
+    component eats most of the trace collapses cosine geometry; see
+    share_ppm).  Everything runs distributed and integer-exact: S is the
+    same micro^2 one-shuffle build as embedding_covariance_topk (per-row
+    upper-triangle products, mirrored to full), and each of the
+    {_PCA_ITERS} matvecs is a 64-row broadcast join against the 4096-cell
+    matrix followed by a max-abs rescale to 1e6 fixed point with the +OFF
+    floor-alignment trick — a staged-integer iteration both engines replay
+    bit-for-bit (the DuckDB twin is the unrolled CTE chain), sidestepping
+    IEEE summation-order divergence entirely.  The corpus appears ONLY in
+    the S build; iteration state is d rows, so 100x more vectors changes
+    nothing after the first shuffle.  Sign is normalized so the
+    largest-|component| entry is positive; lambda (Rayleigh quotient
+    v^T S v / v^T v, integer) over trace(S) gives the top component's
+    variance share in ppm.  lambda is a LOWER bound on the true top
+    eigenvalue, tightening as (lambda2/lambda1)^2t — on a near-isotropic
+    corpus the gap is small and 4 iterations land ~85% of lambda_1, which
+    is fine for the audit: a small share_ppm IS the isotropy verdict, and
+    an anisotropic corpus (large gap) is exactly where the iteration
+    converges fast.  The oracle's big-integer arithmetic rides HUGEINT,
+    not DECIMAL(38): DuckDB's ``//`` on DECIMAL silently degrades to
+    DOUBLE division (observed: off-by-30 at 1e16 operands), HUGEINT stays
+    exact.  Uncentered by design: on unit-normalized
+    embedding batches the mean-shift is a rank-1 update the iteration
+    absorbs, and keeping S as a pure sum makes per-partition matrices
+    mergeable by addition (the streaming path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("m"),
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+    up = m.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(m)), i ->"
+                " transform(sequence(i, size(m)), j ->"
+                " struct(i, j, element_at(m, i) * element_at(m, j) as xy))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.i").cast("int").alias("i"),
+        F.col("p.j").cast("int").alias("j"),
+        F.col("p.xy").alias("xy"),
+    )
+    upsum = up.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    fullm = upsum.unionByName(
+        upsum.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
+        )
+    )
+    smat = fullm.crossJoin(F.broadcast(n)).select(
+        "i", "j",
+        F.expr(
+            f"cast((sxy + cast({_COV_OFFSET} as decimal(38,0)) * n) div n"
+            f" - {_COV_OFFSET} as bigint)"
+        ).alias("s_unit"),
+    )
+    smat = smat.localCheckpoint()  # S is 4096 rows; pin it so the 4 matvecs
+    # and the Rayleigh arm reuse one materialization instead of re-running
+    # the corpus shuffle per iteration
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_SCALE).cast("long").alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            smat.join(F.broadcast(v), smat["j"] == v["j"])
+            .groupBy(smat["i"].alias("wj"))
+            .agg(
+                F.sum(F.expr("cast(s_unit as decimal(38,0)) * v")).alias("w")
+            )
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("wj").alias("j"),
+                F.expr(
+                    f"cast((w * {_PCA_SCALE} + cast({_PCA_OFF} as decimal(38,0)) * mx)"
+                    f" div mx - {_PCA_OFF} as bigint)"
+                ).alias("v"),
+            )
+        )
+    sgn = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("j").asc())
+        .limit(1)
+        .select(F.when(F.col("v") < 0, -1).otherwise(1).alias("sg"))
+    )
+    vf = v.crossJoin(F.broadcast(sgn)).select(
+        "j", (F.col("v") * F.col("sg")).alias("v")
+    )
+    vf = vf.localCheckpoint()  # consumed by num, den, and the output spine
+    va = vf.select(F.col("j").alias("ja"), F.col("v").alias("va"))
+    vb = vf.select(F.col("j").alias("jb"), F.col("v").alias("vb"))
+    num = (
+        smat.join(F.broadcast(va), smat["i"] == va["ja"])
+        .join(F.broadcast(vb), smat["j"] == vb["jb"])
+        .agg(F.sum(F.expr("cast(s_unit as decimal(38,0)) * va * vb")).alias("vsv"))
+    )
+    den = vf.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("vv"))
+    tr = smat.filter(F.col("i") == F.col("j")).agg(
+        F.sum("s_unit").cast("long").alias("trace_unit")
+    )
+    lam = num.crossJoin(F.broadcast(den)).select(
+        F.expr("cast(vsv div vv as bigint)").alias("lambda_unit")
+    )
+    return (
+        vf.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").cast("int").alias("dim_i"),
+            F.col("v").cast("long").alias("v_unit"),
+            "lambda_unit",
+            "trace_unit",
+            F.expr("cast(lambda_unit * 1000000 div trace_unit as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
