@@ -13694,3 +13694,136 @@ def pca_power_iteration(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-linear quantile sketch
+# ---------------------------------------------------------------------------
+
+_HDR_B = 7  # sub-bucket bits: relative error <= 1/2^7 = 0.78%
+_HDR_PCTS = [50, 90, 95, 99]
+
+
+@register(
+    "hdr_quantile_sketch",
+    f"""
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    b AS (SELECT cents, length(bin(cents)) - 1 AS msb FROM c),
+    i AS (SELECT CASE WHEN cents < 128 THEN cents
+                      ELSE msb * 128 + (cents >> (msb - 7)) - 128 END AS idx
+          FROM b),
+    g AS (SELECT idx, count(*) AS n_rows FROM i GROUP BY 1),
+    cum AS (SELECT idx, n_rows, sum(n_rows) OVER (ORDER BY idx) AS cum,
+                   (SELECT count(*) FROM c) AS n
+            FROM g),
+    p AS (SELECT unnest([{", ".join(map(str, _HDR_PCTS))}]) AS pct),
+    chosen AS (SELECT p.pct, min(cum.idx) AS idx
+               FROM p JOIN cum ON cum.cum >= (p.pct * cum.n + 99) // 100
+               GROUP BY 1),
+    bounds AS (SELECT pct, idx,
+                      CASE WHEN idx < 128 THEN idx
+                           ELSE (128 + idx % 128) << (idx // 128 - 7) END AS lo_cents,
+                      CASE WHEN idx < 128 THEN idx
+                           ELSE ((128 + idx % 128) << (idx // 128 - 7))
+                                + (CAST(1 AS BIGINT) << (idx // 128 - 7)) - 1
+                      END AS hi_cents
+               FROM chosen),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM c),
+    x AS (SELECT p.pct, r.cents AS exact_cents
+          FROM r JOIN p ON r.rn = (p.pct * r.n + 99) // 100)
+    SELECT CAST(b.pct AS INT) AS pct, CAST(b.idx AS BIGINT) AS bucket_idx,
+           CAST(b.lo_cents AS BIGINT) AS lo_cents,
+           CAST(b.hi_cents AS BIGINT) AS hi_cents,
+           CAST((b.lo_cents + b.hi_cents) // 2 AS BIGINT) AS est_cents,
+           x.exact_cents,
+           CAST(abs((b.lo_cents + b.hi_cents) // 2 - x.exact_cents) * 1000000
+                // x.exact_cents AS BIGINT) AS rel_err_ppm
+    FROM bounds b JOIN x ON x.pct = b.pct
+    """,
+)
+def hdr_quantile_sketch(spark, sf_dir):
+    """One-pass mergeable quantiles with a GUARANTEED relative-error bound,
+    HdrHistogram-style: values bucket into log-linear cells — exact below
+    2^{_HDR_B}, else (msb << {_HDR_B}) | top-{_HDR_B}-bits-after-leading-1 —
+    so every cell spans < 1/2^{_HDR_B} = 0.78% of its lower bound.  The
+    bucketing uses ONLY bit arithmetic on exact cents (msb via the same
+    length(bin(x)) trick as the HLL rho), never ln(): no float boundary can
+    ever disagree between engines, unlike log-gamma DDSketch bucketing.
+    The sketch state is the (idx, count) frame — bounded by ~128 cells per
+    octave regardless of data volume, mergeable across partitions/days by
+    plain count addition, and quantile lookup is a cumulative sum over
+    bucket grain.  The chosen cell provably CONTAINS the exact
+    ceil-rank percentile value (same rank rule on both arms), so
+    exact_cents in [lo_cents, hi_cents] always, and rel_err_ppm of the
+    midpoint estimate is bounded by ~3906 ppm — pytest pins both.  The
+    exact arm rides the distributed two-phase rank (exact_percentiles'
+    plan) as the fixture-scale truth column; at 100 TB only the sketch arm
+    runs."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import (
+        global_row_number,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    i = c.select(
+        F.expr(
+            "case when cents < 128 then cents"
+            " else (length(bin(cents)) - 1) * 128"
+            "      + shiftright(cents, length(bin(cents)) - 1 - 7) - 128 end"
+        ).alias("idx")
+    )
+    g = i.groupBy("idx").agg(F.count(F.lit(1)).alias("n_rows"))
+    wcum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    n_total = c.agg(F.count(F.lit(1)).alias("n"))
+    cum = (
+        g.withColumn("cum", F.sum("n_rows").over(wcum))
+        .crossJoin(F.broadcast(n_total))
+    )
+    pts = spark.createDataFrame([(p,) for p in _HDR_PCTS], "pct int")
+    chosen = (
+        cum.join(
+            F.broadcast(pts),
+            F.col("cum") >= F.expr("(pct * n + 99) div 100"),
+        )
+        .groupBy("pct")
+        .agg(F.min("idx").alias("idx"))
+    )
+    bounds = chosen.select(
+        "pct", "idx",
+        F.expr(
+            "case when idx < 128 then idx"
+            " else shiftleft(128 + idx % 128, idx div 128 - 7) end"
+        ).alias("lo_cents"),
+        F.expr(
+            "case when idx < 128 then idx"
+            " else shiftleft(128 + idx % 128, idx div 128 - 7)"
+            "      + shiftleft(cast(1 as bigint), idx div 128 - 7) - 1 end"
+        ).alias("hi_cents"),
+    )
+    ranked, total = global_row_number(c, ["cents"], "rn")
+    spine = spark.createDataFrame(
+        [(p, (p * total + 99) // 100) for p in _HDR_PCTS], "pct int, at_rank long"
+    )
+    x = (
+        ranked.join(F.broadcast(spine), ranked["rn"] == spine["at_rank"])
+        .select("pct", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        bounds.join(x, "pct")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("idx").cast("long").alias("bucket_idx"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            F.expr("cast((lo_cents + hi_cents) div 2 as bigint)").alias("est_cents"),
+            "exact_cents",
+            F.expr(
+                "cast(abs((lo_cents + hi_cents) div 2 - exact_cents) * 1000000"
+                " div exact_cents as bigint)"
+            ).alias("rel_err_ppm"),
+        )
+    )

@@ -915,3 +915,61 @@ def test_pca_direction_rayleigh_properties(spark):
             assert ray >= prev - 1  # integer-floor jitter tolerance
         prev = ray
     assert prev == lam
+
+
+# ---------------------------------------------------------------------------
+# HDR quantile sketch (plans/driver_queries.hdr_quantile_sketch)
+# ---------------------------------------------------------------------------
+
+
+def _hdr_idx(cents: int) -> int:
+    if cents < 128:
+        return cents
+    msb = cents.bit_length() - 1
+    return msb * 128 + (cents >> (msb - 7)) - 128
+
+
+def test_hdr_sketch_containment_and_error_bound(spark):
+    """The relative-error CONTRACT: for every percentile the exact value
+    must lie inside the chosen cell, the cell width must be < 1/128 of its
+    lower bound, rel_err_ppm must stay under the ~3907 ppm midpoint bound,
+    and the chosen cell must replay a pure-python bucketing of the
+    fixture."""
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = sorted(
+        int(Decimal(float(p) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for p in orders["o_totalprice"]
+    )
+    n = len(cents)
+    rows = QUERIES["hdr_quantile_sketch"](spark, SF_DIR).collect()
+    assert {r["pct"] for r in rows} == {50, 90, 95, 99}
+    for r in rows:
+        assert r["lo_cents"] <= r["exact_cents"] <= r["hi_cents"]
+        assert (r["hi_cents"] - r["lo_cents"]) * 128 < r["lo_cents"] + 128
+        assert r["rel_err_ppm"] <= 3907
+        exact = cents[(r["pct"] * n + 99) // 100 - 1]
+        assert r["exact_cents"] == exact
+        assert r["bucket_idx"] == _hdr_idx(exact)
+        assert r["est_cents"] == (r["lo_cents"] + r["hi_cents"]) // 2
+
+
+def test_hdr_bucketing_is_monotone_and_mergeable():
+    """Structural laws of the cell function itself: monotone nondecreasing
+    in the value (so cumulative counts give exact rank bounds) and exactly
+    reconstructible bounds — checked over every value up to 2^14 and a
+    log-spread of larger probes."""
+    probes = list(range(1, 1 << 14)) + [
+        (1 << s) + d for s in range(14, 40) for d in (0, 1, (1 << s) - 1)
+    ]
+    prev = -1
+    for v in sorted(probes):
+        idx = _hdr_idx(v)
+        assert idx >= prev
+        prev = idx
+        if idx < 128:
+            lo = hi = idx
+        else:
+            lo = (128 + idx % 128) << (idx // 128 - 7)
+            hi = lo + (1 << (idx // 128 - 7)) - 1
+        assert lo <= v <= hi, v
+        assert (hi - lo) * 128 < lo + 128
