@@ -136,6 +136,17 @@ TRANCHE = [
     "jl_projection_distortion",
     "theil_sen_trend",
     "mmr_diversified_topk",
+    "attribution_multi_touch",
+    "text_kneser_ney_bigram",
+    "hll_sliding_28d_users",
+    "cv_leakage_neardup",
+    "hll_intersection_ie",
+    "hard_negative_mining",
+    "tfidf_cosine_pairs",
+    "pca_power_iteration",
+    "hdr_quantile_sketch",
+    # r6b additions
+    "mann_whitney_auc",
 ]
 
 

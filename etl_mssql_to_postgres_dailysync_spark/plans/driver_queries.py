@@ -13827,3 +13827,96 @@ def hdr_quantile_sketch(spark, sf_dir):
             ).alias("rel_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics: Mann-Whitney AUC (label separability of a score column)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_whitney_auc",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    g AS (
+      SELECT priority, cents, count(*) AS cnt, sum(pos) AS n_pos
+      FROM v GROUP BY 1, 2),
+    r AS (
+      SELECT priority, cents, cnt, n_pos,
+             sum(cnt) OVER (PARTITION BY priority ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS cum_less
+      FROM g),
+    s AS (
+      SELECT priority,
+             CAST(sum(n_pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS s2,
+             CAST(sum(n_pos) AS BIGINT) AS n1,
+             CAST(sum(cnt) - sum(n_pos) AS BIGINT) AS n0
+      FROM r GROUP BY 1)
+    SELECT priority, n1 AS n_pos, n0 AS n_neg,
+           CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u2_stat,
+           CAST((s2 - n1 * (n1 + 1)) * 500000 // (n1 * n0) AS BIGINT) AS auc_ppm
+    FROM s
+    """,
+)
+def mann_whitney_auc(spark, sf_dir):
+    """Mann-Whitney U / ROC-AUC of a score column against a binary label,
+    per segment — the standard "does this quality score actually separate
+    the classes" eval for any classifier-driven curation filter (quality
+    model, dup predictor, lang-id confidence).
+
+    Rank-free distributed shape: instead of ranking N rows, aggregate to
+    (segment, score)-grain counts (the score domain is integer cents —
+    bounded by the price domain, NOT by data volume), then one partitioned
+    cumulative window over that value grain yields each distinct score's
+    tie-averaged rank in closed form: avg_rank = cum_less + (cnt+1)/2,
+    carried as the integer 2*avg_rank = 2*cum_less + cnt + 1 so ties never
+    produce a fraction. U = R1 - n1(n1+1)/2 follows from the rank-sum
+    identity; auc_ppm = U/(n1*n0) in ppm via the integer-staged
+    (s2 - n1(n1+1)) * 500000 div (n1*n0) — identical floor-div arithmetic
+    on both engines, no doubles anywhere.
+
+    Scale: the only shuffles are the value-grain groupBy (map-side
+    combined) and a window partitioned by segment over the bounded score
+    domain. At 100 TB the window input is |segments| x |distinct cents|
+    rows regardless of row count. AUC = P(score_pos > score_neg) +
+    0.5*P(tie) — pytest pins this against brute-force pair counting.
+    Reference surface: extends the validate.py count reconciliation
+    (dags/mssql_to_postgresql_orders_daily.py:530-584) to a ranked metric."""
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    g = v.groupBy("priority", "cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("n_pos")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.withColumn("cum_less", F.sum("cnt").over(w) - F.col("cnt"))
+    s = r.groupBy("priority").agg(
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum("n_pos").alias("n1"),
+        (F.sum("cnt") - F.sum("n_pos")).alias("n0"),
+    )
+    return s.select(
+        "priority",
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.expr("cast(s2 - n1 * (n1 + 1) as bigint)").alias("u2_stat"),
+        F.expr(
+            "cast((s2 - n1 * (n1 + 1)) * 500000 div (n1 * n0) as bigint)"
+        ).alias("auc_ppm"),
+    )

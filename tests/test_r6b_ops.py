@@ -1,0 +1,77 @@
+"""Property tests for the r6b operator tranche (rank statistics, drift
+tests, association rules, bootstrap CIs), beyond oracle parity.
+
+Oracle twins pin cross-engine equality; these pin the MATHEMATICAL
+contracts against independent brute-force/pure-Python replicas of the
+textbook definitions.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney AUC (plans/driver_queries.mann_whitney_auc)
+# ---------------------------------------------------------------------------
+
+def test_auc_equals_brute_force_pair_probability(spark):
+    """The rank-sum formula must equal the probabilistic definition
+    AUC = [#(pos>neg) + 0.5*#(pos==neg)] / (n_pos*n_neg), computed here by
+    brute-force O(n^2) pair counting per segment on the small fixture."""
+    got = {r["priority"]: r for r in QUERIES["mann_whitney_auc"](spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT),
+                   CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END
+            FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchall()
+    by_seg: dict[str, tuple[list[int], list[int]]] = {}
+    for seg, cents, pos in rows:
+        by_seg.setdefault(seg, ([], []))[0 if pos else 1].append(cents)
+    assert set(got) == set(by_seg)
+    for seg, (ps, ns) in by_seg.items():
+        wins = sum(1 for p in ps for q in ns if p > q)
+        ties = sum(1 for p in ps for q in ns if p == q)
+        u2 = 2 * wins + ties  # 2*U to stay integer with half-credit ties
+        r = got[seg]
+        assert (r["n_pos"], r["n_neg"]) == (len(ps), len(ns))
+        assert r["u2_stat"] == u2
+        assert r["auc_ppm"] == u2 * 500000 // (len(ps) * len(ns))
+
+
+def test_auc_extremes_and_symmetry(spark):
+    """Perfect separation -> 1e6 ppm; reversed -> 0; all-tied -> 500000."""
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 11, 1), ("a", 1, 0), ("a", 2, 0),
+         ("b", 1, 1), ("b", 2, 1), ("b", 10, 0), ("b", 11, 0),
+         ("c", 5, 1), ("c", 5, 0), ("c", 5, 1), ("c", 5, 0)],
+        "priority string, cents long, pos long",
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    g = df.groupBy("priority", "cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("n_pos")
+    )
+    w = Window.partitionBy("priority").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.withColumn("cum_less", F.sum("cnt").over(w) - F.col("cnt"))
+    s = r.groupBy("priority").agg(
+        F.sum(F.col("n_pos") * (2 * F.col("cum_less") + F.col("cnt") + 1)).alias("s2"),
+        F.sum("n_pos").alias("n1"),
+        (F.sum("cnt") - F.sum("n_pos")).alias("n0"),
+    )
+    out = {
+        x["priority"]: x["auc"]
+        for x in s.select(
+            "priority",
+            F.expr("(s2 - n1*(n1+1)) * 500000 div (n1*n0)").alias("auc"),
+        ).collect()
+    }
+    assert out == {"a": 1000000, "b": 0, "c": 500000}
