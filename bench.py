@@ -147,6 +147,7 @@ TRANCHE = [
     "hdr_quantile_sketch",
     # r6b additions
     "mann_whitney_auc",
+    "ks_two_sample",
 ]
 
 

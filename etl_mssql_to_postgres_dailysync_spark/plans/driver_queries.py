@@ -13920,3 +13920,135 @@ def mann_whitney_auc(spark, sf_dir):
             "cast((s2 - n1 * (n1 + 1)) * 500000 div (n1 * n0) as bigint)"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distribution-drift test
+# ---------------------------------------------------------------------------
+
+@register(
+    "ks_two_sample",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+               AS grp
+      FROM orders),
+    g AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS c1,
+             CAST(count(*) - sum(grp) AS BIGINT) AS c0
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT cents,
+             sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum1,
+             sum(c0) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum0,
+             (SELECT CAST(sum(grp) AS BIGINT) FROM v) AS n1,
+             (SELECT CAST(count(*) - sum(grp) AS BIGINT) FROM v) AS n0
+      FROM g),
+    d AS (
+      SELECT cents, abs(cum1 * n0 - cum0 * n1) AS cross_gap, n1, n0 FROM cum),
+    best AS (
+      SELECT CAST(max(cross_gap) AS BIGINT) AS max_gap,
+             CAST(min(CASE WHEN cross_gap = (SELECT max(cross_gap) FROM d)
+                           THEN cents END) AS BIGINT) AS at_cents,
+             CAST(max(n1) AS BIGINT) AS n1, CAST(max(n0) AS BIGINT) AS n0
+      FROM d),
+    scored AS (
+      SELECT n1, n0, at_cents,
+             CAST(max_gap * 1000000 // (n1 * n0) AS BIGINT) AS ks_ppm,
+             CAST(CAST(1844200000000 AS BIGINT) * (n1 + n0) // (n1 * n0)
+                  AS BIGINT) AS thr_ppm2
+      FROM best)
+    SELECT n1 AS n_a, n0 AS n_b, ks_ppm, at_cents,
+           CAST(CASE WHEN ks_ppm * ks_ppm > thr_ppm2 THEN 1 ELSE 0 END AS INT)
+             AS reject_95
+    FROM scored
+    """,
+)
+def ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the price
+    distributions of two order segments — the canonical nonparametric
+    drift detector for "did this source's distribution shift" checks on a
+    training corpus (complements drift_psi's binned form and
+    source_kl_divergence's parametric form with the sup-norm ECDF test).
+
+    Distributed shape: aggregate to score-grain counts per group (bounded
+    by the integer cents domain, not row count), one global cumulative
+    window over that aggregated grain (sits above a HashAggregate, so the
+    plan-sweep bounding proof applies), then
+    D = max |F1(x) - F2(x)| = max |cum1*n0 - cum0*n1| / (n1*n0) held as an
+    exact integer cross product until the final ppm division. at_cents
+    reports the argmax location (min cents among ties — deterministic).
+
+    reject_95: the large-sample KS critical value c(0.05)=1.358*sqrt((n1+n0)
+    /(n1*n0)) is applied with NO sqrt by comparing squares in ppm^2 space:
+    reject iff ks_ppm^2 > 1.8442e12*(n1+n0)/(n1*n0), the right side staged
+    as the exact integer 1844200000000*(n1+n0) div (n1*n0) (fits bigint for
+    any realistic n; the floor loses <1 ppm^2 and floors identically on
+    both engines).
+
+    At 100 TB: two shuffles (value-grain groupBy with map-side combine,
+    then the single-partition window over <=|price domain| aggregated
+    rows); nothing scales with raw row count."""
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("grp"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("grp").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("grp")).alias("c0"),
+    )
+    totals = v.agg(
+        F.sum("grp").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("grp")).cast("bigint").alias("n0"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        g.withColumn("cum1", F.sum("c1").over(wcum))
+        .withColumn("cum0", F.sum("c0").over(wcum))
+        .crossJoin(F.broadcast(totals))
+    )
+    d = cum.select(
+        "cents",
+        F.expr("abs(cum1 * n0 - cum0 * n1)").alias("cross_gap"),
+        "n1",
+        "n0",
+    )
+    best = d.agg(
+        F.max(F.struct(F.col("cross_gap"), (-F.col("cents")).alias("neg_cents")))
+        .alias("top"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n0").cast("bigint").alias("n0"),
+    ).select(
+        F.col("top.cross_gap").cast("bigint").alias("max_gap"),
+        (-F.col("top.neg_cents")).cast("bigint").alias("at_cents"),
+        "n1",
+        "n0",
+    )
+    scored = best.select(
+        "n1",
+        "n0",
+        "at_cents",
+        F.expr("cast(max_gap * 1000000 div (n1 * n0) as bigint)").alias("ks_ppm"),
+        F.expr(
+            "cast(cast(1844200000000 as bigint) * (n1 + n0) div (n1 * n0) as bigint)"
+        ).alias("thr_ppm2"),
+    )
+    return scored.select(
+        F.col("n1").alias("n_a"),
+        F.col("n0").alias("n_b"),
+        "ks_ppm",
+        "at_cents",
+        F.expr(
+            "cast(case when ks_ppm * ks_ppm > thr_ppm2 then 1 else 0 end as int)"
+        ).alias("reject_95"),
+    )

@@ -75,3 +75,48 @@ def test_auc_extremes_and_symmetry(spark):
         ).collect()
     }
     assert out == {"a": 1000000, "b": 0, "c": 500000}
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS (plans/driver_queries.ks_two_sample)
+# ---------------------------------------------------------------------------
+
+def test_ks_matches_brute_force_ecdf_sup(spark):
+    """D must equal the sup-norm ECDF gap computed by a pure-Python sweep
+    over the pooled sample, with the same floor-div ppm staging, and the
+    reject bit must match the 1.358*sqrt((n1+n0)/(n1 n0)) rule."""
+    row = QUERIES["ks_two_sample"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT CAST(round(o_totalprice*100) AS BIGINT),
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END
+            FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchall()
+    a = sorted(c for c, g in vals if g == 1)
+    b = sorted(c for c, g in vals if g == 0)
+    n1, n0 = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    best, at = -1, None
+    for x in support:
+        gap = abs(bisect.bisect_right(a, x) * n0 - bisect.bisect_right(b, x) * n1)
+        if gap > best:
+            best, at = gap, x
+    assert (row["n_a"], row["n_b"]) == (n1, n0)
+    assert row["ks_ppm"] == best * 1000000 // (n1 * n0)
+    assert row["at_cents"] == at
+    thr = 1844200000000 * (n1 + n0) // (n1 * n0)
+    assert row["reject_95"] == int(row["ks_ppm"] ** 2 > thr)
+
+
+def test_ks_extremes():
+    """Disjoint supports give D=1 (always reject at any sane n); identical
+    samples give D=0 (never reject) — checked on the integer staging
+    directly (no Spark needed, the formula is shared)."""
+    # disjoint: F1 jumps to 1 before F2 leaves 0 -> max gap = n1*n0
+    n1 = n0 = 50
+    assert (n1 * n0) * 1000000 // (n1 * n0) == 1000000
+    thr = 1844200000000 * (n1 + n0) // (n1 * n0)
+    assert 1000000**2 > thr  # reject
+    assert 0**2 <= thr  # identical -> never reject
