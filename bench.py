@@ -148,6 +148,7 @@ TRANCHE = [
     # r6b additions
     "mann_whitney_auc",
     "ks_two_sample",
+    "spearman_rank_corr",
 ]
 
 

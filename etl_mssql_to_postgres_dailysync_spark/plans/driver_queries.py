@@ -14052,3 +14052,141 @@ def ks_two_sample(spark, sf_dir):
             "cast(case when ks_ppm * ks_ppm > thr_ppm2 then 1 else 0 end as int)"
         ).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged ranks, exact integer statistics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH base AS (
+      SELECT o.o_orderkey,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(round(max(o.o_totalprice) * 100) AS BIGINT) AS y,
+             CAST(round(max(o.o_totalprice)) AS BIGINT) AS yd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    xg AS (SELECT x, count(*) AS cnt FROM base GROUP BY 1),
+    xr AS (SELECT x, 2 * sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) - cnt + 1 AS r2x
+           FROM xg),
+    yg AS (SELECT y, count(*) AS cnt FROM base GROUP BY 1),
+    yr AS (SELECT y, 2 * sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) - cnt + 1 AS r2y
+           FROM yg),
+    c AS (
+      SELECT CAST(xr.r2x - (n_t.n + 1) AS BIGINT) AS cx,
+             CAST(yr.r2y - (n_t.n + 1) AS BIGINT) AS cy,
+             base.x, base.yd
+      FROM base JOIN xr USING (x) JOIN yr USING (y) CROSS JOIN n_t),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cx * cy) AS BIGINT) AS sxy,
+             CAST(sum(cx * cx) AS BIGINT) AS sxx,
+             CAST(sum(cy * cy) AS BIGINT) AS syy,
+             CAST(sum(x) AS BIGINT) AS rsx, CAST(sum(yd) AS BIGINT) AS rsy,
+             CAST(sum(x * x) AS BIGINT) AS rsxx,
+             CAST(sum(yd * yd) AS BIGINT) AS rsyy,
+             CAST(sum(x * yd) AS BIGINT) AS rsxy
+      FROM c)
+    SELECT n,
+           round(CAST(sxy AS DOUBLE) /
+                 (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
+             AS spearman_rho,
+           round((CAST(n AS DOUBLE) * rsxy - CAST(rsx AS DOUBLE) * rsy) /
+                 (sqrt(CAST(n AS DOUBLE) * rsxx - CAST(rsx AS DOUBLE) * rsx) *
+                  sqrt(CAST(n AS DOUBLE) * rsyy - CAST(rsy AS DOUBLE) * rsy)), 6)
+             AS pearson_r
+    FROM s
+    """,
+)
+def spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between order size (line count) and order
+    value — the robust monotone-association measure for heavy-tailed
+    pipeline signals (doc length vs quality, dup count vs perplexity)
+    where Pearson is dominated by outliers; emitted next to Pearson on the
+    raw values so the rank-vs-linear gap is visible in one row.
+
+    With ties, rho = Pearson on tie-averaged ranks. Rank assignment is
+    rank-free at data grain: each DISTINCT value's tie-averaged rank comes
+    from one cumulative window over the value-grain aggregate (bounded by
+    the domain, not the row count), carried as the integer
+    2*avg_rank = 2*cum - cnt + 1, then joined back. Centering by the known
+    mean rank (n+1 in doubled units) keeps every sufficient statistic an
+    EXACT bigint (|c| <= n so sums bound by n^3 — fine to sf~1-scale; the
+    mergeable-sums form is what a 100 TB rollup would keep); the final
+    rho = sxy/(sqrt(sxx)*sqrt(syy)) is one fixed IEEE expression rounded
+    to 6dp on both engines, same convention as manual_corr_stats. The raw
+    Pearson arm uses whole-dollar values (Pearson is scale-invariant;
+    cents^2 sums would overflow int64 — caught by the oracle's HUGEINT
+    promotion, exactly the divergence class the staging conventions
+    exist to prevent).
+
+    Shuffles: the orders-lineitem groupBy, two value-grain aggs + two
+    broadcast-sized rank joins, one scalar agg. No data-grain windows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.round(F.max("o_totalprice") * 100).cast("bigint").alias("y"),
+            F.round(F.max("o_totalprice")).cast("bigint").alias("yd"),
+        )
+    )
+    n_t = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    xr = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("x", (2 * F.sum("cnt").over(wx) - F.col("cnt") + 1).alias("r2x"))
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    yr = (
+        base.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("y", (2 * F.sum("cnt").over(wy) - F.col("cnt") + 1).alias("r2y"))
+    )
+    c = (
+        base.join(xr, "x")
+        .join(yr, "y")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            (F.col("r2x") - (F.col("n") + 1)).cast("bigint").alias("cx"),
+            (F.col("r2y") - (F.col("n") + 1)).cast("bigint").alias("cy"),
+            "x",
+            "yd",
+        )
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("bigint").alias("syy"),
+        F.sum("x").cast("bigint").alias("rsx"),
+        F.sum("yd").cast("bigint").alias("rsy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("rsxx"),
+        F.sum(F.col("yd") * F.col("yd")).cast("bigint").alias("rsyy"),
+        F.sum(F.col("x") * F.col("yd")).cast("bigint").alias("rsxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.round(
+            F.col("sxy").cast("double")
+            / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            (nd * F.col("rsxy") - F.col("rsx").cast("double") * F.col("rsy"))
+            / (
+                F.sqrt(nd * F.col("rsxx") - F.col("rsx").cast("double") * F.col("rsx"))
+                * F.sqrt(nd * F.col("rsyy") - F.col("rsy").cast("double") * F.col("rsy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    )

@@ -120,3 +120,63 @@ def test_ks_extremes():
     thr = 1844200000000 * (n1 + n0) // (n1 * n0)
     assert 1000000**2 > thr  # reject
     assert 0**2 <= thr  # identical -> never reject
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (plans/driver_queries.spearman_rank_corr)
+# ---------------------------------------------------------------------------
+
+def test_spearman_matches_pure_python_tie_averaged(spark):
+    """rho must equal Pearson-on-tie-averaged-ranks computed by a pure
+    Python replica (explicit average ranks, float arithmetic) to 6dp."""
+    row = QUERIES["spearman_rank_corr"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""SELECT CAST(count(*) AS BIGINT),
+                   CAST(round(max(o.o_totalprice) * 100) AS BIGINT)
+            FROM '{SF_DIR}/orders.parquet' o
+            JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey"""
+    ).fetchall()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(pairs)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert row["n"] == n
+    assert abs(row["spearman_rho"] - num / den) < 1e-6
+
+
+def test_spearman_perfect_monotone_and_antitone():
+    """The centered-2r staging gives exactly +-1 for strict monotone data
+    (pure Python check of the shared integer formulas)."""
+    for flip, want in ((1, 1.0), (-1, -1.0)):
+        xs = list(range(1, 21))
+        ys = [flip * (x * x) for x in xs]  # strictly monotone, nonlinear
+        n = len(xs)
+        r2 = {v: 2 * (i + 1) for i, v in enumerate(sorted(xs))}
+        r2y = {v: 2 * (i + 1) for i, v in enumerate(sorted(ys))}
+        cx = [r2[x] - (n + 1) for x in xs]
+        cy = [r2y[y] - (n + 1) for y in ys]
+        sxy = sum(a * b for a, b in zip(cx, cy))
+        sxx = sum(a * a for a in cx)
+        syy = sum(b * b for b in cy)
+        assert round(sxy / (sxx**0.5 * syy**0.5), 6) == want
