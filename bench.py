@@ -149,6 +149,13 @@ TRANCHE = [
     "mann_whitney_auc",
     "ks_two_sample",
     "spearman_rank_corr",
+    # r6c additions
+    "frequent_itemset_pairs",
+    "acf_durbin_watson",
+    "cramers_v_association",
+    "text_readability_ari",
+    "ewma_anomaly",
+    "temperature_sampling_mix",
 ]
 
 

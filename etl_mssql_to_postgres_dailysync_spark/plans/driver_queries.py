@@ -14190,3 +14190,508 @@ def spearman_rank_corr(spark, sf_dir):
             6,
         ).alias("pearson_r"),
     )
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (frequent pairs: support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "frequent_itemset_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    n_b AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM items),
+    cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS pair_baskets
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.pair_baskets,
+             ca.c AS n_a, cb.c AS n_b,
+             CAST(p.pair_baskets * 1000000 // n_t.n AS BIGINT) AS support_ppm,
+             CAST(p.pair_baskets * 1000000 // ca.c AS BIGINT) AS conf_ab_ppm,
+             CAST(p.pair_baskets * n_t.n * 1000000 // (ca.c * cb.c) AS BIGINT)
+               AS lift_ppm
+      FROM pairs p
+      JOIN cnt ca ON ca.item = p.item_a
+      JOIN cnt cb ON cb.item = p.item_b
+      CROSS JOIN n_b n_t)
+    SELECT * FROM scored
+    ORDER BY lift_ppm DESC, pair_baskets DESC, item_a ASC, item_b ASC
+    LIMIT 100
+    """,
+)
+def frequent_itemset_pairs(spark, sf_dir):
+    """Frequent-pair association rules over order baskets (the map-side
+    half of distributed Apriori/FP-growth): per-pair support, directional
+    confidence, and lift, all exact integer ppm. The pipeline analogue is
+    co-occurrence mining over tag/domain/token baskets when curating a
+    training mixture.
+
+    Scale shape: baskets are DISTINCT (orderkey, partkey) pairs; pair
+    generation is a self-equi-join ON basket, so candidates are bounded by
+    sum(basket_size^2) with TPC-H basket size <= 7 — per-basket quadratic,
+    never corpus-quadratic (the standard basket-bounded market-basket
+    design; skewed mega-baskets would be capped upstream the way
+    dedup_ngram_jaccard_capped caps posting lists). Item counts join back
+    at pair grain (item-dimension-sized, broadcastable); the basket total
+    is a one-row broadcast. min-support HAVING prunes the long tail before
+    the scoring joins. Top-100 by lift is a TakeOrdered, no global sort.
+    (lift_ppm's pair*n*1e6 product overflows int64 only past ~9e18 — i.e.
+    pair_baskets*n > 9e12, ~3e6 baskets with a 3e6-basket pair; switch the
+    lift numerator to DECIMAL(38) beyond that.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_b = items.agg(F.countDistinct("basket").cast("bigint").alias("n"))
+    cnt = items.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= 2)
+    )
+    scored = (
+        pairs.join(F.broadcast(cnt.withColumnRenamed("item", "item_a")
+                               .withColumnRenamed("c", "n_a")), "item_a")
+        .join(F.broadcast(cnt.withColumnRenamed("item", "item_b")
+                          .withColumnRenamed("c", "n_b")), "item_b")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "item_a", "item_b", "pair_baskets", "n_a", "n_b",
+            F.expr("pair_baskets * 1000000 div n").alias("support_ppm"),
+            F.expr("pair_baskets * 1000000 div n_a").alias("conf_ab_ppm"),
+            F.expr("pair_baskets * n * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("pair_baskets").desc(),
+        F.col("item_a").asc(), F.col("item_b").asc(),
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation + Durbin-Watson over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_EXPR = (
+    "round((CAST(ck AS DOUBLE) - CAST(s AS DOUBLE) / n * (pk + qk)"
+    " + (CAST(n AS DOUBLE) - lag) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)"
+)
+_DW_EXPR = (
+    "round(CAST(dk AS DOUBLE)"
+    " / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)"
+)
+
+
+@register(
+    "acf_durbin_watson",
+    f"""
+    WITH day_rev AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    series AS (SELECT row_number() OVER (ORDER BY d) AS t, x FROM day_rev),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS ss
+            FROM series),
+    ks AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    lagged AS (
+      SELECT k.lag, a.x AS xa, b.x AS xb
+      FROM series a JOIN ks k ON true
+      JOIN series b ON b.t = a.t + k.lag),
+    per AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xa * xb) AS BIGINT) AS ck,
+             CAST(sum(xa) AS BIGINT) AS pk, CAST(sum(xb) AS BIGINT) AS qk,
+             CAST(sum((xb - xa) * (xb - xa)) AS BIGINT) AS dk
+      FROM lagged GROUP BY 1)
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           {_ACF_EXPR} AS acf,
+           {_DW_EXPR} AS dw
+    FROM per CROSS JOIN tot
+    ORDER BY lag
+    """,
+)
+def acf_durbin_watson(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily-revenue series plus the
+    Durbin-Watson-style ratio d_k = sum(diff_k^2)/sum((x-mean)^2) — dw at
+    lag 1 IS the classic Durbin-Watson statistic (centering leaves
+    differences unchanged), lags 2..7 are the normalized variogram. The
+    drift screen for any daily pipeline metric (token volume, dup rate,
+    quality score) before trusting a trend.
+
+    Series grain is DAY: one groupBy(day) aggregate (map-side combined)
+    collapses data grain before anything else, so the row_number window and
+    the lag self-join both run on a domain-bounded series (~2.4k rows at
+    any sf — the sweep's bounded-window rule by construction). Lag pairs
+    come from one 7-row exploded literal joined on t+lag (equi-join, no
+    per-lag passes); sufficient statistics are EXACT bigints in whole
+    dollars (x<=1e7/day at sf~1 -> sum(x*x) <= 2.4e17, inside int64), and
+    the two final ratios are single shared-text IEEE expressions rounded
+    to 6dp on both engines (manual_corr_stats convention)."""
+    orders = _t(spark, sf_dir, "orders")
+    day_rev = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) div 100 as bigint)").alias("x"))
+    )
+    series = day_rev.select(
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"), "x"
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("lag"))
+    probe = (
+        series.crossJoin(F.broadcast(ks))
+        .select("lag", F.col("x").alias("xa"), (F.col("t") + F.col("lag")).alias("t2"))
+    )
+    lagged = probe.join(series, probe["t2"] == series["t"]).select(
+        "lag", "xa", F.col("x").alias("xb")
+    )
+    per = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("ck"),
+        F.sum("xa").cast("bigint").alias("pk"),
+        F.sum("xb").cast("bigint").alias("qk"),
+        F.sum((F.col("xb") - F.col("xa")) * (F.col("xb") - F.col("xa")))
+        .cast("bigint").alias("dk"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lag").cast("int").alias("lag"), "n_pairs",
+            F.expr(_ACF_EXPR).alias("acf"),
+            F.expr(_DW_EXPR).alias("dw"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association strength (priority x status contingency)
+# ---------------------------------------------------------------------------
+
+_CRAMERS_V_EXPR = (
+    "round(sqrt(CAST(chi2_milli AS DOUBLE) / 1000"
+    " / (CAST(n AS DOUBLE) * (least(n_r, n_c) - 1))), 6)"
+)
+
+
+@register(
+    "cramers_v_association",
+    f"""
+    WITH o AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                      count(*) AS obs
+               FROM orders GROUP BY 1, 2),
+    r AS (SELECT priority, sum(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT status, sum(obs) AS ct FROM o GROUP BY 1),
+    t AS (SELECT sum(obs) AS tt,
+                 CAST(count(DISTINCT priority) AS BIGINT) AS n_r,
+                 CAST(count(DISTINCT status) AS BIGINT) AS n_c
+          FROM o),
+    cells AS (
+      SELECT o.obs, (r.rt * c.ct * 1000) // t.tt AS em
+      FROM o JOIN r USING (priority) JOIN c USING (status) CROSS JOIN t),
+    agg AS (
+      SELECT CAST(sum(((obs * 1000 - em) * (obs * 1000 - em)) // greatest(em, 1))
+                  AS BIGINT) AS chi2_milli
+      FROM cells)
+    SELECT CAST(t.tt AS BIGINT) AS n, CAST(t.n_r AS INT) AS n_r,
+           CAST(t.n_c AS INT) AS n_c, agg.chi2_milli,
+           {_CRAMERS_V_EXPR} AS cramers_v
+    FROM agg CROSS JOIN t
+    """,
+)
+def cramers_v_association(spark, sf_dir):
+    """Cramér's V — the [0,1]-normalized effect size for the priority x
+    status contingency: V = sqrt(chi2 / (n * (min(r,c)-1))). The
+    scale-free companion to chi_square_priority_status (whose statistic
+    grows with n even for a fixed weak association); the pipeline use is
+    ranking which metadata pairs (lang x source, dup-tier x quality-decile)
+    actually co-vary.
+
+    chi2 is summed from the SAME exact integer milli-unit contributions as
+    chi_square_priority_status (floored expected counts, identical on both
+    engines, order-independent integer sum — no float-summation-order
+    hazard across the 15 cells); only the final V is a double, one shared
+    IEEE expression rounded to 6dp. Marginals and the cell grid are all
+    contingency-sized (15 rows) after one map-side-combined aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("priority").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("status").agg(F.sum("obs").alias("ct"))
+    t = o.agg(
+        F.sum("obs").alias("tt"),
+        F.countDistinct("priority").cast("bigint").alias("n_r"),
+        F.countDistinct("status").cast("bigint").alias("n_c"),
+    )
+    cells = (
+        o.join(F.broadcast(r), "priority")
+        .join(F.broadcast(c), "status")
+        .crossJoin(F.broadcast(t.select("tt")))
+        .select("obs", F.expr("rt * ct * 1000 div tt").alias("em"))
+    )
+    agg = cells.agg(
+        F.expr(
+            "cast(sum(((obs * 1000 - em) * (obs * 1000 - em)) div greatest(em, 1))"
+            " as bigint)"
+        ).alias("chi2_milli")
+    )
+    return agg.crossJoin(F.broadcast(t)).select(
+        F.col("tt").cast("bigint").alias("n"),
+        F.col("n_r").cast("int").alias("n_r"),
+        F.col("n_c").cast("int").alias("n_c"),
+        "chi2_milli",
+        F.expr(_CRAMERS_V_EXPR).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ARI readability profile per source (integer centi-units)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_readability_ari",
+    r"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) AS chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS sents
+      FROM documents),
+    scored AS (
+      SELECT source,
+             471 * chars // words + 50 * words // sents - 2143 AS ari_centi
+      FROM per WHERE words > 0),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ari_centi) // count(*) AS BIGINT) AS mean_ari_centi,
+             CAST(min(ari_centi) AS BIGINT) AS min_ari_centi,
+             CAST(max(ari_centi) AS BIGINT) AS max_ari_centi,
+             CAST(count(*) FILTER (ari_centi >= 1400) AS BIGINT) AS n_college
+      FROM scored GROUP BY 1)
+    SELECT source, n_docs, mean_ari_centi, min_ari_centi, max_ari_centi,
+           CAST(n_college * 1000000 // n_docs AS BIGINT) AS college_ppm
+    FROM g
+    """,
+)
+def text_readability_ari(spark, sf_dir):
+    """Automated Readability Index per document, profiled per source:
+    ARI = 4.71*(chars/words) + 0.5*(words/sentences) - 21.43, staged
+    entirely in integer centi-units (471*chars div words + 50*words div
+    sents - 2143) so both engines agree to the unit — ARI is the
+    readability formula with NO syllable heuristic, which is what makes it
+    cross-engine exact (alphanumeric chars, whitespace words, [.!?]+
+    sentence runs are all plain regex counts; the same reason it's the
+    cheap quality gate in large-scale corpus filtering). Empty-word docs
+    are excluded; sentence count floors at 1 so headline-ish fragments
+    don't divide by zero.
+
+    Per-doc scoring is pure column expressions (no UDF, whole-stage
+    codegen); the profile is one map-side-combined groupBy(source). Shares
+    the token regex with text_token_stats (functions/text.py:27)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]"), 0))
+        .cast("bigint").alias("chars"),
+        text.token_count(F.col("text")).cast("bigint").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+        ).cast("bigint").alias("sents"),
+    )
+    scored = per.filter(F.col("words") > 0).select(
+        "source",
+        F.expr("471 * chars div words + 50 * words div sents - 2143")
+        .alias("ari_centi"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(ari_centi) div count(*) as bigint)").alias("mean_ari_centi"),
+        F.min("ari_centi").cast("bigint").alias("min_ari_centi"),
+        F.max("ari_centi").cast("bigint").alias("max_ari_centi"),
+        F.count_if(F.col("ari_centi") >= 1400).cast("bigint").alias("n_college"),
+    )
+    return g.select(
+        "source", "n_docs", "mean_ari_centi", "min_ari_centi", "max_ari_centi",
+        F.expr("n_college * 1000000 div n_docs").alias("college_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA (alpha=1/2) anomaly flags over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_EWMA_L = 30  # lookback days; weight for offset i is 2^(L-1-i), exactly dyadic
+
+
+@register(
+    "ewma_anomaly",
+    f"""
+    WITH day_rev AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    series AS (SELECT row_number() OVER (ORDER BY d) AS t, d, x FROM day_rev),
+    offs AS (SELECT unnest(generate_series(0, {_EWMA_L - 1})) AS i),
+    terms AS (
+      SELECT a.t, a.d, a.x, o.i, b.x AS xl,
+             (CAST(1 AS BIGINT) << ({_EWMA_L - 1} - o.i)) AS w
+      FROM series a JOIN offs o ON true
+      JOIN series b ON b.t = a.t - o.i),
+    agg AS (
+      SELECT t, d, max(x) AS x,
+             CAST(sum(xl * w) AS BIGINT) AS num_inc,
+             CAST(sum(w) AS BIGINT) AS wsum_inc,
+             CAST(coalesce(sum(xl * w) FILTER (i >= 1), 0) AS BIGINT) AS num_prev,
+             CAST(coalesce(sum(w) FILTER (i >= 1), 0) AS BIGINT) AS wsum_prev
+      FROM terms GROUP BY 1, 2)
+    SELECT CAST(t AS BIGINT) AS t, CAST(d AS VARCHAR) AS day, x,
+           round(CAST(num_inc AS DOUBLE) / wsum_inc, 6) AS ewma,
+           CAST(CASE WHEN wsum_prev > 0 AND x * wsum_prev > 2 * num_prev
+                     THEN 1 ELSE 0 END AS INT) AS spike,
+           CAST(CASE WHEN wsum_prev > 0 AND 2 * x * wsum_prev < num_prev
+                     THEN 1 ELSE 0 END AS INT) AS drop_
+    FROM agg ORDER BY t
+    """,
+)
+def ewma_anomaly(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue with
+    spike/drop anomaly flags — the standard smoothed-baseline drift monitor
+    for any daily pipeline metric. alpha = 1/2 with a {_EWMA_L}-day
+    truncated window makes every weight an exact power of two, so the
+    weighted numerator and the weight sum are EXACT bigints on both
+    engines (term bound x*2^29 <= 5.4e15 at sf~1; the only double is the
+    final ewma = num/wsum, one shared expression rounded to 6dp — the
+    truncated-EWMA renormalization num / (2^L - 2^(L-m)) falls out of
+    summing only the available weights). Anomaly tests cross-multiply
+    INTEGERS (x*wsum_prev vs 2*num_prev), so the flags are float-free:
+    spike = today's value above 2x the prior-days-only EWMA, drop = below
+    half.
+
+    Scale shape: data grain collapses at groupBy(day) first; the weighted
+    window rides ONE equi-join of the day-grain series against a
+    {_EWMA_L}-row exploded offset literal (the sessionize_gap_sensitivity
+    pattern) — no per-offset passes, no data-grain windows, and a plain
+    window-sum could not express position-dependent weights."""
+    orders = _t(spark, sf_dir, "orders")
+    day_rev = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) div 100 as bigint)").alias("x"))
+    )
+    series = day_rev.select(
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"), "d", "x"
+    )
+    offs = spark.range(0, _EWMA_L).select(F.col("id").alias("i"))
+    probe = series.crossJoin(F.broadcast(offs)).select(
+        "t", "d", "x", "i", (F.col("t") - F.col("i")).alias("tl"),
+        F.expr(
+            f"cast(shiftleft(cast(1 as bigint), cast({_EWMA_L - 1} - i as int))"
+            " as bigint)"
+        ).alias("w"),
+    )
+    lagged = series.select(F.col("t").alias("tl"), F.col("x").alias("xl"))
+    terms = probe.join(lagged, "tl")
+    agg = terms.groupBy("t", "d").agg(
+        F.max("x").alias("x"),
+        F.sum(F.col("xl") * F.col("w")).cast("bigint").alias("num_inc"),
+        F.sum("w").cast("bigint").alias("wsum_inc"),
+        F.coalesce(F.sum(F.when(F.col("i") >= 1, F.col("xl") * F.col("w"))), F.lit(0))
+        .cast("bigint").alias("num_prev"),
+        F.coalesce(F.sum(F.when(F.col("i") >= 1, F.col("w"))), F.lit(0))
+        .cast("bigint").alias("wsum_prev"),
+    )
+    return agg.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("d").cast("string").alias("day"), "x",
+        F.round(F.col("num_inc").cast("double") / F.col("wsum_inc"), 6).alias("ewma"),
+        F.expr(
+            "cast(case when wsum_prev > 0 and x * wsum_prev > 2 * num_prev"
+            " then 1 else 0 end as int)"
+        ).alias("spike"),
+        F.expr(
+            "cast(case when wsum_prev > 0 and 2 * x * wsum_prev < num_prev"
+            " then 1 else 0 end as int)"
+        ).alias("drop_"),
+    ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (alpha = 0.5 via exact micro-sqrt)
+# ---------------------------------------------------------------------------
+
+@register(
+    "temperature_sampling_mix",
+    r"""
+    WITH tok AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents),
+    per AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens
+            FROM tok GROUP BY 1),
+    w AS (SELECT *,
+                 CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS msqrt
+          FROM per),
+    t AS (SELECT sum(tokens) AS tt, sum(msqrt) AS st FROM w)
+    SELECT source, n_docs, tokens,
+           CAST(tokens * 1000000 // t.tt AS BIGINT) AS weight_ppm,
+           CAST(msqrt * 1000000 // t.st AS BIGINT) AS temp_mix_ppm,
+           CAST(msqrt * 1000000 // t.st - tokens * 1000000 // t.tt AS BIGINT)
+             AS flatten_ppm
+    FROM w CROSS JOIN t
+    """,
+)
+def temperature_sampling_mix(spark, sf_dir):
+    """Temperature-scaled sampling weights per source (the multilingual /
+    multi-domain mixture trick: p_i ~ tokens_i^alpha with alpha = 0.5,
+    which up-samples low-resource domains relative to raw token share).
+    The companion to domain_mixing_weights' cap-and-renormalize policy.
+
+    alpha = 1/2 is chosen deliberately: tokens^0.5 is IEEE sqrt — correctly
+    rounded on both JVMs and C runtimes, unlike pow(x, 0.7) which is only
+    1-ulp-accurate and a cross-engine hazard. The sqrt is immediately
+    staged to an exact bigint in micro-units (round-half-up, identical
+    double in, identical bigint out), so the shares themselves are pure
+    integer floor-divisions — the two totals are one broadcast row, per
+    source grain throughout after one map-side token count. flatten_ppm > 0
+    marks the domains temperature sampling up-weights."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    w = per.withColumn(
+        "msqrt",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast("bigint"),
+    )
+    t = w.agg(F.sum("tokens").alias("tt"), F.sum("msqrt").alias("st"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "tokens",
+        F.expr("tokens * 1000000 div tt").alias("weight_ppm"),
+        F.expr("msqrt * 1000000 div st").alias("temp_mix_ppm"),
+        F.expr("msqrt * 1000000 div st - tokens * 1000000 div tt")
+        .alias("flatten_ppm"),
+    )
