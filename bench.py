@@ -156,6 +156,10 @@ TRANCHE = [
     "text_readability_ari",
     "ewma_anomaly",
     "temperature_sampling_mix",
+    "streaming_sessionize",
+    "skipgram_pairs_subsampled",
+    "k_anonymity_audit",
+    "logistic_regression_irls",
 ]
 
 

@@ -14695,3 +14695,452 @@ def temperature_sampling_mix(spark, sf_dir):
         F.expr("msqrt * 1000000 div st - tokens * 1000000 div tt")
         .alias("flatten_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING sessionization: native session_window over an availableNow stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_sessionize",
+    """
+    WITH l AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+        FROM l
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """STREAMING sessionization via Spark's native ``session_window`` — the
+    stateful merging-interval operator itself, not the batch
+    gaps-and-islands rewrite (that twin is the ``sessionize`` query). An
+    availableNow file stream replays the events fixture through a real
+    StreamingQuery; complete-mode memory sink captures every closed-and-open
+    session, and the result is the sink table.
+
+    Boundary semantics differ from the batch twin BY DESIGN and the oracle
+    encodes them: session_window assigns each event the interval
+    [ts, ts+gap) and merges overlapping intervals, so a successor at
+    exactly ts+gap starts a NEW session (break on diff >= gap), whereas
+    LAG-based islands typically break on diff > gap. session_end here is
+    max(ts) (last event), not the window's exclusive end.
+
+    Scale shape: session state is per-user merging intervals, sized by
+    OPEN sessions only once a watermark is attached (production runs
+    append mode + withWatermark for eviction; complete+memory here is the
+    fixture-scale harness the same way streaming_cdc_rollup stages /tmp).
+    The shuffle is one hash exchange on user_id — identical to the batch
+    plan — and the file source splits the parquet into ordinary tasks."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    # the file stream source requires a DIRECTORY; stage one holding a
+    # symlink to the fixture file (testdata itself is read-only)
+    stage = f"/tmp/spark_graft_ssess_{sf_dir.strip('/').replace('/', '_')}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .select("user_id", "ts", "event_id")
+    )
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        stream.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    sink = f"streaming_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs with frequency subsampling (word2vec data prep)
+# ---------------------------------------------------------------------------
+
+_SG_T_INV = 1000  # Mikolov subsample threshold t = 1/1000
+_SG_KEEP_PPM = (
+    "least(cast(1000000 as bigint), cast(round((sqrt(cast(tt as double) / ({t} * c))"
+    " + cast(tt as double) / ({t} * c)) * 1000000) as bigint))"
+).format(t=_SG_T_INV)
+
+
+@register(
+    "skipgram_pairs_subsampled",
+    rf"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+                WHERE trim(text) <> ''),
+    ex AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i FROM tk),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM ex),
+    kept AS (
+      SELECT e.doc_id, e.i, e.t
+      FROM ex e JOIN cnt USING (t) CROSS JOIN tot
+      WHERE {md5_long_sql("e.doc_id || '_' || e.i", seed=77)} % 1000000
+            < {_SG_KEEP_PPM}),
+    pairs AS (
+      SELECT a.t AS center, b.t AS context, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM kept a JOIN kept b
+        ON b.doc_id = a.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+      GROUP BY 1, 2)
+    SELECT center, context, n_pairs FROM pairs
+    ORDER BY n_pairs DESC, center ASC, context ASC LIMIT 100
+    """,
+)
+def skipgram_pairs_subsampled(spark, sf_dir):
+    """Skip-gram (center, context) training-pair generation with Mikolov
+    frequency subsampling — the word2vec/fastText data-prep step: frequent
+    words are dropped with probability 1 - (sqrt(t/f) + t/f), t = 1e-3,
+    BEFORE windowing, which both shrinks the pair stream and re-balances
+    it toward informative co-occurrences.
+
+    The drop decision is a deterministic hash-uniform per token POSITION
+    (md5 of doc_id_position, the engine's F.rand replacement) compared in
+    integer ppm against the keep probability — the probability itself is
+    staged through one shared-text IEEE expression rounded to a bigint, so
+    both engines keep exactly the same positions. Window pairs come from a
+    self-equi-join of kept positions on BOTH keys (doc_id, i+offset) with
+    the offsets {1,2} riding a 2-row exploded literal (forward only;
+    reverse directions are the mirror image) — candidate count is exactly
+    2x kept positions, never per-doc quadratic (an OR-of-offsets join
+    condition would equi-join on doc_id alone and square each doc's kept
+    set). Corpus frequencies join at token-type grain;
+    the token total is a one-row broadcast. Top-100 pairs by count is a
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(text.normalize(F.col("text")), " ")).alias("i0", "t"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "t")
+    cnt = ex.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = ex.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    u = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("i").cast("string")),
+        seed=77,
+    ) % 1000000
+    kept = (
+        ex.join(cnt, "t")
+        .crossJoin(F.broadcast(tot))
+        .filter(u < F.expr(_SG_KEEP_PPM))
+        .select("doc_id", "i", "t")
+    )
+    offs = spark.range(1, 3).select(F.col("id").alias("off"))
+    probe = kept.crossJoin(F.broadcast(offs)).select(
+        "doc_id", F.col("t").alias("center"), (F.col("i") + F.col("off")).alias("i2")
+    )
+    ctx = kept.select("doc_id", F.col("i").alias("i2"), F.col("t").alias("context"))
+    pairs = (
+        probe.join(ctx, ["doc_id", "i2"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return pairs.orderBy(
+        F.col("n_pairs").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers (privacy/governance screen)
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS k
+      FROM customer GROUP BY 1, 2, 3),
+    hist AS (
+      SELECT k AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(k) AS BIGINT) AS n_records
+      FROM qi GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_records) AS BIGINT) AS n FROM hist)
+    SELECT CAST(class_size AS BIGINT) AS class_size, n_classes, n_records,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INT) AS below_k5,
+           CAST(n_records * 1000000 // tot.n AS BIGINT) AS record_share_ppm
+    FROM hist CROSS JOIN tot
+    ORDER BY class_size
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit — the governance screen run before releasing or
+    training on user-adjacent tables: group records by their
+    quasi-identifier tuple (nation, market segment, account-balance band),
+    then profile the equivalence-class sizes. Classes with k < 5 are
+    re-identifiable; the histogram says how much generalization (coarser
+    bands, suppressed columns) the release needs.
+
+    One groupBy at QI grain (map-side combined), then a second aggregate
+    at class-size grain — both keyed far below data grain; the record
+    total is a one-row broadcast. Same shape at 100 TB: the QI cube is
+    bounded by the attribute domains, not the row count."""
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    hist = qi.groupBy(F.col("k").alias("class_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_records"),
+    )
+    tot = hist.agg(F.sum("n_records").cast("bigint").alias("n"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("class_size").cast("bigint").alias("class_size"),
+            "n_classes", "n_records",
+            F.expr("cast(case when class_size < 5 then 1 else 0 end as int)")
+            .alias("below_k5"),
+            F.expr("n_records * 1000000 div n").alias("record_share_ppm"),
+        )
+        .orderBy("class_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression via staged-integer Newton-IRLS
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 4
+_LR_S = 1_000_000  # fixed-point scale for beta, z, p
+
+
+def _lr_step_cols(op: str) -> list[tuple[str, str]]:
+    """Per-row scored columns as a LATERAL-ALIAS chain (each squaring
+    references the previous column by NAME — a textually-nested chain
+    would double in size per squaring and blow SQL parsing up to MBs).
+
+    Fixed-point exp(z) ~= (T3(z/32))^32 — a cubic-Taylor base followed by
+    5 integer squarings: transcendental-free, so both engines compute the
+    SAME sigmoid bit for bit (libm/JVM exp are only 1-ulp-accurate — a
+    cross-engine hazard the integer chain removes); rel. error <=
+    (z/32)^4/24 * 32 ~ 0.5% at the +-8 clip, far inside IRLS tolerance.
+    Both optimizers INLINE alias chains when collapsing projections, so k
+    squarings cost 2^k expression copies at plan time — the cubic base
+    with 5 squarings replaces a first attempt at (1+z/1024)^1024 whose
+    2^10 expansion took whole-stage codegen and DuckDB planning to tens
+    of seconds. z is clipped to +-8e6 micro; every intermediate fits
+    int64 (max u4^2 ~= 3e15, final u <= e^8*1e6 ~= 3e9)."""
+    cols = [
+        ("zc", "greatest(least(b0 + b1 * x1 + b2 * x2, 8000000), -8000000)"),
+        ("q", f"zc {op} 32"),
+        ("q2", f"q * q {op} 2000000"),
+        ("u0", f"1000000 + q + q2 + q2 * q {op} 3000000"),
+    ]
+    for k in range(1, 6):
+        cols.append((f"u{k}", f"u{k - 1} * u{k - 1} {op} 1000000"))
+    cols += [
+        ("p_ppm", f"u5 * 1000000 {op} (1000000 + u5)"),
+        ("r_ppm", "y * 1000000 - p_ppm"),
+        ("wgt", f"p_ppm * (1000000 - p_ppm) {op} 1000000"),
+    ]
+    return cols
+
+
+def _lr_newton_exprs() -> dict[str, str]:
+    """Cramer's-rule 3x3 Newton step, shared expression text (doubles built
+    only from exact bigint sums, fixed op tree -> identical IEEE on both
+    engines). Scales cancel: H_int and g_int are both 1e-6 of the real H, g."""
+    h = {k: f"CAST({k} AS DOUBLE)" for k in
+         ("h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3")}
+    det = (f"({h['h11']}*({h['h22']}*{h['h33']}-{h['h23']}*{h['h23']})"
+           f"-{h['h12']}*({h['h12']}*{h['h33']}-{h['h23']}*{h['h13']})"
+           f"+{h['h13']}*({h['h12']}*{h['h23']}-{h['h22']}*{h['h13']}))")
+    d1 = (f"({h['g1']}*({h['h22']}*{h['h33']}-{h['h23']}*{h['h23']})"
+          f"-{h['h12']}*({h['g2']}*{h['h33']}-{h['h23']}*{h['g3']})"
+          f"+{h['h13']}*({h['g2']}*{h['h23']}-{h['h22']}*{h['g3']}))")
+    d2 = (f"({h['h11']}*({h['g2']}*{h['h33']}-{h['g3']}*{h['h23']})"
+          f"-{h['g1']}*({h['h12']}*{h['h33']}-{h['h23']}*{h['h13']})"
+          f"+{h['h13']}*({h['h12']}*{h['g3']}-{h['g2']}*{h['h13']}))")
+    d3 = (f"({h['h11']}*({h['h22']}*{h['g3']}-{h['h23']}*{h['g2']})"
+          f"-{h['h12']}*({h['h12']}*{h['g3']}-{h['g2']}*{h['h13']})"
+          f"+{h['g1']}*({h['h12']}*{h['h23']}-{h['h22']}*{h['h13']}))")
+    return {
+        "nb0": f"CAST(b0 + round({d1} / {det} * {_LR_S}) AS BIGINT)",
+        "nb1": f"CAST(b1 + round({d2} / {det} * {_LR_S}) AS BIGINT)",
+        "nb2": f"CAST(b2 + round({d3} / {det} * {_LR_S}) AS BIGINT)",
+    }
+
+
+_LR_AGGS = {
+    "g1": "CAST(sum(r_ppm) AS BIGINT)",
+    "g2": "CAST(sum(r_ppm * x1) AS BIGINT)",
+    "g3": "CAST(sum(r_ppm * x2) AS BIGINT)",
+    "h11": "CAST(sum(wgt) AS BIGINT)",
+    "h12": "CAST(sum(wgt * x1) AS BIGINT)",
+    "h13": "CAST(sum(wgt * x2) AS BIGINT)",
+    "h22": "CAST(sum(wgt * x1 * x1) AS BIGINT)",
+    "h23": "CAST(sum(wgt * x1 * x2) AS BIGINT)",
+    "h33": "CAST(sum(wgt * x2 * x2) AS BIGINT)",
+}
+
+
+def _lr_oracle_sql() -> str:
+    step = ", ".join(f"{e} AS {c}" for c, e in _lr_step_cols("//"))
+    nb = _lr_newton_exprs()
+    aggs = ", ".join(f"{v} AS {k}" for k, v in _LR_AGGS.items())
+    ctes = ["b0_cte AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,"
+            " CAST(0 AS BIGINT) AS b2)"]
+    prev = "b0_cte"
+    for t in range(1, _LR_ITERS + 1):
+        ctes.append(f"""
+    sc{t} AS (SELECT y, x1, x2, {step} FROM feats CROSS JOIN {prev}),
+    ag{t} AS (SELECT {aggs} FROM sc{t}),
+    b{t}_cte AS MATERIALIZED (
+        SELECT {nb['nb0']} AS b0, {nb['nb1']} AS b1, {nb['nb2']} AS b2
+        FROM ag{t} CROSS JOIN {prev})""")
+        prev = f"b{t}_cte"
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+             CAST(round(o_totalprice) AS BIGINT) // 1000 AS x1,
+             CAST(year(CAST(o_orderdate AS DATE)) - 1992 AS BIGINT) AS x2
+      FROM orders),
+    {",".join(ctes)},
+    final AS (SELECT y, x1, x2, {step} FROM feats CROSS JOIN {prev})
+    SELECT CAST(count(*) AS BIGINT) AS n, b0, b1, b2,
+           CAST(sum(CASE WHEN (p_ppm >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+           CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS base_rate_ppm
+    FROM final CROSS JOIN {prev}
+    GROUP BY b0, b1, b2
+    """
+
+
+@register("logistic_regression_irls", _lr_oracle_sql())
+def logistic_regression_irls(spark, sf_dir):
+    """Distributed logistic regression by Newton-IRLS — the classifier-fit
+    primitive behind quality-filter calibration (fastText-style quality
+    classifiers, contamination detectors) run entirely as DataFrame
+    aggregates: each iteration is ONE map-side-combined aggregation of the
+    12 sufficient statistics (gradient g = X'(y-p), Hessian H = X'WX,
+    both 3-feature-sized) collected as a single bounded 1-row result (the
+    bpe_train_merges pattern), then a 3x3 Cramer solve driver-side in
+    float64 with the SAME operator tree as the oracle's SQL doubles; the
+    new beta re-enters the plan as three literals, so there is no
+    data-side join at all. The corpus is scanned once per iteration —
+    at 100 TB the shuffle is 12 scalars per partition, nothing else
+    moves.
+
+    Cross-engine exactness is the hard part and is engineered, not hoped
+    for: the sigmoid is a RATIONAL fixed-point construction
+    (cubic-Taylor(z/32))^32 via 5 integer squarings as a lateral-alias
+    column chain (exp/libm is only 1-ulp-accurate across runtimes — the
+    classic parity hazard), so p(z) is a bigint both engines compute
+    identically;
+    sufficient sums are exact int64 (wgt*x1^2 <= 9e10/row — DECIMAL(38)
+    past ~1e8 rows); the Newton step's doubles are built from exact
+    bigints through one shared operator tree. Features: intercept, order
+    total (kilodollars), order-year offset; label: urgent/high priority.
+    Fixed iteration count (Newton is quadratic; beta moves < 1 micro-unit
+    by the last step on this data)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders = _t(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.expr(
+            "cast(case when o_orderpriority in ('1-URGENT', '2-HIGH')"
+            " then 1 else 0 end as bigint)"
+        ).alias("y"),
+        F.expr("cast(round(o_totalprice) as bigint) div 1000").alias("x1"),
+        F.expr("cast(year(cast(o_orderdate as date)) - 1992 as bigint)").alias("x2"),
+    ).localCheckpoint()  # scanned once per Newton iteration + final scoring
+    step_cols = _lr_step_cols("div")
+
+    def scored_from(b):
+        sc = (
+            feats.withColumn("b0", F.lit(b[0]).cast("bigint"))
+            .withColumn("b1", F.lit(b[1]).cast("bigint"))
+            .withColumn("b2", F.lit(b[2]).cast("bigint"))
+        )
+        for c, e in step_cols:
+            sc = sc.withColumn(c, F.expr(e))
+        return sc
+
+    def rhu(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    beta = [0, 0, 0]
+    for _ in range(_LR_ITERS):
+        # 12 sufficient statistics -> ONE bounded 1-row collect per
+        # iteration (the bpe_train_merges pattern); the Newton solve then
+        # runs driver-side in float64 with the SAME operator tree the
+        # oracle's SQL doubles use (identical IEEE ops -> identical beta)
+        a = scored_from(beta).agg(
+            *[F.expr(v).alias(k) for k, v in _LR_AGGS.items()]
+        ).collect()[0]
+        h11, h12, h13 = float(a["h11"]), float(a["h12"]), float(a["h13"])
+        h22, h23, h33 = float(a["h22"]), float(a["h23"]), float(a["h33"])
+        g1, g2, g3 = float(a["g1"]), float(a["g2"]), float(a["g3"])
+        det = (h11 * (h22 * h33 - h23 * h23)
+               - h12 * (h12 * h33 - h23 * h13)
+               + h13 * (h12 * h23 - h22 * h13))
+        d1 = (g1 * (h22 * h33 - h23 * h23)
+              - h12 * (g2 * h33 - h23 * g3)
+              + h13 * (g2 * h23 - h22 * g3))
+        d2 = (h11 * (g2 * h33 - g3 * h23)
+              - g1 * (h12 * h33 - h23 * h13)
+              + h13 * (h12 * g3 - g2 * h13))
+        d3 = (h11 * (h22 * g3 - h23 * g2)
+              - h12 * (h12 * g3 - g2 * h13)
+              + g1 * (h12 * h23 - h22 * h13))
+        beta = [
+            beta[0] + rhu(d1 / det * _LR_S),
+            beta[1] + rhu(d2 / det * _LR_S),
+            beta[2] + rhu(d3 / det * _LR_S),
+        ]
+    final = scored_from(beta)
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "cast(sum(case when (p_ppm >= 500000) = (y = 1) then 1 else 0 end)"
+            " * 1000000 div count(*) as bigint)"
+        ).alias("accuracy_ppm"),
+        F.expr("cast(sum(p_ppm) div count(*) as bigint)").alias("mean_p_ppm"),
+        F.expr("cast(sum(y) * 1000000 div count(*) as bigint)").alias("base_rate_ppm"),
+    ).select(
+        "n",
+        F.lit(beta[0]).cast("bigint").alias("b0"),
+        F.lit(beta[1]).cast("bigint").alias("b1"),
+        F.lit(beta[2]).cast("bigint").alias("b2"),
+        "accuracy_ppm", "mean_p_ppm", "base_rate_ppm",
+    ).select("n", "b0", "b1", "b2", "accuracy_ppm", "mean_p_ppm", "base_rate_ppm")

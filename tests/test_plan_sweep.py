@@ -51,11 +51,13 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
 EXECUTES_AT_BUILD = {
     "txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
     "streaming_cdc_rollup",  # runs two availableNow streams at build time
+    "streaming_sessionize",  # runs an availableNow session_window stream
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
     "similarity_ann_ivf_trained",  # training loop collects per iteration
     "bpe_train_merges",  # per-round 1-row argmax collect in the merge loop
     "similarity_pq_adc",  # codebook training collects the sample
+    "logistic_regression_irls",  # per-iteration 1-row beta localCheckpoint
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
 }
 SKIP: set[str] = set()
