@@ -160,6 +160,8 @@ TRANCHE = [
     "skipgram_pairs_subsampled",
     "k_anonymity_audit",
     "logistic_regression_irls",
+    "loo_source_influence",
+    "conversion_ab_ztest",
 ]
 
 

@@ -15144,3 +15144,178 @@ def logistic_regression_irls(spark, sf_dir):
         F.lit(beta[2]).cast("bigint").alias("b2"),
         "accuracy_ppm", "mean_p_ppm", "base_rate_ppm",
     ).select("n", "b0", "b1", "b2", "accuracy_ppm", "mean_p_ppm", "base_rate_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out OLS influence (data-valuation screen)
+# ---------------------------------------------------------------------------
+
+_LOO_SLOPE = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)"
+)
+_LOO_SLOPE_L = (
+    "round((CAST(n_l AS DOUBLE) * sxy_l - CAST(sx_l AS DOUBLE) * sy_l)"
+    " / (CAST(n_l AS DOUBLE) * sxx_l - CAST(sx_l AS DOUBLE) * sx_l), 6)"
+)
+
+
+@register(
+    "loo_source_influence",
+    rf"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS y
+        FROM documents WHERE trim(text) <> '')
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+                   CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+                   CAST(sum(sxy) AS BIGINT) AS sxy
+            FROM per),
+    loo AS (
+      SELECT p.source, p.n AS n_docs,
+             t.n - p.n AS n_l, t.sx - p.sx AS sx_l, t.sy - p.sy AS sy_l,
+             t.sxx - p.sxx AS sxx_l, t.sxy - p.sxy AS sxy_l,
+             t.n AS n, t.sx AS sx, t.sy AS sy, t.sxx AS sxx, t.sxy AS sxy
+      FROM per p CROSS JOIN tot t)
+    SELECT source, n_docs,
+           {_LOO_SLOPE} AS slope_global,
+           {_LOO_SLOPE_L} AS slope_loo,
+           round({_LOO_SLOPE} - {_LOO_SLOPE_L}, 6) AS influence
+    FROM loo
+    """,
+)
+def loo_source_influence(spark, sf_dir):
+    """Leave-one-source-out influence on a corpus-level OLS fit — the
+    cheap data-valuation screen: how much does each source bend the
+    global sentences-per-token regression? Sources with outsized
+    |influence| are the ones skewing the corpus-wide relationship (boiler
+    plate, tables, spam), flagged WITHOUT refitting per source.
+
+    The trick is that OLS is a function of five mergeable integer sums
+    (n, Sx, Sy, Sxx, Sxy): one groupBy(source) computes them per source,
+    their total is a one-row broadcast, and every leave-one-out fit is a
+    SUBTRACTION — |sources|+1 fits for the cost of one corpus pass.
+    Exact bigint sufficient statistics (x = token count, y = sentence
+    runs; sum(x*x) <= ~1e13 at sf~1), slopes as one shared-text IEEE
+    expression rounded to 6dp (manual_corr_stats convention)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    per = docs.select(
+        "source",
+        text.token_count(F.col("text")).cast("bigint").alias("x"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        .cast("bigint").alias("y"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.sum("x").cast("bigint").alias("psx"),
+        F.sum("y").cast("bigint").alias("psy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("psxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("psxy"),
+    )
+    tot = per.agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("psx").cast("bigint").alias("sx"),
+        F.sum("psy").cast("bigint").alias("sy"),
+        F.sum("psxx").cast("bigint").alias("sxx"),
+        F.sum("psxy").cast("bigint").alias("sxy"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("pn").alias("n_docs"),
+        (F.col("n") - F.col("pn")).alias("n_l"),
+        (F.col("sx") - F.col("psx")).alias("sx_l"),
+        (F.col("sy") - F.col("psy")).alias("sy_l"),
+        (F.col("sxx") - F.col("psxx")).alias("sxx_l"),
+        (F.col("sxy") - F.col("psxy")).alias("sxy_l"),
+        "n", "sx", "sy", "sxx", "sxy",
+    )
+    return loo.select(
+        "source", "n_docs",
+        F.expr(_LOO_SLOPE).alias("slope_global"),
+        F.expr(_LOO_SLOPE_L).alias("slope_loo"),
+        F.expr(f"round({_LOO_SLOPE} - {_LOO_SLOPE_L}, 6)").alias("influence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (conversion A/B by deterministic user split)
+# ---------------------------------------------------------------------------
+
+# degenerate pooled rates (0% or 100% conversion) have zero pooled variance
+# and zero rate difference -> z defined as 0 on BOTH engines (a raw 0/0 here
+# is NaN-vs-NULL cross-engine territory)
+_AB_Z = (
+    "round(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN CAST(0 AS DOUBLE)"
+    " ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+    " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+    " * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+    " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) END, 6)"
+)
+
+
+@register(
+    "conversion_ab_ztest",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+             CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS c_a,
+             CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS c_b
+      FROM u)
+    SELECT n_a, n_b, c_a, c_b,
+           CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           {_AB_Z} AS z,
+           CAST(CASE WHEN abs({_AB_Z}) > 1.959964 THEN 1 ELSE 0 END AS INT)
+             AS reject_95
+    FROM g
+    """,
+)
+def conversion_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test on user-level conversion between the two
+    deterministic variant buckets (user_id parity — the engine's stand-in
+    for an experiment assignment column): pooled-variance z statistic and
+    the 95% two-sided decision. The experimentation primitive next to
+    chi_square/ks_two_sample in the drift-and-testing family.
+
+    User-grain conversion collapses first (groupBy user: one shuffle at
+    user grain, max() as EXISTS), then the four counts come from ONE
+    conditional aggregate (single row). z is one shared-text IEEE
+    expression over exact bigint counts, rounded 6dp; the decision
+    compares against the exact z_0.975 constant so both engines emit the
+    same integer flag."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    g = u.agg(
+        F.count_if(F.col("variant") == 0).cast("bigint").alias("n_a"),
+        F.count_if(F.col("variant") == 1).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("c_b"),
+    )
+    return g.select(
+        "n_a", "n_b", "c_a", "c_b",
+        F.expr("c_a * 1000000 div n_a").alias("rate_a_ppm"),
+        F.expr("c_b * 1000000 div n_b").alias("rate_b_ppm"),
+        F.expr(_AB_Z).alias("z"),
+        F.expr(
+            f"cast(case when abs({_AB_Z}) > 1.959964 then 1 else 0 end as int)"
+        ).alias("reject_95"),
+    )

@@ -249,3 +249,62 @@ def test_irls_matches_scipy_free_reference(spark):
     )
     assert row["accuracy_ppm"] == acc * 1_000_000 // n
     assert row["n"] == n
+
+
+# ---------------------------------------------------------------------------
+# loo_source_influence
+# ---------------------------------------------------------------------------
+
+def test_loo_influence_matches_refit_from_scratch(spark):
+    """slope_loo for each source must equal an OLS fit on the corpus WITH
+    THAT SOURCE REMOVED, computed independently in pure Python — the
+    subtraction-of-sufficient-stats shortcut must be exact."""
+    rows = QUERIES["loo_source_influence"](spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    pts = []
+    for _, d in docs.iterrows():
+        if d["text"].strip() == "":
+            continue
+        x = len(re.split(r"\s+", d["text"].strip()))
+        y = len(re.findall(r"[.!?]+", d["text"]))
+        pts.append((d["source"], x, y))
+
+    def slope(data):
+        n = len(data)
+        sx = sum(x for _, x, _ in data)
+        sy = sum(y for _, _, y in data)
+        sxx = sum(x * x for _, x, _ in data)
+        sxy = sum(x * y for _, x, _ in data)
+        return (float(n) * sxy - float(sx) * sy) / (float(n) * sxx - float(sx) * sx)
+
+    g = slope(pts)
+    for r in rows:
+        loo = slope([p for p in pts if p[0] != r["source"]])
+        assert abs(r["slope_loo"] - loo) < 2e-6
+        assert abs(r["slope_global"] - g) < 2e-6
+        assert abs(r["influence"] - (r["slope_global"] - r["slope_loo"])) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# conversion_ab_ztest
+# ---------------------------------------------------------------------------
+
+def test_ab_ztest_matches_textbook_pooled_z(spark):
+    """z must equal the pooled two-proportion formula on independently
+    recomputed user-grain conversions; extremes sanity: equal rates -> z=0."""
+    row = QUERIES["conversion_ab_ztest"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    conv = ev.assign(c=(ev["event_type"] == "purchase").astype(int)) \
+        .groupby("user_id")["c"].max()
+    va = conv[conv.index % 2 == 0]
+    vb = conv[conv.index % 2 == 1]
+    n_a, n_b, c_a, c_b = len(va), len(vb), int(va.sum()), int(vb.sum())
+    assert (row["n_a"], row["n_b"], row["c_a"], row["c_b"]) == (n_a, n_b, c_a, c_b)
+    p_pool = (c_a + c_b) / (n_a + n_b)
+    if p_pool in (0.0, 1.0):  # degenerate: query defines z = 0
+        z = 0.0
+    else:
+        z = (c_a / n_a - c_b / n_b) / math.sqrt(
+            p_pool * (1 - p_pool) * (1 / n_a + 1 / n_b))
+    assert abs(row["z"] - z) < 2e-6
+    assert row["reject_95"] == int(abs(row["z"]) > 1.959964)
