@@ -162,6 +162,9 @@ TRANCHE = [
     "logistic_regression_irls",
     "loo_source_influence",
     "conversion_ab_ztest",
+    "gdpr_erasure_audit",
+    "psi_monthly_trend",
+    "neyman_allocation_sample",
 ]
 
 

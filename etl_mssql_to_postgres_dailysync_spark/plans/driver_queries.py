@@ -15319,3 +15319,277 @@ def conversion_ab_ztest(spark, sf_dir):
             f"cast(case when abs({_AB_Z}) > 1.959964 then 1 else 0 end as int)"
         ).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten erasure audit over the ACID TxnTable
+# ---------------------------------------------------------------------------
+
+@register(
+    "gdpr_erasure_audit",
+    """
+    WITH victim AS (SELECT min(user_id) AS v FROM events),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_before,
+             CAST(count(*) FILTER (user_id = victim.v) AS BIGINT) AS n_user_before
+      FROM events CROSS JOIN victim)
+    SELECT CAST(victim.v AS BIGINT) AS victim_user,
+           c.n_before, c.n_user_before,
+           c.n_before - c.n_user_before AS n_after,
+           CAST(0 AS BIGINT) AS n_user_after,
+           c.n_user_before AS timetravel_user_rows
+    FROM c CROSS JOIN victim
+    """,
+)
+def gdpr_erasure_audit(spark, sf_dir):
+    """GDPR right-to-be-forgotten, end to end on the ACID TxnTable: ingest
+    the events table, DELETE one subject's rows (copy-on-write: only files
+    containing the subject rewrite, zone-untouched files stay by path),
+    then AUDIT all three governance invariants in one row — (a) the head
+    snapshot retains every other row (n_after), (b) the subject is gone
+    from the head (n_user_after = 0), and (c) time travel to the
+    pre-delete version STILL SHOWS the subject's rows
+    (timetravel_user_rows) — the documented reason physical erasure needs
+    vacuum() after the retention window, exactly like Delta.
+
+    The subject id is a deterministic 1-row bounded collect (min user);
+    the delete's rewrite set is found with ONE input_file_name job, never
+    a per-file loop (sources/txn_table.py:509). The oracle recomputes the
+    same counts relationally from the source table. Ref lineage: the
+    reference's TRUNCATE+reload staging (csv_to_mssqldb.py) has no
+    row-level erasure story — this is the engine's upgrade of that
+    surface."""
+    import shutil
+
+    from etl_mssql_to_postgres_dailysync_spark.sources.txn_table import TxnTable
+
+    path = f"/tmp/spark_graft_gdpr_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    t = TxnTable(spark, path, stats_cols=["user_id"])
+    t.append(ev, cluster_by=["user_id"])
+    v_pre = t.version()
+    victim = ev.agg(F.min("user_id")).collect()[0][0]  # 1-row bounded collect
+    t.delete(F.col("user_id") == victim, prune_col="user_id")
+    head = t.read()
+    pre = t.read(version=v_pre)
+    counts = (
+        head.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.count_if(F.col("user_id") == victim).cast("bigint")
+            .alias("n_user_after"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pre.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_before"),
+                    F.count_if(F.col("user_id") == victim).cast("bigint")
+                    .alias("n_user_before"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                pre.filter(F.col("user_id") == victim).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("timetravel_user_rows")
+                )
+            )
+        )
+    )
+    return counts.select(
+        F.lit(victim).cast("bigint").alias("victim_user"),
+        "n_before", "n_user_before", "n_after", "n_user_after",
+        "timetravel_user_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly PSI drift trend vs a frozen baseline year
+# ---------------------------------------------------------------------------
+
+_PSI_TERM_E8 = (
+    "CAST(round(CASE WHEN nb > 0 AND nc > 0"
+    " THEN ((CAST(nb AS DOUBLE) / tb - CAST(nc AS DOUBLE) / tc)"
+    " * ln((CAST(nb AS DOUBLE) / tb) / (CAST(nc AS DOUBLE) / tc))) * 100000000"
+    " ELSE 0.0 END) AS BIGINT)"
+)
+
+
+@register(
+    "psi_monthly_trend",
+    f"""
+    WITH binned AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             year(CAST(o_orderdate AS DATE)) AS yr,
+             least(CAST(round(o_totalprice * 100) AS BIGINT) * {_PSI_BINS}
+                   // {_PSI_HI - _PSI_LO}, {_PSI_BINS - 1}) AS bin
+      FROM orders),
+    base AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nb FROM binned
+      WHERE yr = 1992 GROUP BY 1),
+    tb_t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM base),
+    cur AS (
+      SELECT month, bin, CAST(count(*) AS BIGINT) AS nc FROM binned
+      WHERE yr > 1992 GROUP BY 1, 2),
+    tc_t AS (SELECT month, CAST(sum(nc) AS BIGINT) AS tc FROM cur GROUP BY 1),
+    terms AS (
+      SELECT c.month, t.tc, {_PSI_TERM_E8} AS term_e8
+      FROM cur c
+      JOIN tc_t t USING (month)
+      LEFT JOIN base b USING (bin)
+      CROSS JOIN tb_t
+      -- LEFT JOIN makes missing baseline bins nb NULL -> term 0 via the guard
+      ),
+    monthly AS (
+      SELECT month, max(tc) AS n_orders,
+             CAST(sum(term_e8) AS BIGINT) AS psi_e8
+      FROM (SELECT month, tc, coalesce(term_e8, 0) AS term_e8 FROM terms)
+      GROUP BY 1)
+    SELECT month, CAST(n_orders AS BIGINT) AS n_orders, psi_e8,
+           CAST(CASE WHEN psi_e8 > 20000000 THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM monthly ORDER BY month
+    """,
+)
+def psi_monthly_trend(spark, sf_dir):
+    """Population-stability-index TREND: PSI of every month's order-value
+    distribution against the frozen 1992 baseline — drift_psi turned into
+    the monitoring time series a production pipeline actually pages on
+    (psi > 0.2 = the standard retrain threshold, emitted as drift_flag).
+
+    The cross-engine hazard specific to a SUMMED PSI is float summation
+    order across bins; here each per-bin term is staged to an exact bigint
+    (round(term * 1e8) — one shared-text IEEE expression per bin), so the
+    per-month sum is an order-independent INTEGER sum. Grain collapses to
+    (month x {_PSI_BINS} bins) in the first aggregate; the baseline is a
+    {_PSI_BINS}-row broadcast; months ride one groupBy. Missing-bin pairs
+    contribute 0 by the standard PSI convention."""
+    orders = _t(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) * {_PSI_BINS} "
+                f"div {_PSI_HI - _PSI_LO}"
+            ),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    base = (
+        binned.filter(F.col("yr") == 1992)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    tb_t = base.agg(F.sum("nb").cast("bigint").alias("tb"))
+    cur = (
+        binned.filter(F.col("yr") > 1992)
+        .groupBy("month", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    tc_t = cur.groupBy("month").agg(F.sum("nc").cast("bigint").alias("tc"))
+    terms = (
+        cur.join(F.broadcast(tc_t), "month")
+        .join(F.broadcast(base), "bin", "left")
+        .crossJoin(F.broadcast(tb_t))
+        .select("month", "tc", F.coalesce(F.expr(_PSI_TERM_E8), F.lit(0)).alias("term_e8"))
+    )
+    monthly = terms.groupBy("month").agg(
+        F.max("tc").cast("bigint").alias("n_orders"),
+        F.sum("term_e8").cast("bigint").alias("psi_e8"),
+    )
+    return monthly.select(
+        "month", "n_orders", "psi_e8",
+        F.expr("cast(case when psi_e8 > 20000000 then 1 else 0 end as int)")
+        .alias("drift_flag"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sample (variance-proportional, deterministic)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 500
+# population std from exact integer sums, one shared-text IEEE expression;
+# stratum weight N_h * S_h staged to an exact milli-unit bigint
+_NEYMAN_W = (
+    "CAST(round(CAST(n_pop AS DOUBLE)"
+    " * sqrt(CAST(sxx AS DOUBLE) / n_pop"
+    "        - (CAST(sx AS DOUBLE) / n_pop) * (CAST(sx AS DOUBLE) / n_pop))"
+    " * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "neyman_allocation_sample",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sxx
+      FROM orders GROUP BY 1),
+    w AS (SELECT stratum, n_pop, {_NEYMAN_W} AS w_milli FROM s),
+    tw AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tot FROM w),
+    alloc AS (
+      SELECT stratum, n_pop,
+             CAST(w_milli * {_NEYMAN_BUDGET} // tw.tot AS BIGINT) AS n_h
+      FROM w CROSS JOIN tw),
+    ranked AS (
+      SELECT o_orderpriority AS stratum, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                                || '#53'), 1, 15) AS BIGINT),
+                        o_orderkey) AS rk
+      FROM orders)
+    SELECT r.stratum, a.n_pop, a.n_h, r.o_orderkey, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN alloc a USING (stratum)
+    WHERE r.rk <= a.n_h
+    """,
+)
+def neyman_allocation_sample(spark, sf_dir):
+    """Neyman-allocation stratified sampling: the {_NEYMAN_BUDGET}-row
+    budget splits across strata proportional to N_h * S_h (population x
+    std), the allocation that minimizes the variance of the stratified
+    mean — the statistically-correct alternative to proportional
+    quota_sample when strata have very different spreads. The data-
+    curation use: sample validation docs per source weighted by how
+    heterogeneous each source is.
+
+    Stage 1 computes per-stratum (N, sum, sum-of-squares) in ONE map-side
+    aggregate (exact bigints in whole dollars — sxx <= N*3.6e9 holds to
+    sf~100); the std and weight are one shared-text double staged to a
+    milli bigint; allocations are integer floor-divisions of a broadcast
+    total. Stage 2 draws the sample by deterministic md5 priority with a
+    row_number window PARTITIONED by stratum (data-grain but partitioned —
+    at 100 TB this is the standard per-group top-k; a rank-limit pushdown
+    via TakeOrdered-per-key would replace it if strata counts were huge).
+    The allocation join is stratum-grain, broadcastable."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.round(F.col("o_totalprice")).cast("bigint")
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+    )
+    w = s.select("stratum", "n_pop", F.expr(_NEYMAN_W).alias("w_milli"))
+    tw = w.agg(F.sum("w_milli").cast("bigint").alias("tot"))
+    alloc = w.crossJoin(F.broadcast(tw)).select(
+        "stratum", "n_pop",
+        F.expr(f"w_milli * {_NEYMAN_BUDGET} div tot").alias("n_h"),
+    )
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_orderkey",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                md5_long(F.col("o_orderkey"), seed=53), F.col("o_orderkey")
+            )
+        ).cast("bigint").alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rk") <= F.col("n_h"))
+        .select("stratum", "n_pop", "n_h", "o_orderkey", "rk")
+    )

@@ -53,6 +53,7 @@ EXECUTES_AT_BUILD = {
     "streaming_cdc_rollup",  # runs two availableNow streams at build time
     "streaming_sessionize",  # runs an availableNow session_window stream
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
+    "gdpr_erasure_audit",  # TxnTable append+delete at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
     "similarity_ann_ivf_trained",  # training loop collects per iteration
     "bpe_train_merges",  # per-round 1-row argmax collect in the merge loop

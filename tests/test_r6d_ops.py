@@ -308,3 +308,96 @@ def test_ab_ztest_matches_textbook_pooled_z(spark):
             p_pool * (1 - p_pool) * (1 / n_a + 1 / n_b))
     assert abs(row["z"] - z) < 2e-6
     assert row["reject_95"] == int(abs(row["z"]) > 1.959964)
+
+
+# ---------------------------------------------------------------------------
+# gdpr_erasure_audit
+# ---------------------------------------------------------------------------
+
+def test_gdpr_erasure_invariants(spark):
+    """Head snapshot must conserve non-subject rows exactly, contain zero
+    subject rows, and the pre-delete version must still expose the subject
+    (the vacuum-needed invariant)."""
+    row = QUERIES["gdpr_erasure_audit"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    victim = ev["user_id"].min()
+    n_user = int((ev["user_id"] == victim).sum())
+    assert row["victim_user"] == victim
+    assert row["n_before"] == len(ev)
+    assert row["n_user_before"] == n_user
+    assert row["n_after"] == len(ev) - n_user
+    assert row["n_user_after"] == 0
+    assert row["timetravel_user_rows"] == n_user
+    assert n_user > 0  # fixture must actually exercise the erasure
+
+
+# ---------------------------------------------------------------------------
+# psi_monthly_trend
+# ---------------------------------------------------------------------------
+
+def test_psi_trend_matches_pure_python(spark):
+    """Each month's psi_e8 must equal the textbook PSI computed in pure
+    Python with the same integer-staged per-bin terms."""
+    rows = {r["month"]: r for r in QUERIES["psi_monthly_trend"](spark, SF_DIR).collect()}
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["month"] = pd.to_datetime(orders["o_orderdate"]).dt.strftime("%Y-%m")
+    orders["yr"] = pd.to_datetime(orders["o_orderdate"]).dt.year
+    orders["bin"] = (round(orders["o_totalprice"] * 100).astype(int) * 10
+                     // 6_000_000).clip(upper=9)
+    base = orders[orders["yr"] == 1992].groupby("bin").size()
+    tb = int(base.sum())
+    from decimal import ROUND_HALF_UP, Decimal
+    for month, grp in orders[orders["yr"] > 1992].groupby("month"):
+        cur = grp.groupby("bin").size()
+        tc = int(cur.sum())
+        psi = 0
+        for b, nc in cur.items():
+            nb = int(base.get(b, 0))
+            if nb > 0 and nc > 0:
+                term = (nb / tb - nc / tc) * math.log((nb / tb) / (nc / tc))
+                psi += int(Decimal(term * 1e8).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP))
+        r = rows[month]
+        assert r["psi_e8"] == psi, (month, r["psi_e8"], psi)
+        assert r["n_orders"] == tc
+        assert r["drift_flag"] == int(psi > 20_000_000)
+
+
+def test_psi_identical_distribution_is_zero():
+    """PSI of a distribution against itself is exactly 0 (every term has
+    nb/tb == nc/tc -> log(1) = 0)."""
+    counts = [5, 10, 20, 30]
+    t = sum(counts)
+    psi = sum((n / t - n / t) * math.log((n / t) / (n / t)) for n in counts)
+    assert psi == 0.0
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation_sample
+# ---------------------------------------------------------------------------
+
+def test_neyman_allocation_and_sample_match_replica(spark):
+    """Allocations must equal the N_h*S_h-proportional formula from exact
+    sums, the drawn ids must be the hash-priority prefix per stratum, and
+    the total drawn must be within one rounding unit per stratum of the
+    budget."""
+    got = QUERIES["neyman_allocation_sample"](spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    xs = round(orders["o_totalprice"]).astype(int)
+    strata = {}
+    for pr, grp in xs.groupby(orders["o_orderpriority"]):
+        n = len(grp)
+        sx, sxx = int(grp.sum()), int((grp * grp).sum())
+        sd = math.sqrt(sxx / n - (sx / n) * (sx / n))
+        strata[pr] = (n, round(n * sd * 1000))
+    tot = sum(w for _, w in strata.values())
+    for pr, (n, w) in strata.items():
+        n_h = w * 500 // tot
+        sub = got[got["stratum"] == pr]
+        assert len(sub) == n_h
+        assert (sub["n_h"] == n_h).all() and (sub["n_pop"] == n).all()
+        # the drawn set is the md5-priority prefix
+        keys = orders[orders["o_orderpriority"] == pr]["o_orderkey"]
+        pri = sorted(keys, key=lambda k: (_md5_long(str(k), 53), k))[:n_h]
+        assert sorted(sub["o_orderkey"]) == sorted(pri)
+    assert 500 - len(strata) <= len(got) <= 500
