@@ -165,6 +165,10 @@ TRANCHE = [
     "gdpr_erasure_audit",
     "psi_monthly_trend",
     "neyman_allocation_sample",
+    "ucb_variant_allocation",
+    "streaming_dedup_replay",
+    "copurchase_degree_powerlaw",
+    "quantile_normalization_map",
 ]
 
 

@@ -15593,3 +15593,312 @@ def neyman_allocation_sample(spark, sf_dir):
         .filter(F.col("rk") <= F.col("n_h"))
         .select("stratum", "n_pop", "n_h", "o_orderkey", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit allocation over event-type arms
+# ---------------------------------------------------------------------------
+
+_UCB_EXPR = (
+    "round(CAST(c AS DOUBLE) / n_i"
+    " + sqrt(2 * ln(CAST(n_t AS DOUBLE)) / n_i), 6)"
+)
+
+
+@register(
+    "ucb_variant_allocation",
+    f"""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(count(*) FILTER (value > 50.0) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_t FROM arms),
+    scored AS (
+      SELECT arm, n_i, c,
+             CAST(c * 1000000 // n_i AS BIGINT) AS mean_ppm,
+             {_UCB_EXPR} AS ucb
+      FROM arms CROSS JOIN tot),
+    best AS (SELECT max(ucb) AS mx FROM scored)
+    SELECT arm, n_i, c, mean_ppm, ucb,
+           CAST(CASE WHEN ucb = best.mx THEN 1 ELSE 0 END AS INT) AS pull_next
+    FROM scored CROSS JOIN best
+    """,
+)
+def ucb_variant_allocation(spark, sf_dir):
+    """UCB1 bandit scores per arm (event type, binary reward = value over
+    50): mean reward + sqrt(2 ln N / n_i), the optimism bonus that decides
+    which variant an adaptive experiment pulls next. The pipeline
+    analogue: adaptively allocating labeling/eval budget across data
+    sources by observed quality yield.
+
+    One conditional aggregate collapses to arm grain; the exploration
+    bonus is a shared-text IEEE expression over exact counts rounded to
+    6dp (ln over an exact bigint — the weighted_sample_topk precedent);
+    the argmax flag compares ROUNDED values so both engines agree at ties.
+    N and the best score are 1-row broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.count_if(F.col("value") > 50.0).cast("bigint").alias("c"),
+    )
+    tot = arms.agg(F.sum("n_i").cast("bigint").alias("n_t"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm", "n_i", "c",
+        F.expr("c * 1000000 div n_i").alias("mean_ppm"),
+        F.expr(_UCB_EXPR).alias("ucb"),
+    )
+    best = scored.agg(F.max("ucb").alias("mx"))
+    return scored.crossJoin(F.broadcast(best)).select(
+        "arm", "n_i", "c", "mean_ppm", "ucb",
+        F.expr("cast(case when ucb = mx then 1 else 0 end as int)")
+        .alias("pull_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING exact dedup under at-least-once replay (dropDuplicates state)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_dedup_replay",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_replay(spark, sf_dir):
+    """STREAMING exact dedup under at-least-once delivery: the events
+    fixture is replayed TWICE (two files in the stream directory — the
+    replayed-partition failure mode the reference's daily re-runs create),
+    flows through ``streaming_dedup`` (withWatermark + dropDuplicates on
+    event_id — streaming/runner.py:108), and the first-seen rows land in
+    an append-mode sink. The rollup over the sink must equal the
+    single-copy batch aggregate EXACTLY — duplicates contribute nothing.
+
+    State is keyed by event_id and watermark-evictable in production
+    (keys older than the watermark cannot recur and are dropped); append
+    mode emits each first arrival immediately, so no aggregate state
+    rides the stream — the rollup is a plain batch groupBy over the sink.
+    Ref lineage: the reference's idempotent per-partition merge
+    (mssql_to_postgresql_orders_daily.py) is the batch twin of this."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    from etl_mssql_to_postgres_dailysync_spark.streaming.runner import streaming_dedup
+
+    stage = f"/tmp/spark_graft_sdre_{sf_dir.strip('/').replace('/', '_')}"
+    os.makedirs(stage, exist_ok=True)
+    for copy in ("a", "b"):  # the same data twice = at-least-once replay
+        link = f"{stage}/events_{copy}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(stage).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    sink = f"streaming_dedup_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph degree distribution + log-log power-law fit
+# ---------------------------------------------------------------------------
+
+_POWERLAW_SLOPE = (
+    "round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)"
+)
+
+
+@register(
+    "copurchase_degree_powerlaw",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item),
+    deg AS (
+      SELECT u AS item, count(*) AS d FROM (
+        SELECT u FROM edges UNION ALL SELECT v FROM edges) AS e(u)
+      GROUP BY 1),
+    dist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM deg GROUP BY 1),
+    pts AS (
+      SELECT CAST(round(ln(CAST(d AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n_d AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM dist WHERE d > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(max(d) AS BIGINT) AS max_degree,
+                 CAST(sum(d) AS BIGINT) AS sum_degree
+          FROM deg)
+    SELECT g.n_parts, g.max_degree, g.sum_degree // 2 AS n_edges, s.np AS n_points,
+           {_POWERLAW_SLOPE} AS slope_loglog
+    FROM s CROSS JOIN g
+    """,
+)
+def copurchase_degree_powerlaw(spark, sf_dir):
+    """Degree distribution of the part co-purchase graph with a log-log
+    OLS slope — the scale-free-ness screen run on any similarity/co-occur
+    graph before graph algorithms (a heavy-tailed degree distribution is
+    what makes naive pair enumeration blow up; the slope quantifies it).
+    Shares the basket-bounded edge generation with frequent_itemset_pairs
+    (per-basket quadratic, corpus-linear); degrees come from one UNION ALL
+    + groupBy at item grain, the distribution from a second groupBy at
+    DEGREE grain (bounded by max degree, not item count).
+
+    The fit stages ln(degree), ln(count) to exact milli-nat bigints
+    (shared-text, the text_zipf_fit convention), so the OLS sufficient
+    sums are order-independent integers; only the final slope is a
+    double, one shared expression rounded 6dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket"))
+               & (F.col("a.item") < F.col("b.item")))
+        .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("item"))
+        .unionAll(edges.select(F.col("v").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    pts = dist.filter(F.col("d") > 0).select(
+        F.expr("CAST(round(ln(CAST(d AS DOUBLE)) * 1000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(n_d AS DOUBLE)) * 1000) AS BIGINT)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum("d").cast("bigint").alias("sum_degree"),
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "n_parts", "max_degree",
+        F.expr("sum_degree div 2").alias("n_edges"),
+        F.col("np").alias("n_points"),
+        F.expr(_POWERLAW_SLOPE).alias("slope_loglog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization mapping (per-source deciles -> pooled deciles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_normalization_map",
+    r"""
+    WITH lens AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS x
+      FROM documents),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY x ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM lens),
+    g AS (SELECT x,
+                 row_number() OVER (ORDER BY x ASC, source ASC, doc_id ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM lens),
+    p AS (SELECT unnest(generate_series(1, 9)) AS dec),
+    src AS (
+      SELECT r.source, p.dec, r.x AS src_value
+      FROM r JOIN p ON r.rn = (p.dec * r.n + 9) // 10),
+    pool AS (
+      SELECT p.dec, g.x AS pooled_value
+      FROM g JOIN p ON g.rn = (p.dec * g.n + 9) // 10)
+    SELECT s.source, CAST(s.dec AS INT) AS decile, s.src_value, o.pooled_value,
+           s.src_value - o.pooled_value AS shift
+    FROM src s JOIN pool o USING (dec)
+    """,
+)
+def quantile_normalization_map(spark, sf_dir):
+    """Quantile-normalization mapping table: each source's doc-length
+    deciles next to the POOLED corpus deciles — the batch-effect-removal
+    recipe (map a value at source decile d onto the pooled decile-d value)
+    used to make per-source length/quality distributions comparable before
+    mixing. `shift` localizes WHERE a source's distribution sits above or
+    below the corpus.
+
+    Per-source ranks are key-partitioned windows (group-sized tasks, the
+    grouped_percentiles shape); the pooled rank uses the engine's
+    TWO-PHASE global row_number (operators/cumsum.py:95 — range exchange +
+    per-partition local rank + broadcast offsets), never a one-task global
+    window; decile targets ride a 9-row exploded literal with
+    percentile_disc rank arithmetic ((d*n+9) div 10, ties by doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("x"),
+    )
+    wp = Window.partitionBy("source").orderBy(F.col("x").asc(), F.col("doc_id").asc())
+    r = lens.select(
+        "source", "x",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
+
+    ranked, n_total = global_row_number(
+        lens.select("x", "source", "doc_id"), ["x", "source", "doc_id"],
+        out_col="rn",
+    )
+    g = ranked.select("x", "rn", F.lit(n_total).cast("bigint").alias("n"))
+    p = spark.range(1, 10).select(F.col("id").alias("dec"))
+    src = (
+        r.crossJoin(F.broadcast(p))
+        .filter(F.col("rn") == F.expr("(dec * n + 9) div 10"))
+        .select("source", "dec", F.col("x").alias("src_value"))
+    )
+    pool = (
+        g.crossJoin(F.broadcast(p))
+        .filter(F.col("rn") == F.expr("(dec * n + 9) div 10"))
+        .select("dec", F.col("x").alias("pooled_value"))
+    )
+    return src.join(F.broadcast(pool), "dec").select(
+        "source",
+        F.col("dec").cast("int").alias("decile"),
+        "src_value", "pooled_value",
+        (F.col("src_value") - F.col("pooled_value")).alias("shift"),
+    )

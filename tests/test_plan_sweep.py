@@ -52,6 +52,8 @@ EXECUTES_AT_BUILD = {
     "txn_table_snapshot", "txn_table_changes", "incremental_rollup_maintenance",
     "streaming_cdc_rollup",  # runs two availableNow streams at build time
     "streaming_sessionize",  # runs an availableNow session_window stream
+    "streaming_dedup_replay",  # runs an availableNow dropDuplicates stream
+    "quantile_normalization_map",  # two-phase global rank collects offsets
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
     "gdpr_erasure_audit",  # TxnTable append+delete at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
