@@ -169,6 +169,8 @@ TRANCHE = [
     "streaming_dedup_replay",
     "copurchase_degree_powerlaw",
     "quantile_normalization_map",
+    "logistic_calibration_quality",
+    "bm25_retrieval_topk",
 ]
 
 
@@ -240,7 +242,13 @@ def main() -> None:
 
     headline_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings, spread, noise, total_floor = run_set(HEADLINE, headline_passes)
-    tranche_timings, tranche_spread, _, _ = run_set(TRANCHE, 1)
+    # diagnostic knob: SPARK_GRAFT_BENCH_SECTIONS=headline skips the tranche
+    # (used to adjudicate host-noise questions with a fast re-measure; the
+    # driver always runs both sections)
+    skip_tranche = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "") == "headline"
+    tranche_timings, tranche_spread = ({}, {})
+    if not skip_tranche:
+        tranche_timings, tranche_spread, _, _ = run_set(TRANCHE, 1)
 
     headline_line = {
         "metric": "headline_queries_total",
@@ -265,12 +273,13 @@ def main() -> None:
         "tranche_spread": tranche_spread,
     }
     full = {"headline": headline_line, "tranche": tranche_line, "diag": diag_line}
-    try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-        with open(out, "w") as fh:
-            json.dump(full, fh, indent=1)
-    except OSError:
-        pass  # diagnostics file is best-effort; stdout lines below are canonical
+    if not skip_tranche:  # partial diagnostic runs must not clobber the artifact
+        try:
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+            with open(out, "w") as fh:
+                json.dump(full, fh, indent=1)
+        except OSError:
+            pass  # diagnostics file is best-effort; stdout lines below are canonical
     # Diagnostic lines first; the compact headline metric line MUST be last.
     print(json.dumps(diag_line))
     print(json.dumps(tranche_line))

@@ -15902,3 +15902,269 @@ def quantile_normalization_map(spark, sf_dir):
         "src_value", "pooled_value",
         (F.col("src_value") - F.col("pooled_value")).alias("shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-model calibration curve + Brier / log-loss (shares the IRLS fit)
+# ---------------------------------------------------------------------------
+
+def _lr_cal_oracle_sql() -> str:
+    """Reuses the full unrolled IRLS CTE chain, then buckets the final
+    scores into probability deciles and emits reliability-diagram rows
+    with model-level Brier and log-loss repeated per row (all integer
+    staged: per-row squared error in ppm, per-row -ln(p) in micro-nats)."""
+    step = ", ".join(f"{e} AS {c}" for c, e in _lr_step_cols("//"))
+    nb = _lr_newton_exprs()
+    aggs = ", ".join(f"{v} AS {k}" for k, v in _LR_AGGS.items())
+    ctes = ["b0_cte AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,"
+            " CAST(0 AS BIGINT) AS b2)"]
+    prev = "b0_cte"
+    for t in range(1, _LR_ITERS + 1):
+        ctes.append(f"""
+    sc{t} AS (SELECT y, x1, x2, {step} FROM feats CROSS JOIN {prev}),
+    ag{t} AS (SELECT {aggs} FROM sc{t}),
+    b{t}_cte AS MATERIALIZED (
+        SELECT {nb['nb0']} AS b0, {nb['nb1']} AS b1, {nb['nb2']} AS b2
+        FROM ag{t} CROSS JOIN {prev})""")
+        prev = f"b{t}_cte"
+    return f"""
+    WITH feats AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+             CAST(round(o_totalprice) AS BIGINT) // 1000 AS x1,
+             CAST(year(CAST(o_orderdate AS DATE)) - 1992 AS BIGINT) AS x2
+      FROM orders),
+    {",".join(ctes)},
+    final AS (
+      SELECT y, {step},
+             least(p_ppm * 10 // 1000000, 9) AS bucket,
+             (p_ppm - y * 1000000) * (p_ppm - y * 1000000) // 1000000 AS sqerr_ppm,
+             CAST(round(-ln(CAST(CASE WHEN y = 1 THEN p_ppm
+                                      ELSE 1000000 - p_ppm END AS DOUBLE)
+                            / 1000000) * 1000000) AS BIGINT) AS nll_micro
+      FROM feats CROSS JOIN {prev}),
+    model AS (
+      SELECT CAST(sum(sqerr_ppm) // count(*) AS BIGINT) AS brier_ppm,
+             CAST(sum(nll_micro) // count(*) AS BIGINT) AS logloss_micro
+      FROM final)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_p_ppm,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS obs_rate_ppm,
+           CAST(sum(p_ppm) // count(*)
+                - sum(y) * 1000000 // count(*) AS BIGINT) AS gap_ppm,
+           model.brier_ppm, model.logloss_micro
+    FROM final CROSS JOIN model
+    GROUP BY bucket, model.brier_ppm, model.logloss_micro
+    ORDER BY bucket
+    """
+
+
+@register("logistic_calibration_quality", _lr_cal_oracle_sql())
+def logistic_calibration_quality(spark, sf_dir):
+    """Reliability diagram + proper scoring rules for the IRLS logistic
+    model: per probability-decile bucket, mean predicted vs observed rate
+    (the calibration gap a quality-classifier gate must audit before its
+    threshold means anything), with model-level Brier score and log-loss
+    repeated per row (single-query contract; both are INTEGER means —
+    per-row squared error staged to ppm, per-row -ln(p) to micro-nats, so
+    the sums are order-independent and exact on both engines; p is never
+    0 or 1 by the sigmoid's +-8 clip, so ln is total).
+
+    Refits with the same bounded-collect Newton iterations as
+    logistic_regression_irls (shared helpers — identical beta by
+    construction), then ONE extra scan buckets and scores. The bucket
+    aggregate is 10 rows; the model row is a broadcast."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders = _t(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.expr(
+            "cast(case when o_orderpriority in ('1-URGENT', '2-HIGH')"
+            " then 1 else 0 end as bigint)"
+        ).alias("y"),
+        F.expr("cast(round(o_totalprice) as bigint) div 1000").alias("x1"),
+        F.expr("cast(year(cast(o_orderdate as date)) - 1992 as bigint)").alias("x2"),
+    ).localCheckpoint()
+    step_cols = _lr_step_cols("div")
+
+    def scored_from(b):
+        sc = (
+            feats.withColumn("b0", F.lit(b[0]).cast("bigint"))
+            .withColumn("b1", F.lit(b[1]).cast("bigint"))
+            .withColumn("b2", F.lit(b[2]).cast("bigint"))
+        )
+        for c, e in step_cols:
+            sc = sc.withColumn(c, F.expr(e))
+        return sc
+
+    def rhu(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    beta = [0, 0, 0]
+    for _ in range(_LR_ITERS):
+        a = scored_from(beta).agg(
+            *[F.expr(v).alias(k) for k, v in _LR_AGGS.items()]
+        ).collect()[0]
+        h11, h12, h13 = float(a["h11"]), float(a["h12"]), float(a["h13"])
+        h22, h23, h33 = float(a["h22"]), float(a["h23"]), float(a["h33"])
+        g1, g2, g3 = float(a["g1"]), float(a["g2"]), float(a["g3"])
+        det = (h11 * (h22 * h33 - h23 * h23)
+               - h12 * (h12 * h33 - h23 * h13)
+               + h13 * (h12 * h23 - h22 * h13))
+        d1 = (g1 * (h22 * h33 - h23 * h23)
+              - h12 * (g2 * h33 - h23 * g3)
+              + h13 * (g2 * h23 - h22 * g3))
+        d2 = (h11 * (g2 * h33 - g3 * h23)
+              - g1 * (h12 * h33 - h23 * h13)
+              + h13 * (h12 * g3 - g2 * h13))
+        d3 = (h11 * (h22 * g3 - h23 * g2)
+              - h12 * (h12 * g3 - g2 * h13)
+              + g1 * (h12 * h23 - h22 * h13))
+        beta = [
+            beta[0] + rhu(d1 / det * _LR_S),
+            beta[1] + rhu(d2 / det * _LR_S),
+            beta[2] + rhu(d3 / det * _LR_S),
+        ]
+    final = scored_from(beta).select(
+        "y", "p_ppm",
+        F.expr("least(p_ppm * 10 div 1000000, 9)").alias("bucket"),
+        F.expr(
+            "(p_ppm - y * 1000000) * (p_ppm - y * 1000000) div 1000000"
+        ).alias("sqerr_ppm"),
+        F.expr(
+            "cast(round(-ln(cast(case when y = 1 then p_ppm"
+            " else 1000000 - p_ppm end as double) / 1000000) * 1000000) as bigint)"
+        ).alias("nll_micro"),
+    )
+    model = final.agg(
+        F.expr("cast(sum(sqerr_ppm) div count(*) as bigint)").alias("brier_ppm"),
+        F.expr("cast(sum(nll_micro) div count(*) as bigint)").alias("logloss_micro"),
+    )
+    return (
+        final.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("cast(sum(p_ppm) div count(*) as bigint)").alias("mean_p_ppm"),
+            F.expr("cast(sum(y) * 1000000 div count(*) as bigint)").alias("obs_rate_ppm"),
+            F.expr(
+                "cast(sum(p_ppm) div count(*)"
+                " - sum(y) * 1000000 div count(*) as bigint)"
+            ).alias("gap_ppm"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n", "mean_p_ppm", "obs_rate_ppm", "gap_ppm",
+            "brier_ppm", "logloss_micro",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (rational integer staging, no float saturation)
+# ---------------------------------------------------------------------------
+
+_BM25_DF_LO, _BM25_DF_HI, _BM25_NQ, _BM25_K = 10, 200, 5, 20
+# k1 = 6/5, b = 3/4 kept RATIONAL: the per-term score
+# idf * tf(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) becomes
+# idf_milli * 11 * tf * 1e6 // (5 * tf * 1e6 + 6 * norm_micro), an exact
+# integer once norm_micro = 250000 + 750000 * dl * n_docs // total_len
+_BM25_TERM = (
+    "idf_milli * 11 * tf * 1000000 // (5 * tf * 1000000 + 6 * norm_micro)"
+)
+
+
+@register(
+    "bm25_retrieval_topk",
+    rf"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+                WHERE trim(text) <> ''),
+    ex AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len
+            FROM dl),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qterms AS (
+      SELECT t, df FROM dfreq
+      WHERE df BETWEEN {_BM25_DF_LO} AND {_BM25_DF_HI}
+      ORDER BY df DESC, t ASC LIMIT {_BM25_NQ}),
+    idf AS (
+      SELECT t, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1) * 1000) AS BIGINT)
+                  AS idf_milli
+      FROM qterms CROSS JOIN n_t),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum({_BM25_TERM}) AS BIGINT) AS score_milli,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf
+      JOIN idf USING (t)
+      JOIN (SELECT doc_id, 250000 + 750000 * dl.dl * n_t.n_docs // n_t.total_len
+                     AS norm_micro
+            FROM dl CROSS JOIN n_t) nrm USING (doc_id)
+      GROUP BY 1)
+    SELECT doc_id, score_milli, n_terms_hit FROM scored
+    ORDER BY score_milli DESC, doc_id ASC LIMIT {_BM25_K}
+    """,
+)
+def bm25_retrieval_topk(spark, sf_dir):
+    """BM25 ranked retrieval — THE sparse-retrieval scoring function —
+    over the corpus inverted index, for a deterministic query (the
+    {_BM25_NQ} highest-df terms inside the df band
+    [{_BM25_DF_LO}, {_BM25_DF_HI}]; a fixed literal query cannot exist on
+    synthetic vocab). Okapi parameters stay RATIONAL (k1 = 6/5, b = 3/4),
+    so the entire tf-saturation + length-normalization pipeline is exact
+    integer arithmetic: norm_micro = (1-b) + b*dl/avgdl in micro units via
+    one floor division, the per-term score one integer expression, the
+    per-doc score an order-independent integer sum — the only double is
+    inside the idf constant, staged to milli-nats at term grain
+    ({_BM25_NQ} values). Postings touch ONLY the query terms (the idf
+    join prunes the tf table before any scoring); doc-length norms join
+    at doc grain; top-{_BM25_K} is a TakeOrdered. At 100 TB the inverted
+    index is the precomputed asset and the per-query cost is
+    |postings(query terms)| — the same posting-pruned shape as
+    tfidf_cosine_pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ex = docs.select(
+        "doc_id", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("t")
+    )
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    n_t = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = ex.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qterms = (
+        dfreq.filter(F.col("df").between(_BM25_DF_LO, _BM25_DF_HI))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(_BM25_NQ)
+    )
+    idf = qterms.crossJoin(F.broadcast(n_t)).select(
+        "t",
+        F.expr(
+            "cast(round(ln((cast(n_docs as double) - df + 0.5)"
+            " / (cast(df as double) + 0.5) + 1) * 1000) as bigint)"
+        ).alias("idf_milli"),
+    )
+    nrm = dl.crossJoin(F.broadcast(n_t)).select(
+        "doc_id",
+        F.expr("250000 + 750000 * dl * n_docs div total_len").alias("norm_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(nrm, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_TERM.replace("//", "div"))).cast("bigint")
+            .alias("score_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_K)

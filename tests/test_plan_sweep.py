@@ -61,6 +61,7 @@ EXECUTES_AT_BUILD = {
     "bpe_train_merges",  # per-round 1-row argmax collect in the merge loop
     "similarity_pq_adc",  # codebook training collects the sample
     "logistic_regression_irls",  # per-iteration 1-row beta localCheckpoint
+    "logistic_calibration_quality",  # same IRLS fit at plan-build time
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
 }
 SKIP: set[str] = set()

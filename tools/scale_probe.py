@@ -37,6 +37,11 @@ PROBES = [
     "rolling_28d_active_users", # user-day grain x bounded day-spine join (r3)
     "text_unigram_surprisal",   # self-trained unigram LM scoring (r4)
     "text_bigram_lm_score",     # add-one bigram LM + model-apply join (r4)
+    "frequent_itemset_pairs",   # basket-bounded pair self-join (r6)
+    "skipgram_pairs_subsampled",  # position-keyed window pair join (r6)
+    "copurchase_degree_powerlaw",  # distinct edges + degree-grain fit (r6)
+    "logistic_regression_irls",  # 4x full-scan IRLS sufficient stats (r6)
+    "streaming_sessionize",     # availableNow session_window stream (r6)
 ]
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
