@@ -171,6 +171,9 @@ TRANCHE = [
     "quantile_normalization_map",
     "logistic_calibration_quality",
     "bm25_retrieval_topk",
+    "attribution_markov_removal",
+    "wasserstein_source_shift",
+    "markov_next_event_accuracy",
 ]
 
 

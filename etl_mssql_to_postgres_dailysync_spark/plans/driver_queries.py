@@ -16168,3 +16168,417 @@ def bm25_retrieval_topk(spark, sf_dir):
     return scored.orderBy(
         F.col("score_milli").desc(), F.col("doc_id").asc()
     ).limit(_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (truncated absorption, exact integers)
+# ---------------------------------------------------------------------------
+
+_MKV_CHANNELS = ["click", "error", "signup", "view"]
+_MKV_STEPS = 8
+
+
+def _mkv_scenario_ctes(tag: str, blocked: str | None) -> str:
+    """Unrolled truncated-absorption matvec for one scenario: v starts as
+    1e6 on 'start'; each step floors sum(v*p)/1e6 once per target state
+    and accumulates the purchase inflow. Blocking a channel removes every
+    transition INTO it (the standard removal-effect surgery — entry
+    blocked means its outgoing mass never exists)."""
+    blk = f" AND p.to_s <> '{blocked}'" if blocked else ""
+    ctes = [f"v{tag}_0 AS (SELECT 'start' AS s, CAST(1000000 AS BIGINT) AS v)",
+            f"c{tag}_0 AS (SELECT CAST(0 AS BIGINT) AS c)"]
+    for k in range(1, _MKV_STEPS + 1):
+        ctes.append(f"""
+    v{tag}_{k} AS MATERIALIZED (
+      SELECT p.to_s AS s, CAST(sum(v.v * p.p_ppm) // 1000000 AS BIGINT) AS v
+      FROM v{tag}_{k - 1} v JOIN pmat p ON p.from_s = v.s
+      WHERE p.to_s NOT IN ('purchase', 'drop'){blk}
+      GROUP BY 1),
+    c{tag}_{k} AS MATERIALIZED (
+      SELECT c{tag}_{k - 1}.c + coalesce(
+        (SELECT CAST(sum(v.v * p.p_ppm) // 1000000 AS BIGINT)
+         FROM v{tag}_{k - 1} v JOIN pmat p
+           ON p.from_s = v.s AND p.to_s = 'purchase'), 0) AS c
+      FROM c{tag}_{k - 1})""")
+    return ",".join(ctes)
+
+
+def _mkv_oracle_sql() -> str:
+    scen = [_mkv_scenario_ctes("f", None)]
+    for ch in _MKV_CHANNELS:
+        scen.append(_mkv_scenario_ctes(ch, ch))
+    finals = ", ".join(
+        [f"(SELECT c FROM cf_{_MKV_STEPS}) AS conv_full"]
+        + [f"(SELECT c FROM c{ch}_{_MKV_STEPS}) AS conv_wo_{ch}"
+           for ch in _MKV_CHANNELS]
+    )
+    chan_rows = ", ".join(f"('{c}')" for c in _MKV_CHANNELS)
+    rem = ("CASE WHEN conv_full > 0 THEN greatest(conv_full - conv_wo, 0)"
+           " * 1000000 // conv_full ELSE 0 END")
+    return f"""
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER w AS pts, lag(event_type) OVER w AS ptype,
+             lead(ts) OVER w AS nts, lead(event_type) OVER w AS ntype
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flag AS (
+      SELECT *,
+             CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                       OR ptype = 'purchase' THEN 1 ELSE 0 END AS new_j,
+             CASE WHEN nts IS NULL OR nts - ts > INTERVAL 30 MINUTE
+                       OR event_type = 'purchase' THEN 1 ELSE 0 END AS final_j
+      FROM ord),
+    trans AS (
+      SELECT CASE WHEN new_j = 1 THEN 'start' ELSE ptype END AS from_s,
+             event_type AS to_s
+      FROM flag
+      UNION ALL
+      SELECT event_type, 'drop' FROM flag
+      WHERE final_j = 1 AND event_type <> 'purchase'),
+    cnt AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+            FROM trans GROUP BY 1, 2),
+    ft AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    pmat AS MATERIALIZED (
+      SELECT c.from_s, c.to_s, c.n,
+             CAST(c.n * 1000000 // f.tot AS BIGINT) AS p_ppm
+      FROM cnt c JOIN ft f USING (from_s)),
+    {",".join(scen)},
+    finals AS (SELECT {finals}),
+    chans AS (
+      SELECT ch.channel, f.conv_full,
+             CASE ch.channel
+               {" ".join(f"WHEN '{c}' THEN f.conv_wo_{c}" for c in _MKV_CHANNELS)}
+             END AS conv_wo
+      FROM (VALUES {chan_rows}) AS ch(channel) CROSS JOIN finals f),
+    scored AS (
+      SELECT channel, conv_full, conv_wo, {rem} AS removal_ppm FROM chans),
+    tot_rem AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS tr FROM scored),
+    n_in AS (SELECT to_s AS channel, CAST(sum(n) AS BIGINT) AS n_transitions_in
+             FROM cnt GROUP BY 1)
+    SELECT s.channel, coalesce(i.n_transitions_in, 0) AS n_transitions_in,
+           s.conv_full AS conv_full_ppm, s.conv_wo AS conv_without_ppm,
+           s.removal_ppm,
+           CAST(CASE WHEN t.tr > 0 THEN s.removal_ppm * 1000000 // t.tr
+                     ELSE 0 END AS BIGINT) AS attribution_ppm
+    FROM scored s
+    LEFT JOIN n_in i USING (channel)
+    CROSS JOIN tot_rem t
+    ORDER BY s.channel
+    """
+
+
+@register("attribution_markov_removal", _mkv_oracle_sql())
+def attribution_markov_removal(spark, sf_dir):
+    """Markov-chain removal-effect attribution — the principled
+    alternative to the heuristic first/last/linear splits in
+    attribution_multi_touch: fit the journey transition matrix (state =
+    event type, 'start' opens each journey, entering 'purchase' absorbs
+    as conversion, inactivity gaps or journey end absorb as 'drop'),
+    compute the start->conversion probability by {_MKV_STEPS}-step
+    truncated absorption, and attribute each channel by how much that
+    probability drops when every transition INTO the channel is removed
+    (Shapley-lite; shares normalized over removals).
+
+    Distributed/driver split is the engine's standard: journeys and the
+    transition counts are ONE window pass + a groupBy at state-pair
+    grain (<= 7x7 rows at ANY data size — at 100 TB that is still 49
+    rows); the matrix then comes back as a BOUNDED collect and the five
+    matvec scenarios run in exact integer Python (sum-then-floor each
+    step, identical to the oracle's unrolled CTE chain), re-entering the
+    plan as a literal result spine. Truncated absorption at {_MKV_STEPS}
+    steps is the documented estimator: the tail mass still in play after
+    {_MKV_STEPS} hops is < (max non-absorbing row-sum)^{_MKV_STEPS},
+    negligible for gap-broken journeys."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordx = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("ts").over(w).alias("pts"),
+        F.lag("event_type").over(w).alias("ptype"),
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("event_type").over(w).alias("ntype"),
+    )
+    gap = F.expr("INTERVAL 30 MINUTES")
+    flag = ordx.withColumn(
+        "new_j",
+        F.when(
+            F.col("pts").isNull() | (F.col("ts") - F.col("pts") > gap)
+            | (F.col("ptype") == "purchase"), 1
+        ).otherwise(0),
+    ).withColumn(
+        "final_j",
+        F.when(
+            F.col("nts").isNull() | (F.col("nts") - F.col("ts") > gap)
+            | (F.col("event_type") == "purchase"), 1
+        ).otherwise(0),
+    )
+    trans = flag.select(
+        F.when(F.col("new_j") == 1, F.lit("start")).otherwise(F.col("ptype"))
+        .alias("from_s"),
+        F.col("event_type").alias("to_s"),
+    ).unionByName(
+        flag.filter((F.col("final_j") == 1) & (F.col("event_type") != "purchase"))
+        .select(
+            F.col("event_type").alias("from_s"), F.lit("drop").alias("to_s")
+        )
+    )
+    cnt = trans.groupBy("from_s", "to_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # state-pair grain: <= 7x7 rows regardless of volume — bounded collect
+    rows = cnt.collect()
+    counts = {(r["from_s"], r["to_s"]): r["n"] for r in rows}
+    tot = {}
+    for (f, _), n in counts.items():
+        tot[f] = tot.get(f, 0) + n
+    p = {k: n * 1_000_000 // tot[k[0]] for k, n in counts.items()}
+
+    def absorbed(blocked: str | None) -> int:
+        v = {"start": 1_000_000}
+        conv = 0
+        for _ in range(_MKV_STEPS):
+            inflow: dict[str, int] = {}
+            conv_add = 0
+            for (f, t), pp in p.items():
+                if f not in v:
+                    continue
+                if t == "purchase":
+                    conv_add += v[f] * pp
+                elif t != "drop" and t != blocked:
+                    inflow[t] = inflow.get(t, 0) + v[f] * pp
+            conv += conv_add // 1_000_000
+            v = {t: s // 1_000_000 for t, s in inflow.items() if s // 1_000_000 > 0}
+        return conv
+
+    # NOTE: python floors the SUM once per (step, target) exactly like the
+    # oracle's sum-then-// — but v entries that floor to 0 are dropped on
+    # both sides (a 0 row contributes nothing either way)
+    conv_full = absorbed(None)
+    rem = {}
+    wo = {}
+    for ch in _MKV_CHANNELS:
+        wo[ch] = absorbed(ch)
+        rem[ch] = (
+            max(conv_full - wo[ch], 0) * 1_000_000 // conv_full
+            if conv_full > 0 else 0
+        )
+    tr = sum(rem.values())
+    n_in = {}
+    for (f, t), n in counts.items():
+        n_in[t] = n_in.get(t, 0) + n
+    out = [
+        (
+            ch, n_in.get(ch, 0), conv_full, wo[ch], rem[ch],
+            rem[ch] * 1_000_000 // tr if tr > 0 else 0,
+        )
+        for ch in _MKV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, n_transitions_in bigint, conv_full_ppm bigint,"
+        " conv_without_ppm bigint, removal_ppm bigint, attribution_ppm bigint",
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) distance per source vs the pooled corpus
+# ---------------------------------------------------------------------------
+
+_W1_BINS = 20
+_W1_BINW = 25  # tokens per bin; bin = least(n_tokens div 25, 19)
+
+
+@register(
+    "wasserstein_source_shift",
+    rf"""
+    WITH lens AS (
+      SELECT source,
+             least(CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                        AS BIGINT) // {_W1_BINW}, {_W1_BINS - 1}) AS bin
+      FROM documents),
+    bins AS (SELECT unnest(generate_series(0, {_W1_BINS - 1})) AS bin),
+    srcs AS (SELECT DISTINCT source FROM lens),
+    grid AS (SELECT s.source, b.bin FROM srcs s CROSS JOIN bins b),
+    per AS (
+      SELECT g.source, g.bin, CAST(count(l.bin) AS BIGINT) AS n
+      FROM grid g LEFT JOIN lens l ON l.source = g.source AND l.bin = g.bin
+      GROUP BY 1, 2),
+    ptot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM per GROUP BY 1),
+    pool AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM per GROUP BY 1),
+    gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM pool),
+    cdf_s AS (
+      SELECT p.source, p.bin,
+             sum(p.n * 1000000 // t.nt) OVER (PARTITION BY p.source
+                 ORDER BY p.bin ROWS UNBOUNDED PRECEDING) AS cum_ppm
+      FROM per p JOIN ptot t USING (source)),
+    cdf_g AS (
+      SELECT g.bin,
+             sum(g.n * 1000000 // t.nt) OVER (ORDER BY g.bin
+                 ROWS UNBOUNDED PRECEDING) AS cum_ppm
+      FROM pool g CROSS JOIN gtot t)
+    SELECT s.source,
+           CAST(max(t.nt) AS BIGINT) AS n_docs,
+           CAST(sum(abs(s.cum_ppm - g.cum_ppm)) AS BIGINT) AS w1_ppm_bins,
+           CAST(sum(abs(s.cum_ppm - g.cum_ppm)) * {_W1_BINW} // {_W1_BINS}
+                AS BIGINT) AS w1_tokens_ppm
+    FROM cdf_s s JOIN cdf_g g USING (bin) JOIN ptot t USING (source)
+    GROUP BY 1
+    """,
+)
+def wasserstein_source_shift(spark, sf_dir):
+    """1-D Wasserstein (earth mover's) distance between each source's
+    doc-length distribution and the pooled corpus — the transport-cost
+    companion to PSI/KS/KL in the drift family: unlike PSI it respects
+    bin ADJACENCY (mass moved two bins costs twice as much as one), so it
+    ranks 'shifted' sources above 'noisy' ones. In 1-D optimal transport
+    collapses to the closed form W1 = integral |CDF_a - CDF_g| — no
+    Sinkhorn iterations, no transcendental functions: per-bin ppm masses
+    (floor-div), cumulative sums over the {_W1_BINS}-bin grid
+    (bin-grain windows partitioned by source), and one exact integer
+    |difference| sum. The dense source x bin grid keeps absent bins at
+    mass 0 so every CDF has all {_W1_BINS} steps.
+
+    Scale shape: data grain collapses at the first groupBy; everything
+    after lives on source x {_W1_BINS} rows. w1_tokens_ppm re-expresses
+    the bin-unit distance in expected tokens moved per document."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", text.token_count(F.col("text")).cast("bigint").alias("tk")
+    ).select(
+        "source",
+        F.least(
+            F.expr(f"tk div {_W1_BINW}"), F.lit(_W1_BINS - 1).cast("bigint")
+        ).alias("bin"),
+    )
+    cnt = lens.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    srcs = lens.select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(spark.range(0, _W1_BINS)
+                                      .select(F.col("id").alias("bin"))))
+    per = grid.join(cnt, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
+    ptot = per.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
+    pool = per.groupBy("bin").agg(F.sum("n").cast("bigint").alias("n"))
+    gtot = pool.agg(F.sum("n").cast("bigint").alias("nt"))
+    ws = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf_s = (
+        per.join(F.broadcast(ptot), "source")
+        .select(
+            "source", "bin",
+            F.sum(F.expr("n * 1000000 div nt")).over(ws).alias("cum_ppm"),
+        )
+    )
+    wg = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf_g = (
+        pool.crossJoin(F.broadcast(gtot))
+        .select(
+            "bin",
+            F.sum(F.expr("n * 1000000 div nt")).over(wg).alias("gcum_ppm"),
+        )
+    )
+    return (
+        cdf_s.join(F.broadcast(cdf_g), "bin")
+        .join(F.broadcast(ptot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("nt").cast("bigint").alias("n_docs"),
+            F.sum(F.abs(F.col("cum_ppm") - F.col("gcum_ppm"))).cast("bigint")
+            .alias("w1_ppm_bins"),
+            F.expr(
+                f"cast(sum(abs(cum_ppm - gcum_ppm)) * {_W1_BINW}"
+                f" div {_W1_BINS} as bigint)"
+            ).alias("w1_tokens_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Next-event prediction accuracy of the argmax transition model
+# ---------------------------------------------------------------------------
+
+@register(
+    "markov_next_event_accuracy",
+    """
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(ts) OVER w AS nts, lead(event_type) OVER w AS ntype
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    pairs AS (
+      SELECT event_type AS from_s, ntype AS to_s
+      FROM ord
+      WHERE nts IS NOT NULL AND nts - ts <= INTERVAL 30 MINUTE),
+    cnt AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2),
+    pred AS (
+      SELECT from_s, to_s AS predicted FROM (
+        SELECT from_s, to_s,
+               row_number() OVER (PARTITION BY from_s
+                                  ORDER BY n DESC, to_s ASC) AS rk
+        FROM cnt)
+      WHERE rk = 1)
+    SELECT c.from_s,
+           CAST(sum(c.n) AS BIGINT) AS n_pairs,
+           max(p.predicted) AS predicted,
+           CAST(sum(CASE WHEN c.to_s = p.predicted THEN c.n ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN c.to_s = p.predicted THEN c.n ELSE 0 END)
+                * 1000000 // sum(c.n) AS BIGINT) AS accuracy_ppm
+    FROM cnt c JOIN pred p USING (from_s)
+    GROUP BY 1
+    """,
+)
+def markov_next_event_accuracy(spark, sf_dir):
+    """In-sample accuracy of the order-1 Markov next-event predictor:
+    for each current event type, predict the modal successor (within the
+    30-min session gap) and report how often it is right — the baseline
+    every sequence model must beat, and the quick screen for whether
+    event streams carry any sequential signal at all (accuracy at the
+    majority-class rate means none; see event_transition_entropy for the
+    information-theoretic view).
+
+    One window pass makes successor pairs; everything after lives at
+    state-pair grain (<= 25 rows). The argmax is deterministic
+    (count DESC, label ASC) on both engines; accuracy is an exact
+    integer ratio. In-sample by design — the train/test split variant is
+    cv_fold_assignment composed upstream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordx = ev.select(
+        "event_type", "ts",
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("event_type").over(w).alias("ntype"),
+    )
+    pairs = ordx.filter(
+        F.col("nts").isNotNull()
+        & (F.col("nts") - F.col("ts") <= F.expr("INTERVAL 30 MINUTES"))
+    ).select(F.col("event_type").alias("from_s"), F.col("ntype").alias("to_s"))
+    cnt = pairs.groupBy("from_s", "to_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("from_s").orderBy(F.col("n").desc(), F.col("to_s").asc())
+    pred = (
+        cnt.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("from_s", F.col("to_s").alias("predicted"))
+    )
+    return (
+        cnt.join(F.broadcast(pred), "from_s")
+        .groupBy("from_s")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pairs"),
+            F.max("predicted").alias("predicted"),
+            F.sum(F.when(F.col("to_s") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_correct"),
+            F.expr(
+                "cast(sum(case when to_s = predicted then n else 0 end)"
+                " * 1000000 div sum(n) as bigint)"
+            ).alias("accuracy_ppm"),
+        )
+    )

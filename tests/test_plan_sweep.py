@@ -62,6 +62,7 @@ EXECUTES_AT_BUILD = {
     "similarity_pq_adc",  # codebook training collects the sample
     "logistic_regression_irls",  # per-iteration 1-row beta localCheckpoint
     "logistic_calibration_quality",  # same IRLS fit at plan-build time
+    "attribution_markov_removal",  # 49-row transition-matrix collect at build
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
 }
 SKIP: set[str] = set()

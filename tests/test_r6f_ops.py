@@ -131,3 +131,159 @@ def test_bm25_tf_saturation_monotone_capped():
         assert s >= prev
         prev = s
     assert prev <= idf_m * 11 // 5  # asymptote idf*(k1+1)
+
+
+# ---------------------------------------------------------------------------
+# attribution_markov_removal
+# ---------------------------------------------------------------------------
+
+def test_markov_removal_matches_pure_python(spark):
+    """Transition extraction, truncated absorption, and removal shares
+    must equal a from-scratch pure-Python replica over the raw events."""
+    got = {r["channel"]: r for r in
+           QUERIES["attribution_markov_removal"](spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    counts: dict[tuple[str, str], int] = {}
+
+    def bump(f, t):
+        counts[(f, t)] = counts.get((f, t), 0) + 1
+
+    for _, grp in ev.groupby("user_id"):
+        rows = list(grp[["ts", "event_type"]].itertuples(index=False))
+        prev_ts = prev_ty = None
+        for i, (ts, ty) in enumerate(rows):
+            new_j = prev_ts is None or ts - prev_ts > gap or prev_ty == "purchase"
+            bump("start" if new_j else prev_ty, ty)
+            nxt = rows[i + 1] if i + 1 < len(rows) else None
+            final = nxt is None or nxt[0] - ts > gap or ty == "purchase"
+            if final and ty != "purchase":
+                bump(ty, "drop")
+            prev_ts, prev_ty = ts, ty
+    tot: dict[str, int] = {}
+    for (f, _), n in counts.items():
+        tot[f] = tot.get(f, 0) + n
+    p = {k: n * 1_000_000 // tot[k[0]] for k, n in counts.items()}
+
+    def absorbed(blocked):
+        v = {"start": 1_000_000}
+        conv = 0
+        for _ in range(8):
+            inflow: dict[str, int] = {}
+            add = 0
+            for (f, t), pp in p.items():
+                if f in v:
+                    if t == "purchase":
+                        add += v[f] * pp
+                    elif t not in ("drop", blocked):
+                        inflow[t] = inflow.get(t, 0) + v[f] * pp
+            conv += add // 1_000_000
+            v = {t: s // 1_000_000 for t, s in inflow.items() if s >= 1_000_000}
+        return conv
+
+    conv_full = absorbed(None)
+    rem = {}
+    for ch in ("click", "error", "signup", "view"):
+        wo = absorbed(ch)
+        rem[ch] = (max(conv_full - wo, 0) * 1_000_000 // conv_full
+                   if conv_full else 0)
+        r = got[ch]
+        assert r["conv_full_ppm"] == conv_full
+        assert r["conv_without_ppm"] == wo
+        assert r["removal_ppm"] == rem[ch]
+        n_in = sum(n for (f, t), n in counts.items() if t == ch)
+        assert r["n_transitions_in"] == n_in
+    tr = sum(rem.values())
+    for ch, r in got.items():
+        assert r["attribution_ppm"] == (rem[ch] * 1_000_000 // tr if tr else 0)
+
+
+def test_markov_removal_ordering_invariant(spark):
+    """Removing a channel can only reduce (or keep) the conversion
+    probability, and attribution shares sum to <= 1e6 (floor division)."""
+    rows = QUERIES["attribution_markov_removal"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["conv_without_ppm"] <= r["conv_full_ppm"]
+        assert 0 <= r["removal_ppm"] <= 1_000_000
+    s = sum(r["attribution_ppm"] for r in rows)
+    assert s <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_source_shift
+# ---------------------------------------------------------------------------
+
+def test_w1_matches_pure_python_cdf_form(spark):
+    """W1 per source must equal the closed-form sum of |CDF differences|
+    over the fixed bin grid, computed in pure Python with identical
+    integer staging."""
+    got = {r["source"]: r for r in
+           QUERIES["wasserstein_source_shift"](spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    BINS, BW = 20, 25
+    per: dict[str, list[int]] = {}
+    for _, d in docs.iterrows():
+        tk = 0 if d["text"].strip() == "" else len(re.split(r"\s+", d["text"].strip()))
+        b = min(tk // BW, BINS - 1)
+        per.setdefault(d["source"], [0] * BINS)[b] += 1
+    pooled = [sum(per[s][b] for s in per) for b in range(BINS)]
+    gt = sum(pooled)
+    gcum, acc = [], 0
+    for b in range(BINS):
+        acc += pooled[b] * 1_000_000 // gt
+        gcum.append(acc)
+    for src, hist in per.items():
+        nt = sum(hist)
+        w1, acc = 0, 0
+        for b in range(BINS):
+            acc += hist[b] * 1_000_000 // nt
+            w1 += abs(acc - gcum[b])
+        r = got[src]
+        assert r["n_docs"] == nt
+        assert r["w1_ppm_bins"] == w1
+        assert r["w1_tokens_ppm"] == w1 * BW // BINS
+
+
+def test_w1_identity_and_shift_sensitivity():
+    """W1 of a distribution vs itself is 0; a one-bin shift of all mass
+    costs exactly 1e6 ppm-bins (the adjacency property PSI lacks)."""
+    a = [0, 1_000_000, 0]
+    b = [0, 0, 1_000_000]
+    # cdf_a = [0, 1e6, 1e6]; cdf_b = [0, 0, 1e6]
+    assert sum(abs(x - y) for x, y in zip(
+        [0, 1_000_000, 1_000_000], [0, 0, 1_000_000])) == 1_000_000
+    assert sum(abs(x - x) for x in a) == 0
+
+
+# ---------------------------------------------------------------------------
+# markov_next_event_accuracy
+# ---------------------------------------------------------------------------
+
+def test_next_event_accuracy_matches_replica(spark):
+    """Pair extraction, modal prediction, and accuracy must equal a
+    pure-pandas replica with the same 30-min gap and tie rules."""
+    got = {r["from_s"]: r for r in
+           QUERIES["markov_next_event_accuracy"](spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    cnt: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        rows = list(grp[["ts", "event_type"]].itertuples(index=False))
+        for i in range(len(rows) - 1):
+            if rows[i + 1][0] - rows[i][0] <= gap:
+                k = (rows[i][1], rows[i + 1][1])
+                cnt[k] = cnt.get(k, 0) + 1
+    froms = {f for f, _ in cnt}
+    assert set(got) == froms
+    for f in froms:
+        outs = {t: n for (ff, t), n in cnt.items() if ff == f}
+        pred = sorted(outs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        n_pairs = sum(outs.values())
+        n_corr = outs.get(pred, 0)
+        r = got[f]
+        assert r["predicted"] == pred
+        assert r["n_pairs"] == n_pairs
+        assert r["n_correct"] == n_corr
+        assert r["accuracy_ppm"] == n_corr * 1_000_000 // n_pairs
