@@ -174,6 +174,8 @@ TRANCHE = [
     "attribution_markov_removal",
     "wasserstein_source_shift",
     "markov_next_event_accuracy",
+    "content_defined_chunking",
+    "ecdf_dkw_band",
 ]
 
 

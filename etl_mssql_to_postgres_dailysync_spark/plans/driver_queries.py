@@ -16582,3 +16582,188 @@ def markov_next_event_accuracy(spark, sf_dir):
             ).alias("accuracy_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, insertion-stable)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 16   # boundary window (chars)
+_CDC_DIV = 64  # boundary when window-hash % DIV == 0 -> ~64-char avg chunks
+
+
+@register(
+    "content_defined_chunking",
+    rf"""
+    WITH d AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents
+               WHERE len(trim(text)) > 0),
+    pos AS (
+      SELECT doc_id, source, norm,
+             unnest(range(1, greatest(len(norm) - {_CDC_W} + 2, 1))) AS i
+      FROM d),
+    cuts AS (
+      SELECT doc_id, source, norm, i + {_CDC_W} - 1 AS cut
+      FROM pos
+      WHERE {_HASH15.format(x=f"substr(norm, CAST(i AS INT), {_CDC_W})")}
+            % {_CDC_DIV} = 0),
+    spans AS (
+      SELECT doc_id, source, norm, cut,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1
+               AS start
+      FROM cuts
+      UNION ALL
+      SELECT d.doc_id, d.source, d.norm, len(d.norm) AS cut,
+             coalesce((SELECT max(c.cut) FROM cuts c
+                       WHERE c.doc_id = d.doc_id), 0) + 1 AS start
+      FROM d),
+    chunks AS (
+      SELECT doc_id, source, cut - start + 1 AS n_chars,
+             {_HASH15.format(x="substr(norm, CAST(start AS INT), CAST(cut - start + 1 AS INT))")}
+               AS chunk_hash
+      FROM spans WHERE cut >= start)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chunk_chars,
+           CAST(count(DISTINCT chunk_hash) * 1000000 // count(*) AS BIGINT)
+             AS distinct_chunk_ppm
+    FROM chunks GROUP BY 1
+    """,
+)
+def content_defined_chunking(spark, sf_dir):
+    """Content-defined chunking — boundaries where the rolling
+    {_CDC_W}-char window hash ≡ 0 (mod {_CDC_DIV}), the rsync/LBFS
+    technique storage dedup is built on: unlike doc_chunking's fixed
+    windows, inserting one character shifts only the chunks AROUND the
+    edit (boundaries are content-anchored), so near-identical documents
+    share almost all chunk hashes. distinct_chunk_ppm per source IS the
+    storage-dedup ratio the chunker would achieve.
+
+    Per-position window hashes ride one explode over char positions —
+    pure JVM md5 expressions at ~n_chars grain (the shingling family's
+    scale shape: embarrassingly parallel, no shuffle until the chunk
+    aggregate). Chunk spans come from a lag window PARTITIONED by doc
+    (boundary-grain, tiny per doc) plus a per-doc tail span; the final
+    rollup is one groupBy(source). A production CDC imposes min/max
+    chunk sizes; the plain divisor rule is kept here so both engines
+    replay the textbook construction exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    d = docs.select("doc_id", "source", text.normalize(F.col("text")).alias("norm"))
+    pos = d.select(
+        "doc_id", "source", "norm",
+        F.explode(
+            # inclusive upper bound: last window start is n - W + 1 (DuckDB's
+            # range(1, n - W + 2) is exclusive — same position set)
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (_CDC_W - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    cuts = pos.filter(
+        md5_long(F.expr(f"substring(norm, cast(i as int), {_CDC_W})")) % _CDC_DIV == 0
+    ).select("doc_id", "source", "norm", (F.col("i") + (_CDC_W - 1)).alias("cut"))
+    wdoc = Window.partitionBy("doc_id").orderBy("cut")
+    body = cuts.select(
+        "doc_id", "source", "norm", "cut",
+        (F.coalesce(F.lag("cut").over(wdoc), F.lit(0)) + 1).alias("start"),
+    )
+    last_cut = cuts.groupBy("doc_id").agg(F.max("cut").alias("mc"))
+    tail = (
+        d.join(last_cut, "doc_id", "left")
+        .select(
+            "doc_id", "source", "norm",
+            F.length("norm").alias("cut"),
+            (F.coalesce(F.col("mc"), F.lit(0)) + 1).alias("start"),
+        )
+    )
+    spans = body.unionByName(tail)
+    chunks = spans.filter(F.col("cut") >= F.col("start")).select(
+        "doc_id", "source",
+        (F.col("cut") - F.col("start") + 1).alias("n_chars"),
+        md5_long(
+            F.expr("substring(norm, cast(start as int), cast(cut - start + 1 as int))")
+        ).alias("chunk_hash"),
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.expr("cast(sum(n_chars) div count(*) as bigint)").alias("mean_chunk_chars"),
+        F.expr(
+            "cast(count(distinct chunk_hash) * 1000000 div count(*) as bigint)"
+        ).alias("distinct_chunk_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ECDF with the DKW nonparametric 95% confidence band
+# ---------------------------------------------------------------------------
+
+# eps_n = sqrt(ln(2/alpha) / (2n)) at alpha = 0.05; ln(40) is a shared
+# constant so the only runtime double is one sqrt over the exact count
+_DKW_EPS_PPM = "CAST(round(sqrt(3.688879454113936 / (2 * n)) * 1000000) AS BIGINT)"
+_DKW_POINTS = [5000, 20000, 50000, 100000, 200000, 350000]
+
+
+@register(
+    "ecdf_dkw_band",
+    f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(count(*) FILTER (CAST(round(o_totalprice) AS BIGINT)"
+                        f" <= {t}) AS BIGINT) AS le_{t}" for t in _DKW_POINTS)}
+      FROM orders),
+    n_t AS (SELECT n FROM agg),
+    f AS (
+      SELECT p.t, {" ".join(f"CASE WHEN p.t = {t} THEN agg.le_{t} ELSE 0 END +"
+                            for t in _DKW_POINTS)} 0 AS n_le
+      FROM agg CROSS JOIN (SELECT unnest(ARRAY{_DKW_POINTS}) AS t) p)
+    SELECT CAST(f.t AS BIGINT) AS threshold,
+           CAST(f.n_le * 1000000 // n_t.n AS BIGINT) AS ecdf_ppm,
+           greatest(f.n_le * 1000000 // n_t.n - {_DKW_EPS_PPM}, 0) AS lo_ppm,
+           least(f.n_le * 1000000 // n_t.n + {_DKW_EPS_PPM}, 1000000) AS hi_ppm,
+           {_DKW_EPS_PPM} AS eps_ppm
+    FROM f CROSS JOIN n_t
+    ORDER BY threshold
+    """,
+)
+def ecdf_dkw_band(spark, sf_dir):
+    """Empirical CDF of order value at fixed thresholds with the
+    Dvoretzky-Kiefer-Wolfowitz 95% band: eps = sqrt(ln(2/a)/(2n)) bounds
+    the WHOLE curve simultaneously — the distribution-free answer to
+    'how much can this ECDF be trusted', and the right error bar for any
+    threshold-based data-quality gate (compare: the per-point z-interval
+    understates simultaneous coverage). As n grows 100x the band
+    tightens 10x with zero extra work — the count is the only input.
+
+    ONE scan computes every threshold's count as conditional aggregates
+    (single row out — no fact-table expansion against the threshold
+    spine; a crossJoin formulation would process each row once per
+    threshold), then the literal spine unstacks the row. ln(2/a) is a
+    shared literal constant, so the only runtime double is one sqrt over
+    the exact bigint count, staged to ppm."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.count_if(F.expr(f"cast(round(o_totalprice) as bigint) <= {t}"))
+            .cast("bigint").alias(f"le_{t}")
+            for t in _DKW_POINTS
+        ],
+    )
+    pts = spark.createDataFrame([(t,) for t in _DKW_POINTS], "t long")
+    f = agg.crossJoin(F.broadcast(pts)).select(
+        "t", "n",
+        F.expr(
+            " + ".join(f"case when t = {t} then le_{t} else 0 end"
+                       for t in _DKW_POINTS)
+        ).alias("n_le"),
+    )
+    return (
+        f
+        .select(
+            F.col("t").cast("bigint").alias("threshold"),
+            F.expr("n_le * 1000000 div n").alias("ecdf_ppm"),
+            F.expr(f"greatest(n_le * 1000000 div n - {_DKW_EPS_PPM}, 0)").alias("lo_ppm"),
+            F.expr(f"least(n_le * 1000000 div n + {_DKW_EPS_PPM}, 1000000)").alias("hi_ppm"),
+            F.expr(_DKW_EPS_PPM).alias("eps_ppm"),
+        )
+        .orderBy("threshold")
+    )

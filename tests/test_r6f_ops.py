@@ -287,3 +287,97 @@ def test_next_event_accuracy_matches_replica(spark):
         assert r["n_pairs"] == n_pairs
         assert r["n_correct"] == n_corr
         assert r["accuracy_ppm"] == n_corr * 1_000_000 // n_pairs
+
+
+# ---------------------------------------------------------------------------
+# content_defined_chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_chunks(norm: str, w: int = 16, div: int = 64) -> list[str]:
+    """Pure-Python replica of the operator's boundary rule."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cuts = [i + w - 1 for i in range(1, max(len(norm) - w + 1, 0) + 1)
+            if h(norm[i - 1:i - 1 + w]) % div == 0]
+    chunks, prev = [], 0
+    for c in cuts:
+        chunks.append(norm[prev:c])
+        prev = c
+    if prev < len(norm):
+        chunks.append(norm[prev:])
+    return chunks
+
+
+def test_cdc_matches_pure_python_stats(spark):
+    """Per-source chunk counts / mean length / distinct ratio must equal
+    the pure-Python replica over the same normalized text."""
+    got = {r["source"]: r for r in
+           QUERIES["content_defined_chunking"](spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    per: dict[str, list[str]] = {}
+    ndocs: dict[str, int] = {}
+    for _, d in docs.iterrows():
+        if d["text"].strip() == "":
+            continue
+        norm = re.sub(r"\s+", " ", d["text"].lower()).strip()
+        per.setdefault(d["source"], []).extend(_cdc_chunks(norm))
+        ndocs[d["source"]] = ndocs.get(d["source"], 0) + 1
+    assert set(got) == set(per)
+    for src, chunks in per.items():
+        r = got[src]
+        assert r["n_docs"] == ndocs[src]
+        assert r["n_chunks"] == len(chunks)
+        assert r["mean_chunk_chars"] == sum(len(c) for c in chunks) // len(chunks)
+        assert r["distinct_chunk_ppm"] == \
+            len(set(chunks)) * 1_000_000 // len(chunks)
+
+
+def test_cdc_boundaries_are_insertion_stable():
+    """THE content-defined property: prepending text to a document leaves
+    the chunk set after the first boundary untouched (fixed windows would
+    shift every chunk). Verified on a deterministic synthetic doc."""
+    import hashlib
+    base = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(80)
+    )
+    edited = "zzz inserted prefix " + base
+    c1 = _cdc_chunks(base)
+    c2 = _cdc_chunks(edited)
+    assert len(c1) > 3  # the doc actually chunks
+    shared = set(c1) & set(c2)
+    # everything except the first chunk of each survives the edit
+    assert len(shared) >= len(c1) - 1 - 1
+    # and a FIXED-window chunker would share (almost) nothing: offsets moved
+    fixed1 = {base[i:i + 64] for i in range(0, len(base), 64)}
+    fixed2 = {edited[i:i + 64] for i in range(0, len(edited), 64)}
+    assert len(fixed1 & fixed2) <= 1
+
+
+# ---------------------------------------------------------------------------
+# ecdf_dkw_band
+# ---------------------------------------------------------------------------
+
+def test_dkw_band_matches_replica_and_tightens_with_n(spark):
+    """ECDF values and band must equal the replica; the DKW epsilon must
+    shrink ~10x for 100x the sample (sqrt law)."""
+    rows = {r["threshold"]: r for r in QUERIES["ecdf_dkw_band"](spark, SF_DIR).collect()}
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    vals = round(orders["o_totalprice"]).astype(int)
+    n = len(vals)
+    from decimal import ROUND_HALF_UP, Decimal
+    eps = int(Decimal(math.sqrt(math.log(40) / (2 * n)) * 1_000_000)
+              .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    for t, r in rows.items():
+        n_le = int((vals <= t).sum())
+        ecdf = n_le * 1_000_000 // n
+        assert r["ecdf_ppm"] == ecdf
+        assert r["eps_ppm"] == eps
+        assert r["lo_ppm"] == max(ecdf - eps, 0)
+        assert r["hi_ppm"] == min(ecdf + eps, 1_000_000)
+    # sqrt law
+    e_small = math.sqrt(math.log(40) / (2 * n))
+    e_big = math.sqrt(math.log(40) / (2 * 100 * n))
+    assert abs(e_small / e_big - 10) < 1e-9
