@@ -14237,8 +14237,9 @@ def frequent_itemset_pairs(spark, sf_dir):
     never corpus-quadratic (the standard basket-bounded market-basket
     design; skewed mega-baskets would be capped upstream the way
     dedup_ngram_jaccard_capped caps posting lists). Item counts join back
-    at pair grain (item-dimension-sized, broadcastable); the basket total
-    is a one-row broadcast. min-support HAVING prunes the long tail before
+    at pair grain (item-dimension-sized; AQE broadcasts them when they
+    fit and shuffles when the catalog is huge — not forced); the basket
+    total is a one-row broadcast. min-support HAVING prunes the long tail before
     the scoring joins. Top-100 by lift is a TakeOrdered, no global sort.
     (lift_ppm's pair*n*1e6 product overflows int64 only past ~9e18 — i.e.
     pair_baskets*n > 9e12, ~3e6 baskets with a 3e6-basket pair; switch the
@@ -14259,10 +14260,13 @@ def frequent_itemset_pairs(spark, sf_dir):
         .filter(F.col("pair_baskets") >= 2)
     )
     scored = (
-        pairs.join(F.broadcast(cnt.withColumnRenamed("item", "item_a")
-                               .withColumnRenamed("c", "n_a")), "item_a")
-        .join(F.broadcast(cnt.withColumnRenamed("item", "item_b")
-                          .withColumnRenamed("c", "n_b")), "item_b")
+        # item counts are item-dimension-sized: small enough for AQE to
+        # broadcast at any realistic catalog, but not FORCED — at extreme
+        # item cardinality these degrade gracefully to shuffle joins
+        pairs.join(cnt.withColumnRenamed("item", "item_a")
+                   .withColumnRenamed("c", "n_a"), "item_a")
+        .join(cnt.withColumnRenamed("item", "item_b")
+              .withColumnRenamed("c", "n_b"), "item_b")
         .crossJoin(F.broadcast(n_b))
         .select(
             "item_a", "item_b", "pair_baskets", "n_a", "n_b",
