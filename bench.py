@@ -176,6 +176,10 @@ TRANCHE = [
     "markov_next_event_accuracy",
     "content_defined_chunking",
     "ecdf_dkw_band",
+    "seasonal_decompose_daily",
+    "markov_order2_gain",
+    "cooccurrence_pmi_window",
+    "cuped_adjusted_ab",
 ]
 
 

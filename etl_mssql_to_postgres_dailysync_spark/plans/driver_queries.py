@@ -16771,3 +16771,396 @@ def ecdf_dkw_band(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative seasonal decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH day_rev AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    ma AS (
+      SELECT d, x, dayofweek(d) AS dow,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(x) OVER w7 // 7 AS BIGINT) END AS trend
+      FROM day_rev
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratio AS (
+      SELECT *, CAST(x * 1000000 // trend AS BIGINT) AS ratio_ppm
+      FROM ma WHERE trend IS NOT NULL AND trend > 0),
+    idx AS (
+      SELECT dow, CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS dow_index_ppm
+      FROM ratio GROUP BY 1)
+    SELECT CAST(r.d AS VARCHAR) AS day, r.x, r.trend,
+           CAST(r.dow AS INT) AS dow, i.dow_index_ppm, r.ratio_ppm,
+           CAST(r.ratio_ppm * 1000000 // i.dow_index_ppm AS BIGINT)
+             AS residual_ppm,
+           CAST(CASE WHEN abs(r.ratio_ppm * 1000000 // i.dow_index_ppm - 1000000)
+                          > 300000 THEN 1 ELSE 0 END AS INT) AS anomaly
+    FROM ratio r JOIN idx i USING (dow)
+    ORDER BY day
+    """,
+)
+def seasonal_decompose_daily(spark, sf_dir):
+    """Classical multiplicative seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only), weekday
+    index = mean detrended ratio per day-of-week, residual = ratio over
+    its weekday index — the decomposition behind 'is Monday low because
+    Mondays are low, or is something wrong'. residual_ppm far from 1e6
+    flags genuinely anomalous days AFTER seasonality is explained
+    (cf. zscore_anomaly, which conflates the two).
+
+    Exact integer staging end to end (whole-dollar series, floor-div MA,
+    ppm ratios — no doubles at all); all windows ride the day-grain
+    aggregate (domain-bounded), the weekday index is a 7-row broadcast
+    join. Day numbering pinned to DuckDB dayofweek (0=Sunday) via
+    Spark's dayofweek()-1, the weekday_seasonality convention."""
+    orders = _t(spark, sf_dir, "orders")
+    day_rev = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) div 100 as bigint)"
+        ).alias("x"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = day_rev.select(
+        "d", "x",
+        (F.dayofweek(F.col("d")) - 1).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("cast(0 as bigint)") + (F.sum("x").over(w7) / 7).cast("bigint"),
+        ).alias("trend_raw"),
+    ).withColumn("trend", F.expr("cast(trend_raw as bigint)")).drop("trend_raw")
+    ratio = ma.filter(F.col("trend").isNotNull() & (F.col("trend") > 0)).withColumn(
+        "ratio_ppm", F.expr("cast(x * 1000000 div trend as bigint)")
+    )
+    idx = ratio.groupBy("dow").agg(
+        F.expr("cast(sum(ratio_ppm) div count(*) as bigint)").alias("dow_index_ppm")
+    )
+    return (
+        ratio.join(F.broadcast(idx), "dow")
+        .select(
+            F.col("d").cast("string").alias("day"), "x", "trend",
+            F.col("dow").cast("int").alias("dow"),
+            "dow_index_ppm", "ratio_ppm",
+            F.expr("cast(ratio_ppm * 1000000 div dow_index_ppm as bigint)")
+            .alias("residual_ppm"),
+            F.expr(
+                "cast(case when abs(ratio_ppm * 1000000 div dow_index_ppm - 1000000)"
+                " > 300000 then 1 else 0 end as int)"
+            ).alias("anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-2 vs order-1 Markov predictability gain
+# ---------------------------------------------------------------------------
+
+@register(
+    "markov_order2_gain",
+    """
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER w AS pts, lag(event_type) OVER w AS ptype,
+             lead(ts) OVER w AS nts, lead(event_type) OVER w AS ntype
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    trip AS (
+      SELECT ptype AS s2, event_type AS s1, ntype AS y
+      FROM ord
+      WHERE nts IS NOT NULL AND nts - ts <= INTERVAL 30 MINUTE
+        AND pts IS NOT NULL AND ts - pts <= INTERVAL 30 MINUTE),
+    c1 AS (SELECT s1, y, CAST(count(*) AS BIGINT) AS n FROM trip GROUP BY 1, 2),
+    p1 AS (SELECT s1, y AS pred1 FROM (
+             SELECT s1, y, row_number() OVER (PARTITION BY s1
+                                              ORDER BY n DESC, y ASC) AS rk
+             FROM c1) WHERE rk = 1),
+    c2 AS (SELECT s2, s1, y, CAST(count(*) AS BIGINT) AS n
+           FROM trip GROUP BY 1, 2, 3),
+    p2 AS (SELECT s2, s1, y AS pred2 FROM (
+             SELECT s2, s1, y, row_number() OVER (PARTITION BY s2, s1
+                                                  ORDER BY n DESC, y ASC) AS rk
+             FROM c2) WHERE rk = 1),
+    scored AS (
+      SELECT t.s2, t.s1, t.y, a.pred1, b.pred2
+      FROM trip t JOIN p1 a USING (s1) JOIN p2 b ON b.s2 = t.s2 AND b.s1 = t.s1)
+    SELECT CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(sum(CASE WHEN y = pred1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS acc1_ppm,
+           CAST(sum(CASE WHEN y = pred2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS acc2_ppm,
+           CAST((sum(CASE WHEN y = pred2 THEN 1 ELSE 0 END)
+                 - sum(CASE WHEN y = pred1 THEN 1 ELSE 0 END)) * 1000000
+                // count(*) AS BIGINT) AS gain_ppm
+    FROM scored
+    """,
+)
+def markov_order2_gain(spark, sf_dir):
+    """How much does a second event of history buy? In-sample accuracy of
+    the order-2 Markov next-event predictor (modal successor of the last
+    TWO event types) against order-1 on the SAME within-gap triples — the
+    memory-depth screen run before paying for sequence models: gain_ppm
+    near zero says the stream is order-1 (no point training attention
+    over it), large gain says real sequential structure.
+
+    One window pass makes (prev, cur, next) triples; both models live at
+    state-pair/-triple grain (<= 125 rows), argmaxes are deterministic
+    (count DESC, label ASC), and the scoring join re-touches triples once
+    — the conditioning-set pattern of text_kneser_ney_bigram applied to
+    event streams. All ratios exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordx = ev.select(
+        "event_type", "ts",
+        F.lag("ts").over(w).alias("pts"),
+        F.lag("event_type").over(w).alias("ptype"),
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("event_type").over(w).alias("ntype"),
+    )
+    gap = F.expr("INTERVAL 30 MINUTES")
+    trip = ordx.filter(
+        F.col("nts").isNotNull() & (F.col("nts") - F.col("ts") <= gap)
+        & F.col("pts").isNotNull() & (F.col("ts") - F.col("pts") <= gap)
+    ).select(
+        F.col("ptype").alias("s2"), F.col("event_type").alias("s1"),
+        F.col("ntype").alias("y"),
+    )
+    c1 = trip.groupBy("s1", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w1 = Window.partitionBy("s1").orderBy(F.col("n").desc(), F.col("y").asc())
+    p1 = (
+        c1.withColumn("rk", F.row_number().over(w1)).filter(F.col("rk") == 1)
+        .select("s1", F.col("y").alias("pred1"))
+    )
+    c2 = trip.groupBy("s2", "s1", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w2 = Window.partitionBy("s2", "s1").orderBy(F.col("n").desc(), F.col("y").asc())
+    p2 = (
+        c2.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") == 1)
+        .select("s2", "s1", F.col("y").alias("pred2"))
+    )
+    scored = trip.join(F.broadcast(p1), "s1").join(F.broadcast(p2), ["s2", "s1"])
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.expr(
+            "cast(sum(case when y = pred1 then 1 else 0 end) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("acc1_ppm"),
+        F.expr(
+            "cast(sum(case when y = pred2 then 1 else 0 end) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("acc2_ppm"),
+        F.expr(
+            "cast((sum(case when y = pred2 then 1 else 0 end)"
+            " - sum(case when y = pred1 then 1 else 0 end)) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("gain_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence PMI (symmetric, offset-literal join)
+# ---------------------------------------------------------------------------
+
+_PMI_WIN = 4     # co-occurrence window: positions i, i+1 .. i+4
+_PMI_MIN = 5     # min pair count before PMI is meaningful
+_PMI_EXPR = (
+    "CAST(round(ln(CAST(n_xy AS DOUBLE) * t_pairs"
+    " / (CAST(cx AS DOUBLE) * cy)) * 1000) AS BIGINT)"
+)
+
+
+@register(
+    "cooccurrence_pmi_window",
+    rf"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+                WHERE trim(text) <> ''),
+    ex AS (SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS i FROM tk),
+    offs AS (SELECT unnest(generate_series(1, {_PMI_WIN})) AS off),
+    pairs AS (
+      SELECT least(a.t, b.t) AS x, greatest(a.t, b.t) AS y
+      FROM ex a JOIN offs o ON true
+      JOIN ex b ON b.doc_id = a.doc_id AND b.i = a.i + o.off),
+    pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+           FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN}),
+    marg AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT x AS t FROM pairs UNION ALL SELECT y FROM pairs)
+      GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_pairs FROM pairs),
+    scored AS (
+      SELECT p.x, p.y, p.n_xy, mx.c AS cx, my.c AS cy,
+             {_PMI_EXPR} AS pmi_milli
+      FROM pc p
+      JOIN marg mx ON mx.t = p.x
+      JOIN marg my ON my.t = p.y
+      CROSS JOIN tot)
+    SELECT x, y, n_xy, cx, cy, pmi_milli FROM scored
+    ORDER BY pmi_milli DESC, x ASC, y ASC LIMIT 100
+    """,
+)
+def cooccurrence_pmi_window(spark, sf_dir):
+    """Windowed co-occurrence PMI — collocation mining beyond adjacency
+    (text_bigram_lift sees only i,i+1; real collocations like
+    'new ... york times' span gaps): symmetric token pairs within a
+    {_PMI_WIN}-position window, scored by
+    ln(n_xy * T / (c_x * c_y)) over pair-occurrence marginals, min count
+    {_PMI_MIN}. The feature-engineering front end of PMI-factorized
+    embeddings (word2vec's implicit matrix).
+
+    Pair generation rides the {_PMI_WIN}-row offset-literal equi-join on
+    (doc, i+off) — candidates exactly {_PMI_WIN}x positions, never
+    per-doc quadratic (the skipgram_pairs_subsampled shape). Marginals
+    and the total are pair-grain aggregates; PMI is one shared-text
+    double over exact bigints staged to milli-nats. Top-100 is a
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(text.normalize(F.col("text")), " ")).alias("i0", "t"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "t")
+    offs = spark.range(1, _PMI_WIN + 1).select(F.col("id").alias("off"))
+    probe = ex.crossJoin(F.broadcast(offs)).select(
+        "doc_id", F.col("t").alias("ta"), (F.col("i") + F.col("off")).alias("i2")
+    )
+    ctx = ex.select("doc_id", F.col("i").alias("i2"), F.col("t").alias("tb"))
+    pairs = probe.join(ctx, ["doc_id", "i2"]).select(
+        F.least("ta", "tb").alias("x"), F.greatest("ta", "tb").alias("y")
+    )
+    pc = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    ).filter(F.col("n_xy") >= _PMI_MIN)
+    marg = (
+        pairs.select(F.col("x").alias("t"))
+        .unionAll(pairs.select(F.col("y").alias("t")))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("t_pairs"))
+    scored = (
+        pc.join(marg.select(F.col("t").alias("x"), F.col("c").alias("cx")), "x")
+        .join(marg.select(F.col("t").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "n_xy", "cx", "cy", F.expr(_PMI_EXPR).alias("pmi_milli"))
+    )
+    return scored.orderBy(
+        F.col("pmi_milli").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B comparison (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16"  # pre-period: Jan 1-15; experiment: Jan 16-30
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+)
+_CUPED_RHO2 = (
+    "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+)
+# adjusted diff = (Ybar_a - Ybar_b) - theta * (Xbar_a - Xbar_b)
+_CUPED_DIFF_RAW = (
+    "round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b, 6)"
+)
+_CUPED_DIFF_ADJ = (
+    "round(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b"
+    f" - {_CUPED_THETA} * (CAST(sx_a AS DOUBLE) / n_a"
+    " - CAST(sx_b AS DOUBLE) / n_b), 6)"
+)
+
+
+@register(
+    "cuped_adjusted_ab",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+             CAST(sum(x) FILTER (variant = 0) AS BIGINT) AS sx_a,
+             CAST(sum(x) FILTER (variant = 1) AS BIGINT) AS sx_b,
+             CAST(sum(y) FILTER (variant = 0) AS BIGINT) AS sy_a,
+             CAST(sum(y) FILTER (variant = 1) AS BIGINT) AS sy_b
+      FROM u)
+    SELECT n, n_a, n_b,
+           round({_CUPED_THETA}, 6) AS theta,
+           {_CUPED_DIFF_RAW} AS diff_raw,
+           {_CUPED_DIFF_ADJ} AS diff_cuped,
+           {_CUPED_RHO2} AS rho2
+    FROM s
+    """,
+)
+def cuped_adjusted_ab(spark, sf_dir):
+    """CUPED — controlled-experiment variance reduction using pre-period
+    behavior: theta = cov(X,Y)/var(X) over users (X = pre-period value,
+    Y = experiment-period value), adjusted effect = raw mean difference
+    minus theta times the pre-period imbalance. rho^2 IS the variance
+    reduction: the experiment reads as if it had n/(1-rho^2) users. The
+    companion to conversion_ab_ztest for continuous metrics — on a
+    deterministic user_id-parity assignment the raw and adjusted
+    effects should agree up to the pre-period imbalance, which is
+    exactly what diff_raw - diff_cuped exposes.
+
+    One user-grain aggregate builds X and Y in a single pass (conditional
+    sums around the cutoff); ALL sufficient statistics land in one
+    12-column conditional aggregate (exact bigints in whole dollars —
+    sum(x*x) <= n*1e10, safe past sf~10); theta/rho^2/diffs are
+    shared-text doubles over those exact sums, rounded 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.round("value").cast("bigint")).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.round("value").cast("bigint")).otherwise(0))
+        .cast("bigint").alias("y"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "x", "y")
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.count_if(F.col("variant") == 0).cast("bigint").alias("n_a"),
+        F.count_if(F.col("variant") == 1).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy_b"),
+    )
+    return s.select(
+        "n", "n_a", "n_b",
+        F.expr(f"round({_CUPED_THETA}, 6)").alias("theta"),
+        F.expr(_CUPED_DIFF_RAW).alias("diff_raw"),
+        F.expr(_CUPED_DIFF_ADJ).alias("diff_cuped"),
+        F.expr(_CUPED_RHO2).alias("rho2"),
+    )
