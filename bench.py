@@ -180,6 +180,7 @@ TRANCHE = [
     "markov_order2_gain",
     "cooccurrence_pmi_window",
     "cuped_adjusted_ab",
+    "logodds_fightin_words",
 ]
 
 

@@ -17164,3 +17164,103 @@ def cuped_adjusted_ab(spark, sf_dir):
         F.expr(_CUPED_DIFF_ADJ).alias("diff_cuped"),
         F.expr(_CUPED_RHO2).alias("rho2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-odds with informative Dirichlet prior ("fightin' words", Monroe et al.)
+# ---------------------------------------------------------------------------
+
+_FW_A0 = 1000  # total prior mass, spread over tokens by corpus rate
+_FW_MIN = 20   # min corpus count for a token to be scored
+_FW_Z = (
+    "round((ln((ys + CAST({a0} AS DOUBLE) * cw / ct)"
+    " / (ns + {a0} - ys - CAST({a0} AS DOUBLE) * cw / ct))"
+    " - ln((yr + CAST({a0} AS DOUBLE) * cw / ct)"
+    " / (nr + {a0} - yr - CAST({a0} AS DOUBLE) * cw / ct)))"
+    " / sqrt(1.0 / (ys + CAST({a0} AS DOUBLE) * cw / ct)"
+    " + 1.0 / (yr + CAST({a0} AS DOUBLE) * cw / ct)), 6)"
+).format(a0=_FW_A0)
+
+
+@register(
+    "logodds_fightin_words",
+    rf"""
+    WITH ex AS (
+      SELECT source, unnest({_TOKS_SQL}) AS t FROM documents
+      WHERE trim(text) <> ''),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+    big AS (SELECT source FROM st ORDER BY n DESC, source ASC LIMIT 1),
+    cw_t AS (SELECT t, CAST(count(*) AS BIGINT) AS cw FROM ex GROUP BY 1),
+    ct_t AS (SELECT CAST(sum(cw) AS BIGINT) AS ct FROM cw_t),
+    grp AS (
+      SELECT e.t,
+             CAST(count(*) FILTER (e.source = b.source) AS BIGINT) AS ys,
+             CAST(count(*) FILTER (e.source <> b.source) AS BIGINT) AS yr
+      FROM ex e CROSS JOIN big b GROUP BY 1),
+    nn AS (
+      SELECT CAST(sum(ys) AS BIGINT) AS ns, CAST(sum(yr) AS BIGINT) AS nr
+      FROM grp),
+    scored AS (
+      SELECT g.t AS token, g.ys, g.yr, c.cw, {_FW_Z} AS z
+      FROM grp g
+      JOIN cw_t c ON c.t = g.t
+      CROSS JOIN ct_t CROSS JOIN nn
+      WHERE c.cw >= {_FW_MIN}),
+    up AS (SELECT token, ys, yr, z, CAST(1 AS INT) AS side FROM scored
+           ORDER BY z DESC, token ASC LIMIT 15),
+    down AS (SELECT token, ys, yr, z, CAST(-1 AS INT) AS side FROM scored
+             ORDER BY z ASC, token ASC LIMIT 15)
+    SELECT * FROM up UNION ALL SELECT * FROM down
+    """,
+)
+def logodds_fightin_words(spark, sf_dir):
+    """Monroe et al.'s 'fightin' words' — log-odds-ratio with an
+    informative Dirichlet prior — for the LARGEST source against the rest
+    of the corpus: the statistically-grounded 'what vocabulary makes this
+    source different' screen (raw log-odds overweights rare tokens,
+    plain frequency differences overweight common ones; the
+    corpus-rate prior a_w = a0*c_w/C and the per-token variance
+    1/(y_s+a_w) + 1/(y_r+a_w) fix both). Top/bottom 15 by z = the two
+    distinctive vocabularies.
+
+    Group counts land in ONE conditional aggregate at token grain (the
+    largest source is a 1-row TakeOrdered broadcast); corpus marginals
+    and totals are token-grain/1-row broadcasts; z is one shared-text
+    IEEE expression over exact bigints, rounded 6dp; each output arm is
+    a TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ex = docs.select(
+        "source", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("t")
+    )
+    st = ex.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    big = st.orderBy(F.col("n").desc(), F.col("source").asc()).limit(1).select("source")
+    cw_t = ex.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    ct_t = cw_t.agg(F.sum("cw").cast("bigint").alias("ct"))
+    grp = (
+        ex.crossJoin(F.broadcast(big.withColumnRenamed("source", "bsrc")))
+        .groupBy("t")
+        .agg(
+            F.count_if(F.col("source") == F.col("bsrc")).cast("bigint").alias("ys"),
+            F.count_if(F.col("source") != F.col("bsrc")).cast("bigint").alias("yr"),
+        )
+    )
+    nn = grp.agg(
+        F.sum("ys").cast("bigint").alias("ns"),
+        F.sum("yr").cast("bigint").alias("nr"),
+    )
+    scored = (
+        grp.join(cw_t, "t")
+        .filter(F.col("cw") >= _FW_MIN)
+        .crossJoin(F.broadcast(ct_t))
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("t").alias("token"), "ys", "yr", "cw", F.expr(_FW_Z).alias("z"))
+    )
+    up = (
+        scored.orderBy(F.col("z").desc(), F.col("token").asc()).limit(15)
+        .select("token", "ys", "yr", "z", F.lit(1).cast("int").alias("side"))
+    )
+    down = (
+        scored.orderBy(F.col("z").asc(), F.col("token").asc()).limit(15)
+        .select("token", "ys", "yr", "z", F.lit(-1).cast("int").alias("side"))
+    )
+    return up.unionAll(down)

@@ -190,3 +190,72 @@ def test_cuped_matches_replica_and_reduces_variance(spark):
     # CUPED residual variance = (1 - rho^2) * var(Y), up to fp slack
     yadj = g["y"] - theta * g["x"]
     assert yadj.var() <= g["y"].var() * (1 - rho2) * 1.0001
+
+
+# ---------------------------------------------------------------------------
+# logodds_fightin_words
+# ---------------------------------------------------------------------------
+
+def test_fightin_words_matches_replica(spark):
+    """z-scores and the top/bottom token sets must equal a pure-Python
+    replica of Monroe et al.'s prior-smoothed log-odds."""
+    got = QUERIES["logodds_fightin_words"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    per: dict[str, dict[str, int]] = {}
+    for _, d in docs.iterrows():
+        txt = re.sub(r"\s+", " ", d["text"].lower()).strip()
+        if txt == "":
+            continue
+        bag = per.setdefault(d["source"], {})
+        for t in txt.split(" "):
+            bag[t] = bag.get(t, 0) + 1
+    totals = {s: sum(b.values()) for s, b in per.items()}
+    big = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    cw: dict[str, int] = {}
+    for b in per.values():
+        for t, n in b.items():
+            cw[t] = cw.get(t, 0) + n
+    ct = sum(cw.values())
+    ns = totals[big]
+    nr = ct - ns
+    A0 = 1000
+    from decimal import ROUND_HALF_UP, Decimal
+    scored = {}
+    for t, c in cw.items():
+        if c < 20:
+            continue
+        ys = per[big].get(t, 0)
+        yr = c - ys
+        aw = A0 * c / ct
+        delta = (math.log((ys + aw) / (ns + A0 - ys - aw))
+                 - math.log((yr + aw) / (nr + A0 - yr - aw)))
+        z = delta / math.sqrt(1.0 / (ys + aw) + 1.0 / (yr + aw))
+        scored[t] = (ys, yr, float(Decimal(z * 10**6).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP)) / 10**6)
+    up = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:15]
+    down = sorted(scored.items(), key=lambda kv: (kv[1][2], kv[0]))[:15]
+    got_up = got[got["side"] == 1]
+    got_down = got[got["side"] == -1]
+    assert list(got_up["token"]) == [t for t, _ in up]
+    assert list(got_down["token"]) == [t for t, _ in down]
+    for sub, want in ((got_up, up), (got_down, down)):
+        for (_, r), (t, (ys, yr, z)) in zip(sub.iterrows(), want):
+            assert (r["ys"], r["yr"]) == (ys, yr)
+            assert abs(r["z"] - z) < 2e-6
+
+
+def test_fightin_words_prior_shrinks_rare_tokens():
+    """The defining fix over raw log-odds: a rare token with a lopsided
+    split must score a SMALLER |z| than a common token with the same
+    ratio (the prior + variance term shrink low-evidence claims)."""
+    A0, ct = 1000, 1_000_000
+    ns = nr = 500_000
+
+    def z(ys, yr):
+        c = ys + yr
+        aw = A0 * c / ct
+        delta = (math.log((ys + aw) / (ns + A0 - ys - aw))
+                 - math.log((yr + aw) / (nr + A0 - yr - aw)))
+        return delta / math.sqrt(1 / (ys + aw) + 1 / (yr + aw))
+
+    assert abs(z(30, 10)) < abs(z(3000, 1000))
