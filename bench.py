@@ -181,6 +181,7 @@ TRANCHE = [
     "cooccurrence_pmi_window",
     "cuped_adjusted_ab",
     "logodds_fightin_words",
+    "dp_laplace_counts",
 ]
 
 

@@ -17264,3 +17264,70 @@ def logodds_fightin_words(spark, sf_dir):
         .select("token", "ys", "yr", "z", F.lit(-1).cast("int").alias("side"))
     )
     return up.unionAll(down)
+
+
+# ---------------------------------------------------------------------------
+# Laplace-mechanism noisy counts (DP plumbing; deterministic hash noise)
+# ---------------------------------------------------------------------------
+
+_DP_EPS_MILLI = 1000  # epsilon = 1.0; count sensitivity 1 -> scale b = 1/eps
+# inverse-CDF Laplace from a (0,1) uniform: -b * sign(u-.5) * ln(1 - 2|u-.5|)
+_DP_NOISE = (
+    "round(-(1000.0 / {eps}) * CASE WHEN u_ppm >= 500000 THEN 1.0 ELSE -1.0 END"
+    " * ln(1.0 - 2.0 * abs(u_ppm / 1000000.0 - 0.5)), 6)"
+).format(eps=_DP_EPS_MILLI)
+
+
+@register(
+    "dp_laplace_counts",
+    f"""
+    WITH g AS (
+      SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS true_n
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1),
+    u AS (
+      SELECT nation, true_n,
+             {md5_long_sql("nation", seed=11)} % 999999 + 1 AS u_ppm
+      FROM g)
+    SELECT nation, true_n,
+           {_DP_NOISE} AS noise,
+           round(true_n + {_DP_NOISE}, 6) AS noisy_n,
+           round(abs({_DP_NOISE}), 6) AS abs_err
+    FROM u
+    """,
+)
+def dp_laplace_counts(spark, sf_dir):
+    """Laplace-mechanism noisy per-nation order counts at epsilon = 1 —
+    the differential-privacy RELEASE step's plumbing (sensitivity-1 count
+    + Laplace(1/eps) noise via the inverse CDF), the publication-side
+    companion to k_anonymity_audit's risk screen. The uniform driving the
+    noise is the engine's deterministic hash (seeded md5 per group key)
+    so both engines replay the identical draw — REAL DP requires fresh
+    cryptographic randomness per release; this operator is the
+    shape/accounting harness (true_n is emitted precisely because this
+    fixture-grade variant is an audit, not a private release).
+
+    One star-join aggregate at nation grain; the noise is one shared-text
+    IEEE expression (ln of an exact ppm ratio) rounded 6dp. Expected
+    |noise| = 1/eps = 1; at 100 TB group counts dwarf it — the mechanism
+    costs nothing at scale, which is the point of the demo."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        # customer scales with the fact data — AQE decides its join; only
+        # the 25-row nation dim is force-broadcast
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    u = g.withColumn("u_ppm", md5_long(F.col("nation"), seed=11) % 999999 + 1)
+    return u.select(
+        "nation", "true_n",
+        F.expr(_DP_NOISE).alias("noise"),
+        F.expr(f"round(true_n + {_DP_NOISE}, 6)").alias("noisy_n"),
+        F.expr(f"round(abs({_DP_NOISE}), 6)").alias("abs_err"),
+    )

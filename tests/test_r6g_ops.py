@@ -259,3 +259,35 @@ def test_fightin_words_prior_shrinks_rare_tokens():
         return delta / math.sqrt(1 / (ys + aw) + 1 / (yr + aw))
 
     assert abs(z(30, 10)) < abs(z(3000, 1000))
+
+
+# ---------------------------------------------------------------------------
+# dp_laplace_counts
+# ---------------------------------------------------------------------------
+
+def test_dp_laplace_matches_inverse_cdf_replica(spark):
+    """Noise must equal the inverse-CDF Laplace draw from the seeded hash
+    uniform, and noisy_n must reconcile with true_n."""
+    import hashlib
+    rows = QUERIES["dp_laplace_counts"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        u_ppm = (int(hashlib.md5(f"{r['nation']}#11".encode())
+                     .hexdigest()[:15], 16) % 999_999) + 1
+        u = u_ppm / 1_000_000
+        sign = 1.0 if u_ppm >= 500_000 else -1.0
+        noise = -1.0 * sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(r["noise"] - noise) < 2e-6
+        assert abs(r["noisy_n"] - (r["true_n"] + r["noise"])) < 2e-6
+        assert abs(r["abs_err"] - abs(r["noise"])) < 2e-6
+
+
+def test_dp_laplace_noise_distribution_shape():
+    """Inverse-CDF construction sanity: u=0.5 -> 0 noise; |noise| grows
+    without bound toward the tails; symmetric in u around 0.5."""
+    def lap(u):
+        s = 1.0 if u >= 0.5 else -1.0
+        return -s * math.log(1.0 - 2.0 * abs(u - 0.5))
+    assert lap(0.5) == 0.0
+    assert lap(0.9999) > lap(0.99) > lap(0.6) > 0
+    assert abs(lap(0.3) + lap(0.7)) < 1e-12
