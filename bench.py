@@ -182,6 +182,12 @@ TRANCHE = [
     "cuped_adjusted_ab",
     "logodds_fightin_words",
     "dp_laplace_counts",
+    "good_turing_smoothing",
+    "bitmap_exact_distinct",
+    "isotonic_calibration",
+    "poisson_bootstrap_replicates",
+    "adamic_adar_copurchase",
+    "l_diversity_audit",
 ]
 
 

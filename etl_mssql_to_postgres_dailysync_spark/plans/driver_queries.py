@@ -17331,3 +17331,476 @@ def dp_laplace_counts(spark, sf_dir):
         F.expr(f"round(true_n + {_DP_NOISE}, 6)").alias("noisy_n"),
         F.expr(f"round(abs({_DP_NOISE}), 6)").alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing (frequency-of-frequencies LM estimator)
+# ---------------------------------------------------------------------------
+
+@register(
+    "good_turing_smoothing",
+    f"""
+    WITH {_SHINGLES_CTE},
+    f AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+    nr AS (SELECT CAST(c AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n_r
+           FROM f GROUP BY 1)
+    SELECT a.r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r1,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000 // a.n_r AS BIGINT)
+               AS r_star_micro,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000000 // (a.n_r * a.r)
+               AS BIGINT) AS discount_ppm
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    WHERE a.r <= 20
+    """,
+)
+def good_turing_smoothing(spark, sf_dir):
+    """Good-Turing adjusted counts r* = (r+1) * N_{{r+1}} / N_r over the
+    corpus's trigram-shingle document frequencies — the classic
+    frequency-of-frequencies smoothing / unseen-mass estimator (Gale &
+    Sampson's raw GT, before any fit), the companion to
+    text_kneser_ney_bigram's absolute discounting. The species here are
+    the dedup pipeline's 3-gram shingles (the fixture's word vocabulary is
+    31 types, all high-count — no GT tail; the shingle spectrum has the
+    N_1 >> N_2 >> ... shape GT exists for). r with N_{{r+1}} = 0 keeps the
+    estimator's raw 0 (exactly why smoothed-fit variants exist).
+
+    Plan: shingle explode -> shingle-grain aggregate (one shuffle,
+    partial-aggregable) -> a SECOND aggregate at count grain (r), which is
+    metadata-sized at any corpus scale, then an aggregate-grain self-join
+    on r+1. All arithmetic exact BIGINT (micro units, truncating div ==
+    DuckDB // on non-negatives)."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(dedup.shingle_hashes_arrow(F.col("text"))).alias("sh")
+    )
+    f = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    nr = f.groupBy(F.col("c").cast("long").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1_raw"))
+    return (
+        nr.filter(F.col("r") <= 20)
+        .join(b, "r", "left")
+        .select(
+            "r", "n_r",
+            F.coalesce(F.col("n_r1_raw"), F.lit(0)).cast("long").alias("n_r1"),
+            F.expr(
+                "(r + 1) * coalesce(n_r1_raw, 0) * 1000000 div n_r"
+            ).cast("long").alias("r_star_micro"),
+            F.expr(
+                "(r + 1) * coalesce(n_r1_raw, 0) * 1000000 div (n_r * r)"
+            ).cast("long").alias("discount_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct via fixed-width bitmap words (roaring-style, mergeable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bitmap_exact_distinct",
+    """
+    WITH b AS (
+      SELECT event_type, user_id // 63 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bm
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap
+          FROM b GROUP BY 1),
+    e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS n_distinct_exact
+          FROM events GROUP BY 1)
+    SELECT d.event_type, n_words, n_distinct_bitmap, n_distinct_exact
+    FROM d JOIN e USING (event_type)
+    """,
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct users per event type via 63-bit bitmap words — the
+    roaring-bitmap-shaped alternative that sits between count(DISTINCT)
+    (full id shuffle) and HLL (approximate): map user_id to (word = id div
+    63, bit = id mod 63), bit_or the masks per (group, word), popcount-sum
+    the words. State is mergeable and fixed-width (one BIGINT per occupied
+    63-id block), the aggregate is partial-aggregable map-side (bit_or
+    combines in the partial), and dense id spaces compress 63:1 vs raw ids
+    — at 100 TB this is the standard exact-distinct layout for dashboard
+    cubes (one bitmap column per group, OR-merge across days). Bits stay
+    in 0..62 so the mask never touches the sign bit in either engine.
+
+    The exact count(DISTINCT) arm is the fixture-scale audit twin (the
+    query both DEMONSTRATES the identity and would drop the arm at scale);
+    both arms shuffle the same grain, so the comparison is honest."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("user_id div 63").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 63 as int)))"
+        ).alias("bm")
+    )
+    d = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct_bitmap"),
+    )
+    e = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_distinct_exact")
+    )
+    return d.join(e, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration via the exact minimax formula on bounded bins
+# ---------------------------------------------------------------------------
+
+@register(
+    "isotonic_calibration",
+    """
+    WITH base AS (
+      SELECT least(CAST(floor(o_totalprice / 25000) AS INT), 19) AS b,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders),
+    bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS s
+             FROM base GROUP BY 1),
+    cum AS (SELECT b, n, s,
+                   CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+                   CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS cs
+            FROM bins),
+    pairs AS (
+      SELECT j.b AS j, k.b AS k,
+             (k.cs - (j.cs - j.s)) * 1000000 // (k.cn - (j.cn - j.n))
+                 AS mean_ppm
+      FROM cum j JOIN cum k ON j.b <= k.b),
+    mn AS (SELECT i.b AS b, p.j, CAST(min(p.mean_ppm) AS BIGINT) AS mn
+           FROM bins i JOIN pairs p ON p.j <= i.b AND p.k >= i.b
+           GROUP BY 1, 2),
+    iso AS (SELECT b, CAST(max(mn) AS BIGINT) AS iso_ppm FROM mn GROUP BY 1)
+    SELECT bins.b, bins.n,
+           CAST(bins.s * 1000000 // bins.n AS BIGINT) AS raw_ppm,
+           iso.iso_ppm
+    FROM bins JOIN iso USING (b)
+    """,
+)
+def isotonic_calibration(spark, sf_dir):
+    """Isotonic regression (pool-adjacent-violators) calibrating the
+    urgent-priority rate against 20 fixed price bins — the standard
+    monotone probability-calibration step next to
+    logistic_calibration_quality's Platt-style sigmoid. Computed via the
+    EXACT minimax characterization iso(i) = max_{j<=i} min_{k>=i}
+    mean(y over bins j..k) instead of the sequential stack algorithm:
+    after one data-grain aggregate to <= 20 (n, sum_y) bins, the j<=k pair
+    grid is at most 210 rows, so the O(B^2) formula is metadata-sized at
+    ANY corpus scale while staying fully declarative (the sequential PAV
+    stack is unparallelizable by construction). Pair means are exact
+    BIGINT ppm (floor commutes with min/max, so the result is exactly
+    floor(1e6 * true PAV fit)); the theta joins sit entirely above the
+    bin aggregate, which the plan gate proves bounded."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19)).alias("b"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0).alias("y"),
+    )
+    bins = base.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = Window.orderBy("b")
+    cum = bins.select(
+        "b", "n", "s",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    )
+    j = cum.select(
+        F.col("b").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+    )
+    k = cum.select(F.col("b").alias("k"), "cn", "cs")
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j", "k",
+        F.expr("(cs - cs0) * 1000000 div (cn - cn0)").alias("mean_ppm"),
+    )
+    spine = bins.select(F.col("b").alias("i"))
+    mn = (
+        spine.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_ppm").cast("long").alias("mn"))
+    )
+    iso = (
+        mn.groupBy("i").agg(F.max("mn").cast("long").alias("iso_ppm"))
+        .withColumnRenamed("i", "b")
+    )
+    return bins.join(iso, "b").select(
+        "b", "n",
+        F.expr("s * 1000000 div n").cast("long").alias("raw_ppm"),
+        "iso_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (hash-deterministic replicate weights, md5-slice uniforms)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse CDF over a 16-bit uniform: floor(65536 * CDF) thresholds
+_BOOT_W = (
+    "CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48218 THEN 1"
+    " WHEN u16 < 60273 THEN 2 WHEN u16 < 64291 THEN 3"
+    " WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5"
+    " WHEN u16 < 65530 THEN 6 WHEN u16 < 65535 THEN 7 ELSE 8 END"
+)
+_BOOT_R = 32  # replicates: 4 md5 digests x 8 16-bit slices
+
+
+@register(
+    "poisson_bootstrap_replicates",
+    f"""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             [md5(CAST(o_orderkey AS VARCHAR) || '#b0'),
+              md5(CAST(o_orderkey AS VARCHAR) || '#b1'),
+              md5(CAST(o_orderkey AS VARCHAR) || '#b2'),
+              md5(CAST(o_orderkey AS VARCHAR) || '#b3')] AS dg
+      FROM orders),
+    r AS (SELECT cents, dg, unnest(range(0, {_BOOT_R})) AS rep FROM base),
+    u AS (SELECT CAST(rep AS INT) AS rep, cents,
+                 CAST('0x' || substr(dg[CAST(rep // 8 AS INT) + 1],
+                                     CAST((rep % 8) * 4 + 1 AS INT), 4)
+                      AS BIGINT) AS u16
+          FROM r),
+    w AS (SELECT rep, cents, {_BOOT_W} AS w FROM u),
+    m AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+                 CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT)
+                     AS boot_mean_cents
+          FROM w GROUP BY 1),
+    s AS (SELECT CAST(min(boot_mean_cents) AS BIGINT) AS boot_lo_cents,
+                 CAST(max(boot_mean_cents) AS BIGINT) AS boot_hi_cents,
+                 CAST(sum(boot_mean_cents) AS BIGINT) AS sm,
+                 CAST(sum(boot_mean_cents * boot_mean_cents) AS BIGINT) AS smm
+          FROM m),
+    p AS (SELECT CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+                 AS point_cents
+          FROM base)
+    SELECT rep, n_eff, boot_mean_cents, point_cents,
+           boot_lo_cents, boot_hi_cents,
+           round(sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / {_BOOT_R}.0)
+                      / {_BOOT_R - 1}.0), 6) AS boot_se_cents
+    FROM m CROSS JOIN s CROSS JOIN p
+    """,
+)
+def poisson_bootstrap_replicates(spark, sf_dir):
+    """Poisson bootstrap of the mean order value: {_BOOT_R} replicates where
+    each row's multiplicity in replicate r is Poisson(1), drawn
+    deterministically from an md5-slice uniform — the distributed bootstrap
+    (resampling-without-coordination: no global n needed, weights computed
+    row-locally, so it runs in ONE pass at any scale; the classic
+    alternative, exact multinomial resampling, needs the global count up
+    front). Four digests per row sliced into eight 16-bit uniforms each
+    (the md5-slice trick from the CMS rebuild) keeps hashing at 4 md5/row
+    instead of 32; the inverse CDF is a shared-text integer CASE over
+    floor(65536*CDF) thresholds, so both engines draw bit-identical
+    weights.
+
+    Plan: explode x32 (map-side only), partial-aggregated groupBy rep (32
+    groups — the shuffle carries 32 rows/partition), then 1-row summary
+    cross-joins (plan-gate bounded). Replicate means are exact BIGINT
+    cents; only the final SE is a double (exact-sum variance identity,
+    shared text, round 6)."""
+    orders = _t(spark, sf_dir, "orders")
+    dg = F.array(*[
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#b{s}")))
+        for s in range(4)
+    ])
+    base = orders.select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        dg.alias("dg"),
+    )
+    r = base.select(
+        "cents", "dg",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+    )
+    u = r.select(
+        F.col("rep").cast("int").alias("rep"), "cents",
+        F.expr(
+            "cast(conv(substring(element_at(dg, cast(rep div 8 as int) + 1),"
+            " cast((rep % 8) * 4 + 1 as int), 4), 16, 10) as bigint)"
+        ).alias("u16"),
+    )
+    w = u.select("rep", "cents", F.expr(_BOOT_W).alias("w"))
+    m = w.groupBy("rep").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.expr("cast(sum(w * cents) as bigint) div cast(sum(w) as bigint)")
+        .alias("boot_mean_cents"),
+    )
+    s = m.agg(
+        F.min("boot_mean_cents").cast("long").alias("boot_lo_cents"),
+        F.max("boot_mean_cents").cast("long").alias("boot_hi_cents"),
+        F.sum("boot_mean_cents").cast("long").alias("sm"),
+        F.sum(F.col("boot_mean_cents") * F.col("boot_mean_cents"))
+        .cast("long").alias("smm"),
+    )
+    p = base.agg(
+        F.expr("cast(sum(cents) as bigint) div cast(count(*) as bigint)")
+        .alias("point_cents")
+    )
+    return (
+        m.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(p))
+        .select(
+            "rep", "n_eff", "boot_mean_cents", "point_cents",
+            "boot_lo_cents", "boot_hi_cents",
+            F.expr(
+                f"round(sqrt((cast(smm as double) - cast(sm as double) * sm"
+                f" / {_BOOT_R}.0) / {_BOOT_R - 1}.0), 6)"
+            ).alias("boot_se_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link scoring over the order-part co-purchase bipartite graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "adamic_adar_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT o, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY 1),
+    pr AS (SELECT a.p AS part_a, b.p AS part_b, deg.d
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           JOIN deg ON deg.o = a.o),
+    aa AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common,
+                  CAST(sum(CAST(round(1000000.0 / ln(CAST(d AS DOUBLE)))
+                                AS BIGINT)) AS BIGINT) AS aa_micro
+           FROM pr GROUP BY 1, 2)
+    SELECT part_a, part_b, n_common, aa_micro
+    FROM aa ORDER BY aa_micro DESC, part_a ASC, part_b ASC LIMIT 50
+    """,
+)
+def adamic_adar_copurchase(spark, sf_dir):
+    """Adamic-Adar link prediction over the order-part bipartite graph:
+    score(a, b) = sum over shared orders o of 1/ln(|o|) — co-purchase
+    weighted by how UNSELECTIVE the shared neighbor is (a 2-item order is
+    strong evidence, a 7-item basket weak), the degree-discounted upgrade
+    of frequent_itemset_pairs' raw support counts and the standard
+    common-neighbor baseline in link prediction.
+
+    Plan: per-order pair generation via an equi-self-join on orderkey
+    (pairs per order bounded by basket size squared — TPC-H baskets are
+    <= 7 lines, so candidate volume is O(orders), never O(parts^2)), a
+    broadcast-or-shuffle join to the order-degree table on the same key,
+    one partial-aggregable pair-grain groupBy, then distributed top-50
+    (TakeOrdered). Each 1/ln(d) term rounds to integer micro BEFORE the
+    sum, so the aggregate is order-independent exact BIGINT."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = li.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = li.select("o", F.col("p").alias("part_a"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("part_b"))
+    pr = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        .join(deg, "o")
+    )
+    aa = pr.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(
+            F.expr("cast(round(1000000.0 / ln(cast(d as double))) as bigint)")
+        ).cast("long").alias("aa_micro"),
+    )
+    return aa.orderBy(
+        F.col("aa_micro").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the sensitive-attribute companion to k_anonymity_audit)
+# ---------------------------------------------------------------------------
+
+_LDIV_TERM = (
+    "round((ln(CAST(k AS DOUBLE)) - ln(CAST(c AS DOUBLE)))"
+    " * CAST(c AS DOUBLE) * 1000000.0 / CAST(k AS DOUBLE))"
+)
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH rec AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             o_orderpriority AS sens
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    cv AS (SELECT nation, segment, bal_band, sens, CAST(count(*) AS BIGINT) AS c
+           FROM rec GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT nation, segment, bal_band, CAST(sum(c) AS BIGINT) AS k
+            FROM cv GROUP BY 1, 2, 3),
+    ent AS (SELECT cv.nation, cv.segment, cv.bal_band, tot.k,
+                   CAST({_LDIV_TERM} AS BIGINT) AS term
+            FROM cv JOIN tot USING (nation, segment, bal_band)),
+    cls AS (SELECT nation, segment, bal_band,
+                   CAST(max(k) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   CAST(sum(term) AS BIGINT) AS entropy_unat
+            FROM ent GROUP BY 1, 2, 3)
+    SELECT l_distinct, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_records,
+           CAST(min(entropy_unat) AS BIGINT) AS min_entropy_unat,
+           CAST(max(entropy_unat) AS BIGINT) AS max_entropy_unat,
+           CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS INT) AS below_l3
+    FROM cls GROUP BY 1
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit over the SAME quasi-identifier classes as
+    k_anonymity_audit (nation x segment x account-balance band), with
+    order priority as the sensitive attribute: per-class distinct-l and
+    entropy l-diversity, histogrammed by l. k-anonymity alone leaves the
+    homogeneity attack open (a class where every record shares one
+    sensitive value discloses it at any k) — this is the governance screen
+    that catches it.
+
+    Plan: one fact-side join, two stacked partial-aggregable groupBys
+    (class x value grain, then class grain), then a metadata-sized
+    histogram aggregate. Entropy terms c/k*ln(k/c) round to integer
+    micro-nats PER VALUE before summing (order-independent exact BIGINT;
+    ln parity per the _LM_CTE note)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    rec = orders.join(cust, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cv = rec.groupBy("nation", "segment", "bal_band", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cv.groupBy("nation", "segment", "bal_band").agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    ent = cv.join(tot, ["nation", "segment", "bal_band"]).select(
+        "nation", "segment", "bal_band", "k",
+        F.expr(_LDIV_TERM).cast("long").alias("term"),
+    )
+    cls = ent.groupBy("nation", "segment", "bal_band").agg(
+        F.max("k").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum("term").cast("long").alias("entropy_unat"),
+    )
+    return cls.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_records"),
+        F.min("entropy_unat").cast("long").alias("min_entropy_unat"),
+        F.max("entropy_unat").cast("long").alias("max_entropy_unat"),
+    ).select(
+        "l_distinct", "n_classes", "n_records",
+        "min_entropy_unat", "max_entropy_unat",
+        F.expr("cast(case when l_distinct < 3 then 1 else 0 end as int)")
+        .alias("below_l3"),
+    )
