@@ -188,6 +188,12 @@ TRANCHE = [
     "poisson_bootstrap_replicates",
     "adamic_adar_copurchase",
     "l_diversity_audit",
+    "retrieval_eval_ndcg",
+    "fdr_bh_correction",
+    "conformal_interval",
+    "page_hinkley_drift",
+    "negative_sampling_unigram",
+    "kaplan_meier_survival",
 ]
 
 

@@ -17804,3 +17804,725 @@ def l_diversity_audit(spark, sf_dir):
         F.expr("cast(case when l_distinct < 3 then 1 else 0 end as int)")
         .alias("below_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded retrieval evaluation: NDCG@10 / MRR / P@10 over dense retrieval
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_NQ = 8
+# round(1e6 / log2(i+1)) for rank i = 1..10, and its prefix sums: the DCG
+# discount ladder as exact integer literals (no cross-engine log2 at runtime)
+_NDCG_DISC = [1000000, 630930, 500000, 430677, 386853,
+              356207, 333333, 315465, 301030, 289065]
+_NDCG_CUM = [1000000, 1630930, 2130930, 2561607, 2948460,
+             3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+def _disc_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+    )
+    return f"(CASE {rank_col} {whens} ELSE 0 END)"
+
+
+def _cumdisc_case(x: str) -> str:
+    """Sum of the first min(10, x) discounts as a literal CASE."""
+    whens = " ".join(
+        f"WHEN ({x}) = {i} THEN {c}"
+        for i, c in enumerate([0] + _NDCG_CUM[:-1])
+    )
+    return f"(CASE {whens} ELSE {_NDCG_CUM[-1]} END)"
+
+
+_NDCG_REL = (
+    "(CASE WHEN nlabel = qlabel THEN 2"
+    " WHEN nlabel % 3 = qlabel % 3 THEN 1 ELSE 0 END)"
+)
+_NDCG_GAIN = f"(CASE {_NDCG_REL} WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)"
+_NDCG_IDCG = (
+    f"3 * {_cumdisc_case('least(10, n2)')}"
+    f" + ({_cumdisc_case('least(10, n2 + n1)')}"
+    f" - {_cumdisc_case('least(10, n2)')})"
+)
+
+
+@register(
+    "retrieval_eval_ndcg",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {_NDCG_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, q.qlabel, c.neighbor_id, c.nlabel, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored),
+    top AS (SELECT * FROM ranked WHERE rank <= {_NDCG_K}),
+    per_q AS (
+        SELECT query_id,
+               CAST(sum({_NDCG_GAIN} * {_disc_case('rank')}) AS BIGINT)
+                   AS dcg_micro,
+               CAST(coalesce(min(CASE WHEN {_NDCG_REL} = 2 THEN rank END), 0)
+                   AS BIGINT) AS first_rel_rank,
+               CAST(sum(CASE WHEN {_NDCG_REL} >= 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+        FROM top GROUP BY 1),
+    labcnt AS (SELECT label, CAST(count(*) AS BIGINT) AS cl
+               FROM embeddings GROUP BY 1),
+    modcnt AS (SELECT label % 3 AS m3, CAST(count(*) AS BIGINT) AS cm
+               FROM embeddings GROUP BY 1),
+    ideal AS (
+        SELECT q2.query_id, labcnt.cl - 1 AS n2, modcnt.cm - labcnt.cl AS n1
+        FROM (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+              WHERE vec_id < {_NDCG_NQ}) q2
+        JOIN labcnt ON labcnt.label = q2.qlabel
+        JOIN modcnt ON modcnt.m3 = q2.qlabel % 3)
+    SELECT per_q.query_id, n2, n1, dcg_micro,
+           CAST({_NDCG_IDCG} AS BIGINT) AS idcg_micro,
+           CAST(dcg_micro * 1000000 // greatest({_NDCG_IDCG}, 1) AS BIGINT)
+               AS ndcg_ppm,
+           CAST(CASE WHEN first_rel_rank = 0 THEN 0
+                     ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_ppm,
+           CAST(n_hits * 100000 AS BIGINT) AS p_at_10_ppm
+    FROM per_q JOIN ideal USING (query_id)
+    """,
+)
+def retrieval_eval_ndcg(spark, sf_dir):
+    """Graded retrieval evaluation — NDCG@10, MRR, and P@10 — for the dense
+    cosine retriever, with label-derived graded relevance (same label =
+    grade 2, same label mod 3 = grade 1): the metric layer that every
+    retrieval op (brute/ANN/BM25/hybrid) plugs into when judging index
+    quality. The DCG discount ladder 1/log2(i+1) and its prefix sums are
+    EXACT INTEGER LITERALS (no runtime transcendental), so DCG is a
+    bigint sum; IDCG comes CLOSED-FORM from the per-label corpus counts
+    (slots filled grade-2-first), never from ranking the corpus by
+    relevance — at scale the ideal ranking is a count lookup, not a sort.
+
+    Plan: corpus x broadcast(8 queries) scoring (the sanctioned brute-topk
+    shape), per-query top-10 window over candidate rows, then label-grain
+    aggregate joins for the ideal counts. All outputs exact integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NDCG_NQ)
+    topk = similarity.brute_force_topk(q, emb, k=_NDCG_K)
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    ql = emb.filter(F.col("vec_id") < _NDCG_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top = topk.join(nl, "neighbor_id").join(F.broadcast(ql), "query_id")
+    per_q = top.groupBy("query_id").agg(
+        F.sum(F.expr(f"{_NDCG_GAIN} * {_disc_case('rank')}"))
+        .cast("long").alias("dcg_micro"),
+        F.coalesce(
+            F.min(F.expr(f"CASE WHEN {_NDCG_REL} = 2 THEN rank END")), F.lit(0)
+        ).cast("long").alias("first_rel_rank"),
+        F.sum(F.expr(f"CASE WHEN {_NDCG_REL} >= 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_hits"),
+    )
+    labcnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cl"))
+    modcnt = emb.groupBy((F.col("label") % 3).alias("m3")).agg(
+        F.count(F.lit(1)).cast("long").alias("cm")
+    )
+    ideal = (
+        ql.join(labcnt, F.col("label") == F.col("qlabel"))
+        .join(modcnt, F.col("m3") == F.col("qlabel") % 3)
+        .select(
+            "query_id",
+            (F.col("cl") - 1).alias("n2"),
+            (F.col("cm") - F.col("cl")).alias("n1"),
+        )
+    )
+    return per_q.join(ideal, "query_id").select(
+        "query_id", "n2", "n1", "dcg_micro",
+        F.expr(_NDCG_IDCG).cast("long").alias("idcg_micro"),
+        F.expr(f"dcg_micro * 1000000 div greatest({_NDCG_IDCG}, 1)")
+        .cast("long").alias("ndcg_ppm"),
+        F.expr(
+            "CASE WHEN first_rel_rank = 0 THEN 0"
+            " ELSE 1000000 div first_rel_rank END"
+        ).cast("long").alias("rr_ppm"),
+        F.expr("n_hits * 100000").cast("long").alias("p_at_10_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction over per-nation proportion z-tests
+# ---------------------------------------------------------------------------
+
+_FDR_ALPHA_MICRO = 50000  # alpha = 0.05
+
+
+def _erfc_cols(op: str) -> list[tuple[str, str]]:
+    """Two-sided normal p-value p = erfc(|z|/sqrt(2)) as a staged-INTEGER
+    alias chain from z_micro — Abramowitz-Stegun 7.1.26 with the Horner
+    polynomial in micro fixed-point and exp(-x^2) via the same cubic-Taylor
+    + 5-squarings chain as the logistic IRLS sigmoid (_lr_step_cols):
+    transcendental-free, so both engines produce the SAME p bit for bit.
+    |z| clips at 4 (p ~ 6e-5 there, far below every BH threshold at
+    alpha/m >= 0.002, so decisions are unaffected). Max relative error
+    ~0.5% from the exp chain — fine for threshold tests, identical on
+    both sides."""
+    cols = [
+        ("az", "least(abs(z_micro), 4000000)"),
+        # x = |z|/sqrt(2) in micro (707107/1e6 ~ 1/sqrt(2))
+        ("x", f"az * 707107 {op} 1000000"),
+        # t = 1/(1 + 0.3275911 x) in micro
+        ("tt", f"1000000000000 {op} (1000000 + ((327591 * x) {op} 1000000))"),
+        # Horner in micro: a5..a1 = 1.061405429, -1.453152027, 1.421413741,
+        # -0.284496736, 0.254829592
+        ("h1", f"-1453152 + ((1061405 * tt) {op} 1000000)"),
+        ("h2", f"1421414 + ((h1 * tt) {op} 1000000)"),
+        ("h3", f"-284497 + ((h2 * tt) {op} 1000000)"),
+        ("h4", f"254830 + ((h3 * tt) {op} 1000000)"),
+        ("poly", f"(h4 * tt) {op} 1000000"),
+        # exp(x^2) in micro via (T3(y/32))^32, y = x^2 <= 8e6 micro
+        ("yx", f"(x * x) {op} 1000000"),
+        ("eq", f"yx {op} 32"),
+        ("eq2", f"(eq * eq) {op} 2000000"),
+        ("u0", f"1000000 + eq + eq2 + ((eq2 * eq) {op} 3000000)"),
+        ("u1", f"(u0 * u0) {op} 1000000"),
+        ("u2", f"(u1 * u1) {op} 1000000"),
+        ("u3", f"(u2 * u2) {op} 1000000"),
+        ("u4", f"(u3 * u3) {op} 1000000"),
+        ("u5", f"(u4 * u4) {op} 1000000"),
+        # p = poly * exp(-x^2)
+        ("p_micro", f"(poly * 1000000) {op} u5"),
+    ]
+    return cols
+
+
+_FDR_Z = (
+    "(cast(c as double) - cast(n as double) * cast(cc as double)"
+    " / cast(nn as double))"
+    " / sqrt(cast(n as double) * (cast(cc as double) / cast(nn as double))"
+    " * (1.0 - cast(cc as double) / cast(nn as double)))"
+)
+
+
+def _fdr_oracle() -> str:
+    chain = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in _erfc_cols("//")
+    )
+    return f"""
+    WITH g AS (
+      SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(c) AS BIGINT) AS cc,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM g),
+    z AS (SELECT nation, n, c,
+                 CAST(round({_FDR_Z} * 1000000) AS BIGINT) AS z_micro, m
+          FROM g CROSS JOIN tot),
+    p AS (SELECT nation, n, c, z_micro, m,
+             {chain}
+          FROM z),
+    r AS (SELECT nation, n, c, z_micro, p_micro, m,
+                 CAST(row_number() OVER (ORDER BY p_micro ASC, nation ASC)
+                      AS BIGINT) AS bh_rank
+          FROM p),
+    k AS (SELECT max(CASE WHEN p_micro * m <= bh_rank * {_FDR_ALPHA_MICRO}
+                          THEN bh_rank END) AS kstar
+          FROM r)
+    SELECT nation, n, c, z_micro, p_micro, bh_rank,
+           CAST(CASE WHEN kstar IS NOT NULL AND bh_rank <= kstar
+                     THEN 1 ELSE 0 END AS INT) AS reject_bh,
+           CAST(CASE WHEN p_micro <= {_FDR_ALPHA_MICRO} THEN 1 ELSE 0 END
+                AS INT) AS reject_naive
+    FROM r CROSS JOIN k
+    """
+
+
+@register("fdr_bh_correction", _fdr_oracle())
+def fdr_bh_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up over 25 per-nation one-sample
+    proportion z-tests (urgent-order share vs the pooled rate) — the
+    multiple-testing control every per-segment metric sweep needs (25
+    naive alpha=.05 tests expect ~1.25 false positives; BH caps the
+    expected false-discovery RATE at alpha). The two-sided p-value is a
+    staged-INTEGER erfc (A-S 7.1.26 Horner + the IRLS cubic-Taylor exp
+    chain — see _erfc_cols), so both engines compute identical micro-p's
+    with zero transcendental-parity risk; the step-up (rank p ascending,
+    k* = max{{i: p_i <= i*alpha/m}}, reject ranks <= k*) is pure integer
+    comparison over the nation-grain aggregate.
+
+    Plan: one star-join aggregate to 25 rows, a 1-row total cross-join,
+    the alias chain as stacked projections (whole-stage codegen), a
+    25-row global window (above the aggregate — gate-sanctioned), and a
+    1-row k* cross-join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("c"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("cc"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "nation", "n", "c", "m",
+        F.expr(f"cast(round({_FDR_Z} * 1000000) as bigint)").alias("z_micro"),
+    )
+    p = z
+    for name, expr in _erfc_cols("div"):
+        p = p.withColumn(name, F.expr(expr))
+    w = Window.orderBy(F.col("p_micro").asc(), F.col("nation").asc())
+    r = p.select(
+        "nation", "n", "c", "z_micro", "p_micro", "m",
+        F.row_number().over(w).cast("long").alias("bh_rank"),
+    )
+    k = r.agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN p_micro * m <= bh_rank * {_FDR_ALPHA_MICRO}"
+                " THEN bh_rank END"
+            )
+        ).alias("kstar")
+    )
+    return r.crossJoin(F.broadcast(k)).select(
+        "nation", "n", "c", "z_micro", "p_micro", "bh_rank",
+        F.expr(
+            "cast(CASE WHEN kstar IS NOT NULL AND bh_rank <= kstar"
+            " THEN 1 ELSE 0 END as int)"
+        ).alias("reject_bh"),
+        F.expr(
+            f"cast(CASE WHEN p_micro <= {_FDR_ALPHA_MICRO} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("reject_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_CONF_KEY = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+_CONF_OLS_B1 = (
+    "(cast(n as double) * sxy - cast(sx as double) * sy)"
+    " / (cast(n as double) * sxx - cast(sx as double) * sx)"
+)
+
+
+def _conformal_oracle() -> str:
+    h = md5_long_sql(_CONF_KEY, seed=17)
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS INT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             {h} % 10 AS fold
+      FROM lineitem),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM base WHERE fold <= 5),
+    beta AS (
+      SELECT CAST(round({_CONF_OLS_B1} * 1000000) AS BIGINT) AS b1_micro,
+             CAST(round((cast(sy as double) - {_CONF_OLS_B1} * sx)
+                        / cast(n as double) * 1000000) AS BIGINT) AS b0_micro,
+             n AS n_train
+      FROM fit),
+    resid AS (
+      SELECT fold, abs(y - ((b0_micro + b1_micro * x) // 1000000)) AS a
+      FROM base CROSS JOIN beta),
+    calib AS (SELECT a FROM resid WHERE fold IN (6, 7)),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM calib),
+    q AS (SELECT a AS q_cents FROM calib CROSS JOIN nc
+          ORDER BY a ASC
+          LIMIT 1 OFFSET (SELECT (9 * (n_calib + 1) + 9) // 10 - 1 FROM nc)),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN a <= q.q_cents THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cov
+      FROM resid CROSS JOIN q WHERE fold >= 8)
+    SELECT beta.b0_micro, beta.b1_micro, beta.n_train, nc.n_calib,
+           test.n_test, CAST(q.q_cents AS BIGINT) AS q_cents,
+           CAST(n_cov * 1000000 // n_test AS BIGINT) AS coverage_ppm
+    FROM beta CROSS JOIN nc CROSS JOIN q CROSS JOIN test
+    """
+
+
+@register("conformal_interval", _conformal_oracle())
+def conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval around an OLS fit of line price
+    on quantity: hash-deterministic 60/20/20 train/calibration/test folds,
+    interval half-width q = the ceil(0.9*(n_c+1))-th smallest calibration
+    |residual| (the finite-sample distribution-free >= 90% coverage
+    guarantee of split conformal — Vovk/Papadopoulos), then EMPIRICAL
+    coverage measured on the held-out test fold. The distribution-free
+    uncertainty layer under every point-prediction op
+    (linear_regression_stats, revenue_forecast).
+
+    Plan: one scan builds folds + integer-staged features; the OLS fit is
+    a 1-row exact-bigint-sums aggregate (broadcast back); the calibration
+    order statistic runs through operators/cumsum.global_row_number (two-
+    phase range-exchange rank — never a single-task global sort; the
+    offsets collect is the documented EXECUTES_AT_BUILD pattern); coverage
+    is one more aggregate. Every cross-join side is a 1-row aggregate."""
+    from etl_mssql_to_postgres_dailysync_spark.operators.cumsum import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("int").alias("x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("y"),
+        (
+            md5_long(
+                F.concat(
+                    F.col("l_orderkey").cast("string"), F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                seed=17,
+            ) % 10
+        ).alias("fold"),
+    )
+    fit = base.filter(F.col("fold") <= 5).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    )
+    beta = fit.select(
+        F.expr(f"cast(round({_CONF_OLS_B1} * 1000000) as bigint)").alias("b1_micro"),
+        F.expr(
+            f"cast(round((cast(sy as double) - {_CONF_OLS_B1} * sx)"
+            " / cast(n as double) * 1000000) as bigint)"
+        ).alias("b0_micro"),
+        F.col("n").alias("n_train"),
+    )
+    resid = base.crossJoin(F.broadcast(beta)).select(
+        "fold",
+        F.expr("abs(y - ((b0_micro + b1_micro * x) div 1000000))").alias("a"),
+        "b0_micro", "b1_micro", "n_train",
+    )
+    calib = resid.filter(F.col("fold").isin(6, 7)).select("a")
+    ranked, n_calib = global_row_number(calib, ["a"], out_col="rk")
+    k = (9 * (n_calib + 1) + 9) // 10
+    # exactly one row matches rk == k; the limit(1) is a no-op that makes
+    # the 1-row bound PROVABLE to the plan gate (GlobalLimit is a bounding
+    # node; a Filter over the checkpointed rank RDD is not)
+    q = (
+        ranked.filter(F.col("rk") == k)
+        .limit(1)
+        .select(F.col("a").cast("long").alias("q_cents"))
+    )
+    test = resid.filter(F.col("fold") >= 8).crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.expr("CASE WHEN a <= q_cents THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_cov"),
+        F.max("q_cents").alias("q_cents"),
+    )
+    summary = beta.crossJoin(F.broadcast(test)).withColumn(
+        "n_calib", F.lit(n_calib).cast("long")
+    )
+    return summary.select(
+        "b0_micro", "b1_micro", "n_train", "n_calib", "n_test", "q_cents",
+        F.expr("cast(n_cov * 1000000 div n_test as bigint)").alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley mean-shift drift detector over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_PH_DELTA_CENTS = 1000        # insensitivity margin delta
+_PH_LAMBDA_CENTS = 50_000_000  # alarm threshold lambda
+
+
+@register(
+    "page_hinkley_drift",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS x_cents
+      FROM orders GROUP BY 1),
+    c AS (SELECT day, x_cents,
+                 CAST(sum(x_cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+          FROM d),
+    t AS (SELECT day, x_cents, cum // rn AS mean_to_date_cents,
+                 x_cents - (cum // rn) - {_PH_DELTA_CENTS} AS term
+          FROM c),
+    m AS (SELECT day, x_cents, mean_to_date_cents,
+                 CAST(sum(term) OVER (ORDER BY day) AS BIGINT) AS m_t
+          FROM t),
+    p AS (SELECT day, x_cents, mean_to_date_cents, m_t,
+                 CAST(min(m_t) OVER (ORDER BY day) AS BIGINT) AS m_min
+          FROM m)
+    SELECT day, x_cents, mean_to_date_cents,
+           CAST(m_t - m_min AS BIGINT) AS ph_cents,
+           CAST(CASE WHEN m_t - m_min > {_PH_LAMBDA_CENTS} THEN 1 ELSE 0 END
+                AS INT) AS alarm
+    FROM p
+    """,
+)
+def page_hinkley_drift(spark, sf_dir):
+    """Page-Hinkley mean-INCREASE drift detector over daily revenue — the
+    sequential change-point test next to event_rate_cusum (CUSUM tests a
+    known null rate; PH tracks the RUNNING mean, so it needs no baseline):
+    m_t = sum_s (x_s - mean_to_date_s - delta), alarm when m_t rises more
+    than lambda above its running minimum. The standard streaming-drift
+    monitor for ingest-volume / data-quality feeds.
+
+    Plan: one data-grain aggregate to day grain, then three stacked
+    day-grain windows (each above the aggregate — gate-sanctioned; the day
+    spine is calendar-bounded at any volume). All arithmetic exact BIGINT
+    cents; truncating div == DuckDB // on the non-negative running sums."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long").alias("x_cents")
+    )
+    w = Window.orderBy("day")
+    c = d.select(
+        "day", "x_cents",
+        F.sum("x_cents").over(w).cast("long").alias("cum"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    t = c.select(
+        "day", "x_cents",
+        F.expr("cum div rn").alias("mean_to_date_cents"),
+        F.expr(f"x_cents - (cum div rn) - {_PH_DELTA_CENTS}").alias("term"),
+    )
+    m = t.select(
+        "day", "x_cents", "mean_to_date_cents",
+        F.sum("term").over(w).cast("long").alias("m_t"),
+    )
+    p = m.select(
+        "day", "x_cents", "mean_to_date_cents", "m_t",
+        F.min("m_t").over(w).cast("long").alias("m_min"),
+    )
+    return p.select(
+        "day", "x_cents", "mean_to_date_cents",
+        (F.col("m_t") - F.col("m_min")).cast("long").alias("ph_cents"),
+        F.expr(
+            f"cast(case when m_t - m_min > {_PH_LAMBDA_CENTS} then 1 else 0 end"
+            " as int)"
+        ).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style unigram^0.75 negative-sampling table (+ hash-draw audit)
+# ---------------------------------------------------------------------------
+
+_NS_DRAWS = 1000
+# c^0.75 as sqrt(c * sqrt(c)): IEEE sqrt is correctly rounded in BOTH
+# engines, so the weight is bit-identical without any pow/exp/ln call
+_NS_W = "CAST(round(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000000) AS BIGINT)"
+
+
+@register(
+    "negative_sampling_unigram",
+    f"""
+    WITH {_LM_CTE},
+    w AS (SELECT tok, CAST(c AS BIGINT) AS c, {_NS_W} AS w_micro FROM u),
+    cw AS (SELECT tok, c, w_micro,
+                  CAST(sum(w_micro) OVER (ORDER BY tok) - w_micro AS BIGINT) AS lo,
+                  CAST(sum(w_micro) OVER (ORDER BY tok) AS BIGINT) AS hi
+           FROM w),
+    tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w),
+    draws AS (SELECT {md5_long_sql("'ns-' || CAST(i AS VARCHAR)", seed=23)} AS h
+              FROM (SELECT unnest(range(0, {_NS_DRAWS})) AS i)),
+    du AS (SELECT h % tot.tw AS u FROM draws CROSS JOIN tot),
+    hit AS (SELECT cw.tok, CAST(count(*) AS BIGINT) AS n_sampled
+            FROM du JOIN cw ON du.u >= cw.lo AND du.u < cw.hi
+            GROUP BY 1)
+    SELECT cw.tok, cw.c, cw.w_micro,
+           CAST(cw.w_micro * 1000000 // tot.tw AS BIGINT) AS p_ppm,
+           CAST(coalesce(hit.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM cw LEFT JOIN hit ON hit.tok = cw.tok CROSS JOIN tot
+    """,
+)
+def negative_sampling_unigram(spark, sf_dir):
+    """word2vec negative-sampling distribution p(w) proportional to
+    count^0.75 over the corpus vocabulary, plus a {_NS_DRAWS}-draw
+    inverse-CDF sampling audit (hash-deterministic draws range-joined to
+    the cumulative-weight buckets). The 0.75 power is computed as
+    sqrt(c * sqrt(c)) — IEEE sqrt is CORRECTLY ROUNDED in both engines, so
+    the weights are bit-identical with no pow/exp/ln parity risk. This is
+    the sampling table skip-gram training (skipgram_pairs_subsampled)
+    consumes for its negatives.
+
+    Plan: vocab aggregate -> vocab-grain cumulative window (bounded by
+    vocab size, above the aggregate); the draw spine is a literal range
+    (map-side hash only); the range join is literal-spine x vocab-grain —
+    both sides plan-gate bounded. At 100 TB the vocab table is the only
+    thing that grows, and the cumulative-bucket layout is exactly how
+    production samplers ship it (alias tables are built FROM this)."""
+    _t1, _tok, u, _nu = _lm_parts(spark, sf_dir)
+    w_tbl = u.select(
+        "tok", F.col("c").cast("long").alias("c"), F.expr(_NS_W).alias("w_micro")
+    )
+    win = Window.orderBy("tok")
+    cw = w_tbl.select(
+        "tok", "c", "w_micro",
+        (F.sum("w_micro").over(win) - F.col("w_micro")).cast("long").alias("lo"),
+        F.sum("w_micro").over(win).cast("long").alias("hi"),
+    )
+    tot = w_tbl.agg(F.sum("w_micro").cast("long").alias("tw"))
+    draws = spark.range(_NS_DRAWS).select(
+        md5_long(F.concat(F.lit("ns-"), F.col("id").cast("string")), seed=23)
+        .alias("h")
+    )
+    du = draws.crossJoin(F.broadcast(tot)).select(
+        (F.col("h") % F.col("tw")).alias("u")
+    )
+    hit = (
+        du.join(F.broadcast(cw), (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        cw.join(hit, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok", "c", "w_micro",
+            F.expr("cast(w_micro * 1000000 div tw as bigint)").alias("p_ppm"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (time to first purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+_KM_LN_TERM = (
+    "CAST(CASE WHEN d >= n_risk THEN -8000000 ELSE"
+    " round((ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE)))"
+    " * 1000000) END AS BIGINT)"
+)
+def _km_exp_cols(op: str) -> list[tuple[str, str]]:
+    cols = [
+        ("lc", "least(-ln_surv_unat, 8000000)"),
+        ("eq", f"lc {op} 32"),
+        ("eq2", f"(eq * eq) {op} 2000000"),
+        ("v0", f"1000000 + eq + eq2 + ((eq2 * eq) {op} 3000000)"),
+        ("v1", f"(v0 * v0) {op} 1000000"),
+        ("v2", f"(v1 * v1) {op} 1000000"),
+        ("v3", f"(v2 * v2) {op} 1000000"),
+        ("v4", f"(v3 * v3) {op} 1000000"),
+        ("v5", f"(v4 * v4) {op} 1000000"),
+        ("surv_ppm", f"1000000000000 {op} v5"),
+    ]
+    return cols
+
+
+def _km_oracle() -> str:
+    chain = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in _km_exp_cols("//")
+    )
+    return f"""
+    WITH ue AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t_first,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS t_purch
+      FROM events GROUP BY 1),
+    mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t_max FROM events),
+    durs AS (
+      SELECT CASE WHEN t_purch IS NOT NULL
+                  THEN (t_purch - t_first) // 3600000000
+                  ELSE (t_max - t_first) // 3600000000 END AS t_hours,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN mx),
+    tg AS (SELECT t_hours, CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS leave_n
+           FROM durs GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM durs),
+    risk AS (
+      SELECT t_hours, d,
+             n_users - (CAST(sum(leave_n) OVER (ORDER BY t_hours) AS BIGINT)
+                        - leave_n) AS n_risk
+      FROM tg CROSS JOIN tot),
+    ev_t AS (SELECT t_hours, d, n_risk, {_KM_LN_TERM} AS ln_term
+             FROM risk WHERE d > 0),
+    km AS (SELECT t_hours, d, n_risk,
+                  CAST(sum(ln_term) OVER (ORDER BY t_hours) AS BIGINT)
+                      AS ln_surv_unat
+           FROM ev_t),
+    fin AS (SELECT t_hours, d, n_risk, ln_surv_unat,
+           {chain}
+    FROM km)
+    SELECT t_hours, d, n_risk, ln_surv_unat, surv_ppm FROM fin
+    """
+
+
+@register("kaplan_meier_survival", _km_oracle())
+def kaplan_meier_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase (hours since
+    a user's first event), right-censored at the observation horizon for
+    users who never purchase — the canonical censoring-aware funnel/churn
+    estimator (conversion_lag_stats without the survivorship bias). Each
+    factor ln(1 - d/n) rounds to integer micro-nats per EVENT TIME before
+    the cumulative sum (exact BIGINT, order-independent); survival in ppm
+    comes from the staged-integer exp chain (same cubic-Taylor +
+    5-squarings as the IRLS sigmoid — no cross-engine exp), clipped at
+    ln S = -8 (S ~ 3e-4) where the curve is already pinned to zero.
+
+    Plan: user-grain aggregate, 1-row horizon cross-join, duration-grain
+    aggregate (bounded by the observation window in hours at ANY user
+    count), then two duration-grain windows above it. The risk set is the
+    suffix count computed from the prefix sum — no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("t_purch"),
+    )
+    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).cast("long").alias("t_max"))
+    durs = ue.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CASE WHEN t_purch IS NOT NULL"
+            " THEN (t_purch - t_first) div 3600000000"
+            " ELSE (t_max - t_first) div 3600000000 END"
+        ).alias("t_hours"),
+        F.expr("CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    tg = durs.groupBy("t_hours").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy("t_hours")
+    risk = tg.crossJoin(F.broadcast(tot)).select(
+        "t_hours", "d",
+        (
+            F.col("n_users")
+            - (F.sum("leave_n").over(w) - F.col("leave_n"))
+        ).cast("long").alias("n_risk"),
+    )
+    ev_t = risk.filter(F.col("d") > 0).select(
+        "t_hours", "d", "n_risk", F.expr(_KM_LN_TERM).alias("ln_term")
+    )
+    km = ev_t.select(
+        "t_hours", "d", "n_risk",
+        F.sum("ln_term").over(w).cast("long").alias("ln_surv_unat"),
+    )
+    out = km
+    for name, expr in _km_exp_cols("div"):
+        out = out.withColumn(name, F.expr(expr))
+    return out.select("t_hours", "d", "n_risk", "ln_surv_unat", "surv_ppm")

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "similarity_quantized_topk": "by design: corpus x broadcast(10 queries via vec_id<10 filter)",
     "hard_negative_mining": "by design: corpus x broadcast(10 anchors via vec_id<10 filter), same scored arm as similarity_brute_topk",
     "knn_label_agreement": "by design: corpus x broadcast(50 queries via vec_id<50 filter)",
+    "retrieval_eval_ndcg": "by design: corpus x broadcast(8 queries via vec_id<8 filter), same scored arm as similarity_brute_topk",
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
 }
@@ -54,6 +55,7 @@ EXECUTES_AT_BUILD = {
     "streaming_sessionize",  # runs an availableNow session_window stream
     "streaming_dedup_replay",  # runs an availableNow dropDuplicates stream
     "quantile_normalization_map",  # two-phase global rank collects offsets
+    "conformal_interval",  # calibration-quantile rank collects offsets
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
     "gdpr_erasure_audit",  # TxnTable append+delete at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
