@@ -194,6 +194,9 @@ TRANCHE = [
     "page_hinkley_drift",
     "negative_sampling_unigram",
     "kaplan_meier_survival",
+    "shapley_attribution",
+    "uplift_qini_curve",
+    "histogram_split_finding",
 ]
 
 

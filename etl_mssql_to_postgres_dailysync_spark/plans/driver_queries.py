@@ -18526,3 +18526,402 @@ def kaplan_meier_survival(spark, sf_dir):
     for name, expr in _km_exp_cols("div"):
         out = out.withColumn(name, F.expr(expr))
     return out.select("t_hours", "d", "n_risk", "ln_surv_unat", "surv_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution over exposure coalitions
+# ---------------------------------------------------------------------------
+
+# |S|!(c-|S|-1)!/c! for c = 3 channels, in SIXTHS: |S| = 0 -> 2/6,
+# |S| = 1 -> 1/6, |S| = 2 -> 2/6
+_SHAP_W6 = "(CASE WHEN ssize = 0 THEN 2 WHEN ssize = 1 THEN 1 ELSE 2 END)"
+_SHAP_FAST_US = 3 * 86400 * 1000000  # 72h conversion window
+
+
+def _shapley_oracle() -> str:
+    return f"""
+    WITH f AS (
+      SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS tp
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT e.user_id,
+             max(CASE WHEN event_type = 'view'
+                       AND epoch_us(e.ts) < coalesce(tp, t0 + {_SHAP_FAST_US})
+                      THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN event_type = 'click'
+                             AND epoch_us(e.ts) < coalesce(tp, t0 + {_SHAP_FAST_US})
+                            THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN event_type = 'signup'
+                             AND epoch_us(e.ts) < coalesce(tp, t0 + {_SHAP_FAST_US})
+                            THEN 1 ELSE 0 END) AS mask,
+             max(CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}
+                      THEN 1 ELSE 0 END) AS y
+      FROM events e JOIN f ON f.user_id = e.user_id
+      GROUP BY 1),
+    spine AS (SELECT unnest(range(0, 8)) AS mask),
+    v AS (
+      SELECT spine.mask,
+             CAST(coalesce(count(u.user_id), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(u.y), 0) AS BIGINT) AS conv,
+             CAST(CASE WHEN count(u.user_id) = 0 THEN 0
+                       ELSE coalesce(sum(u.y), 0) * 1000000 // count(u.user_id)
+                  END AS BIGINT) AS v_ppm
+      FROM spine LEFT JOIN u ON u.mask = spine.mask
+      GROUP BY 1),
+    ch AS (SELECT unnest(['view', 'click', 'signup']) AS channel,
+                  unnest([1, 2, 4]) AS bit),
+    pairs AS (
+      SELECT ch.channel,
+             CAST(bit_count(a.mask) AS INT) AS ssize,
+             a.v_ppm AS v_without, b.v_ppm AS v_with
+      FROM ch
+      JOIN v a ON (a.mask & ch.bit) = 0
+      JOIN v b ON b.mask = (a.mask | ch.bit))
+    SELECT channel,
+           CAST(sum({_SHAP_W6} * (v_with - v_without)) // 6 AS BIGINT)
+               AS shapley_ppm,
+           CAST(sum(CASE WHEN v_with > v_without THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive_margins
+    FROM pairs GROUP BY 1
+    """
+
+
+@register("shapley_attribution", _shapley_oracle())
+def shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value attribution over the three pre-conversion
+    marketing channels (view/click/signup), with v(S) = fast-conversion
+    rate (purchase within 72h of first touch) among users exposed to
+    EXACTLY coalition S before converting — the game-theoretic
+    completion of the attribution family (multi-touch heuristics, Markov
+    removal effects, and now Shapley, the only allocation satisfying
+    efficiency/symmetry/dummy). With c = 3 channels the coalition lattice
+    is 8 masks, so the EXACT factorial-weighted sum is computable — no
+    sampling: weights |S|!(c-|S|-1)!/c! live in sixths and the whole
+    allocation is integer ppm (one //6 at the end, after the exact
+    weighted sum).
+
+    Plan: user-grain aggregate to (mask, y), 8-row coalition aggregate
+    (left-joined to a literal 8-mask spine so empty coalitions exist with
+    v = 0), then literal-grain channel x coalition joins. Beyond the user
+    aggregate everything is metadata-sized at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("tp"),
+    )
+    cutoff = F.expr(f"coalesce(tp, t0 + {_SHAP_FAST_US})")
+    def _touch(et, mult):
+        return (
+            F.max(
+                F.when(
+                    (F.col("event_type") == et)
+                    & (F.unix_micros(F.col("ts")) < cutoff),
+                    1,
+                ).otherwise(0)
+            ) * mult
+        )
+    u = ev.join(f, "user_id").groupBy("user_id").agg(
+        (_touch("view", 1) + _touch("click", 2) + _touch("signup", 4)).alias("mask"),
+        F.max(
+            F.expr(
+                f"CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("y"),
+    )
+    spine = spark.range(8).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        spine.join(u, spine.mask == u.mask, "left")
+        .groupBy(spine.mask.alias("mask"))
+        .agg(
+            F.count("user_id").cast("long").alias("n"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("conv"),
+        )
+        .select(
+            "mask", "n", "conv",
+            F.expr(
+                "cast(CASE WHEN n = 0 THEN 0 ELSE conv * 1000000 div n END"
+                " as bigint)"
+            ).alias("v_ppm"),
+        )
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], ["channel", "bit"]
+    )
+    a = v.select(F.col("mask").alias("m0"), F.col("v_ppm").alias("v_without"))
+    b = v.select(F.col("mask").alias("m1"), F.col("v_ppm").alias("v_with"))
+    pairs = (
+        ch.join(a, F.expr("(m0 & bit) = 0"))
+        .join(b, F.expr("m1 = (m0 | bit)"))
+        .select(
+            "channel",
+            F.expr("cast(bit_count(m0) as int)").alias("ssize"),
+            "v_without", "v_with",
+        )
+    )
+    return pairs.groupBy("channel").agg(
+        F.expr(f"cast(sum({_SHAP_W6} * (v_with - v_without)) div 6 as bigint)")
+        .alias("shapley_ppm"),
+        F.sum(F.expr("CASE WHEN v_with > v_without THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_positive_margins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (cumulative incremental conversions by score bin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "uplift_qini_curve",
+    f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS tp,
+             CAST(least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                        15) AS BIGINT) AS score
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT score, CAST(user_id % 2 AS INT) AS t,
+             CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}
+                  THEN 1 ELSE 0 END AS y
+      FROM f),
+    b AS (
+      SELECT score,
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS c_c
+      FROM u GROUP BY 1),
+    cum AS (
+      SELECT score, n_t, c_t, n_c, c_c,
+             CAST(sum(n_t) OVER (ORDER BY score DESC) AS BIGINT) AS cn_t,
+             CAST(sum(c_t) OVER (ORDER BY score DESC) AS BIGINT) AS cc_t,
+             CAST(sum(n_c) OVER (ORDER BY score DESC) AS BIGINT) AS cn_c,
+             CAST(sum(c_c) OVER (ORDER BY score DESC) AS BIGINT) AS cc_c
+      FROM b),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tn_t,
+                   CAST(sum(c_t) AS BIGINT) AS tc_t,
+                   CAST(sum(n_c) AS BIGINT) AS tn_c,
+                   CAST(sum(c_c) AS BIGINT) AS tc_c
+            FROM b)
+    SELECT score, n_t, c_t, n_c, c_c,
+           CAST(cc_t * 1000000 - (cc_c * cn_t * 1000000) // greatest(cn_c, 1)
+                AS BIGINT) AS qini_cum_micro,
+           CAST(((tc_t * 1000000 - (tc_c * tn_t * 1000000) // greatest(tn_c, 1))
+                 * (cn_t + cn_c)) // (tn_t + tn_c) AS BIGINT)
+               AS random_cum_micro
+    FROM cum CROSS JOIN tot
+    """,
+)
+def uplift_qini_curve(spark, sf_dir):
+    """Qini uplift curve: rank users by a targeting score (capped click
+    count), and at each score cutoff compare cumulative incremental
+    conversions Q(k) = C_t(k) - C_c(k) * N_t(k)/N_c(k) against the
+    random-targeting diagonal — the standard evaluation for
+    uplift/heterogeneous-treatment models (the causal sibling of the
+    qini-free conversion_ab_ztest: WHO to treat, not whether treatment
+    works). Treatment is the deterministic user-parity split; conversion
+    is the 72h fast-purchase flag shared with shapley_attribution.
+
+    Plan: user-grain aggregate, score-bin aggregate (<= 16 bins), one
+    bin-grain descending cumulative window above it, one 1-row totals
+    cross-join. Everything after the user aggregate is metadata-sized;
+    all staging exact integer micro (floor-div by the control count,
+    guarded for empty cells)."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("tp"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(15),
+        ).cast("long").alias("score"),
+    )
+    u = f.select(
+        "score",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    b = u.groupBy("score").agg(
+        F.sum(F.expr("CASE WHEN t = 1 THEN 1 ELSE 0 END")).cast("long").alias("n_t"),
+        F.sum(F.expr("CASE WHEN t = 1 THEN y ELSE 0 END")).cast("long").alias("c_t"),
+        F.sum(F.expr("CASE WHEN t = 0 THEN 1 ELSE 0 END")).cast("long").alias("n_c"),
+        F.sum(F.expr("CASE WHEN t = 0 THEN y ELSE 0 END")).cast("long").alias("c_c"),
+    )
+    w = Window.orderBy(F.col("score").desc())
+    cum = b.select(
+        "score", "n_t", "c_t", "n_c", "c_c",
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("c_t").over(w).cast("long").alias("cc_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+        F.sum("c_c").over(w).cast("long").alias("cc_c"),
+    )
+    tot = b.agg(
+        F.sum("n_t").cast("long").alias("tn_t"),
+        F.sum("c_t").cast("long").alias("tc_t"),
+        F.sum("n_c").cast("long").alias("tn_c"),
+        F.sum("c_c").cast("long").alias("tc_c"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "score", "n_t", "c_t", "n_c", "c_c",
+        F.expr(
+            "cast(cc_t * 1000000 - (cc_c * cn_t * 1000000)"
+            " div greatest(cn_c, 1) as bigint)"
+        ).alias("qini_cum_micro"),
+        F.expr(
+            "cast(((tc_t * 1000000 - (tc_c * tn_t * 1000000)"
+            " div greatest(tn_c, 1)) * (cn_t + cn_c)) div (tn_t + tn_c)"
+            " as bigint)"
+        ).alias("random_cum_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based gradient split finding (the XGBoost/LightGBM inner loop)
+# ---------------------------------------------------------------------------
+
+_SPLIT_LAMBDA = 1  # L2 regularizer on leaf weights
+_SPLIT_GAIN = (
+    "round((cast(gl as double) * gl / (cast(hl as double) + 1.0)"
+    " + cast(gr as double) * gr / (cast(hr as double) + 1.0)"
+    " - cast(gt as double) * gt / (cast(ht as double) + 1.0)) / 1000000.0)"
+)
+
+
+@register(
+    "histogram_split_finding",
+    f"""
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(l_quantity AS INT) AS qty,
+             CAST(round(l_discount * 100) AS INT) AS disc
+      FROM lineitem),
+    mu AS (SELECT CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_y
+           FROM base),
+    g AS (SELECT y - mean_y AS grad, qty, disc FROM base CROSS JOIN mu),
+    hist AS (
+      SELECT feature, bin, CAST(sum(grad) AS BIGINT) AS gb,
+             CAST(count(*) AS BIGINT) AS hb
+      FROM (SELECT 'quantity' AS feature, qty AS bin, grad FROM g
+            UNION ALL
+            SELECT 'discount' AS feature, disc AS bin, grad FROM g)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT feature, bin, gb, hb,
+             CAST(sum(gb) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+                 AS gl,
+             CAST(sum(hb) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+                 AS hl,
+             CAST(sum(gb) OVER (PARTITION BY feature) AS BIGINT) AS gt,
+             CAST(sum(hb) OVER (PARTITION BY feature) AS BIGINT) AS ht
+      FROM hist),
+    gain AS (
+      SELECT feature, bin, gl, hl, gt - gl AS gr, ht - hl AS hr,
+             gt, ht,
+             CAST({_SPLIT_GAIN} AS BIGINT) AS gain_scaled
+      FROM cum WHERE hl > 0 AND ht - hl > 0),
+    ranked AS (
+      SELECT feature, bin AS split_bin, gl, hl, gr, hr, gain_scaled,
+             CAST(row_number() OVER (PARTITION BY feature
+                                     ORDER BY gain_scaled DESC, bin ASC)
+                  AS INT) AS feature_rank
+      FROM gain),
+    best AS (SELECT max(gain_scaled) AS best_gain FROM ranked
+             WHERE feature_rank = 1)
+    SELECT feature, split_bin, gl, hl, gr, hr, gain_scaled, feature_rank,
+           CAST(CASE WHEN feature_rank = 1 AND gain_scaled = best.best_gain
+                     THEN 1 ELSE 0 END AS INT) AS is_global_best
+    FROM ranked CROSS JOIN best
+    WHERE feature_rank <= 5
+    """,
+)
+def histogram_split_finding(spark, sf_dir):
+    """Histogram-based greedy split finding — the inner loop of every
+    gradient-boosted-tree trainer (XGBoost's 'approx'/LightGBM's
+    histogram algorithm): bin each feature, accumulate per-bin gradient
+    and hessian sums in ONE pass, and score every threshold with the
+    structure gain GL^2/(HL+l) + GR^2/(HR+l) - G^2/(H+l). Squared-loss
+    root node: grad = y - mean(y) exact integer cents, hessian = 1, so
+    the histogram is exact BIGINT and only the final gain is a double
+    (shared text from exact sums, scaled down 1e6 and rounded).
+
+    Plan: one data-grain scan melted to (feature, bin) grain (the
+    UNION ALL is two projections of the same scan), a <= 66-row histogram
+    aggregate, prefix windows PARTITIONED BY feature above it, and a
+    1-row best cross-join. This is exactly the layout that scales: at
+    100 TB the histogram is still 66 rows per node, the melt is map-side,
+    and the shuffle carries bins, not rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("y"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.expr("cast(round(l_discount * 100) as int)").alias("disc"),
+    )
+    mu = base.agg(
+        F.expr("cast(sum(y) as bigint) div cast(count(*) as bigint)")
+        .alias("mean_y")
+    )
+    g = base.crossJoin(F.broadcast(mu)).select(
+        (F.col("y") - F.col("mean_y")).alias("grad"), "qty", "disc"
+    )
+    melted = g.select(
+        F.lit("quantity").alias("feature"), F.col("qty").alias("bin"), "grad"
+    ).unionAll(
+        g.select(
+            F.lit("discount").alias("feature"), F.col("disc").alias("bin"), "grad"
+        )
+    )
+    hist = melted.groupBy("feature", "bin").agg(
+        F.sum("grad").cast("long").alias("gb"),
+        F.count(F.lit(1)).cast("long").alias("hb"),
+    )
+    wp = Window.partitionBy("feature").orderBy("bin")
+    wf = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature", "bin", "gb", "hb",
+        F.sum("gb").over(wp).cast("long").alias("gl"),
+        F.sum("hb").over(wp).cast("long").alias("hl"),
+        F.sum("gb").over(wf).cast("long").alias("gt"),
+        F.sum("hb").over(wf).cast("long").alias("ht"),
+    )
+    gain = cum.filter((F.col("hl") > 0) & (F.col("ht") - F.col("hl") > 0)).select(
+        "feature", "bin", "gl", "hl",
+        (F.col("gt") - F.col("gl")).alias("gr"),
+        (F.col("ht") - F.col("hl")).alias("hr"),
+        "gt", "ht",
+        F.expr(f"cast({_SPLIT_GAIN} as bigint)").alias("gain_scaled"),
+    )
+    wr = Window.partitionBy("feature").orderBy(
+        F.col("gain_scaled").desc(), F.col("bin").asc()
+    )
+    ranked = gain.select(
+        "feature", F.col("bin").alias("split_bin"), "gl", "hl", "gr", "hr",
+        "gain_scaled",
+        F.row_number().over(wr).cast("int").alias("feature_rank"),
+    )
+    best = ranked.filter(F.col("feature_rank") == 1).agg(
+        F.max("gain_scaled").alias("best_gain")
+    )
+    return (
+        ranked.filter(F.col("feature_rank") <= 5)
+        .crossJoin(F.broadcast(best))
+        .select(
+            "feature", "split_bin", "gl", "hl", "gr", "hr", "gain_scaled",
+            "feature_rank",
+            F.expr(
+                "cast(CASE WHEN feature_rank = 1 AND gain_scaled = best_gain"
+                " THEN 1 ELSE 0 END as int)"
+            ).alias("is_global_best"),
+        )
+    )

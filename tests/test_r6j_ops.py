@@ -1,0 +1,174 @@
+"""Property tests for the r6j operator tranche (Shapley attribution, Qini
+uplift curve, histogram split finding), beyond oracle parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+FAST_US = 3 * 86400 * 1_000_000
+
+
+def tdiv(a: int, b: int) -> int:
+    """Truncating integer division — Spark's div and DuckDB's // both
+    truncate toward zero on negatives, unlike Python's flooring //."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _user_masks():
+    """Python replica of the (mask, y) user table."""
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    out = {}
+    for uid, grp in ev.groupby("user_id"):
+        t0 = grp["us"].min()
+        purch = grp[grp["event_type"] == "purchase"]["us"]
+        tp = purch.min() if len(purch) else None
+        cutoff = tp if tp is not None else t0 + FAST_US
+        mask = 0
+        for et, bit in (("view", 1), ("click", 2), ("signup", 4)):
+            if ((grp["event_type"] == et) & (grp["us"] < cutoff)).any():
+                mask |= bit
+        y = 1 if (tp is not None and tp - t0 < FAST_US) else 0
+        out[uid] = (mask, y)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shapley_attribution
+# ---------------------------------------------------------------------------
+
+def test_shapley_matches_exact_enumeration(spark):
+    """Shapley values must equal the from-scratch factorial-weighted
+    enumeration over the exact coalition value table."""
+    users = _user_masks()
+    v = {}
+    for m in range(8):
+        grp = [(mask, y) for mask, y in users.values() if mask == m]
+        v[m] = 0 if not grp else sum(y for _, y in grp) * 1_000_000 // len(grp)
+    rows = {r["channel"]: r for r in
+            QUERIES["shapley_attribution"](spark, SF_DIR).collect()}
+    assert sorted(rows) == ["click", "signup", "view"]
+    bits = {"view": 1, "click": 2, "signup": 4}
+    for channel, bit in bits.items():
+        total = 0
+        for m in range(8):
+            if m & bit:
+                continue
+            ssize = bin(m).count("1")
+            w6 = {0: 2, 1: 1, 2: 2}[ssize]
+            total += w6 * (v[m | bit] - v[m])
+        assert rows[channel]["shapley_ppm"] == tdiv(total, 6)
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Sum of Shapley values = v(grand coalition) - v(empty), up to the
+    three per-channel //6 floors."""
+    users = _user_masks()
+    def vv(m):
+        grp = [(mask, y) for mask, y in users.values() if mask == m]
+        return 0 if not grp else sum(y for _, y in grp) * 1_000_000 // len(grp)
+    rows = QUERIES["shapley_attribution"](spark, SF_DIR).collect()
+    total = sum(r["shapley_ppm"] for r in rows)
+    assert abs(total - (vv(7) - vv(0))) <= 3
+
+
+# ---------------------------------------------------------------------------
+# uplift_qini_curve
+# ---------------------------------------------------------------------------
+
+def test_qini_matches_cumulative_replica(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    users = []
+    for uid, grp in ev.groupby("user_id"):
+        t0 = grp["us"].min()
+        purch = grp[grp["event_type"] == "purchase"]["us"]
+        tp = purch.min() if len(purch) else None
+        y = 1 if (tp is not None and tp - t0 < FAST_US) else 0
+        score = min(int((grp["event_type"] == "click").sum()), 15)
+        users.append((score, int(uid) % 2, y))
+    rows = sorted(
+        QUERIES["uplift_qini_curve"](spark, SF_DIR).collect(),
+        key=lambda r: -r["score"],
+    )
+    scores = sorted({s for s, _, _ in users}, reverse=True)
+    assert [r["score"] for r in rows] == scores
+    tn_t = sum(1 for _, t, _ in users if t == 1)
+    tc_t = sum(y for _, t, y in users if t == 1)
+    tn_c = sum(1 for _, t, _ in users if t == 0)
+    tc_c = sum(y for _, t, y in users if t == 0)
+    cn_t = cc_t = cn_c = cc_c = 0
+    for r in rows:
+        s = r["score"]
+        cn_t += sum(1 for sc, t, _ in users if sc == s and t == 1)
+        cc_t += sum(y for sc, t, y in users if sc == s and t == 1)
+        cn_c += sum(1 for sc, t, _ in users if sc == s and t == 0)
+        cc_c += sum(y for sc, t, y in users if sc == s and t == 0)
+        q = cc_t * 1_000_000 - tdiv(cc_c * cn_t * 1_000_000, max(cn_c, 1))
+        rnd = tdiv((tc_t * 1_000_000 - tdiv(tc_c * tn_t * 1_000_000, max(tn_c, 1)))
+                   * (cn_t + cn_c), tn_t + tn_c)
+        assert r["qini_cum_micro"] == q
+        assert r["random_cum_micro"] == rnd
+    # at the full-population point the curve meets the random diagonal
+    last = rows[-1]
+    assert last["qini_cum_micro"] == last["random_cum_micro"]
+
+
+# ---------------------------------------------------------------------------
+# histogram_split_finding
+# ---------------------------------------------------------------------------
+
+def test_split_finder_matches_histogram_replica(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    y = [int(round(p * 100)) for p in li["l_extendedprice"]]
+    mean = sum(y) // len(y)
+    grad = [v - mean for v in y]
+    feats = {
+        "quantity": li["l_quantity"].astype(int).tolist(),
+        "discount": [int(round(d * 100)) for d in li["l_discount"]],
+    }
+    rows = QUERIES["histogram_split_finding"](spark, SF_DIR).collect()
+    assert rows
+    by_feat = {}
+    for feature, bins in feats.items():
+        hist = {}
+        for b, g in zip(bins, grad):
+            gb, hb = hist.get(b, (0, 0))
+            hist[b] = (gb + g, hb + 1)
+        gt = sum(gb for gb, _ in hist.values())
+        ht = sum(hb for _, hb in hist.values())
+        gains = {}
+        gl = hl = 0
+        for b in sorted(hist):
+            gl += hist[b][0]
+            hl += hist[b][1]
+            if hl == 0 or ht - hl == 0:
+                continue
+            gr, hr = gt - gl, ht - hl
+            gain = round(
+                (gl * gl / (hl + 1.0) + gr * gr / (hr + 1.0)
+                 - gt * gt / (ht + 1.0)) / 1e6
+            )
+            gains[b] = (gain, gl, hl, gr, hr)
+        by_feat[feature] = (gains, gt, ht)
+    for r in rows:
+        gains, gt, ht = by_feat[r["feature"]]
+        gain, gl, hl, gr, hr = gains[r["split_bin"]]
+        assert r["gain_scaled"] == gain
+        assert (r["gl"], r["hl"], r["gr"], r["hr"]) == (gl, hl, gr, hr)
+        # floor-mean residuals: total gradient in [0, n)
+        assert 0 <= gl + gr < ht
+    # rank-1 rows really are the per-feature argmax (bin tie-break asc)
+    for feature, (gains, _, _) in by_feat.items():
+        best = max(gains.items(), key=lambda kv: (kv[1][0], -kv[0]))
+        got = [r for r in rows if r["feature"] == feature and r["feature_rank"] == 1]
+        assert len(got) == 1 and got[0]["split_bin"] == best[0]
+    # exactly one global best, and it has the max gain across features
+    gb_rows = [r for r in rows if r["is_global_best"] == 1]
+    assert len(gb_rows) == 1
+    assert gb_rows[0]["gain_scaled"] == max(r["gain_scaled"] for r in rows
+                                            if r["feature_rank"] == 1)
