@@ -197,6 +197,9 @@ TRANCHE = [
     "shapley_attribution",
     "uplift_qini_curve",
     "histogram_split_finding",
+    "mutual_information_matrix",
+    "ips_policy_evaluation",
+    "herfindahl_concentration",
 ]
 
 

@@ -18925,3 +18925,321 @@ def histogram_split_finding(spark, sf_dir):
             ).alias("is_global_best"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+# per-cell MI term n_xy/N * ln(N*n_xy/(n_x*n_y)), rounded to integer
+# micro-nats PER CELL before summing (order-independent exact BIGINT)
+_MI_TERM = (
+    "CAST(round((ln(CAST(n AS DOUBLE)) + ln(CAST(n_xy AS DOUBLE))"
+    " - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))"
+    " * CAST(n_xy AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+)
+_H_TERM = (
+    "CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))"
+    " * CAST(c AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _mi_oracle() -> str:
+    return f"""
+    WITH rec AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             c_mktsegment AS segment
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    m AS (SELECT 'priority_x_status' AS pair, priority AS x, status AS y FROM rec
+          UNION ALL
+          SELECT 'segment_x_priority', segment, priority FROM rec
+          UNION ALL
+          SELECT 'segment_x_status', segment, status FROM rec),
+    jt AS (SELECT pair, x, y, CAST(count(*) AS BIGINT) AS n_xy
+           FROM m GROUP BY 1, 2, 3),
+    mx AS (SELECT pair, x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM jt GROUP BY 1, 2),
+    my AS (SELECT pair, y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM jt GROUP BY 1, 2),
+    nn AS (SELECT pair, CAST(sum(n_xy) AS BIGINT) AS n FROM jt GROUP BY 1),
+    mi AS (
+      SELECT jt.pair, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum({_MI_TERM}) AS BIGINT) AS mi_unat
+      FROM jt JOIN mx USING (pair, x) JOIN my USING (pair, y) JOIN nn USING (pair)
+      GROUP BY 1),
+    hx AS (SELECT mx.pair,
+                  CAST(sum({_H_TERM.replace('c AS DOUBLE', 'n_x AS DOUBLE').replace('(c)', '(n_x)').replace('CAST(c', 'CAST(n_x')}) AS BIGINT) AS h_x_unat
+           FROM mx JOIN nn USING (pair) GROUP BY 1),
+    hy AS (SELECT my.pair,
+                  CAST(sum({_H_TERM.replace('c AS DOUBLE', 'n_y AS DOUBLE').replace('(c)', '(n_y)').replace('CAST(c', 'CAST(n_y')}) AS BIGINT) AS h_y_unat
+           FROM my JOIN nn USING (pair) GROUP BY 1)
+    SELECT mi.pair, n_cells, mi_unat, h_x_unat, h_y_unat,
+           CAST(round(CAST(mi_unat AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(h_x_unat AS DOUBLE) * CAST(h_y_unat AS DOUBLE)))
+                AS BIGINT) AS nmi_ppm
+    FROM mi JOIN hx USING (pair) JOIN hy USING (pair)
+    """
+
+
+@register("mutual_information_matrix", _mi_oracle())
+def mutual_information_matrix(spark, sf_dir):
+    """Pairwise mutual information (and sqrt-normalized NMI) between the
+    categorical columns priority/status/segment — the feature-selection /
+    redundancy screen next to cramers_v_association (chi-square measures
+    deviation-from-independence; MI measures it in NATS, comparable
+    across pairs via NMI). Each joint cell's term n_xy/N ln(N n_xy /
+    (n_x n_y)) rounds to integer micro-nats per CELL before the sum, so
+    the aggregate is exact BIGINT and order-independent; marginals come
+    from re-aggregating the joint table (one data-grain pass total).
+
+    Plan: one fact join melted to three (pair, x, y) streams map-side,
+    a joint-cell aggregate (<= 25 cells per pair), marginal re-aggregates
+    of the CELL table (metadata-sized), equi-joins back. NMI's sqrt is
+    the only double (shared text, correctly-rounded IEEE sqrt)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rec = orders.join(cust, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    m = (
+        rec.select(F.lit("priority_x_status").alias("pair"),
+                   F.col("priority").alias("x"), F.col("status").alias("y"))
+        .unionAll(rec.select(F.lit("segment_x_priority").alias("pair"),
+                             F.col("segment").alias("x"),
+                             F.col("priority").alias("y")))
+        .unionAll(rec.select(F.lit("segment_x_status").alias("pair"),
+                             F.col("segment").alias("x"),
+                             F.col("status").alias("y")))
+    )
+    jt = m.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    mx = jt.groupBy("pair", "x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = jt.groupBy("pair", "y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    nn = jt.groupBy("pair").agg(F.sum("n_xy").cast("long").alias("n"))
+    mi = (
+        jt.join(mx, ["pair", "x"]).join(my, ["pair", "y"]).join(nn, "pair")
+        .groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.expr(_MI_TERM)).cast("long").alias("mi_unat"),
+        )
+    )
+    hterm_x = _H_TERM.replace("CAST(c AS DOUBLE", "CAST(n_x AS DOUBLE")
+    hterm_y = _H_TERM.replace("CAST(c AS DOUBLE", "CAST(n_y AS DOUBLE")
+    hx = mx.join(nn, "pair").groupBy("pair").agg(
+        F.sum(F.expr(hterm_x)).cast("long").alias("h_x_unat")
+    )
+    hy = my.join(nn, "pair").groupBy("pair").agg(
+        F.sum(F.expr(hterm_y)).cast("long").alias("h_y_unat")
+    )
+    return mi.join(hx, "pair").join(hy, "pair").select(
+        "pair", "n_cells", "mi_unat", "h_x_unat", "h_y_unat",
+        F.expr(
+            "cast(round(cast(mi_unat as double) * 1000000.0"
+            " / sqrt(cast(h_x_unat as double) * cast(h_y_unat as double)))"
+            " as bigint)"
+        ).alias("nmi_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / self-normalized IPS over a logged bandit
+# ---------------------------------------------------------------------------
+
+# logging policy: action from the hash uniform with propensities
+# 1/2, 3/10, 1/5 -> importance weights 1/p staged in THIRTIETHS (exact):
+# w30 = 60, 100, 150
+_IPS_ACTION = (
+    "(CASE WHEN u < 500000 THEN 0 WHEN u < 800000 THEN 1 ELSE 2 END)"
+)
+_IPS_W30 = "(CASE WHEN a = 0 THEN 60 WHEN a = 1 THEN 100 ELSE 150 END)"
+# target policy: deterministic rule on the user's click volume
+_IPS_PI = "(CASE WHEN score >= 12 THEN 2 WHEN score >= 8 THEN 1 ELSE 0 END)"
+
+
+@register(
+    "ips_policy_evaluation",
+    f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS tp,
+             CAST(least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                        15) AS BIGINT) AS score
+      FROM events GROUP BY 1),
+    log_t AS (
+      SELECT user_id, score,
+             {md5_long_sql("CAST(user_id AS VARCHAR)", seed=31)} % 1000000 AS u,
+             CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}
+                  THEN 1 ELSE 0 END AS r
+      FROM f),
+    act AS (SELECT user_id, score, r, {_IPS_ACTION} AS a FROM log_t),
+    sc AS (
+      SELECT r, a, {_IPS_W30} AS w30,
+             CASE WHEN {_IPS_PI} = a THEN 1 ELSE 0 END AS match
+      FROM act),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS r_sum,
+             CAST(sum(match * w30 * r) AS BIGINT) AS wr30,
+             CAST(sum(match * w30) AS BIGINT) AS w30_sum,
+             CAST(sum(match * w30 * w30) AS BIGINT) AS w30_sq
+      FROM sc)
+    SELECT n,
+           CAST(r_sum * 1000000 // n AS BIGINT) AS v_direct_ppm,
+           CAST(wr30 * 1000000 // (30 * n) AS BIGINT) AS v_ips_ppm,
+           CAST(CASE WHEN w30_sum = 0 THEN 0
+                     ELSE wr30 * 1000000 // w30_sum END AS BIGINT)
+               AS v_snips_ppm,
+           CAST(CASE WHEN w30_sq = 0 THEN 0
+                     ELSE w30_sum * w30_sum * 1000 // w30_sq END AS BIGINT)
+               AS ess_milli
+    FROM agg
+    """,
+)
+def ips_policy_evaluation(spark, sf_dir):
+    """Off-policy evaluation of a deterministic targeting rule from logged
+    bandit data: IPS (inverse-propensity scoring) and SNIPS
+    (self-normalized) estimates of the target policy's conversion value,
+    plus the effective sample size (sum w)^2 / sum w^2 — the
+    counterfactual-evaluation primitive behind every
+    recommendation/promo-policy change that ships WITHOUT an A/B test
+    (the observational sibling of ucb_variant_allocation). The logging
+    policy draws one of 3 actions from the seeded hash uniform with
+    known propensities (1/2, 3/10, 1/5); importance weights 1/p are
+    staged exactly in thirtieths, so IPS/SNIPS are exact integer ppm.
+    Because the synthetic reward is action-independent, v_ips should
+    concentrate on v_direct — the property test asserts exactly that
+    unbiasedness check.
+
+    Plan: user-grain aggregate, map-side action/weight CASEs, ONE 1-row
+    aggregate. Nothing but the user shuffle at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("tp"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(15),
+        ).cast("long").alias("score"),
+    )
+    log_t = f.select(
+        "user_id", "score",
+        (md5_long(F.col("user_id"), seed=31) % 1000000).alias("u"),
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}"
+            " THEN 1 ELSE 0 END"
+        ).alias("r"),
+    )
+    act = log_t.select("user_id", "score", "r", F.expr(_IPS_ACTION).alias("a"))
+    sc = act.select(
+        "r", "a",
+        F.expr(_IPS_W30).alias("w30"),
+        F.expr(f"CASE WHEN {_IPS_PI} = a THEN 1 ELSE 0 END").alias("match"),
+    )
+    agg = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r_sum"),
+        F.sum(F.expr("match * w30 * r")).cast("long").alias("wr30"),
+        F.sum(F.expr("match * w30")).cast("long").alias("w30_sum"),
+        F.sum(F.expr("match * w30 * w30")).cast("long").alias("w30_sq"),
+    )
+    return agg.select(
+        "n",
+        F.expr("cast(r_sum * 1000000 div n as bigint)").alias("v_direct_ppm"),
+        F.expr("cast(wr30 * 1000000 div (30 * n) as bigint)").alias("v_ips_ppm"),
+        F.expr(
+            "cast(CASE WHEN w30_sum = 0 THEN 0"
+            " ELSE wr30 * 1000000 div w30_sum END as bigint)"
+        ).alias("v_snips_ppm"),
+        F.expr(
+            "cast(CASE WHEN w30_sq = 0 THEN 0"
+            " ELSE w30_sum * w30_sum * 1000 div w30_sq END as bigint)"
+        ).alias("ess_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market-concentration index per part-type market
+# ---------------------------------------------------------------------------
+
+@register(
+    "herfindahl_concentration",
+    """
+    WITH mkt AS (
+      SELECT p_type AS market, l_suppkey AS supplier,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2),
+    tot AS (SELECT market, CAST(sum(rev_cents) AS BIGINT) AS mkt_cents,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM mkt GROUP BY 1),
+    sh AS (SELECT mkt.market,
+                  CAST(rev_cents * 10000 // mkt_cents AS BIGINT) AS share_bp
+           FROM mkt JOIN tot USING (market)),
+    hhi AS (SELECT market, CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
+            FROM sh GROUP BY 1)
+    SELECT hhi.market, tot.n_suppliers, tot.mkt_cents, hhi.hhi,
+           CAST(CASE WHEN hhi.hhi >= 25000000 THEN 2
+                     WHEN hhi.hhi >= 15000000 THEN 1
+                     ELSE 0 END AS INT) AS concentration_class
+    FROM hhi JOIN tot USING (market)
+    ORDER BY hhi.hhi DESC, hhi.market ASC LIMIT 25
+    """,
+)
+def herfindahl_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per part-type market:
+    HHI = sum over suppliers of (revenue share in basis points)^2 —
+    the antitrust/market-structure metric completing the concentration
+    family (nation_market_share gives shares, source_pareto_classes the
+    80/20 cut; HHI is the single-number index regulators threshold at
+    1500/2500). Shares stage in exact integer basis points (floor), so
+    HHI is an exact BIGINT in [0, 1e8]; top-25 most concentrated markets
+    via distributed TakeOrdered.
+
+    Plan: fact join -> (market, supplier) aggregate -> market-grain
+    re-aggregate -> equi-join back for shares -> market-grain HHI sum.
+    Two shuffles at supplier-pair-free grain; no windows, no NLJ."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    mkt = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_type").alias("market"), F.col("l_suppkey").alias("supplier"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    tot = mkt.groupBy("market").agg(
+        F.sum("rev_cents").cast("long").alias("mkt_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    sh = mkt.join(tot, "market").select(
+        "market",
+        F.expr("cast(rev_cents * 10000 div mkt_cents as bigint)").alias("share_bp"),
+    )
+    hhi = sh.groupBy("market").agg(
+        F.sum(F.expr("share_bp * share_bp")).cast("long").alias("hhi")
+    )
+    return (
+        hhi.join(tot, "market")
+        .select(
+            "market", "n_suppliers", "mkt_cents", "hhi",
+            F.expr(
+                # DOJ thresholds 1500/2500 on the 0..10000 share^2 scale map
+                # to 15e6/25e6 on the basis-point^2 scale (x10000)
+                "cast(CASE WHEN hhi >= 25000000 THEN 2"
+                " WHEN hhi >= 15000000 THEN 1"
+                " ELSE 0 END as int)"
+            ).alias("concentration_class"),
+        )
+        .orderBy(F.col("hhi").desc(), F.col("market").asc())
+        .limit(25)
+    )

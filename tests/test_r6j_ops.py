@@ -172,3 +172,131 @@ def test_split_finder_matches_histogram_replica(spark):
     assert len(gb_rows) == 1
     assert gb_rows[0]["gain_scaled"] == max(r["gain_scaled"] for r in rows
                                             if r["feature_rank"] == 1)
+
+
+# ---------------------------------------------------------------------------
+# mutual_information_matrix
+# ---------------------------------------------------------------------------
+
+def test_mutual_information_matches_replica(spark):
+    """MI and entropies must equal the from-scratch per-cell integer
+    staging; NMI in [0, 1e6 + slack]; MI <= min(Hx, Hy) + rounding."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'")
+    rec = con.execute(
+        """SELECT o_orderpriority, o_orderstatus, c_mktsegment
+           FROM orders JOIN customer ON c_custkey = o_custkey"""
+    ).fetchall()
+    pairs = {
+        "priority_x_status": [(r[0], r[1]) for r in rec],
+        "segment_x_priority": [(r[2], r[0]) for r in rec],
+        "segment_x_status": [(r[2], r[1]) for r in rec],
+    }
+    rows = {r["pair"]: r for r in
+            QUERIES["mutual_information_matrix"](spark, SF_DIR).collect()}
+    from collections import Counter
+    for pair, data in pairs.items():
+        n = len(data)
+        jt = Counter(data)
+        mx = Counter(x for x, _ in data)
+        my = Counter(y for _, y in data)
+        mi = sum(
+            round((math.log(n) + math.log(c) - math.log(mx[x]) - math.log(my[y]))
+                  * c * 1e6 / n)
+            for (x, y), c in jt.items()
+        )
+        hx = sum(round((math.log(n) - math.log(c)) * c * 1e6 / n)
+                 for c in mx.values())
+        hy = sum(round((math.log(n) - math.log(c)) * c * 1e6 / n)
+                 for c in my.values())
+        r = rows[pair]
+        assert r["n_cells"] == len(jt)
+        assert r["mi_unat"] == mi
+        assert r["h_x_unat"] == hx
+        assert r["h_y_unat"] == hy
+        assert r["nmi_ppm"] == round(mi * 1e6 / math.sqrt(hx * hy))
+        # information-theoretic bounds (with per-cell rounding slack)
+        assert -len(jt) <= r["mi_unat"] <= min(hx, hy) + len(jt)
+        assert 0 <= r["nmi_ppm"] <= 1_000_000 + 100
+
+
+# ---------------------------------------------------------------------------
+# ips_policy_evaluation
+# ---------------------------------------------------------------------------
+
+def test_ips_matches_hash_replica_and_is_unbiased(spark):
+    """IPS/SNIPS must equal the md5 replica; with an action-independent
+    reward the IPS estimate must concentrate on the direct mean."""
+    import hashlib
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    n = r_sum = wr30 = w30_sum = w30_sq = 0
+    for uid, grp in ev.groupby("user_id"):
+        t0 = grp["us"].min()
+        purch = grp[grp["event_type"] == "purchase"]["us"]
+        tp = purch.min() if len(purch) else None
+        r = 1 if (tp is not None and tp - t0 < FAST_US) else 0
+        score = min(int((grp["event_type"] == "click").sum()), 15)
+        u = int(hashlib.md5(f"{uid}#31".encode()).hexdigest()[:15], 16) % 1_000_000
+        a = 0 if u < 500_000 else (1 if u < 800_000 else 2)
+        w30 = {0: 60, 1: 100, 2: 150}[a]
+        pi = 2 if score >= 12 else (1 if score >= 8 else 0)
+        match = 1 if pi == a else 0
+        n += 1
+        r_sum += r
+        wr30 += match * w30 * r
+        w30_sum += match * w30
+        w30_sq += match * w30 * w30
+    row = QUERIES["ips_policy_evaluation"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert row["v_direct_ppm"] == r_sum * 1_000_000 // n
+    assert row["v_ips_ppm"] == wr30 * 1_000_000 // (30 * n)
+    assert row["v_snips_ppm"] == (0 if w30_sum == 0 else wr30 * 1_000_000 // w30_sum)
+    assert row["ess_milli"] == (0 if w30_sq == 0 else w30_sum ** 2 * 1000 // w30_sq)
+    # unbiasedness: action-independent reward -> IPS ~ direct (loose CI for
+    # the small fixture; SNIPS is tighter by construction)
+    assert abs(row["v_snips_ppm"] - row["v_direct_ppm"]) < 400_000
+    assert 0 < row["ess_milli"] <= n * 1000
+
+
+# ---------------------------------------------------------------------------
+# herfindahl_concentration
+# ---------------------------------------------------------------------------
+
+def test_hhi_matches_replica_and_bounds(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{SF_DIR}/part.parquet'")
+    mkt = con.execute(
+        """SELECT p_type, l_suppkey,
+                  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS c
+           FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+    markets = defaultdict(list)
+    for m, s, c in mkt:
+        markets[m].append(c)
+    expect = {}
+    for m, cs in markets.items():
+        tot = sum(cs)
+        hhi = sum((c * 10000 // tot) ** 2 for c in cs)
+        expect[m] = (hhi, len(cs))
+    rows = QUERIES["herfindahl_concentration"](spark, SF_DIR).collect()
+    assert rows
+    got_hhis = [r["hhi"] for r in rows]
+    assert got_hhis == sorted(got_hhis, reverse=True)
+    for r in rows:
+        hhi, ns = expect[r["market"]]
+        assert r["hhi"] == hhi and r["n_suppliers"] == ns
+        # monopoly = 1e8; perfectly split among n >= floor bound
+        assert 0 <= r["hhi"] <= 100_000_000
+        lo = {2: 25_000_000, 1: 15_000_000, 0: 0}[r["concentration_class"]]
+        hi = {2: 10**8, 1: 25_000_000 - 1, 0: 15_000_000 - 1}[r["concentration_class"]]
+        assert lo <= r["hhi"] <= hi
