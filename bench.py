@@ -200,6 +200,9 @@ TRANCHE = [
     "mutual_information_matrix",
     "ips_policy_evaluation",
     "herfindahl_concentration",
+    "knn_shapley_valuation",
+    "text_burstiness_fano",
+    "simpson_paradox_audit",
 ]
 
 

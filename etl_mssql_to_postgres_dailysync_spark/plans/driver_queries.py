@@ -19243,3 +19243,257 @@ def herfindahl_concentration(spark, sf_dir):
         .orderBy(F.col("hhi").desc(), F.col("market").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN-Shapley data valuation (Jia et al. exact recursion, top-M truncated)
+# ---------------------------------------------------------------------------
+
+_KSV_K = 5    # KNN classifier size
+_KSV_M = 25   # truncation: neighbors past rank M contribute <= 1/M each
+_KSV_NQ = 8   # validation queries (vec_id < 8)
+
+
+def _ksv_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {_KSV_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, q.qlabel, c.neighbor_id, c.nlabel, {_COS_SQL} AS sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored),
+    top AS (SELECT query_id, neighbor_id,
+                   CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS e, rank
+            FROM ranked WHERE rank <= {_KSV_M}),
+    delta AS (
+        SELECT query_id, neighbor_id, rank, e,
+               (e - coalesce(lead(e) OVER (PARTITION BY query_id
+                                           ORDER BY rank), 0))
+               * 1000000 // greatest({_KSV_K}, rank) AS d_micro
+        FROM top),
+    s AS (
+        SELECT query_id, neighbor_id, e,
+               CAST(sum(d_micro) OVER (PARTITION BY query_id ORDER BY rank DESC)
+                    AS BIGINT) AS shap_micro
+        FROM delta),
+    agg AS (
+        SELECT neighbor_id,
+               CAST(count(*) AS BIGINT) AS n_queries_touched,
+               CAST(sum(shap_micro) AS BIGINT) AS shap_micro_sum,
+               CAST(sum(e) AS BIGINT) AS n_label_agree
+        FROM s GROUP BY 1)
+    SELECT neighbor_id, n_queries_touched, shap_micro_sum, n_label_agree
+    FROM agg
+    ORDER BY abs(shap_micro_sum) DESC, neighbor_id ASC LIMIT 20
+    """
+
+
+@register("knn_shapley_valuation", _ksv_oracle())
+def knn_shapley_valuation(spark, sf_dir):
+    """KNN-Shapley data valuation (Jia et al., VLDB'19): the EXACT Shapley
+    value of each training embedding for a K-NN classifier admits a
+    closed-form recursion over the distance ranking — s_j = s_(j+1) +
+    (1[y_j = y] - 1[y_(j+1) = y]) / max(K, j) — so per-point influence on
+    validation accuracy is computable without retraining anything. This
+    is the data-curation lens on the similarity stack: which corpus
+    points HELP (positive value) or HURT (label noise: negative value)
+    the downstream classifier; the per-example companion to
+    loo_source_influence's source-level jackknife. Truncated at the
+    top-{_KSV_M} ranks (the tail terms are bounded by 1/rank <= 1/{_KSV_M}
+    each — the standard truncation).
+
+    Plan: the sanctioned corpus x broadcast({_KSV_NQ} queries) scoring arm
+    (same as similarity_brute_topk), per-query top-{_KSV_M} window, then a
+    lead + suffix-sum window PAIR over the {_KSV_M}-row-per-query spine
+    (post-limit, bounded), a neighbor-grain aggregate, distributed top-20.
+    Each recursion term floors to integer micro BEFORE the suffix sum, so
+    both engines walk the identical recursion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KSV_NQ)
+    topk = similarity.brute_force_topk(q, emb, k=_KSV_M)
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    ql = emb.filter(F.col("vec_id") < _KSV_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top = (
+        topk.join(nl, "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.expr("CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END").alias("e"),
+        )
+    )
+    wlead = Window.partitionBy("query_id").orderBy("rank")
+    delta = top.select(
+        "query_id", "neighbor_id", "rank", "e",
+        F.expr(
+            f"(e - coalesce(lead(e) OVER (PARTITION BY query_id ORDER BY rank), 0))"
+            f" * 1000000 div greatest({_KSV_K}, rank)"
+        ).alias("d_micro"),
+    )
+    wsuf = Window.partitionBy("query_id").orderBy(F.col("rank").desc())
+    s = delta.select(
+        "query_id", "neighbor_id", "e",
+        F.sum("d_micro").over(wsuf).cast("long").alias("shap_micro"),
+    )
+    agg = s.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries_touched"),
+        F.sum("shap_micro").cast("long").alias("shap_micro_sum"),
+        F.sum("e").cast("long").alias("n_label_agree"),
+    )
+    return agg.orderBy(
+        F.abs(F.col("shap_micro_sum")).desc(), F.col("neighbor_id").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Fano factor) — topical vs function words
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_burstiness_fano",
+    f"""
+    WITH t1 AS (SELECT doc_id, {_TOKS_SQL} AS tk
+                FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, unnest(tk) AS tok FROM t1),
+    dc AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    st AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(c) AS BIGINT) AS total_c,
+                  CAST(sum(c * c) AS BIGINT) AS sum_c2
+           FROM dc GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t1)
+    SELECT tok, df, total_c,
+           CAST((n_docs * sum_c2 - total_c * total_c) * 1000000
+                // (n_docs * total_c) AS BIGINT) AS fano_ppm,
+           CAST(CASE WHEN (n_docs * sum_c2 - total_c * total_c) * 1000000
+                          // (n_docs * total_c) > 1100000
+                     THEN 1 ELSE 0 END AS INT) AS bursty
+    FROM st CROSS JOIN nd
+    """,
+)
+def text_burstiness_fano(spark, sf_dir):
+    """Per-token burstiness via the Fano factor F = var/mean of the
+    per-document count (zeros included) — Church & Gale's dispersion
+    test: F ~ 1 means Poisson scatter (function words), F >> 1 means the
+    token CLUMPS into few documents (topical/bursty words — the terms
+    worth indexing, boosting, or treating as keywords). Computable from
+    three exact sums per token: with D docs, F = (D*sum(c^2) -
+    (sum c)^2) / (D * sum c) — the zero-count docs enter through D alone,
+    so the sparse (token, doc) table never materializes zeros. Flagged
+    bursty above 1.1 (margin over Poisson).
+
+    Plan: explode -> (tok, doc) aggregate -> token-grain aggregate -> one
+    1-row doc-count cross-join. Exact BIGINT rational staging (single
+    floor-div at the end); sum_c2 <= (max c)^2 * df stays far inside
+    int64 at any corpus scale that fits a vocab table."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t1 = docs.select("doc_id", text.tokens(text.normalize(F.col("text"))).alias("tk"))
+    tok = t1.select("doc_id", F.explode("tk").alias("tok"))
+    dc = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    st = dc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total_c"),
+        F.sum(F.expr("c * c")).cast("long").alias("sum_c2"),
+    )
+    nd = t1.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fano = "(n_docs * sum_c2 - total_c * total_c) * 1000000 div (n_docs * total_c)"
+    return st.crossJoin(F.broadcast(nd)).select(
+        "tok", "df", "total_c",
+        F.expr(f"cast({fano} as bigint)").alias("fano_ppm"),
+        F.expr(
+            f"cast(CASE WHEN {fano} > 1100000 THEN 1 ELSE 0 END as int)"
+        ).alias("bursty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox stratification audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "simpson_paradox_audit",
+    """
+    WITH rec AS (
+      SELECT n_name AS nation, CAST(o_custkey % 2 AS INT) AS variant,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    s AS (SELECT nation,
+                 CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS c1
+          FROM rec GROUP BY 1),
+    pool AS (SELECT CAST(sum(c1) * 1000000 // greatest(sum(n1), 1)
+                         - sum(c0) * 1000000 // greatest(sum(n0), 1) AS BIGINT)
+                 AS pooled_diff_ppm
+             FROM s)
+    SELECT nation, n0, c0, n1, c1,
+           CAST(c1 * 1000000 // greatest(n1, 1)
+                - c0 * 1000000 // greatest(n0, 1) AS BIGINT) AS diff_ppm,
+           pooled_diff_ppm,
+           CAST(CASE WHEN (c1 * 1000000 // greatest(n1, 1)
+                           - c0 * 1000000 // greatest(n0, 1) > 0)
+                          <> (pooled_diff_ppm > 0)
+                      AND c1 * 1000000 // greatest(n1, 1)
+                          - c0 * 1000000 // greatest(n0, 1) <> 0
+                     THEN 1 ELSE 0 END AS INT) AS sign_reversed
+    FROM s CROSS JOIN pool
+    """,
+)
+def simpson_paradox_audit(spark, sf_dir):
+    """Simpson's-paradox screen: compare the POOLED variant effect on the
+    urgent-order rate against every per-nation stratum effect and flag
+    strata whose sign REVERSES the pooled conclusion — the aggregation
+    audit that must run before any segment-level readout of an A/B test
+    (pooled positives driven by stratum mix, not treatment, are the
+    textbook trap). Strata with zero diff are not flagged (no reversal).
+
+    Plan: one star-join aggregate to nation grain, a 1-row pooled
+    cross-join. All effects exact integer ppm (per-arm floor-div, shared
+    expression text on both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rec = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("o_custkey") % 2).cast("int").alias("variant"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            .alias("y"),
+        )
+    )
+    s = rec.groupBy("nation").agg(
+        F.sum(F.expr("CASE WHEN variant = 0 THEN 1 ELSE 0 END")).cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN variant = 0 THEN y ELSE 0 END")).cast("long").alias("c0"),
+        F.sum(F.expr("CASE WHEN variant = 1 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN variant = 1 THEN y ELSE 0 END")).cast("long").alias("c1"),
+    )
+    pool = s.agg(
+        F.expr(
+            "cast(sum(c1) * 1000000 div greatest(sum(n1), 1)"
+            " - sum(c0) * 1000000 div greatest(sum(n0), 1) as bigint)"
+        ).alias("pooled_diff_ppm")
+    )
+    diff = ("c1 * 1000000 div greatest(n1, 1)"
+            " - c0 * 1000000 div greatest(n0, 1)")
+    return s.crossJoin(F.broadcast(pool)).select(
+        "nation", "n0", "c0", "n1", "c1",
+        F.expr(f"cast({diff} as bigint)").alias("diff_ppm"),
+        "pooled_diff_ppm",
+        F.expr(
+            f"cast(CASE WHEN ({diff} > 0) <> (pooled_diff_ppm > 0)"
+            f" AND {diff} <> 0 THEN 1 ELSE 0 END as int)"
+        ).alias("sign_reversed"),
+    )

@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "hard_negative_mining": "by design: corpus x broadcast(10 anchors via vec_id<10 filter), same scored arm as similarity_brute_topk",
     "knn_label_agreement": "by design: corpus x broadcast(50 queries via vec_id<50 filter)",
     "retrieval_eval_ndcg": "by design: corpus x broadcast(8 queries via vec_id<8 filter), same scored arm as similarity_brute_topk",
+    "knn_shapley_valuation": "by design: corpus x broadcast(8 queries via vec_id<8 filter), same scored arm as similarity_brute_topk",
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
 }
