@@ -203,6 +203,9 @@ TRANCHE = [
     "knn_shapley_valuation",
     "text_burstiness_fano",
     "simpson_paradox_audit",
+    "adaboost_stumps",
+    "sprt_sequential_test",
+    "naive_bayes_lang_confusion",
 ]
 
 

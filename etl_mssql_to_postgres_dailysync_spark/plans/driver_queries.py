@@ -19497,3 +19497,446 @@ def simpson_paradox_audit(spark, sf_dir):
             f" AND {diff} <> 0 THEN 1 ELSE 0 END as int)"
         ).alias("sign_reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost with depth-1 stumps, fully declarative (no driver-side loop)
+# ---------------------------------------------------------------------------
+
+_ADA_ROUNDS = 3
+# per-round weight factor sqrt((W-E)/E) in micro, clamped to [1, 10] x 1e6:
+# the cap bounds weight growth (w <= 1e6 * 10^rounds) and both engines
+# apply the identical clamp text
+_ADA_F = (
+    "least(CAST(round(sqrt(CAST(w_tot - e_best AS DOUBLE)"
+    " / CAST(greatest(e_best, 1) AS DOUBLE)) * 1000000) AS BIGINT),"
+    " 10000000)"
+)
+_ADA_ALPHA = (
+    "CAST(round(ln(CAST(f_micro AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT)"
+)
+# stump prediction from the broadcast best-split row
+_ADA_H = (
+    "(CASE WHEN (CASE WHEN feature = 'quantity' THEN qty ELSE disc END)"
+    " <= split_bin THEN polarity ELSE -polarity END)"
+)
+
+
+def _ada_round_sql(t: int) -> str:
+    """One unrolled boosting round as CTEs: weighted stump errors from the
+    prefix-summed weight histogram, argmin split, weight update."""
+    w = f"w{t}"
+    carry = "".join(
+        f"\n             h{s_}, alpha{s_}_micro," for s_ in range(1, t)
+    )
+    return f"""
+    hist{t} AS (
+      SELECT feature, bin,
+             CAST(sum(CASE WHEN y = 1 THEN {w} ELSE 0 END) AS BIGINT) AS wp,
+             CAST(sum(CASE WHEN y = -1 THEN {w} ELSE 0 END) AS BIGINT) AS wn
+      FROM rows{t}
+      CROSS JOIN (SELECT 1) dummy{t}
+      , LATERAL (SELECT unnest(['quantity', 'discount']) AS feature) feat{t}
+      , LATERAL (SELECT CASE WHEN feature = 'quantity' THEN qty ELSE disc END
+                 AS bin) bincol{t}
+      GROUP BY 1, 2),
+    cum{t} AS (
+      SELECT feature, bin,
+             CAST(sum(wp) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+                 AS cwp,
+             CAST(sum(wn) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+                 AS cwn,
+             CAST(sum(wp) OVER (PARTITION BY feature) AS BIGINT) AS twp,
+             CAST(sum(wn) OVER (PARTITION BY feature) AS BIGINT) AS twn
+      FROM hist{t}),
+    cand{t} AS (
+      SELECT feature, bin, 1 AS polarity, cwn + (twp - cwp) AS err,
+             twp + twn AS w_tot
+      FROM cum{t}
+      UNION ALL
+      SELECT feature, bin, -1, cwp + (twn - cwn), twp + twn FROM cum{t}),
+    best{t} AS (
+      SELECT feature, bin AS split_bin, polarity,
+             CAST(err AS BIGINT) AS e_best, CAST(w_tot AS BIGINT) AS w_tot,
+             {_ADA_F} AS f_micro
+      FROM cand{t}
+      ORDER BY err ASC, feature ASC, bin ASC, polarity DESC LIMIT 1),
+    rows{t + 1} AS (
+      SELECT y, qty, disc,{carry}
+             CASE WHEN {_ADA_H} <> y THEN {w} * f_micro // 1000000
+                  ELSE {w} * 1000000 // f_micro END AS w{t + 1},
+             {_ADA_H} AS h{t}, f_micro AS f{t}_micro,
+             {_ADA_ALPHA} AS alpha{t}_micro
+      FROM rows{t} CROSS JOIN best{t})
+    """
+
+
+def _ada_oracle() -> str:
+    rounds = ",".join(_ada_round_sql(t) for t in range(1, _ADA_ROUNDS + 1))
+    score = " + ".join(f"alpha{t}_micro * h{t}" for t in range(1, _ADA_ROUNDS + 1))
+    bests = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS round, feature, split_bin, polarity,
+            CAST(e_best * 1000000 // w_tot AS BIGINT) AS eps_ppm,
+            {_ADA_ALPHA} AS alpha_micro
+            FROM best{t}"""
+        for t in range(1, _ADA_ROUNDS + 1)
+    )
+    return f"""
+    WITH rows1 AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+             CAST(l_quantity AS INT) AS qty,
+             CAST(round(l_discount * 100) AS INT) AS disc,
+             CAST(1000000 AS BIGINT) AS w1
+      FROM lineitem),
+    {rounds},
+    acc AS (
+      SELECT CAST(sum(CASE WHEN (CASE WHEN {score} > 0 THEN 1 ELSE -1 END) = y
+                           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                 AS ensemble_acc_ppm
+      FROM rows{_ADA_ROUNDS + 1}),
+    b AS ({bests})
+    SELECT b.round, b.feature, b.split_bin, b.polarity, b.eps_ppm,
+           b.alpha_micro, acc.ensemble_acc_ppm
+    FROM b CROSS JOIN acc
+    """
+
+
+@register("adaboost_stumps", _ada_oracle())
+def adaboost_stumps(spark, sf_dir):
+    """AdaBoost with {_ADA_ROUNDS} depth-1 stumps over the binned
+    quantity/discount features, predicting returned lineitems — and built
+    FULLY DECLARATIVELY: each round's best stump is a 1-row aggregate
+    (weighted-error argmin over the prefix-summed weight histogram, the
+    same layout as histogram_split_finding) that is CROSS-JOINED back to
+    reweight rows, so the whole {_ADA_ROUNDS}-round ensemble is ONE plan
+    with no driver-side training loop or collect. The weight factor
+    sqrt((W-E)/E) uses correctly-rounded IEEE sqrt, rounds to micro, and
+    is clamped to <= 10x per round — weights stay exact BIGINT and both
+    engines replay the identical reweighting; alpha = ln(f) is derived
+    from the ALREADY-ROUNDED factor (shared text), and the final row set
+    scores the ensemble sign for train accuracy.
+
+    Plan, per round: data-grain melt -> <= 66-row weighted histogram ->
+    prefix windows above it -> 1-row TakeOrdered argmin -> broadcast
+    cross-join back. The shuffle per round carries bins, not rows; at
+    100 TB this is {_ADA_ROUNDS} histogram passes over the fact table,
+    which is exactly how distributed boosting frameworks structure it."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END").alias("y"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.expr("cast(round(l_discount * 100) as int)").alias("disc"),
+        F.lit(1000000).cast("long").alias("w1"),
+    )
+    best_rows = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        w = f"w{t}"
+        melted = rows.select(
+            "y", F.lit("quantity").alias("feature"), F.col("qty").alias("bin"), F.col(w).alias("wgt")
+        ).unionAll(rows.select(
+            "y", F.lit("discount").alias("feature"), F.col("disc").alias("bin"), F.col(w).alias("wgt")
+        ))
+        hist = melted.groupBy("feature", "bin").agg(
+            F.sum(F.expr("CASE WHEN y = 1 THEN wgt ELSE 0 END")).cast("long").alias("wp"),
+            F.sum(F.expr("CASE WHEN y = -1 THEN wgt ELSE 0 END")).cast("long").alias("wn"),
+        )
+        wp_ = Window.partitionBy("feature").orderBy("bin")
+        wf_ = Window.partitionBy("feature")
+        cum = hist.select(
+            "feature", "bin",
+            F.sum("wp").over(wp_).cast("long").alias("cwp"),
+            F.sum("wn").over(wp_).cast("long").alias("cwn"),
+            F.sum("wp").over(wf_).cast("long").alias("twp"),
+            F.sum("wn").over(wf_).cast("long").alias("twn"),
+        )
+        cand = cum.select(
+            "feature", "bin", F.lit(1).alias("polarity"),
+            (F.col("cwn") + F.col("twp") - F.col("cwp")).alias("err"),
+            (F.col("twp") + F.col("twn")).alias("w_tot"),
+        ).unionAll(cum.select(
+            "feature", "bin", F.lit(-1).alias("polarity"),
+            (F.col("cwp") + F.col("twn") - F.col("cwn")).alias("err"),
+            (F.col("twp") + F.col("twn")).alias("w_tot"),
+        ))
+        best = (
+            cand.orderBy(
+                F.col("err").asc(), F.col("feature").asc(),
+                F.col("bin").asc(), F.col("polarity").desc(),
+            )
+            .limit(1)
+            .select(
+                "feature", F.col("bin").alias("split_bin"), "polarity",
+                F.col("err").cast("long").alias("e_best"),
+                F.col("w_tot").cast("long").alias("w_tot"),
+                F.expr(_ADA_F).alias("f_micro"),
+            )
+        )
+        best_rows.append(best)
+        rows = rows.crossJoin(F.broadcast(best)).select(
+            "y", "qty", "disc",
+            *[F.col(f"h{s}") for s in range(1, t)],
+            *[F.col(f"alpha{s}_micro") for s in range(1, t)],
+            F.expr(
+                f"CASE WHEN {_ADA_H} <> y THEN {w} * f_micro div 1000000"
+                f" ELSE {w} * 1000000 div f_micro END"
+            ).cast("long").alias(f"w{t + 1}"),
+            F.expr(_ADA_H).alias(f"h{t}"),
+            F.expr(_ADA_ALPHA).alias(f"alpha{t}_micro"),
+        )
+    score = " + ".join(f"alpha{t}_micro * h{t}" for t in range(1, _ADA_ROUNDS + 1))
+    acc = rows.agg(
+        F.expr(
+            f"cast(sum(CASE WHEN (CASE WHEN {score} > 0 THEN 1 ELSE -1 END) = y"
+            " THEN 1 ELSE 0 END) * 1000000 div count(*) as bigint)"
+        ).alias("ensemble_acc_ppm")
+    )
+    out = None
+    for t, best in enumerate(best_rows, start=1):
+        row = best.select(
+            F.lit(t).cast("int").alias("round"), "feature", "split_bin",
+            "polarity",
+            F.expr("cast(e_best * 1000000 div w_tot as bigint)").alias("eps_ppm"),
+            F.expr(_ADA_ALPHA).alias("alpha_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.crossJoin(F.broadcast(acc))
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test over the daily feed
+# ---------------------------------------------------------------------------
+
+# H0: urgent-share p0 = 0.18, H1: p1 = 0.22, alpha = beta = 0.05.
+# Per-order LLR increments in micro-nats (literals, no runtime ln):
+#   success: ln(p1/p0)           = 200671
+#   failure: ln((1-p1)/(1-p0))   = -50010
+# Boundaries +-ln((1-b)/a) = ln 19 = 2944439.
+_SPRT_K1, _SPRT_K0, _SPRT_A = 200671, -50010, 2944439
+
+
+@register(
+    "sprt_sequential_test",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    llr AS (
+      SELECT day, n, c,
+             CAST(sum(c * {_SPRT_K1} + (n - c) * {_SPRT_K0})
+                  OVER (ORDER BY day) AS BIGINT) AS llr_micro
+      FROM d),
+    dec AS (
+      SELECT day, n, c, llr_micro,
+             CAST(CASE WHEN llr_micro >= {_SPRT_A} THEN 1
+                       WHEN llr_micro <= -{_SPRT_A} THEN -1
+                       ELSE 0 END AS INT) AS decision
+      FROM llr),
+    firstd AS (
+      SELECT min(day) AS first_day FROM dec WHERE decision <> 0)
+    SELECT day, n, c, llr_micro, decision,
+           CAST(CASE WHEN firstd.first_day IS NOT NULL AND day = firstd.first_day
+                     THEN 1 ELSE 0 END AS INT) AS is_first_decision
+    FROM dec CROSS JOIN firstd
+    """,
+)
+def sprt_sequential_test(spark, sf_dir):
+    """Wald's SPRT monitoring the urgent-order share day by day — the
+    always-valid sequential test that lets an experiment STOP at the first
+    decisive day instead of a fixed horizon (the sequential sibling of
+    conversion_ab_ztest; alpha/beta are controlled at 5% by the +-ln 19
+    boundaries regardless of when you peek). Per-order log-likelihood
+    increments ln(p1/p0) and ln(q1/q0) are precomputed micro-nat LITERALS
+    (H0: 18% vs H1: 22%), so the entire statistic is an exact BIGINT
+    prefix sum — no runtime transcendental at any scale.
+
+    Plan: one data-grain aggregate to day grain, one day-grain cumulative
+    window above it, a 1-row first-crossing cross-join."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).cast("long").alias("c"),
+    )
+    w = Window.orderBy("day")
+    llr = d.select(
+        "day", "n", "c",
+        F.sum(
+            F.expr(f"c * {_SPRT_K1} + (n - c) * {_SPRT_K0}")
+        ).over(w).cast("long").alias("llr_micro"),
+    )
+    dec = llr.select(
+        "day", "n", "c", "llr_micro",
+        F.expr(
+            f"cast(CASE WHEN llr_micro >= {_SPRT_A} THEN 1"
+            f" WHEN llr_micro <= -{_SPRT_A} THEN -1 ELSE 0 END as int)"
+        ).alias("decision"),
+    )
+    firstd = dec.filter(F.col("decision") != 0).agg(
+        F.min("day").alias("first_day")
+    )
+    return dec.crossJoin(F.broadcast(firstd)).select(
+        "day", "n", "c", "llr_micro", "decision",
+        F.expr(
+            "cast(CASE WHEN first_day IS NOT NULL AND day = first_day"
+            " THEN 1 ELSE 0 END as int)"
+        ).alias("is_first_decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train/test split, confusion)
+# ---------------------------------------------------------------------------
+
+_NB_V = 64  # Laplace smoothing denominator add (vocabulary size bound)
+
+
+def _nb_oracle() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)", seed=41)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS tk, {h} % 5 AS fold
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, lang, fold, unnest(tk) AS tok FROM docs),
+    cls AS (SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_tok
+            FROM tok WHERE fold < 4 GROUP BY 1),
+    ct AS (SELECT lang AS c_lang, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE fold < 4 GROUP BY 1, 2),
+    prior AS (
+      SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM docs WHERE fold < 4 GROUP BY 1),
+    ptot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d FROM prior),
+    -- per (class, token) log-prob ln((c+1)/(n_tok+V)) in micro-nats,
+    -- rounded per vocab entry (exact bigint sums downstream)
+    lp AS (
+      SELECT ct.c_lang, ct.tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE))
+                         - ln(CAST(n_tok + {_NB_V} AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS lp_unat
+      FROM ct JOIN cls USING (c_lang)),
+    -- unseen-token fallback per class: ln(1/(n_tok+V))
+    lp0 AS (
+      SELECT c_lang,
+             CAST(round(-ln(CAST(n_tok + {_NB_V} AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp0_unat
+      FROM cls),
+    lprior AS (
+      SELECT prior.c_lang,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)) - ln(CAST(d AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lprior_unat
+      FROM prior CROSS JOIN ptot),
+    test_tok AS (SELECT doc_id, lang, tok FROM tok WHERE fold = 4),
+    scored AS (
+      SELECT tt.doc_id, tt.lang AS true_lang, lp0.c_lang,
+             CAST(sum(coalesce(lp.lp_unat, lp0.lp0_unat)) AS BIGINT) AS s_tok
+      FROM test_tok tt
+      CROSS JOIN lp0
+      LEFT JOIN lp ON lp.c_lang = lp0.c_lang AND lp.tok = tt.tok
+      GROUP BY 1, 2, 3),
+    total AS (
+      SELECT scored.doc_id, true_lang, scored.c_lang,
+             s_tok + lprior.lprior_unat AS score
+      FROM scored JOIN lprior ON lprior.c_lang = scored.c_lang),
+    pred AS (
+      SELECT doc_id, true_lang, c_lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c_lang ASC) AS rk
+      FROM total)
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY 1, 2
+    """
+
+
+@register("naive_bayes_lang_confusion", _nb_oracle())
+def naive_bayes_lang_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained on an 80/20
+    hash split of the corpus and evaluated as a test-fold confusion
+    matrix — the LEARNED counterpart of text_lang_id's fixed marker
+    lexicon (lang_id_confusion audits the heuristic; this trains the
+    classic generative baseline from data). Token log-probabilities
+    ln((c+1)/(n_class + V)) round to integer micro-nats per VOCAB ENTRY
+    (Laplace smoothing, unseen tokens fall back to the per-class floor),
+    so every document score is an exact BIGINT sum and argmax ties break
+    deterministically by class name.
+
+    Plan: token explode -> (class, token) aggregate (the model — vocab x
+    classes sized, broadcastable at any corpus scale) -> test-token
+    stream joined against the model per class (class count is the small
+    fan-out), doc-grain aggregate, per-doc argmax window over class-count
+    rows. No driver loop, no collect; 'training' is one shuffle."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", "lang",
+            text.tokens(text.normalize(F.col("text"))).alias("tk"),
+            (md5_long(F.col("doc_id"), seed=41) % 5).alias("fold"),
+        )
+    )
+    tok = docs.select("doc_id", "lang", "fold", F.explode("tk").alias("tok"))
+    train = tok.filter(F.col("fold") < 4)
+    cls = train.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    ct = train.groupBy(F.col("lang").alias("c_lang"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    prior = docs.filter(F.col("fold") < 4).groupBy(
+        F.col("lang").alias("c_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ptot = prior.agg(F.sum("n_docs").cast("long").alias("d"))
+    lp = ct.join(cls, "c_lang").select(
+        "c_lang", "tok",
+        F.expr(
+            f"cast(round((ln(cast(c + 1 as double))"
+            f" - ln(cast(n_tok + {_NB_V} as double))) * 1000000) as bigint)"
+        ).alias("lp_unat"),
+    )
+    lp0 = cls.select(
+        "c_lang",
+        F.expr(
+            f"cast(round(-ln(cast(n_tok + {_NB_V} as double)) * 1000000)"
+            " as bigint)"
+        ).alias("lp0_unat"),
+    )
+    lprior = prior.crossJoin(F.broadcast(ptot)).select(
+        "c_lang",
+        F.expr(
+            "cast(round((ln(cast(n_docs as double)) - ln(cast(d as double)))"
+            " * 1000000) as bigint)"
+        ).alias("lprior_unat"),
+    )
+    test_tok = tok.filter(F.col("fold") == 4).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(lp0))
+        .join(F.broadcast(lp), ["c_lang", "tok"], "left")
+        .groupBy("doc_id", "true_lang", "c_lang")
+        .agg(
+            F.sum(F.coalesce(F.col("lp_unat"), F.col("lp0_unat")))
+            .cast("long").alias("s_tok")
+        )
+    )
+    total = scored.join(F.broadcast(lprior), "c_lang").select(
+        "doc_id", "true_lang", "c_lang",
+        (F.col("s_tok") + F.col("lprior_unat")).alias("score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c_lang").asc()
+    )
+    pred = total.select(
+        "doc_id", "true_lang", F.col("c_lang").alias("pred_lang"),
+        F.row_number().over(wd).alias("rk"),
+    )
+    return (
+        pred.filter(F.col("rk") == 1)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
