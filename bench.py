@@ -206,6 +206,9 @@ TRANCHE = [
     "adaboost_stumps",
     "sprt_sequential_test",
     "naive_bayes_lang_confusion",
+    "srm_guardrail_check",
+    "ipf_raking_weights",
+    "median_polish_revenue",
 ]
 
 
@@ -308,7 +311,9 @@ def main() -> None:
         "tranche_spread": tranche_spread,
     }
     full = {"headline": headline_line, "tranche": tranche_line, "diag": diag_line}
-    if not skip_tranche:  # partial diagnostic runs must not clobber the artifact
+    # partial or off-default-scale diagnostic runs must not clobber the
+    # canonical sf0.1 artifact (a verify-skill smoke at sf0.01 once did)
+    if not skip_tranche and abs(sf - 0.1) < 1e-9:
         try:
             out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
             with open(out, "w") as fh:

@@ -19940,3 +19940,329 @@ def naive_bayes_lang_confusion(spark, sf_dir):
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) chi-square guardrail
+# ---------------------------------------------------------------------------
+
+@register(
+    "srm_guardrail_check",
+    """
+    WITH rec AS (
+      SELECT n_name AS scope, CAST(o_custkey % 2 AS INT) AS variant
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    both_scopes AS (
+      SELECT scope, variant FROM rec
+      UNION ALL
+      SELECT 'ALL', variant FROM rec),
+    s AS (SELECT scope,
+                 CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n0,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1
+          FROM both_scopes GROUP BY 1)
+    SELECT scope, n0, n1,
+           CAST((n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) AS BIGINT)
+               AS chi2_milli,
+           CAST(CASE WHEN (n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) > 3841
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM s
+    """,
+)
+def srm_guardrail_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail: chi-square test of the 50/50
+    variant split, overall and per nation — the FIRST check any A/B
+    readout must pass (a biased assignment invalidates every downstream
+    metric; SRM is the canonical symptom of bucketing bugs, bot filtering
+    asymmetry, or redirect loss). For two equal-expectation cells the
+    statistic collapses to (n0-n1)^2/N, so it stages as ONE exact integer
+    milli value against the df=1 critical value 3.841.
+
+    Plan: one star-join projection duplicated map-side into per-nation
+    and pooled scopes, one aggregate at scope grain. Exact integers
+    throughout."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rec = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("scope"),
+            (F.col("o_custkey") % 2).cast("int").alias("variant"),
+        )
+    )
+    both = rec.unionAll(rec.select(F.lit("ALL").alias("scope"), "variant"))
+    s = both.groupBy("scope").agg(
+        F.sum(F.expr("CASE WHEN variant = 0 THEN 1 ELSE 0 END")).cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN variant = 1 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+    )
+    chi = "(n0 - n1) * (n0 - n1) * 1000 div (n0 + n1)"
+    return s.select(
+        "scope", "n0", "n1",
+        F.expr(f"cast({chi} as bigint)").alias("chi2_milli"),
+        F.expr(
+            f"cast(CASE WHEN {chi} > 3841 THEN 1 ELSE 0 END as int)"
+        ).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPF raking: calibrate order-sample weights to customer-population margins
+# ---------------------------------------------------------------------------
+
+_IPF_ITERS = 3
+
+
+def _ipf_round_sql(t: int) -> str:
+    """One raking iteration: row-factor step (nation margins) then
+    col-factor step (segment margins), weights in integer micro."""
+    w = f"w{t}"
+    return f"""
+    rm{t} AS (
+      SELECT nation, CAST(sum(n * {w}) AS BIGINT) AS mass
+      FROM cells{t} GROUP BY 1),
+    rstep{t} AS (
+      SELECT c.nation, c.segment, c.n,
+             CAST(c.{w} * rt.target_micro // greatest(rm{t}.mass, 1) AS BIGINT)
+                 AS wr
+      FROM cells{t} c JOIN rm{t} USING (nation)
+      JOIN rtarget rt USING (nation)),
+    cm{t} AS (
+      SELECT segment, CAST(sum(n * wr) AS BIGINT) AS mass
+      FROM rstep{t} GROUP BY 1),
+    cells{t + 1} AS (
+      SELECT r.nation, r.segment, r.n,
+             CAST(r.wr * ct.target_micro // greatest(cm{t}.mass, 1) AS BIGINT)
+                 AS w{t + 1}
+      FROM rstep{t} r JOIN cm{t} USING (segment)
+      JOIN ctarget ct USING (segment))
+    """
+
+
+def _ipf_oracle() -> str:
+    rounds = ",".join(_ipf_round_sql(t) for t in range(1, _IPF_ITERS + 1))
+    wf = f"w{_IPF_ITERS + 1}"
+    return f"""
+    WITH joined AS (
+      SELECT n_name AS nation, c_mktsegment AS segment
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    cells1 AS (
+      SELECT nation, segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(1000000 AS BIGINT) AS w1
+      FROM joined GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_orders FROM cells1),
+    -- population margins: the CUSTOMER distribution scaled to order mass,
+    -- in micro (sum n * w should converge to these)
+    cpop AS (
+      SELECT n_name AS nation, c_mktsegment AS segment
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    ctot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cpop),
+    rtarget AS (
+      SELECT nation,
+             CAST(count(*) * n_orders * 1000000 // n_cust AS BIGINT)
+                 AS target_micro
+      FROM cpop CROSS JOIN ctot CROSS JOIN tot GROUP BY 1, n_orders, n_cust),
+    ctarget AS (
+      SELECT segment,
+             CAST(count(*) * n_orders * 1000000 // n_cust AS BIGINT)
+                 AS target_micro
+      FROM cpop CROSS JOIN ctot CROSS JOIN tot GROUP BY 1, n_orders, n_cust),
+    {rounds},
+    final_rm AS (
+      SELECT nation, CAST(sum(n * {wf}) AS BIGINT) AS mass
+      FROM cells{_IPF_ITERS + 1} GROUP BY 1)
+    SELECT c.nation, c.segment, c.n, c.{wf} AS w_micro,
+           CAST(abs(final_rm.mass - rt.target_micro) * 1000000
+                // greatest(rt.target_micro, 1) AS BIGINT)
+               AS row_margin_err_ppm
+    FROM cells{_IPF_ITERS + 1} c
+    JOIN final_rm USING (nation)
+    JOIN rtarget rt USING (nation)
+    """
+
+
+@register("ipf_raking_weights", _ipf_oracle())
+def ipf_raking_weights(spark, sf_dir):
+    """Survey raking (iterative proportional fitting): calibrate per-cell
+    order weights so the weighted nation x segment table matches the
+    CUSTOMER population margins — the standard post-stratification
+    weighting step when a sample (orders) is demographically skewed
+    against the population it should represent (neyman_allocation_sample
+    designs the draw; raking repairs one after the fact). {_IPF_ITERS}
+    unrolled IPF iterations, each a row-margin then column-margin
+    rescale; weights stay exact integer micro (floor per step — the
+    documented drift is <= 1 micro per cell per step, and the emitted
+    row_margin_err_ppm column MEASURES the residual miss).
+
+    Plan: one data-grain aggregate to the 125-cell table, then every
+    iteration is metadata-sized re-aggregation + equi-join. At 100 TB
+    only the first aggregate grows."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+    )
+    cells = joined.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumn("w1", F.lit(1000000).cast("long"))
+    tot = cells.agg(F.sum("n").cast("long").alias("n_orders"))
+    cpop = cust.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    )
+    ctot = cpop.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    rtarget = (
+        cpop.groupBy("nation").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(ctot)).crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.expr("cast(cnt * n_orders * 1000000 div n_cust as bigint)")
+            .alias("target_micro"),
+        )
+    )
+    ctarget = (
+        cpop.groupBy("segment").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(ctot)).crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.expr("cast(cnt * n_orders * 1000000 div n_cust as bigint)")
+            .alias("target_micro"),
+        )
+    )
+    w = "w1"
+    for t in range(1, _IPF_ITERS + 1):
+        rm = cells.groupBy("nation").agg(
+            F.sum(F.expr(f"n * {w}")).cast("long").alias("mass")
+        )
+        rstep = (
+            cells.join(rm, "nation")
+            .join(rtarget.withColumnRenamed("target_micro", "rt_micro"), "nation")
+            .select(
+                "nation", "segment", "n",
+                F.expr(f"cast({w} * rt_micro div greatest(mass, 1) as bigint)")
+                .alias("wr"),
+            )
+        )
+        cm = rstep.groupBy("segment").agg(
+            F.sum(F.expr("n * wr")).cast("long").alias("mass")
+        )
+        w = f"w{t + 1}"
+        cells = (
+            rstep.join(cm, "segment")
+            .join(ctarget.withColumnRenamed("target_micro", "ct_micro"), "segment")
+            .select(
+                "nation", "segment", "n",
+                F.expr("cast(wr * ct_micro div greatest(mass, 1) as bigint)")
+                .alias(w),
+            )
+        )
+    final_rm = cells.groupBy("nation").agg(
+        F.sum(F.expr(f"n * {w}")).cast("long").alias("mass")
+    )
+    return (
+        cells.join(final_rm, "nation")
+        .join(rtarget, "nation")
+        .select(
+            "nation", "segment", "n", F.col(w).alias("w_micro"),
+            F.expr(
+                "cast(abs(mass - target_micro) * 1000000"
+                " div greatest(target_micro, 1) as bigint)"
+            ).alias("row_margin_err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish of the nation x month revenue matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "median_polish_revenue",
+    """
+    WITH m AS (
+      SELECT n_name AS nation,
+             CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS v
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE year(CAST(o_orderdate AS DATE)) = 1995
+      GROUP BY 1, 2),
+    r1 AS (SELECT nation, median(v) AS rm FROM m GROUP BY 1),
+    s1 AS (SELECT m.nation, mon, v - rm AS v, rm AS row_eff
+           FROM m JOIN r1 USING (nation)),
+    c1 AS (SELECT mon, median(v) AS cm FROM s1 GROUP BY 1),
+    s2 AS (SELECT nation, s1.mon, v - cm AS v, row_eff, cm AS col_eff
+           FROM s1 JOIN c1 USING (mon)),
+    r2 AS (SELECT nation, median(v) AS rm FROM s2 GROUP BY 1),
+    s3 AS (SELECT s2.nation, mon, v - rm AS v, row_eff + rm AS row_eff,
+                  col_eff
+           FROM s2 JOIN r2 USING (nation)),
+    c2 AS (SELECT mon, median(v) AS cm FROM s3 GROUP BY 1)
+    SELECT s3.nation, s3.mon AS month, v - cm AS resid, row_eff,
+           col_eff + cm AS col_eff
+    FROM s3 JOIN c2 USING (mon)
+    """,
+)
+def median_polish_revenue(spark, sf_dir):
+    """Tukey median polish of the 1995 nation x month revenue matrix —
+    the robust two-way decomposition value = row effect + column effect +
+    residual, fit by alternating MEDIAN sweeps instead of means (so one
+    crazy nation-month cell perturbs nothing else; the robust-EDA sibling
+    of seasonal_decompose_daily's mean-based fit). Two unrolled
+    iterations of row-then-column sweeps; every value stays a dyadic
+    rational (cents halved at most once per median), which doubles
+    represent EXACTLY, so both engines' interpolated medians and
+    subtractions are bit-identical with no rounding convention at all.
+
+    Plan: one data-grain aggregate to the <= 300-cell matrix; every sweep
+    is a <= 25-group exact-median aggregate plus an equi-join back.
+    Metadata-sized after the first shuffle at any volume."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1995)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.month(F.col("o_orderdate").cast("date")).cast("int").alias("mon"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("double").alias("v")
+        )
+    )
+    r1 = m.groupBy("nation").agg(F.expr("percentile(v, 0.5)").alias("rm"))
+    s1 = m.join(r1, "nation").select(
+        "nation", "mon", (F.col("v") - F.col("rm")).alias("v"),
+        F.col("rm").alias("row_eff"),
+    )
+    c1 = s1.groupBy("mon").agg(F.expr("percentile(v, 0.5)").alias("cm"))
+    s2 = s1.join(c1, "mon").select(
+        "nation", "mon", (F.col("v") - F.col("cm")).alias("v"),
+        "row_eff", F.col("cm").alias("col_eff"),
+    )
+    r2 = s2.groupBy("nation").agg(F.expr("percentile(v, 0.5)").alias("rm"))
+    s3 = s2.join(r2, "nation").select(
+        "nation", "mon", (F.col("v") - F.col("rm")).alias("v"),
+        (F.col("row_eff") + F.col("rm")).alias("row_eff"), "col_eff",
+    )
+    c2 = s3.groupBy("mon").agg(F.expr("percentile(v, 0.5)").alias("cm"))
+    return s3.join(c2, "mon").select(
+        "nation", F.col("mon").alias("month"),
+        (F.col("v") - F.col("cm")).alias("resid"),
+        "row_eff",
+        (F.col("col_eff") + F.col("cm")).alias("col_eff"),
+    )
