@@ -209,6 +209,9 @@ TRANCHE = [
     "srm_guardrail_check",
     "ipf_raking_weights",
     "median_polish_revenue",
+    "mann_kendall_trend",
+    "power_analysis_design",
+    "changepoint_single_split",
 ]
 
 

@@ -20266,3 +20266,333 @@ def median_polish_revenue(spark, sf_dir):
         "row_eff",
         (F.col("col_eff") + F.col("cm")).alias("col_eff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall nonparametric trend test over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_MK_Z = (
+    "(CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))"
+    " / sqrt(CAST(var_s AS DOUBLE))"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS x
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+      FROM d a JOIN d b ON b.day > a.day),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x)
+      WHERE t > 1),
+    v AS (
+      SELECT s_stat, n,
+             CAST((n * (n - 1) * (2 * n + 5) - tie_term) // 18 AS BIGINT)
+                 AS var_s
+      FROM s CROSS JOIN n_t CROSS JOIN ties)
+    SELECT n, s_stat, var_s,
+           round({_MK_Z}, 6) AS z,
+           CAST(sign(s_stat) AS INT) AS trend,
+           CAST(CASE WHEN abs({_MK_Z}) > 1.959964 THEN 1 ELSE 0 END AS INT)
+               AS reject_95
+    FROM v
+    """,
+)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test on daily revenue: S = sum of
+    sign(x_j - x_i) over all ordered day pairs, tie-corrected variance,
+    and the continuity-corrected z decision — the rank-based trend test
+    that pairs with theil_sen_trend's slope estimate (same pair grain;
+    MK answers IS there a monotone trend, Theil-Sen answers how steep).
+    S and Var(S) are exact BIGINTs (the 18-divisor is exact for the
+    integer formula); only the final z is a double (shared text over
+    exact ints, rounded 6dp).
+
+    Plan: one data-grain aggregate to the calendar-bounded day grain,
+    then a day x day self-join ABOVE the aggregate (pairs of a
+    calendar-bounded spine — ~2.9M comparisons at 2400 days regardless
+    of fact volume; the plan gate proves both sides bounded), plus 1-row
+    cross-joins. Never touches fact-grain pairs."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long").alias("x")
+    )
+    a = d.select(F.col("day").alias("day_a"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("day_b") > F.col("day_a"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1 ELSE 0 END"
+                )
+            ).cast("long").alias("s_stat")
+        )
+    )
+    n_t = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    v = s.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(ties)).select(
+        "s_stat", "n",
+        F.expr("cast((n * (n - 1) * (2 * n + 5) - tie_term) div 18 as bigint)")
+        .alias("var_s"),
+    )
+    return v.select(
+        "n", "s_stat", "var_s",
+        F.expr(f"round({_MK_Z}, 6)").alias("z"),
+        F.expr("cast(sign(s_stat) as int)").alias("trend"),
+        F.expr(
+            f"cast(CASE WHEN abs({_MK_Z}) > 1.959964 THEN 1 ELSE 0 END as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion power analysis / required-sample-size design table
+# ---------------------------------------------------------------------------
+
+_PW_DELTAS_PPM = [5000, 10000, 20000, 30000, 50000]
+_PW_ZA = 1.959964  # z_{alpha/2}, alpha = 0.05 two-sided
+_PW_ZB = 0.841621  # z_beta, 80% power
+# required n per arm (classic two-proportion formula), double from exact ints
+_PW_NREQ = (
+    f"(({_PW_ZA} * sqrt(2.0 * p0 * (1.0 - p0))"
+    f" + {_PW_ZB} * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))"
+    f" * ({_PW_ZA} * sqrt(2.0 * p0 * (1.0 - p0))"
+    f" + {_PW_ZB} * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))))"
+    " / (delta * delta)"
+)
+
+
+def _power_oracle() -> str:
+    chain = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in _erfc_cols("//")
+    )
+    deltas = ", ".join(str(x) for x in _PW_DELTAS_PPM)
+    return f"""
+    WITH f0 AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS tp
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, variant,
+             CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}
+                  THEN 1 ELSE 0 END AS conv
+      FROM f0),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(conv) AS BIGINT) AS n_conv,
+                 CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_arm
+          FROM u),
+    spine AS (SELECT unnest([{deltas}]) AS delta_ppm),
+    calc AS (
+      SELECT delta_ppm,
+             CAST(n_conv AS DOUBLE) / n_users AS p0,
+             least(CAST(n_conv AS DOUBLE) / n_users + delta_ppm / 1000000.0,
+                   0.999) AS p1,
+             delta_ppm / 1000000.0 AS delta,
+             n_arm
+      FROM spine CROSS JOIN g),
+    req AS (
+      SELECT delta_ppm, n_arm,
+             CAST(ceil({_PW_NREQ}) AS BIGINT) AS n_required_per_arm,
+             -- achieved-power argument u = delta/se - z_a; se on current n
+             CAST(round((delta / sqrt((p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                                      / n_arm) - {_PW_ZA}) * 1000000)
+                  AS BIGINT) AS z_micro
+      FROM calc),
+    pw AS (SELECT delta_ppm, n_arm, n_required_per_arm, z_micro,
+             {chain}
+           FROM req)
+    SELECT delta_ppm, n_arm AS current_n_per_arm, n_required_per_arm,
+           CAST(CASE WHEN z_micro >= 0 THEN 1000000 - p_micro // 2
+                     ELSE p_micro // 2 END AS BIGINT) AS achieved_power_ppm
+    FROM pw
+    """
+
+
+@register("power_analysis_design", _power_oracle())
+def power_analysis_design(spark, sf_dir):
+    """Two-proportion power analysis: for each candidate effect size the
+    required per-arm sample size at alpha = .05 / 80% power, plus the
+    ACHIEVED power of the current experiment size — the design table
+    every A/B readout (conversion_ab_ztest, srm_guardrail_check,
+    sprt_sequential_test) should be read against (an underpowered
+    'no effect' is not evidence of absence). Required-n uses the classic
+    closed form with IEEE sqrt only (correctly rounded, bit-identical);
+    achieved power Phi(delta/se - z_alpha) runs the staged-integer erfc
+    chain shared with fdr_bh_correction — no transcendental parity risk.
+
+    Plan: one user-grain aggregate to a 1-row summary, a 5-row literal
+    effect spine cross-join, then pure expressions. Metadata-sized."""
+    ev = _t(spark, sf_dir, "events")
+    f0 = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("tp"),
+    )
+    u = f0.select(
+        "user_id", "variant",
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}"
+            " THEN 1 ELSE 0 END"
+        ).alias("conv"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+        F.sum(F.expr("CASE WHEN variant = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_arm"),
+    )
+    spine = spark.createDataFrame(
+        [(x,) for x in _PW_DELTAS_PPM], ["delta_ppm"]
+    )
+    calc = spine.crossJoin(F.broadcast(g)).select(
+        "delta_ppm",
+        F.expr("cast(n_conv as double) / n_users").alias("p0"),
+        F.expr(
+            "least(cast(n_conv as double) / n_users + delta_ppm / 1000000.0,"
+            " 0.999)"
+        ).alias("p1"),
+        F.expr("delta_ppm / 1000000.0").alias("delta"),
+        "n_arm",
+    )
+    req = calc.select(
+        "delta_ppm", "n_arm",
+        F.expr(f"cast(ceil({_PW_NREQ}) as bigint)").alias("n_required_per_arm"),
+        F.expr(
+            f"cast(round((delta / sqrt((p0 * (1.0 - p0) + p1 * (1.0 - p1))"
+            f" / n_arm) - {_PW_ZA}) * 1000000) as bigint)"
+        ).alias("z_micro"),
+    )
+    pw = req
+    for name, expr in _erfc_cols("div"):
+        pw = pw.withColumn(name, F.expr(expr))
+    return pw.select(
+        "delta_ppm",
+        F.col("n_arm").alias("current_n_per_arm"),
+        "n_required_per_arm",
+        F.expr(
+            "cast(CASE WHEN z_micro >= 0 THEN 1000000 - p_micro div 2"
+            " ELSE p_micro div 2 END as bigint)"
+        ).alias("achieved_power_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoint localization: best single mean-shift split
+# ---------------------------------------------------------------------------
+
+_CP_B = (
+    "CAST(round((CAST(cs AS DOUBLE) * n_total - CAST(cn AS DOUBLE) * s_total)"
+    " * (CAST(cs AS DOUBLE) * n_total - CAST(cn AS DOUBLE) * s_total)"
+    " / (CAST(n_total AS DOUBLE) * n_total * cn * (n_total - cn))"
+    " / 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "changepoint_single_split",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS x
+      FROM orders GROUP BY 1),
+    c AS (SELECT day, x,
+                 CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS cs,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS cn
+          FROM d),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(x) AS BIGINT) AS s_total
+            FROM d),
+    scored AS (
+      SELECT day, cn, cs, n_total, s_total, {_CP_B} AS between_ss_scaled,
+             cs * 1000000 // cn AS mean_left_micro,
+             (s_total - cs) * 1000000 // (n_total - cn) AS mean_right_micro
+      FROM c CROSS JOIN tot WHERE cn < n_total)
+    SELECT day AS split_day, CAST(cn AS BIGINT) AS n_left,
+           CAST(mean_left_micro AS BIGINT) AS mean_left_micro,
+           CAST(mean_right_micro AS BIGINT) AS mean_right_micro,
+           between_ss_scaled
+    FROM scored
+    ORDER BY between_ss_scaled DESC, day ASC LIMIT 5
+    """,
+)
+def changepoint_single_split(spark, sf_dir):
+    """Offline changepoint LOCALIZATION: the single split of the daily
+    revenue series that maximizes the between-segment sum of squares
+    B(k) = n_l*n_r/n * (mean_l - mean_r)^2 — the first step of binary
+    segmentation, and the offline complement to the ONLINE detectors
+    (event_rate_cusum flags drift as it happens, page_hinkley_drift
+    tracks the running mean; this answers WHERE the shift happened once
+    you have the whole series). B is computed from exact prefix sums in
+    one shared-text double (scaled 1e-6, rounded), means in exact
+    integer micro; top-5 candidate splits via TakeOrdered with a
+    deterministic day tie-break.
+
+    Plan: data-grain aggregate to calendar-bounded day grain, one
+    cumulative window above it, a 1-row totals cross-join, distributed
+    top-5. O(days) after the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    c = d.select(
+        "day", "x",
+        F.sum("x").over(w).cast("long").alias("cs"),
+        F.row_number().over(w).cast("long").alias("cn"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("x").cast("long").alias("s_total"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") < F.col("n_total"))
+        .select(
+            "day", "cn",
+            F.expr(_CP_B).alias("between_ss_scaled"),
+            F.expr("cs * 1000000 div cn").alias("mean_left_micro"),
+            F.expr("(s_total - cs) * 1000000 div (n_total - cn)")
+            .alias("mean_right_micro"),
+        )
+    )
+    return scored.select(
+        F.col("day").alias("split_day"),
+        F.col("cn").cast("long").alias("n_left"),
+        F.col("mean_left_micro").cast("long").alias("mean_left_micro"),
+        F.col("mean_right_micro").cast("long").alias("mean_right_micro"),
+        "between_ss_scaled",
+    ).orderBy(F.col("between_ss_scaled").desc(), F.col("split_day").asc()).limit(5)

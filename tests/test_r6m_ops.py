@@ -7,6 +7,7 @@ import statistics
 from collections import Counter, defaultdict
 
 import duckdb
+import pandas as pd
 
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
@@ -174,3 +175,132 @@ def test_median_polish_is_robust_to_one_outlier():
     small = [abs(val) for k, val in v.items() if k != (2, 2)]
     assert max(small) < 10  # outlier did not leak into other residuals
     assert abs(v[(2, 2)]) > 1e8
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_matches_pair_replica(spark):
+    import math
+
+    con = _joined(("orders",))
+    days = con.execute(
+        """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                  sum(CAST(round(o_totalprice*100) AS BIGINT))
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    xs = [x for _, x in days]
+    n = len(xs)
+    s_stat = sum(
+        (1 if xs[j] > xs[i] else (-1 if xs[j] < xs[i] else 0))
+        for i in range(n) for j in range(i + 1, n)
+    )
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) // 18
+    row = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert row["s_stat"] == s_stat
+    assert row["var_s"] == var_s
+    z = (s_stat - (1 if s_stat > 0 else (-1 if s_stat < 0 else 0))) / math.sqrt(var_s)
+    assert abs(row["z"] - z) < 1e-5
+    assert row["reject_95"] == (1 if abs(z) > 1.959964 else 0)
+
+
+def test_mann_kendall_detects_monotone_series():
+    """Pure-python semantics check: strictly increasing series maxes S."""
+    xs = list(range(30))
+    s = sum(1 for i in range(30) for j in range(i + 1, 30) if xs[j] > xs[i])
+    assert s == 30 * 29 // 2  # every pair concordant
+
+
+# ---------------------------------------------------------------------------
+# power_analysis_design
+# ---------------------------------------------------------------------------
+
+def test_power_analysis_monotonicity_and_formula(spark):
+    """Bigger effects need fewer samples and yield more achieved power;
+    required n matches the closed form."""
+    import math
+
+    rows = sorted(
+        QUERIES["power_analysis_design"](spark, SF_DIR).collect(),
+        key=lambda r: r["delta_ppm"],
+    )
+    assert [r["delta_ppm"] for r in rows] == [5000, 10000, 20000, 30000, 50000]
+    ns = [r["n_required_per_arm"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    pw = [r["achieved_power_ppm"] for r in rows]
+    assert pw == sorted(pw)
+    for r in rows:
+        assert 0 <= r["achieved_power_ppm"] <= 1_000_000
+    # replicate required-n for one row from the fixture aggregates
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    n_users = conv = 0
+    for uid, grp in ev.groupby("user_id"):
+        t0 = grp["us"].min()
+        purch = grp[grp["event_type"] == "purchase"]["us"]
+        tp = purch.min() if len(purch) else None
+        n_users += 1
+        conv += 1 if (tp is not None and tp - t0 < 3 * 86400 * 1_000_000) else 0
+    p0 = conv / n_users
+    for r in rows:
+        delta = r["delta_ppm"] / 1e6
+        p1 = min(p0 + delta, 0.999)
+        za, zb = 1.959964, 0.841621
+        nreq = math.ceil(
+            (za * math.sqrt(2 * p0 * (1 - p0))
+             + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))) ** 2 / delta ** 2
+        )
+        assert r["n_required_per_arm"] == nreq
+
+
+# ---------------------------------------------------------------------------
+# changepoint_single_split
+# ---------------------------------------------------------------------------
+
+def test_changepoint_matches_between_ss_replica(spark):
+    con = _joined(("orders",))
+    days = con.execute(
+        """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                  sum(CAST(round(o_totalprice*100) AS BIGINT))
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    xs = [x for _, x in days]
+    labels = [d for d, _ in days]
+    n = len(xs)
+    s_tot = sum(xs)
+    best = []
+    cs = 0
+    for k in range(n - 1):
+        cs += xs[k]
+        cn = k + 1
+        b = round(
+            (cs * n - cn * s_tot) ** 2 / (n * n * cn * (n - cn)) / 1e6
+        )
+        best.append((b, labels[k], cn, cs))
+    best.sort(key=lambda t: (-t[0], t[1]))
+    rows = QUERIES["changepoint_single_split"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r, (b, day, cn, cs_) in zip(rows, best[:5]):
+        assert r["split_day"] == day
+        assert r["between_ss_scaled"] == b
+        assert r["n_left"] == cn
+        assert r["mean_left_micro"] == cs_ * 1_000_000 // cn
+        assert r["mean_right_micro"] == (s_tot - cs_) * 1_000_000 // (n - cn)
+
+
+def test_changepoint_finds_injected_shift():
+    """Semantics: a clean mean shift maximizes B exactly at the shift."""
+    xs = [100] * 40 + [200] * 40
+    n = len(xs)
+    s_tot = sum(xs)
+    cs = 0
+    bs = []
+    for k in range(n - 1):
+        cs += xs[k]
+        cn = k + 1
+        bs.append((cs * n - cn * s_tot) ** 2 / (n * n * cn * (n - cn)))
+    assert bs.index(max(bs)) == 39
