@@ -212,6 +212,9 @@ TRANCHE = [
     "mann_kendall_trend",
     "power_analysis_design",
     "changepoint_single_split",
+    "graph_k_core_peel",
+    "funnel_strict_windowed",
+    "gumbel_return_levels",
 ]
 
 

@@ -20596,3 +20596,319 @@ def changepoint_single_split(spark, sf_dir):
         F.col("mean_right_micro").cast("long").alias("mean_right_micro"),
         "between_ss_scaled",
     ).orderBy(F.col("between_ss_scaled").desc(), F.col("split_day").asc()).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (3 unrolled peel rounds) on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    deg{t} AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e{t} UNION ALL SELECT b FROM e{t})
+      GROUP BY 1),
+    keep{t} AS MATERIALIZED (SELECT node FROM deg{t} WHERE d >= {_KCORE_K}),
+    e{t + 1} AS MATERIALIZED (
+      SELECT e{t}.a, e{t}.b FROM e{t}
+      JOIN keep{t} ka ON ka.node = e{t}.a
+      JOIN keep{t} kb ON kb.node = e{t}.b),
+    stat{t} AS (
+      SELECT {t} AS round,
+             CAST((SELECT count(*) FROM keep{t}) AS BIGINT) AS nodes_kept,
+             CAST((SELECT count(*) FROM e{t + 1}) AS BIGINT) AS edges_kept,
+             CAST((SELECT count(*) FROM deg{t}) -
+                  (SELECT count(*) FROM keep{t}) AS BIGINT) AS nodes_removed)
+""")
+    stats = " UNION ALL ".join(
+        f"SELECT * FROM stat{t}" for t in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pr AS (SELECT a.p AS a, b.p AS b
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    e1 AS MATERIALIZED (SELECT a, b FROM pr GROUP BY a, b HAVING count(*) >= 2),
+    {",".join(rounds)}
+    SELECT round, nodes_kept, edges_kept, nodes_removed,
+           CAST(CASE WHEN nodes_removed = 0 THEN 1 ELSE 0 END AS INT)
+               AS converged
+    FROM ({stats})
+    """
+
+
+@register("graph_k_core_peel", _kcore_oracle())
+def graph_k_core_peel(spark, sf_dir):
+    """k-core decomposition ({_KCORE_K}-core) of the co-purchase graph by
+    iterative peeling — {_KCORE_ROUNDS} unrolled rounds of 'drop nodes
+    with degree < k, drop their edges' — the graph-mining density screen
+    next to triangle_count/pagerank (the k-core is where community
+    structure and recommendation signal live; peeling also bounds
+    degeneracy). A converged flag reports whether the LAST round removed
+    nothing (fixpoint reached within the unrolled budget); full
+    decomposition iterates to fixpoint, which the declarative unroll
+    bounds deliberately — the same bounded-iteration contract as
+    pagerank_neardup_graph.
+
+    Plan: edges are support->=2 co-purchase pairs (per-order pair
+    generation, bounded by basket size); each round is one degree
+    aggregate + two semijoins back to the edge list — all equi-joins at
+    edge grain, no windows, no NLJ."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("a"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    e = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+        # checkpoint the edge list once and after every peel: each round
+        # computes three counts AND feeds the next round — without the
+        # barrier the declarative unroll recomputes the pair join
+        # O(rounds^2) times (measured: sf0.1 went from minutes to seconds)
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        e_next = (
+            e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+        )
+        n_deg = deg.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+        n_keep = keep.agg(F.count(F.lit(1)).cast("long").alias("nodes_kept"))
+        n_edge = e_next.agg(F.count(F.lit(1)).cast("long").alias("edges_kept"))
+        stat = (
+            n_keep.crossJoin(F.broadcast(n_edge)).crossJoin(F.broadcast(n_deg))
+            .select(
+                F.lit(t).cast("int").alias("round"),
+                "nodes_kept", "edges_kept",
+                (F.col("n_all") - F.col("nodes_kept")).cast("long")
+                .alias("nodes_removed"),
+            )
+        )
+        stats.append(stat)
+        e = e_next.localCheckpoint(eager=True)
+    out = stats[0]
+    for s_ in stats[1:]:
+        out = out.unionAll(s_)
+    return out.select(
+        "round", "nodes_kept", "edges_kept", "nodes_removed",
+        F.expr(
+            "cast(CASE WHEN nodes_removed = 0 THEN 1 ELSE 0 END as int)"
+        ).alias("converged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict-order windowed funnel (ClickHouse windowFunnel semantics)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 3 * 86400 * 1000000  # 72h from the first step
+
+
+@register(
+    "funnel_strict_windowed",
+    f"""
+    WITH s1 AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t1
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1
+             AND epoch_us(e.ts) < s1.t1 + {_FUNNEL_WINDOW_US}
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t2
+             AND epoch_us(e.ts) < s1.t1 + {_FUNNEL_WINDOW_US}
+           GROUP BY 1),
+    s4 AS (SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t4
+           FROM events e JOIN s3 ON s3.user_id = e.user_id
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t3
+             AND epoch_us(e.ts) < s1.t1 + {_FUNNEL_WINDOW_US}
+           GROUP BY 1),
+    c AS (SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n1,
+                 CAST((SELECT count(*) FROM s2) AS BIGINT) AS n2,
+                 CAST((SELECT count(*) FROM s3) AS BIGINT) AS n3,
+                 CAST((SELECT count(*) FROM s4) AS BIGINT) AS n4)
+    SELECT step, n_users,
+           CAST(n_users * 1000000 // greatest(n1, 1) AS BIGINT)
+               AS conv_from_start_ppm,
+           CAST(n_users * 1000000 // greatest(n_prev, 1) AS BIGINT)
+               AS conv_from_prev_ppm
+    FROM (
+      SELECT 1 AS step, n1 AS n_users, n1 AS n_prev, n1 FROM c
+      UNION ALL SELECT 2, n2, n1, n1 FROM c
+      UNION ALL SELECT 3, n3, n2, n1 FROM c
+      UNION ALL SELECT 4, n4, n3, n1 FROM c)
+    """,
+)
+def funnel_strict_windowed(spark, sf_dir):
+    """Strict-order windowed funnel (the ClickHouse windowFunnel
+    semantics): signup -> view -> click -> purchase where each step must
+    happen strictly AFTER the previous step's first occurrence AND within
+    72h of the funnel start — the deadline makes it a true activation
+    funnel (event_funnel is the unbounded-order-only variant). Emits
+    per-step user counts with conversion from start and from the
+    previous step.
+
+    Plan: four chained user-grain aggregate+join passes (each pass is an
+    equi-join on user_id against the previous step's first-timestamp
+    table — at 100 TB these are ordinary hash joins at user grain), then
+    a 4-row literal summary. Exact integers throughout."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").cast("long").alias("t1")
+    )
+    def _step(prev, prev_t, et, out_t):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("us") > F.col(prev_t))
+                & (F.col("us") < F.col("t1") + F.lit(_FUNNEL_WINDOW_US))
+            )
+            .groupBy("user_id", "t1")
+            .agg(F.min("us").cast("long").alias(out_t))
+        )
+    s2 = _step(s1, "t1", "view", "t2")
+    s3 = _step(s2, "t2", "click", "t3")
+    s4 = _step(s3, "t3", "purchase", "t4")
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    n4 = s4.agg(F.count(F.lit(1)).cast("long").alias("n4"))
+    c = (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(n4))
+    )
+    steps = None
+    for step, ncol, pcol in ((1, "n1", "n1"), (2, "n2", "n1"),
+                             (3, "n3", "n2"), (4, "n4", "n3")):
+        row = c.select(
+            F.lit(step).cast("int").alias("step"),
+            F.col(ncol).alias("n_users"),
+            F.col(pcol).alias("n_prev"),
+            F.col("n1").alias("n_start"),
+        )
+        steps = row if steps is None else steps.unionAll(row)
+    return steps.select(
+        "step", "n_users",
+        F.expr("cast(n_users * 1000000 div greatest(n_start, 1) as bigint)")
+        .alias("conv_from_start_ppm"),
+        F.expr("cast(n_users * 1000000 div greatest(n_prev, 1) as bigint)")
+        .alias("conv_from_prev_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel (EV-I) return levels for daily revenue maxima
+# ---------------------------------------------------------------------------
+
+_GUMBEL_TS = [30, 90, 365]
+_EULER_GAMMA = 0.5772156649
+_SQRT6_OVER_PI = 0.7796968012  # sqrt(6)/pi
+
+
+@register(
+    "gumbel_return_levels",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS mx
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(mx) AS BIGINT) AS sm,
+                 CAST(sum(mx * mx) AS BIGINT) AS smm,
+                 CAST(max(mx) AS BIGINT) AS observed_max
+          FROM d),
+    fit AS (
+      SELECT n, observed_max,
+             CAST(sm AS DOUBLE) / n AS mean_mx,
+             sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n)
+                  / (n - 1)) AS sd_mx
+      FROM s),
+    params AS (
+      SELECT n, observed_max,
+             sd_mx * {_SQRT6_OVER_PI} AS beta,
+             mean_mx - {_EULER_GAMMA} * sd_mx * {_SQRT6_OVER_PI} AS mu
+      FROM fit),
+    spine AS (SELECT unnest([{", ".join(str(t) for t in _GUMBEL_TS)}])
+                  AS t_days)
+    SELECT t_days, n AS n_days, observed_max,
+           CAST(round(mu) AS BIGINT) AS mu_cents,
+           CAST(round(beta) AS BIGINT) AS beta_cents,
+           CAST(round(mu - beta * ln(-ln(1.0 - 1.0 / t_days))) AS BIGINT)
+               AS return_level_cents
+    FROM params CROSS JOIN spine
+    """,
+)
+def gumbel_return_levels(spark, sf_dir):
+    """Extreme-value (Gumbel/EV-I) return levels for the daily MAXIMUM
+    order value, fit by method of moments (beta = sd*sqrt(6)/pi, mu =
+    mean - gamma*beta) and inverted at T = 30/90/365 days — the
+    capacity-planning question 'what spike do we expect once a quarter /
+    once a year?' answered from block maxima, the tail-risk counterpart
+    of the central-tendency stats (winsorized_price_stats trims the
+    tail; EVT MODELS it). Moments come from exact BIGINT sums; the only
+    transcendentals are ln on literal-derived ratios (ln parity per the
+    _LM_CTE note) and correctly-rounded sqrt, shared text on both sides.
+
+    Plan: data-grain aggregate to calendar-bounded day maxima, a 1-row
+    moment aggregate, a 3-row literal spine cross-join."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(
+        F.max(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long").alias("mx")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("sm"),
+        F.sum(F.expr("mx * mx")).cast("long").alias("smm"),
+        F.max("mx").cast("long").alias("observed_max"),
+    )
+    params = s.select(
+        "n", "observed_max",
+        F.expr(
+            f"sqrt((cast(smm as double) - cast(sm as double) * sm / n)"
+            f" / (n - 1)) * {_SQRT6_OVER_PI}"
+        ).alias("beta"),
+        F.expr(
+            f"cast(sm as double) / n - {_EULER_GAMMA} *"
+            f" sqrt((cast(smm as double) - cast(sm as double) * sm / n)"
+            f" / (n - 1)) * {_SQRT6_OVER_PI}"
+        ).alias("mu"),
+    )
+    spine = spark.createDataFrame([(t,) for t in _GUMBEL_TS], ["t_days"])
+    return params.crossJoin(F.broadcast(spine)).select(
+        "t_days", F.col("n").alias("n_days"), "observed_max",
+        F.expr("cast(round(mu) as bigint)").alias("mu_cents"),
+        F.expr("cast(round(beta) as bigint)").alias("beta_cents"),
+        F.expr(
+            "cast(round(mu - beta * ln(-ln(1.0 - 1.0 / t_days))) as bigint)"
+        ).alias("return_level_cents"),
+    )

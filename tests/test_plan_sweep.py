@@ -67,6 +67,7 @@ EXECUTES_AT_BUILD = {
     "logistic_calibration_quality",  # same IRLS fit at plan-build time
     "attribution_markov_removal",  # 49-row transition-matrix collect at build
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
+    "graph_k_core_peel",  # per-round localCheckpoint of the peeled edges
 }
 SKIP: set[str] = set()
 
