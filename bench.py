@@ -215,6 +215,9 @@ TRANCHE = [
     "graph_k_core_peel",
     "funnel_strict_windowed",
     "gumbel_return_levels",
+    "one_way_anova_f",
+    "levene_brown_forsythe",
+    "bm25_prf_expansion",
 ]
 
 

@@ -20912,3 +20912,404 @@ def gumbel_return_levels(spark, sf_dir):
             "cast(round(mu - beta * ln(-ln(1.0 - 1.0 / t_days))) as bigint)"
         ).alias("return_level_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test (revenue by nation)
+# ---------------------------------------------------------------------------
+
+_ANOVA_F_CRIT = 1.52  # F(0.95; df1=24, df2=inf)
+_ANOVA_F = (
+    "((ssb / (k - 1)) / (ssw / (n - k)))"
+)
+
+
+@register(
+    "one_way_anova_f",
+    f"""
+    WITH base AS (
+      SELECT n_name AS nation,
+             CAST(round(o_totalprice) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(x) AS BIGINT) AS s_g
+          FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST((SELECT count(*) FROM g) AS BIGINT) AS k
+            FROM base),
+    -- per-group term rounded to BIGINT before the sum: a sum of DOUBLES
+    -- across groups is summation-order-dependent (caught by the snapshot
+    -- runs: ulp-level ss drift); identical per-row doubles -> identical
+    -- rounded ints -> order-free exact sum
+    sb AS (SELECT CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g)
+                               AS BIGINT)) AS DOUBLE) AS sum_sg2
+           FROM g),
+    ss AS (
+      SELECT n, k,
+             sum_sg2 - CAST(s AS DOUBLE) * s / n AS ssb,
+             CAST(sxx AS DOUBLE) - sum_sg2 AS ssw
+      FROM tot CROSS JOIN sb)
+    SELECT n, k,
+           -- BIGINT, not round(x, 3): DuckDB's fractional round computes
+           -- x*1000 which overflows double precision at this magnitude
+           CAST(round(ssb) AS BIGINT) AS ss_between,
+           CAST(round(ssw) AS BIGINT) AS ss_within,
+           round({_ANOVA_F}, 6) AS f_stat,
+           CAST(CASE WHEN {_ANOVA_F} > {_ANOVA_F_CRIT} THEN 1 ELSE 0 END
+                AS INT) AS reject_95
+    FROM ss
+    """,
+)
+def one_way_anova_f(spark, sf_dir):
+    """One-way ANOVA: does mean order value differ across nations? —
+    the k-group generalization of conversion_ab_ztest's two-group
+    comparison (k = 25 here; the F statistic is the variance-explained
+    ratio). All sums of squares derive from THREE exact BIGINT sums
+    (n, S, S^2-per-group, sum x^2 — staged in whole dollars so sum(x^2)
+    stays inside int64 at any plausible scale), combined in one
+    shared-text double; decision against the literal F(24, inf) critical
+    value.
+
+    Plan: one star-join projection, a nation-grain aggregate + a 1-row
+    total aggregate (one pass each), two 1-row cross-joins. The group
+    re-aggregation of S_g^2/n_g is metadata-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("cast(round(o_totalprice) as bigint)").alias("x"),
+        )
+    )
+    g = base.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+    )
+    k_ = g.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    sb = g.agg(
+        F.sum(
+            F.expr("cast(round(cast(s_g as double) * s_g / n_g) as bigint)")
+        ).cast("double").alias("sum_sg2")
+    )
+    ss = (
+        tot.crossJoin(F.broadcast(k_)).crossJoin(F.broadcast(sb))
+        .select(
+            "n", "k",
+            F.expr("sum_sg2 - cast(s as double) * s / n").alias("ssb"),
+            F.expr("cast(sxx as double) - sum_sg2").alias("ssw"),
+        )
+    )
+    return ss.select(
+        "n", "k",
+        F.expr("cast(round(ssb) as bigint)").alias("ss_between"),
+        F.expr("cast(round(ssw) as bigint)").alias("ss_within"),
+        F.expr(f"round({_ANOVA_F}, 6)").alias("f_stat"),
+        F.expr(
+            f"cast(CASE WHEN {_ANOVA_F} > {_ANOVA_F_CRIT} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+@register(
+    "levene_brown_forsythe",
+    f"""
+    WITH base AS (
+      SELECT n_name AS nation,
+             CAST(round(o_totalprice) AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    med AS (SELECT nation, median(x) AS med FROM base GROUP BY 1),
+    z AS (SELECT base.nation,
+                 CAST(round(abs(x - med) * 2) AS BIGINT) AS z2
+          FROM base JOIN med USING (nation)),
+    g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(z2) AS BIGINT) AS s_g
+          FROM z GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(z2) AS BIGINT) AS s,
+                   CAST(sum(z2 * z2) AS BIGINT) AS sxx,
+                   CAST((SELECT count(*) FROM g) AS BIGINT) AS k
+            FROM z),
+    -- per-group term rounded to BIGINT before the sum: a sum of DOUBLES
+    -- across groups is summation-order-dependent (caught by the snapshot
+    -- runs: ulp-level ss drift); identical per-row doubles -> identical
+    -- rounded ints -> order-free exact sum
+    sb AS (SELECT CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g)
+                               AS BIGINT)) AS DOUBLE) AS sum_sg2
+           FROM g),
+    ss AS (
+      SELECT n, k,
+             sum_sg2 - CAST(s AS DOUBLE) * s / n AS ssb,
+             CAST(sxx AS DOUBLE) - sum_sg2 AS ssw
+      FROM tot CROSS JOIN sb)
+    SELECT n, k, round({_ANOVA_F}, 6) AS w_stat,
+           CAST(CASE WHEN {_ANOVA_F} > {_ANOVA_F_CRIT} THEN 1 ELSE 0 END
+                AS INT) AS reject_95
+    FROM ss
+    """,
+)
+def levene_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test (median-based Levene) for variance
+    HOMOGENEITY across nations — the assumption check that must pass
+    before one_way_anova_f's pooled-variance F is trustworthy, and a
+    useful dispersion-difference detector in its own right (same mean,
+    different spread = different customer mix). Deviations |x - median|
+    double to exact integers (group medians of integer dollars are
+    halves, so 2*|x - med| is an exact BIGINT), then the statistic is
+    literally one_way_anova_f applied to those deviations.
+
+    Plan: star-join projection, a nation-grain exact-median aggregate
+    joined back (the only second pass), then the same three-sum ANOVA
+    staging. All sums exact BIGINT; one shared-text double at the end."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("cast(round(o_totalprice) as bigint)").alias("x"),
+        )
+    )
+    med = base.groupBy("nation").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    z = base.join(med, "nation").select(
+        "nation",
+        F.expr("cast(round(abs(x - med) * 2) as bigint)").alias("z2"),
+    )
+    g = z.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z2").cast("long").alias("s_g"),
+    )
+    k_ = g.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z2").cast("long").alias("s"),
+        F.sum(F.expr("z2 * z2")).cast("long").alias("sxx"),
+    )
+    sb = g.agg(
+        F.sum(
+            F.expr("cast(round(cast(s_g as double) * s_g / n_g) as bigint)")
+        ).cast("double").alias("sum_sg2")
+    )
+    ss = (
+        tot.crossJoin(F.broadcast(k_)).crossJoin(F.broadcast(sb))
+        .select(
+            "n", "k",
+            F.expr("sum_sg2 - cast(s as double) * s / n").alias("ssb"),
+            F.expr("cast(sxx as double) - sum_sg2").alias("ssw"),
+        )
+    )
+    return ss.select(
+        "n", "k",
+        F.expr(f"round({_ANOVA_F}, 6)").alias("w_stat"),
+        F.expr(
+            f"cast(CASE WHEN {_ANOVA_F} > {_ANOVA_F_CRIT} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 pseudo-relevance feedback (RM/RSJ-style query expansion)
+# ---------------------------------------------------------------------------
+
+_PRF_R = 10      # feedback depth: top-R docs from the first pass
+_PRF_MIN_R = 3   # expansion term must hit >= this many feedback docs
+_PRF_NEXP = 3    # expansion terms added
+
+
+def _prf_oracle() -> str:
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+                WHERE trim(text) <> ''),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(tk) AS t FROM tk),
+    dl AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                        FROM ex GROUP BY 1),
+    n_t AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(dl) AS BIGINT) AS total_len
+                         FROM dl),
+    tf AS MATERIALIZED (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                        FROM ex GROUP BY 1, 2),
+    dfreq AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS df
+                           FROM tf GROUP BY 1),
+    qterms AS MATERIALIZED (
+      SELECT t, df FROM dfreq
+      WHERE df BETWEEN {_BM25_DF_LO} AND {_BM25_DF_HI}
+      ORDER BY df DESC, t ASC LIMIT {_BM25_NQ}),
+    nrm AS MATERIALIZED (
+      SELECT doc_id, 250000 + 750000 * dl.dl * n_t.n_docs // n_t.total_len
+                 AS norm_micro
+      FROM dl CROSS JOIN n_t),
+    idf0 AS MATERIALIZED (
+      SELECT t, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1) * 1000)
+                     AS BIGINT) AS idf_milli
+      FROM qterms CROSS JOIN n_t),
+    before_s AS MATERIALIZED (
+      SELECT tf.doc_id, CAST(sum({_BM25_TERM}) AS BIGINT) AS score_before_milli
+      FROM tf JOIN idf0 USING (t) JOIN nrm USING (doc_id)
+      GROUP BY 1),
+    fb AS MATERIALIZED (
+      SELECT doc_id FROM before_s
+      ORDER BY score_before_milli DESC, doc_id ASC LIMIT {_PRF_R}),
+    cand AS MATERIALIZED (
+      SELECT tf.t, CAST(count(*) AS BIGINT) AS r, dfreq.df
+      FROM tf JOIN fb USING (doc_id) JOIN dfreq USING (t)
+      CROSS JOIN n_t
+      WHERE tf.t NOT IN (SELECT t FROM qterms)
+        AND dfreq.df <= n_t.n_docs * 9 // 10
+      GROUP BY 1, 3
+      HAVING count(*) >= {_PRF_MIN_R}),
+    expn AS MATERIALIZED (
+      SELECT t, df FROM cand
+      ORDER BY r DESC, df ASC, t ASC LIMIT {_PRF_NEXP}),
+    allq AS MATERIALIZED (
+      SELECT t, df FROM qterms UNION ALL SELECT t, df FROM expn),
+    idf1 AS MATERIALIZED (
+      SELECT t, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1) * 1000)
+                     AS BIGINT) AS idf_milli
+      FROM allq CROSS JOIN n_t),
+    after_s AS MATERIALIZED (
+      SELECT tf.doc_id, CAST(sum({_BM25_TERM}) AS BIGINT) AS score_after_milli
+      FROM tf JOIN idf1 USING (t) JOIN nrm USING (doc_id)
+      GROUP BY 1),
+    top_after AS MATERIALIZED (
+      SELECT doc_id, score_after_milli,
+             CAST(row_number() OVER (ORDER BY score_after_milli DESC,
+                                     doc_id ASC) AS INT) AS rank_after
+      FROM after_s
+      ORDER BY score_after_milli DESC, doc_id ASC LIMIT {_BM25_K})
+    SELECT ta.doc_id, ta.rank_after, ta.score_after_milli,
+           CAST(coalesce(b.score_before_milli, 0) AS BIGINT)
+               AS score_before_milli,
+           CAST(CASE WHEN fb2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS in_feedback_set
+    FROM top_after ta
+    LEFT JOIN before_s b ON b.doc_id = ta.doc_id
+    LEFT JOIN fb fb2 ON fb2.doc_id = ta.doc_id
+    """
+
+
+@register("bm25_prf_expansion", _prf_oracle())
+def bm25_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance feedback on top of BM25: run the base query, take
+    the top-{_PRF_R} documents as assumed-relevant feedback, promote the
+    {_PRF_NEXP} strongest co-occurring terms (RSJ-style: present in >=
+    {_PRF_MIN_R} feedback docs, rarest-first, never stop-shingle-banded
+    terms) into the query, and re-rank — the classic two-pass retrieval
+    upgrade (Rocchio/RM1 family) that lifts recall with zero training.
+    Output is the AFTER top-{_BM25_K} with both scores and a flag for
+    docs that were already feedback — the before/after delta IS the PRF
+    effect.
+
+    Plan: the bm25 posting-pruned shape run twice (both passes touch
+    only the query/expansion postings), one {_PRF_R}-row TakeOrdered
+    feedback set, expansion selection from a feedback-semijoined
+    aggregate. Same exact rational Okapi staging as bm25_retrieval_topk;
+    everything integer except the idf milli constants."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    ex = docs.select(
+        "doc_id", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("t")
+    )
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    n_t = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = ex.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qterms = (
+        dfreq.filter(F.col("df").between(_BM25_DF_LO, _BM25_DF_HI))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(_BM25_NQ)
+    )
+    idf_expr = (
+        "cast(round(ln((cast(n_docs as double) - df + 0.5)"
+        " / (cast(df as double) + 0.5) + 1) * 1000) as bigint)"
+    )
+    nrm = dl.crossJoin(F.broadcast(n_t)).select(
+        "doc_id",
+        F.expr("250000 + 750000 * dl * n_docs div total_len").alias("norm_micro"),
+    )
+    term_expr = _BM25_TERM.replace("//", "div")
+    idf0 = qterms.crossJoin(F.broadcast(n_t)).select(
+        "t", F.expr(idf_expr).alias("idf_milli")
+    )
+    before_s = (
+        tf.join(F.broadcast(idf0), "t")
+        .join(nrm, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(term_expr)).cast("bigint").alias("score_before_milli"))
+    )
+    fb = before_s.orderBy(
+        F.col("score_before_milli").desc(), F.col("doc_id").asc()
+    ).limit(_PRF_R).select("doc_id")
+    qset = qterms.select(F.col("t").alias("qt"))
+    cand = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(qset), F.col("t") == F.col("qt"), "left_anti")
+        .join(dfreq, "t")
+        .crossJoin(F.broadcast(n_t.select("n_docs")))
+        # relative cap: the absolute stop-band (df <= 200) empties on any
+        # corpus whose common terms exceed it; <= 90% of docs keeps true
+        # every-doc stopwords out while staying scale-proportional
+        .filter(F.col("df") <= F.expr("n_docs * 9 div 10"))
+        .groupBy("t", "df")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .filter(F.col("r") >= _PRF_MIN_R)
+    )
+    expn = cand.orderBy(
+        F.col("r").desc(), F.col("df").asc(), F.col("t").asc()
+    ).limit(_PRF_NEXP).select("t", "df")
+    allq = qterms.select("t", "df").unionAll(expn)
+    idf1 = allq.crossJoin(F.broadcast(n_t)).select(
+        "t", F.expr(idf_expr).alias("idf_milli")
+    )
+    after_s = (
+        tf.join(F.broadcast(idf1), "t")
+        .join(nrm, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(term_expr)).cast("bigint").alias("score_after_milli"))
+    )
+    top_after = after_s.orderBy(
+        F.col("score_after_milli").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_K)
+    w = Window.orderBy(F.col("score_after_milli").desc(), F.col("doc_id").asc())
+    top_after = top_after.select(
+        "doc_id", "score_after_milli",
+        F.row_number().over(w).cast("int").alias("rank_after"),
+    )
+    return (
+        top_after
+        .join(before_s, "doc_id", "left")
+        .join(
+            fb.withColumn("in_fb", F.lit(1)), "doc_id", "left"
+        )
+        .select(
+            "doc_id", "rank_after", "score_after_milli",
+            F.coalesce(F.col("score_before_milli"), F.lit(0)).cast("long")
+            .alias("score_before_milli"),
+            F.coalesce(F.col("in_fb"), F.lit(0)).cast("int")
+            .alias("in_feedback_set"),
+        )
+    )
