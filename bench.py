@@ -218,6 +218,8 @@ TRANCHE = [
     "one_way_anova_f",
     "levene_brown_forsythe",
     "bm25_prf_expansion",
+    "permutation_test_diff",
+    "geometric_median_embeddings",
 ]
 
 

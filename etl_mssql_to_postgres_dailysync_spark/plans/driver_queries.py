@@ -21313,3 +21313,278 @@ def bm25_prf_expansion(spark, sf_dir):
             .alias("in_feedback_set"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test via md5-slice label reshuffles
+# ---------------------------------------------------------------------------
+
+_PERM_R = 32  # permutations: 4 digests x 8 16-bit slices per user
+
+
+@register(
+    "permutation_test_diff",
+    f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS tp
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS v,
+             CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}
+                  THEN 1 ELSE 0 END AS y,
+             [md5(CAST(user_id AS VARCHAR) || '#p0'),
+              md5(CAST(user_id AS VARCHAR) || '#p1'),
+              md5(CAST(user_id AS VARCHAR) || '#p2'),
+              md5(CAST(user_id AS VARCHAR) || '#p3')] AS dg
+      FROM f),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) * 1000000
+                  // greatest(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END), 1)
+                - sum(CASE WHEN v = 0 THEN y ELSE 0 END) * 1000000
+                  // greatest(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS obs_diff_ppm,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM u),
+    r AS (SELECT y, dg, unnest(range(0, {_PERM_R})) AS rep FROM u),
+    pv AS (SELECT CAST(rep AS INT) AS rep, y,
+                  CAST('0x' || substr(dg[CAST(rep // 8 AS INT) + 1],
+                                      CAST((rep % 8) * 4 + 1 AS INT), 4)
+                       AS BIGINT) % 2 AS v
+           FROM r),
+    nd AS (
+      SELECT rep,
+             CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) * 1000000
+                  // greatest(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END), 1)
+                - sum(CASE WHEN v = 0 THEN y ELSE 0 END) * 1000000
+                  // greatest(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS null_diff_ppm
+      FROM pv GROUP BY 1),
+    summ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_perms,
+             CAST(max(abs(null_diff_ppm)) AS BIGINT) AS null_max_abs_ppm,
+             CAST(sum(CASE WHEN abs(null_diff_ppm) >= abs(obs.obs_diff_ppm)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM nd CROSS JOIN obs)
+    SELECT obs.n_users, obs.obs_diff_ppm, summ.n_perms, summ.n_extreme,
+           summ.null_max_abs_ppm,
+           CAST((summ.n_extreme + 1) * 1000000 // (summ.n_perms + 1)
+                AS BIGINT) AS p_value_ppm
+    FROM obs CROSS JOIN summ
+    """,
+)
+def permutation_test_diff(spark, sf_dir):
+    """Permutation test of the variant conversion difference: reshuffle
+    the treatment label {_PERM_R} times with md5-slice 16-bit draws (the
+    same 4-digests-per-row trick as the Poisson bootstrap) and locate the
+    observed difference in the null distribution — the assumption-free
+    inference companion to conversion_ab_ztest (no normality, no pooled
+    variance; the add-one p-value (b+1)/(m+1) is the standard exact-test
+    form). Every permutation replays bit-identically on both engines.
+
+    Plan: user-grain aggregate, map-side explode x{_PERM_R}, a
+    {_PERM_R}-group partial-aggregable groupBy (shuffle carries
+    {_PERM_R} rows per partition), 1-row summary cross-joins. Exact
+    integer ppm throughout."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("tp"),
+    )
+    dg = F.array(*[
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"#p{s}")))
+        for s in range(4)
+    ])
+    u = f.select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("v"),
+        F.expr(
+            f"CASE WHEN tp IS NOT NULL AND tp - t0 < {_SHAP_FAST_US}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+        dg.alias("dg"),
+    )
+    diff_expr = (
+        "cast(sum(CASE WHEN v = 1 THEN y ELSE 0 END) * 1000000"
+        " div greatest(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END), 1)"
+        " - sum(CASE WHEN v = 0 THEN y ELSE 0 END) * 1000000"
+        " div greatest(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END), 1) as bigint)"
+    )
+    obs = u.agg(
+        F.expr(diff_expr).alias("obs_diff_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    r = u.select(
+        "y", "dg", F.explode(F.sequence(F.lit(0), F.lit(_PERM_R - 1))).alias("rep")
+    )
+    pv = r.select(
+        F.col("rep").cast("int").alias("rep"), "y",
+        (
+            F.expr(
+                "cast(conv(substring(element_at(dg, cast(rep div 8 as int) + 1),"
+                " cast((rep % 8) * 4 + 1 as int), 4), 16, 10) as bigint)"
+            ) % 2
+        ).cast("int").alias("v"),
+    )
+    nd = pv.groupBy("rep").agg(F.expr(diff_expr).alias("null_diff_ppm"))
+    summ = nd.crossJoin(F.broadcast(obs.select("obs_diff_ppm"))).agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.max(F.abs(F.col("null_diff_ppm"))).cast("long").alias("null_max_abs_ppm"),
+        F.sum(
+            F.expr(
+                "CASE WHEN abs(null_diff_ppm) >= abs(obs_diff_ppm)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("long").alias("n_extreme"),
+    )
+    return obs.crossJoin(F.broadcast(summ)).select(
+        "n_users", "obs_diff_ppm", "n_perms", "n_extreme", "null_max_abs_ppm",
+        F.expr(
+            "cast((n_extreme + 1) * 1000000 div (n_perms + 1) as bigint)"
+        ).alias("p_value_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geometric median of the embedding cloud (3 unrolled Weiszfeld steps)
+# ---------------------------------------------------------------------------
+
+_GM_DIMS = 64
+_GM_ITERS = 3
+
+
+def _gm_round_sql(t: int) -> str:
+    """One Weiszfeld step: distances to the current estimate, then the
+    inverse-distance-weighted coordinate update, all in integer micro."""
+    return f"""
+    d{t} AS MATERIALIZED (
+      SELECT p.vec_id,
+             greatest(CAST(round(sqrt(CAST((
+               SELECT sum((p.xm[s.i] - m.c[s.i]) * (p.xm[s.i] - m.c[s.i]))
+               FROM (SELECT unnest(range(1, {_GM_DIMS + 1})) AS i) s
+             ) AS DOUBLE))) AS BIGINT), 1) AS d_micro
+      FROM pts p CROSS JOIN m{t} m),
+    nm{t} AS MATERIALIZED (
+      SELECT s.i AS dim,
+             CAST(sum(p.xm[s.i] * 1000000 // d{t}.d_micro) AS BIGINT) AS num,
+             CAST(sum(1000000000000 // d{t}.d_micro) AS BIGINT) AS den
+      FROM pts p
+      JOIN d{t} ON d{t}.vec_id = p.vec_id
+      CROSS JOIN (SELECT unnest(range(1, {_GM_DIMS + 1})) AS i) s
+      GROUP BY 1),
+    m{t + 1} AS MATERIALIZED (
+      SELECT list(num * 1000000 // den ORDER BY dim) AS c FROM nm{t})
+    """
+
+
+def _gm_oracle() -> str:
+    rounds = ",".join(_gm_round_sql(t) for t in range(1, _GM_ITERS + 1))
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(round(v * 1000000) AS BIGINT)) AS xm
+      FROM embeddings),
+    m1 AS MATERIALIZED (
+      SELECT list(mu ORDER BY dim) AS c
+      FROM (
+        SELECT s.i AS dim,
+               CAST(sum(xm[s.i]) // count(*) AS BIGINT) AS mu
+        FROM pts CROSS JOIN (SELECT unnest(range(1, {_GM_DIMS + 1})) AS i) s
+        GROUP BY 1)),
+    {rounds}
+    SELECT s.i AS dim,
+           CAST(m1.c[s.i] AS BIGINT) AS mean_micro,
+           CAST(mf.c[s.i] AS BIGINT) AS gmedian_micro,
+           CAST(mf.c[s.i] - m1.c[s.i] AS BIGINT) AS shift_micro
+    FROM m1 CROSS JOIN m{_GM_ITERS + 1} mf
+    CROSS JOIN (SELECT unnest(range(1, {_GM_DIMS + 1})) AS i) s
+    """
+
+
+@register("geometric_median_embeddings", _gm_oracle())
+def geometric_median_embeddings(spark, sf_dir):
+    """Geometric median of the embedding cloud via {_GM_ITERS} unrolled
+    Weiszfeld iterations — the ROBUST centroid (minimizes summed L2
+    distance, not squared distance, so a few corrupt/outlier vectors
+    cannot drag it the way the mean used by k-means/IVF training drifts);
+    the high-dimensional sibling of robust_stats_mad. Coordinates stage
+    to integer micro up front; each step's distances round to integer
+    micro (identical doubles -> identical ints on both engines) and the
+    inverse-distance-weighted update is exact integer arithmetic, so the
+    whole iteration replays bit-identically.
+
+    Plan, per step: one corpus x 1-row-estimate cross-join for distances
+    (plan-gate bounded), one dim-grain aggregate over the literal
+    64-dim spine (the explode is map-side, the shuffle carries 64 rows),
+    then a 1-row array rebuild. O(n * dims) work per step, no windows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> cast(round(v * 1000000) as bigint))"
+        ).alias("xm"),
+    )
+    spine = spark.range(1, _GM_DIMS + 1).select(F.col("id").cast("int").alias("dim"))
+    m = (
+        pts.crossJoin(F.broadcast(spine))
+        .groupBy("dim")
+        .agg(
+            F.expr("cast(sum(element_at(xm, dim)) div count(*) as bigint)")
+            .alias("mu")
+        )
+        .agg(F.expr("sort_array(collect_list(struct(dim, mu)))").alias("sm"))
+        .select(F.expr("transform(sm, s -> s.mu)").alias("c"))
+    )
+    for t in range(1, _GM_ITERS + 1):
+        d = pts.crossJoin(F.broadcast(m)).select(
+            "vec_id", "xm",
+            F.expr(
+                "greatest(cast(round(sqrt(cast(aggregate("
+                "zip_with(xm, c, (a, b) -> (a - b) * (a - b)),"
+                " cast(0 as bigint), (acc, x) -> acc + x) as double)))"
+                " as bigint), 1)"
+            ).alias("d_micro"),
+        )
+        nm = (
+            d.crossJoin(F.broadcast(spine))
+            .groupBy("dim")
+            .agg(
+                F.expr(
+                    "cast(sum(element_at(xm, dim) * 1000000 div d_micro)"
+                    " as bigint)"
+                ).alias("num"),
+                F.expr(
+                    "cast(sum(1000000000000 div d_micro) as bigint)"
+                ).alias("den"),
+            )
+        )
+        m = (
+            nm.select("dim", F.expr("num * 1000000 div den").alias("mu"))
+            .agg(F.expr("sort_array(collect_list(struct(dim, mu)))").alias("sm"))
+            .select(F.expr("transform(sm, s -> s.mu)").alias("c"))
+        )
+    mean_m = (
+        pts.crossJoin(F.broadcast(spine))
+        .groupBy("dim")
+        .agg(
+            F.expr("cast(sum(element_at(xm, dim)) div count(*) as bigint)")
+            .alias("mean_micro")
+        )
+    )
+    final = (
+        mean_m.crossJoin(F.broadcast(m))
+        .select(
+            "dim", "mean_micro",
+            F.expr("element_at(c, dim)").cast("long").alias("gmedian_micro"),
+        )
+    )
+    return final.select(
+        "dim", "mean_micro", "gmedian_micro",
+        (F.col("gmedian_micro") - F.col("mean_micro")).cast("long")
+        .alias("shift_micro"),
+    )
