@@ -220,6 +220,7 @@ TRANCHE = [
     "bm25_prf_expansion",
     "permutation_test_diff",
     "geometric_median_embeddings",
+    "error_budget_burn_rate",
 ]
 
 

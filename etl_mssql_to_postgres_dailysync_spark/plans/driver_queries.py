@@ -21588,3 +21588,90 @@ def geometric_median_embeddings(spark, sf_dir):
         (F.col("gmedian_micro") - F.col("mean_micro")).cast("long")
         .alias("shift_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn rate (1d / 7d / 28d multi-window, SRE-style)
+# ---------------------------------------------------------------------------
+
+_SLO_PPM = 250000  # SLO: <= 25% error events (fixture-calibrated)
+
+
+@register(
+    "error_budget_burn_rate",
+    f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n, e,
+             CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n7,
+             CAST(sum(e) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e7,
+             CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n28,
+             CAST(sum(e) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e28
+      FROM d)
+    SELECT day, n, e,
+           CAST(e * 1000000000 // (n * {_SLO_PPM}) AS BIGINT) AS burn_1d_milli,
+           CAST(e7 * 1000000000 // (n7 * {_SLO_PPM}) AS BIGINT)
+               AS burn_7d_milli,
+           CAST(e28 * 1000000000 // (n28 * {_SLO_PPM}) AS BIGINT)
+               AS burn_28d_milli,
+           CAST(CASE WHEN e * 1000000000 // (n * {_SLO_PPM}) > 14400
+                      AND e7 * 1000000000 // (n7 * {_SLO_PPM}) > 14400
+                     THEN 2
+                     WHEN e7 * 1000000000 // (n7 * {_SLO_PPM}) > 6000
+                      AND e28 * 1000000000 // (n28 * {_SLO_PPM}) > 6000
+                     THEN 1 ELSE 0 END AS INT) AS page_severity
+    FROM w
+    """,
+)
+def error_budget_burn_rate(spark, sf_dir):
+    """SLO error-budget burn rate with multi-window alerting (the Google
+    SRE-workbook pattern): burn = error_rate / SLO_budget per 1d / 7d /
+    28d trailing windows, paging only when BOTH a fast and a slow window
+    burn hot (14.4x fast+slow = budget gone in 2 days; 6x = gone in ~5) —
+    the production-alerting layer on top of event_error_rate_daily's raw
+    series (single-window alerts flap; the dual-window AND is the
+    standard fix). Burn rates stage as exact integer milli (one floor
+    div per window against the literal SLO).
+
+    Plan: one data-grain aggregate to day grain, three ROWS-frame
+    windows above it (calendar-bounded), pure integer expressions."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("e"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    w = d.select(
+        "day", "n", "e",
+        F.sum("n").over(w7).cast("long").alias("n7"),
+        F.sum("e").over(w7).cast("long").alias("e7"),
+        F.sum("n").over(w28).cast("long").alias("n28"),
+        F.sum("e").over(w28).cast("long").alias("e28"),
+    )
+    b1 = f"e * 1000000000 div (n * {_SLO_PPM})"
+    b7 = f"e7 * 1000000000 div (n7 * {_SLO_PPM})"
+    b28 = f"e28 * 1000000000 div (n28 * {_SLO_PPM})"
+    return w.select(
+        "day", "n", "e",
+        F.expr(f"cast({b1} as bigint)").alias("burn_1d_milli"),
+        F.expr(f"cast({b7} as bigint)").alias("burn_7d_milli"),
+        F.expr(f"cast({b28} as bigint)").alias("burn_28d_milli"),
+        F.expr(
+            f"cast(CASE WHEN {b1} > 14400 AND {b7} > 14400 THEN 2"
+            f" WHEN {b7} > 6000 AND {b28} > 6000 THEN 1 ELSE 0 END as int)"
+        ).alias("page_severity"),
+    )

@@ -120,3 +120,44 @@ def test_geometric_median_is_robust_unit():
         m = (np.array(pts).T @ w) / w.sum()
     assert np.linalg.norm(mean) > 80
     assert np.linalg.norm(m) < 5
+
+
+# ---------------------------------------------------------------------------
+# error_budget_burn_rate
+# ---------------------------------------------------------------------------
+
+def test_burn_rate_matches_window_replica(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    days = sorted(ev["day"].unique())
+    n = {d: int((ev["day"] == d).sum()) for d in days}
+    e = {d: int(((ev["day"] == d) & (ev["event_type"] == "error")).sum())
+         for d in days}
+    rows = {r["day"]: r for r in
+            QUERIES["error_budget_burn_rate"](spark, SF_DIR).collect()}
+    assert sorted(rows) == days
+    for i, d in enumerate(days):
+        r = rows[d]
+        assert (r["n"], r["e"]) == (n[d], e[d])
+        w7 = days[max(0, i - 6):i + 1]
+        w28 = days[max(0, i - 27):i + 1]
+        b1 = e[d] * 10**9 // (n[d] * 250000)
+        b7 = sum(e[x] for x in w7) * 10**9 // (sum(n[x] for x in w7) * 250000)
+        b28 = (sum(e[x] for x in w28) * 10**9
+               // (sum(n[x] for x in w28) * 250000))
+        assert r["burn_1d_milli"] == b1
+        assert r["burn_7d_milli"] == b7
+        assert r["burn_28d_milli"] == b28
+        sev = 2 if (b1 > 14400 and b7 > 14400) else (
+            1 if (b7 > 6000 and b28 > 6000) else 0)
+        assert r["page_severity"] == sev
+
+
+def test_burn_rate_semantics_unit():
+    """burn = 1000 milli means exactly on budget; the dual-window AND
+    suppresses a one-day spike that the 7d window has not confirmed."""
+    # on-budget: 25% errors at SLO 25% -> burn exactly 1000 milli
+    assert 250 * 10**9 // (1000 * 250000) == 1000
+    # a single hot day (50% errors) with a calm week does not page at sev 2
+    b1, b7 = 2000, 900
+    assert not (b1 > 14400 and b7 > 14400)
