@@ -8,7 +8,9 @@ nothing else — r4's artifact came back "parsed": null because
 spread/runs_per_query made that single line overflow the tail window.
 Everything diagnostic (per-query spread, per-query noise floors,
 runs_per_query, the non-headline tranche section) is printed on EARLIER
-lines and also written whole to BENCH_FULL.json next to this file.
+lines and also written whole to BENCH_FULL.latest.json next to this file
+(untracked; the committed BENCH_FULL.json baseline is only overwritten when
+SPARK_GRAFT_WRITE_FULL=1 — quiet-host baseline runs).
 
 Measurement protocol (r6, noise-aware): two same-day full-bench runs on
 identical r5 code measured 23.65 s and 25.79 s — ±10% host noise that a
@@ -324,10 +326,20 @@ def main() -> None:
     }
     full = {"headline": headline_line, "tranche": tranche_line, "diag": diag_line}
     # partial or off-default-scale diagnostic runs must not clobber the
-    # canonical sf0.1 artifact (a verify-skill smoke at sf0.01 once did)
+    # canonical sf0.1 artifact (a verify-skill smoke at sf0.01 once did).
+    # r7 (r6 verdict ask #6): the COMMITTED artifact BENCH_FULL.json is only
+    # written when explicitly asked (SPARK_GRAFT_WRITE_FULL=1, set by the
+    # builder for quiet-host baseline runs with a same-commit control) —
+    # driver/CI invocations get BENCH_FULL.latest.json (untracked) so a
+    # routine bench run can never leave the committed baseline dirty.
     if not skip_tranche and abs(sf - 0.1) < 1e-9:
+        fname = (
+            "BENCH_FULL.json"
+            if os.environ.get("SPARK_GRAFT_WRITE_FULL") == "1"
+            else "BENCH_FULL.latest.json"
+        )
         try:
-            out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
             with open(out, "w") as fh:
                 json.dump(full, fh, indent=1)
         except OSError:

@@ -68,6 +68,16 @@ EXECUTES_AT_BUILD = {
     "attribution_markov_removal",  # 49-row transition-matrix collect at build
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
     "graph_k_core_peel",  # per-round localCheckpoint of the peeled edges
+    # r7: the diamond-lineage queries the r6 verdict flagged now materialize
+    # their bounded iteration state (localCheckpoint / 1-row collect) at
+    # plan-build time instead of re-executing the data-grain pass per branch
+    "ipf_raking_weights",  # 125-cell + margin tables localCheckpoint-ed
+    "adaboost_stumps",  # per-round 1-row best-stump collect
+    "mutual_information_matrix",  # 75-cell joint table localCheckpoint-ed
+    "median_polish_revenue",  # 300-cell matrix localCheckpoint-ed
+    "funnel_strict_windowed",  # per-step first-timestamp tables pinned
+    "levene_brown_forsythe",  # 25-row median + group-sum tables pinned
+    "bm25_prf_expansion",  # postings index materialized once
 }
 SKIP: set[str] = set()
 
@@ -193,6 +203,51 @@ def test_global_window_sits_above_aggregate(spark, name):
         )
 
 
+# ---------------------------------------------------------------------------
+# plan-size gate (r6 verdict ask #3): a query whose physical plan contains
+# dozens-to-hundreds of file scans is re-executing its data-grain stage once
+# per lineage branch — the recompute class that shipped in r6's
+# ipf_raking_weights (1,273 scans / 890 shuffles for a 125-row iteration
+# state; 8x slower than the materialized form for identical output) and
+# adaboost_stumps (249 scans). Correct everywhere, catastrophic at 100 TB.
+# The fix is always the same: localCheckpoint (or a sanctioned bounded
+# collect) on the bounded aggregate the branches share. This gate makes that
+# rule structural: no registry plan may read a file source more than
+# MAX_FILE_SCANS times.
+# ---------------------------------------------------------------------------
+
+# physical leaves that re-read a FILE source per occurrence (ExistingRDD /
+# InMemory scans over localCheckpoint-ed state are cheap re-reads of
+# materialized rows and are exactly the sanctioned fix, so they don't count)
+_FILE_SCANS = {"FileSourceScanExec", "BatchScanExec", "RowDataSourceScanExec"}
+
+MAX_FILE_SCANS = 16
+
+# justified exceptions; every entry documents WHY the scan count is bounded
+# by construction despite exceeding the default gate
+ALLOWED_FILE_SCANS: dict[str, tuple[int, str]] = {}
+
+
+def _count_file_scans(plan) -> int:
+    n = 0
+    for node in _walk(plan):
+        if node.getClass().getSimpleName() in _FILE_SCANS:
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_plan_file_scan_count_bounded(spark, name):
+    n = _count_file_scans(_plan(spark, name))
+    bound, why = ALLOWED_FILE_SCANS.get(name, (MAX_FILE_SCANS, ""))
+    assert n <= bound, (
+        f"{name} plans {n} file scans (> {bound}): a lineage branch is "
+        "re-executing its data-grain stage per reference. Materialize the "
+        "shared bounded aggregate (localCheckpoint / 1-row collect) instead "
+        "of widening the gate." + (f" [{why}]" if why else "")
+    )
+
+
 def test_gate_metadata_names_exist_in_registry():
     """The documentation sets in this module (EXECUTES_AT_BUILD,
     ALLOWED_NESTED_LOOP, ALLOWED_GLOBAL_WINDOW) must not drift from the
@@ -202,6 +257,7 @@ def test_gate_metadata_names_exist_in_registry():
         ("EXECUTES_AT_BUILD", EXECUTES_AT_BUILD),
         ("ALLOWED_NESTED_LOOP", set(ALLOWED_NESTED_LOOP)),
         ("ALLOWED_GLOBAL_WINDOW", set(ALLOWED_GLOBAL_WINDOW)),
+        ("ALLOWED_FILE_SCANS", set(ALLOWED_FILE_SCANS)),
     ):
         stale = set(names) - set(QUERIES)
         assert not stale, f"{label} names not in QUERIES registry: {sorted(stale)}"
