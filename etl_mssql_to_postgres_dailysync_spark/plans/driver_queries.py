@@ -21794,3 +21794,964 @@ def error_budget_burn_rate(spark, sf_dir):
             f" WHEN {b7} > 6000 AND {b28} > 6000 THEN 1 ELSE 0 END as int)"
         ).alias("page_severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: two-group survival comparison (completes kaplan_meier)
+# ---------------------------------------------------------------------------
+
+_LOGRANK_CHI2_CRIT = 3.84  # chi2(0.95; df=1)
+# per-event-time expected events and hypergeometric variance for group 1,
+# staged to integer micro PER TIME before summing (ANOVA convention: sums
+# of doubles are order-dependent; identical per-row doubles -> identical
+# rounded ints -> order-free exact sums). The leading CAST makes the whole
+# chain double so the bigint products can never overflow.
+_LR_E1 = (
+    "CAST(round(CAST(d AS DOUBLE) * n1_risk * 1000000 / n_risk) AS BIGINT)"
+)
+_LR_V = (
+    "CAST(CASE WHEN n_risk <= 1 THEN 0 ELSE"
+    " round(CAST(d AS DOUBLE) * n1_risk * (n_risk - n1_risk)"
+    " * (n_risk - d) * 1000000"
+    " / (CAST(n_risk AS DOUBLE) * n_risk * (n_risk - 1))) END AS BIGINT)"
+)
+_LR_CHI2 = (
+    "((CAST(o1 AS DOUBLE) * 1000000 - e1_micro)"
+    " * (CAST(o1 AS DOUBLE) * 1000000 - e1_micro)"
+    " / (CAST(v_micro AS DOUBLE) * 1000000))"
+)
+
+
+def _logrank_oracle() -> str:
+    return f"""
+    WITH ue AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t_first,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS t_purch
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t_max FROM events),
+    durs AS (
+      SELECT grp,
+             CASE WHEN t_purch IS NOT NULL
+                  THEN (t_purch - t_first) // 3600000000
+                  ELSE (t_max - t_first) // 3600000000 END AS t_hours,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN mx),
+    tg AS (SELECT t_hours,
+                  CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(sum(ev * grp) AS BIGINT) AS d1,
+                  CAST(count(*) AS BIGINT) AS leave_n,
+                  CAST(sum(grp) AS BIGINT) AS leave1
+           FROM durs GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(grp) AS BIGINT) AS n1_users
+            FROM durs),
+    risk AS (
+      SELECT t_hours, d, d1,
+             n_users - (CAST(sum(leave_n) OVER (ORDER BY t_hours) AS BIGINT)
+                        - leave_n) AS n_risk,
+             n1_users - (CAST(sum(leave1) OVER (ORDER BY t_hours) AS BIGINT)
+                         - leave1) AS n1_risk
+      FROM tg CROSS JOIN tot),
+    terms AS (
+      SELECT d1, {_LR_E1} AS e1_t, {_LR_V} AS v_t
+      FROM risk WHERE d > 0),
+    s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                 CAST(sum(e1_t) AS BIGINT) AS e1_micro,
+                 CAST(sum(v_t) AS BIGINT) AS v_micro
+          FROM terms)
+    SELECT o1, e1_micro, v_micro,
+           round({_LR_CHI2}, 6) AS chi2_stat,
+           CAST(CASE WHEN {_LR_CHI2} > {_LOGRANK_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS INT) AS reject_95
+    FROM s
+    """
+
+
+@register("logrank_test_survival", _logrank_oracle())
+def logrank_test_survival(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test: do the two experiment arms (user-parity
+    buckets, the same assignment as conversion_ab_ztest) differ in
+    time-to-first-purchase survival? — the hypothesis-test companion to
+    kaplan_meier_survival (KM draws the curves; log-rank says whether the
+    gap is real under censoring, which a naive conversion-rate comparison
+    gets wrong when arms are observed for different spans). At each event
+    time the observed group-1 events are compared against the
+    hypergeometric expectation d*n1/n with variance
+    d*(n1/n)(1-n1/n)(n-d)/(n-1); chi2 = (O-E)^2/V against the literal
+    chi2(1) critical value.
+
+    Per-time E and V round to integer micro BEFORE the sum (order-free
+    exact BIGINT sums, the ANOVA convention); O is exact. The only
+    unrounded doubles are inside the shared-text per-time expressions and
+    the final 1-row chi2.
+
+    Plan: user-grain aggregate, 1-row horizon cross-join, duration-grain
+    aggregate (bounded by the observation window in hours at ANY user
+    count), two cumulative windows over that bounded grain (risk sets as
+    suffix counts from prefix sums — no self-join), a 1-row sum. Same
+    scale shape as kaplan_meier_survival."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.groupBy(
+        "user_id", F.expr("cast(user_id % 2 as bigint)").alias("grp")
+    ).agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("t_purch"),
+    )
+    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).cast("long").alias("t_max"))
+    durs = ue.crossJoin(F.broadcast(mx)).select(
+        "grp",
+        F.expr(
+            "CASE WHEN t_purch IS NOT NULL"
+            " THEN (t_purch - t_first) div 3600000000"
+            " ELSE (t_max - t_first) div 3600000000 END"
+        ).alias("t_hours"),
+        F.expr("CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    tg = durs.groupBy("t_hours").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.expr("ev * grp")).cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+        F.sum("grp").cast("long").alias("leave1"),
+    )
+    tot = durs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("grp").cast("long").alias("n1_users"),
+    )
+    w = Window.orderBy("t_hours")
+    risk = tg.crossJoin(F.broadcast(tot)).select(
+        "t_hours", "d", "d1",
+        (
+            F.col("n_users") - (F.sum("leave_n").over(w) - F.col("leave_n"))
+        ).cast("long").alias("n_risk"),
+        (
+            F.col("n1_users") - (F.sum("leave1").over(w) - F.col("leave1"))
+        ).cast("long").alias("n1_risk"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1", F.expr(_LR_E1).alias("e1_t"), F.expr(_LR_V).alias("v_t")
+    )
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_t").cast("long").alias("e1_micro"),
+        F.sum("v_t").cast("long").alias("v_micro"),
+    )
+    return s.select(
+        "o1", "e1_micro", "v_micro",
+        F.expr(f"round({_LR_CHI2}, 6)").alias("chi2_stat"),
+        F.expr(
+            f"cast(CASE WHEN {_LR_CHI2} > {_LOGRANK_CHI2_CRIT} THEN 1 ELSE 0"
+            " END as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (the integral KM exponentiates)
+# ---------------------------------------------------------------------------
+
+def _nelson_aalen_oracle() -> str:
+    return """
+    WITH ue AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t_first,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  AS BIGINT) AS t_purch
+      FROM events GROUP BY 1),
+    mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t_max FROM events),
+    durs AS (
+      SELECT CASE WHEN t_purch IS NOT NULL
+                  THEN (t_purch - t_first) // 3600000000
+                  ELSE (t_max - t_first) // 3600000000 END AS t_hours,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN mx),
+    tg AS (SELECT t_hours, CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS leave_n
+           FROM durs GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM durs),
+    risk AS (
+      SELECT t_hours, d,
+             n_users - (CAST(sum(leave_n) OVER (ORDER BY t_hours) AS BIGINT)
+                        - leave_n) AS n_risk
+      FROM tg CROSS JOIN tot),
+    ev_t AS (
+      SELECT t_hours, d, n_risk,
+             CAST(d * 1000000 // n_risk AS BIGINT) AS h_step_micro,
+             CAST(d * 1000000000000 // (n_risk * n_risk) AS BIGINT)
+                 AS var_step_pico
+      FROM risk WHERE d > 0)
+    SELECT t_hours, d, n_risk,
+           CAST(sum(h_step_micro) OVER (ORDER BY t_hours) AS BIGINT)
+               AS cumhaz_micro,
+           CAST(sum(var_step_pico) OVER (ORDER BY t_hours) AS BIGINT)
+               AS var_pico
+    FROM ev_t
+    """
+
+
+@register("nelson_aalen_hazard", _nelson_aalen_oracle())
+def nelson_aalen_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard estimator H(t) = sum d_i/n_i for
+    time-to-first-purchase, with its Poisson-type variance sum d_i/n_i^2
+    — the additive counterpart of kaplan_meier_survival (KM multiplies
+    survival factors; NA sums hazard increments, is less biased in small
+    risk sets, and exp(-H) gives the Fleming-Harrington survival
+    estimate). Every increment is an exact integer floor-div (micro for
+    H, pico for the variance: d <= users and n_risk^2 products stay far
+    inside int64), so the cumulative sums are exact BIGINT on both
+    engines — no doubles anywhere.
+
+    Plan: identical bounded shape to kaplan_meier_survival — user-grain
+    aggregate, duration-grain aggregate (bounded by the observation
+    window in hours), two cumulative windows over that grain."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).cast("long").alias("t_first"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))
+        ).cast("long").alias("t_purch"),
+    )
+    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).cast("long").alias("t_max"))
+    durs = ue.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CASE WHEN t_purch IS NOT NULL"
+            " THEN (t_purch - t_first) div 3600000000"
+            " ELSE (t_max - t_first) div 3600000000 END"
+        ).alias("t_hours"),
+        F.expr("CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    tg = durs.groupBy("t_hours").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy("t_hours")
+    risk = tg.crossJoin(F.broadcast(tot)).select(
+        "t_hours", "d",
+        (
+            F.col("n_users") - (F.sum("leave_n").over(w) - F.col("leave_n"))
+        ).cast("long").alias("n_risk"),
+    )
+    ev_t = risk.filter(F.col("d") > 0).select(
+        "t_hours", "d", "n_risk",
+        F.expr("cast(d * 1000000 div n_risk as bigint)").alias("h_step_micro"),
+        F.expr(
+            "cast(d * 1000000000000 div (n_risk * n_risk) as bigint)"
+        ).alias("var_step_pico"),
+    )
+    return ev_t.select(
+        "t_hours", "d", "n_risk",
+        F.sum("h_step_micro").over(w).cast("long").alias("cumhaz_micro"),
+        F.sum("var_step_pico").over(w).cast("long").alias("var_pico"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H: rank-based k-group test (the nonparametric ANOVA)
+# ---------------------------------------------------------------------------
+
+_KW_CHI2_CRIT = 36.42  # chi2(0.95; df=24) -- k=25 nations
+_KW_H = (
+    "((12.0 * sum_term / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))"
+    " / (1.0 - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * n * n - n)))"
+)
+
+
+def _kruskal_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT n_name AS nation,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    vg AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+           FROM base GROUP BY 1),
+    r AS (SELECT cents, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+                   - cnt AS cum_less
+          FROM vg),
+    gg AS (SELECT nation, cents, CAST(count(*) AS BIGINT) AS n_gc
+           FROM base GROUP BY 1, 2),
+    rs AS (
+      SELECT nation,
+             CAST(sum(n_gc) AS BIGINT) AS n_g,
+             CAST(sum(n_gc * (2 * cum_less + cnt + 1)) AS BIGINT) AS r2_g
+      FROM gg JOIN r USING (cents) GROUP BY 1),
+    terms AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(CAST(r2_g AS DOUBLE) * r2_g / (4 * n_g))
+                           AS BIGINT)) AS BIGINT) AS sum_term
+      FROM rs),
+    ties AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3,
+                    CAST(sum(cnt) AS BIGINT) AS n
+             FROM vg)
+    SELECT n, k, tie3,
+           round({_KW_H}, 6) AS h_stat,
+           CAST(CASE WHEN {_KW_H} > {_KW_CHI2_CRIT} THEN 1 ELSE 0 END AS INT)
+               AS reject_95
+    FROM terms CROSS JOIN ties
+    """
+
+
+@register("kruskal_wallis_h", _kruskal_oracle())
+def kruskal_wallis_h(spark, sf_dir):
+    """Kruskal-Wallis H: does the order-value DISTRIBUTION differ across
+    nations? — the rank-based (distribution-free) counterpart of
+    one_way_anova_f, immune to the heavy price tail that inflates the
+    F-test's variance terms, with the standard tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N).
+
+    Rank-free distributed shape (the mann_whitney_auc trick generalized
+    to k groups): aggregate to value grain (bounded by the integer-cents
+    price domain, not data volume), one cumulative window gives every
+    distinct value's tie-averaged rank in closed form as the INTEGER
+    2*avg_rank = 2*cum_less + cnt + 1, then per-group doubled rank sums
+    R2_g land by an equi-join of the (nation, cents) grain against the
+    value grain. Per-group R_g^2/n_g rounds to BIGINT before summing
+    (order-free exact sum, the ANOVA convention); H and the tie
+    correction are one shared-text double over exact BIGINTs (N^3 stays
+    in double space; tie3 = sum(cnt^3) is exact int64 up to ~2M rows per
+    value, far above any per-value tie mass here).
+
+    Plan: star-join projection, two bounded aggregates (value grain +
+    (nation, value) grain), one window over the bounded value grain, a
+    broadcast-size equi-join, two 1-row aggregates. At 100 TB every
+    post-projection row set is domain-bounded."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+    )
+    vg = base.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    r = vg.select(
+        "cents", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("cum_less"),
+    )
+    gg = base.groupBy("nation", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gc")
+    )
+    rs = gg.join(r, "cents").groupBy("nation").agg(
+        F.sum("n_gc").cast("long").alias("n_g"),
+        F.sum(
+            F.expr("n_gc * (2 * cum_less + cnt + 1)")
+        ).cast("long").alias("r2_g"),
+    )
+    terms = rs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr("cast(round(cast(r2_g as double) * r2_g / (4 * n_g)) as bigint)")
+        ).cast("long").alias("sum_term"),
+    )
+    ties = vg.agg(
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie3"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    return terms.crossJoin(F.broadcast(ties)).select(
+        "n", "k", "tie3",
+        F.expr(f"round({_KW_H}, 6)").alias("h_stat"),
+        F.expr(
+            f"cast(CASE WHEN {_KW_H} > {_KW_CHI2_CRIT} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (completes the A/B family)
+# ---------------------------------------------------------------------------
+
+_WELCH_T_CRIT = 1.96  # two-sided 95%, df large
+_WELCH_VAR = {
+    0: "((sxx0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) / n0)",
+    1: "((sxx1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1)",
+}
+_WELCH_T = (
+    f"((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+    f" / sqrt({_WELCH_VAR[0]} + {_WELCH_VAR[1]}))"
+)
+_WELCH_DF = (
+    f"(({_WELCH_VAR[0]} + {_WELCH_VAR[1]}) * ({_WELCH_VAR[0]} + {_WELCH_VAR[1]})"
+    f" / ({_WELCH_VAR[0]} * {_WELCH_VAR[0]} / (n0 - 1)"
+    f" + {_WELCH_VAR[1]} * {_WELCH_VAR[1]} / (n1 - 1)))"
+)
+
+
+@register(
+    "welch_ttest_spend",
+    f"""
+    WITH u AS (
+      SELECT o_custkey % 2 AS grp,
+             CAST(round(o_totalprice) AS BIGINT) AS x
+      FROM orders),
+    s AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN grp = 0 THEN x * x ELSE 0 END) AS BIGINT)
+                 AS sxx0i,
+             CAST(sum(CASE WHEN grp = 1 THEN x * x ELSE 0 END) AS BIGINT)
+                 AS sxx1i
+      FROM u),
+    sd AS (SELECT n0, n1, s0, s1,
+                  CAST(sxx0i AS DOUBLE) AS sxx0, CAST(sxx1i AS DOUBLE) AS sxx1
+           FROM s)
+    SELECT n0, n1, s0, s1,
+           CAST(s0 * 1 // n0 AS BIGINT) AS mean0_dollars,
+           CAST(s1 * 1 // n1 AS BIGINT) AS mean1_dollars,
+           round({_WELCH_T}, 6) AS t_stat,
+           CAST(round({_WELCH_DF}) AS BIGINT) AS df_welch,
+           CAST(CASE WHEN abs({_WELCH_T}) > {_WELCH_T_CRIT} THEN 1 ELSE 0 END
+                AS INT) AS reject_95
+    FROM sd
+    """,
+)
+def welch_ttest_spend(spark, sf_dir):
+    """Welch's unequal-variance t-test on order value between the two
+    deterministic experiment arms (customer-key parity) — the continuous-
+    metric companion to conversion_ab_ztest (proportions) that does NOT
+    assume equal variances (the levene_brown_forsythe failure mode:
+    pooled-variance t is anticonservative when the bigger arm has the
+    smaller variance). Satterthwaite effective df reported alongside.
+
+    All six moments (n, S, S^2 per arm) come from ONE conditional
+    aggregate producing exact BIGINTs — x staged in WHOLE DOLLARS (the
+    one_way_anova_f convention) so sum(x^2) stays inside int64 at any
+    plausible scale (cents would overflow Spark's wrapping int64 sum at
+    ~10^4 orders while DuckDB's hugeint kept going: a silent cross-engine
+    divergence, not a crash); t, df, and the decision are shared-text
+    doubles over the exact sums.
+
+    Plan: one projection + one conditional aggregate = one shuffle of one
+    row at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    u = orders.select(
+        F.expr("o_custkey % 2").alias("grp"),
+        F.expr("cast(round(o_totalprice) as bigint)").alias("x"),
+    )
+    s = u.agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN x ELSE 0 END")).cast("long").alias("s0"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN x ELSE 0 END")).cast("long").alias("s1"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN x * x ELSE 0 END")).cast("long").alias("sxx0i"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN x * x ELSE 0 END")).cast("long").alias("sxx1i"),
+    ).select(
+        "n0", "n1", "s0", "s1",
+        F.expr("cast(sxx0i as double)").alias("sxx0"),
+        F.expr("cast(sxx1i as double)").alias("sxx1"),
+    )
+    return s.select(
+        "n0", "n1", "s0", "s1",
+        F.expr("cast(s0 * 1 div n0 as bigint)").alias("mean0_dollars"),
+        F.expr("cast(s1 * 1 div n1 as bigint)").alias("mean1_dollars"),
+        F.expr(f"round({_WELCH_T}, 6)").alias("t_stat"),
+        F.expr(f"cast(round({_WELCH_DF}) as bigint)").alias("df_welch"),
+        F.expr(
+            f"cast(CASE WHEN abs({_WELCH_T}) > {_WELCH_T_CRIT} THEN 1 ELSE 0"
+            " END as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source vs the corpus mixture
+# ---------------------------------------------------------------------------
+
+_JSD_LN2_MICRO = 693147  # round(ln(2) * 1e6): the JSD upper bound
+# P-side / Q-side per-token terms, rounded to integer micro-nats per token
+# (order-free exact sums, the source_kl_divergence convention). c = source
+# count (may be 0), cg = global count (> 0 for every vocab token),
+# ns = source total, nu = corpus total. P/M = 2*c*nu/(c*nu + cg*ns),
+# Q/M = 2*cg*ns/(c*nu + cg*ns) -- all-integer ln arguments, no smoothing.
+_JSD_TERM_P = (
+    "CASE WHEN c = 0 THEN 0 ELSE"
+    " c * CAST(round((ln(2.0 * c * nu)"
+    " - ln(CAST(c * nu + cg * ns AS DOUBLE))) * 1000000) AS BIGINT) END"
+)
+_JSD_TERM_Q = (
+    "cg * CAST(round((ln(2.0 * cg * ns)"
+    " - ln(CAST(c * nu + cg * ns AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "js_divergence_sources",
+    f"""
+    WITH {_LM_CTE},
+    s AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+          FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM s GROUP BY 1),
+    grid AS (
+      SELECT ns.source, ns.ns, u.tok, CAST(u.c AS BIGINT) AS cg,
+             CAST(coalesce(s.cs, 0) AS BIGINT) AS c, nu.nu
+      FROM ns CROSS JOIN u CROSS JOIN nu
+      LEFT JOIN s ON s.source = ns.source AND s.tok = u.tok),
+    term AS (
+      SELECT source, ns, nu,
+             {_JSD_TERM_P} AS tp,
+             {_JSD_TERM_Q} AS tq
+      FROM grid),
+    agg AS (SELECT source,
+                   CAST(greatest(sum(tp), 0) // max(ns) AS BIGINT) AS kl_p,
+                   CAST(greatest(sum(tq), 0) // max(nu) AS BIGINT) AS kl_q,
+                   CAST(max(ns) AS BIGINT) AS n_tokens
+            FROM term GROUP BY 1)
+    SELECT source, n_tokens,
+           CAST((kl_p + kl_q) // 2 AS BIGINT) AS jsd_unat,
+           CAST(((kl_p + kl_q) // 2) * 1000000 // {_JSD_LN2_MICRO} AS BIGINT)
+               AS distance_ppm
+    FROM agg
+    """,
+)
+def js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the corpus-wide mixture M = (P_s + Q)/2 — the SYMMETRIC,
+    [0, ln 2]-bounded companion to source_kl_divergence (KL blows up on
+    tokens the corpus has but the source lacks; JSD is finite with NO
+    smoothing because both ratio arguments 2*c*NU/(c*NU + C*ns) and
+    2*C*ns/(c*NU + C*ns) are ratios of positive integers even at c = 0).
+    The sqrt of JSD is a metric, so these per-source distances can drive
+    source-mixture rebalancing the way domain_mixing_weights does.
+
+    Per-token terms round to integer micro-nats before summing (order-free
+    exact BIGINT sums); the only doubles are inside the shared-text ln
+    calls on integer products (c*NU <= token-mass^2 stays far inside
+    int64 and exactly representable in double up to 2^53).
+
+    Plan: ONE tokenize pass to the (source, tok) count table, which is
+    localCheckpoint-ed (model-sized: |vocab| x |sources|) — the vocab
+    table u, the per-source totals ns, and the corpus total nu are all
+    re-aggregations of that MATERIALIZED table (sums of counts are
+    associative, so the values equal the direct tok-grain aggregates the
+    oracle's CTEs compute), and the grid's four consumers never re-run
+    the tokenize (the r6-verdict diamond-lineage rule). The grid LEFT
+    join is vocab-grain, NOT corpus-grain — the same fixed-model-state
+    posture as text_unigram_surprisal. EXECUTES_AT_BUILD: the eager
+    checkpoint runs the tokenize at plan-build time."""
+    t1, tok, _u_unused, _nu_unused = _lm_parts(spark, sf_dir)
+    s = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    ).localCheckpoint(eager=True)
+    u = s.groupBy("tok").agg(F.sum("cs").alias("c"))
+    nu = u.agg(F.sum("c").cast("long").alias("nu"))
+    ns = s.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    grid = (
+        ns.crossJoin(u.select("tok", F.col("c").cast("long").alias("cg")))
+        .crossJoin(F.broadcast(nu))
+        .join(
+            s.withColumnsRenamed({"source": "s_source", "tok": "s_tok"}),
+            (F.col("source") == F.col("s_source")) & (F.col("tok") == F.col("s_tok")),
+            "left",
+        )
+        .select(
+            "source", "ns", "tok", "cg", "nu",
+            F.coalesce(F.col("cs"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    term = grid.select(
+        "source", "ns", "nu",
+        F.expr(_JSD_TERM_P).alias("tp"),
+        F.expr(_JSD_TERM_Q).alias("tq"),
+    )
+    agg = term.groupBy("source").agg(
+        F.expr("cast(greatest(sum(tp), 0) div max(ns) as bigint)").alias("kl_p"),
+        F.expr("cast(greatest(sum(tq), 0) div max(nu) as bigint)").alias("kl_q"),
+        F.max("ns").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "source", "n_tokens",
+        F.expr("cast((kl_p + kl_q) div 2 as bigint)").alias("jsd_unat"),
+        F.expr(
+            f"cast(((kl_p + kl_q) div 2) * 1000000 div {_JSD_LN2_MICRO}"
+            " as bigint)"
+        ).alias("distance_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 test + MH pooled odds ratio
+# ---------------------------------------------------------------------------
+
+_CMH_CHI2_CRIT = 3.84  # chi2(0.95; df=1)
+# per-stratum expectation and hypergeometric variance of the exposed-urgent
+# cell, rounded to integer micro per stratum (leading CAST keeps the whole
+# product chain in double -- no int64 overflow at any stratum size)
+_CMH_E = "CAST(round(CAST(n1 AS DOUBLE) * m1 * 1000000 / t) AS BIGINT)"
+_CMH_V = (
+    "CAST(CASE WHEN t <= 1 THEN 0 ELSE"
+    " round(CAST(n1 AS DOUBLE) * n0 * m1 * (t - m1) * 1000000"
+    " / (CAST(t AS DOUBLE) * t * (t - 1))) END AS BIGINT)"
+)
+# Mantel-Haenszel pooled odds ratio: sum(a*d/T) / sum(b*c/T), per-stratum
+# terms in micro
+_CMH_AD = "CAST(round(CAST(a AS DOUBLE) * d * 1000000 / t) AS BIGINT)"
+_CMH_BC = "CAST(round(CAST(b AS DOUBLE) * c * 1000000 / t) AS BIGINT)"
+_CMH_CHI2 = (
+    "((CAST(o AS DOUBLE) * 1000000 - e_micro)"
+    " * (CAST(o AS DOUBLE) * 1000000 - e_micro)"
+    " / (CAST(v_micro AS DOUBLE) * 1000000))"
+)
+
+
+@register(
+    "cmh_stratified_test",
+    f"""
+    WITH rec AS (
+      SELECT n_name AS nation,
+             CAST(c_custkey % 2 AS BIGINT) AS exposed,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS urgent
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey),
+    strat AS (
+      SELECT nation,
+             CAST(sum(exposed * urgent) AS BIGINT) AS a,
+             CAST(sum(exposed * (1 - urgent)) AS BIGINT) AS b,
+             CAST(sum((1 - exposed) * urgent) AS BIGINT) AS c,
+             CAST(sum((1 - exposed) * (1 - urgent)) AS BIGINT) AS d,
+             CAST(sum(exposed) AS BIGINT) AS n1,
+             CAST(count(*) - sum(exposed) AS BIGINT) AS n0,
+             CAST(sum(urgent) AS BIGINT) AS m1,
+             CAST(count(*) AS BIGINT) AS t
+      FROM rec GROUP BY 1),
+    terms AS (
+      SELECT a, {_CMH_E} AS e_t, {_CMH_V} AS v_t,
+             {_CMH_AD} AS ad_t, {_CMH_BC} AS bc_t
+      FROM strat),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(a) AS BIGINT) AS o,
+                 CAST(sum(e_t) AS BIGINT) AS e_micro,
+                 CAST(sum(v_t) AS BIGINT) AS v_micro,
+                 CAST(sum(ad_t) AS BIGINT) AS ad_micro,
+                 CAST(sum(bc_t) AS BIGINT) AS bc_micro
+          FROM terms)
+    SELECT k, o, e_micro, v_micro,
+           round({_CMH_CHI2}, 6) AS chi2_stat,
+           CAST(ad_micro * 1000000 // greatest(bc_micro, 1) AS BIGINT)
+               AS or_mh_ppm,
+           CAST(CASE WHEN {_CMH_CHI2} > {_CMH_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS INT) AS reject_95
+    FROM s
+    """,
+)
+def cmh_stratified_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel test: is the exposure (customer-parity
+    arm) associated with urgent orders AFTER controlling for nation
+    strata? — the formal inference step behind simpson_paradox_audit
+    (the audit flags sign reversals; CMH tests the common-odds-ratio
+    hypothesis that remains valid when the pooled 2x2 is confounded by
+    stratum mix), reported with the Mantel-Haenszel pooled odds ratio.
+
+    Per-stratum E = n1*m1/T and hypergeometric V = n1*n0*m1*m0/(T^2(T-1))
+    round to integer micro before summing (order-free exact sums, the
+    log-rank convention; the leading CAST keeps the product chains in
+    double so nothing overflows); O = sum(a) is exact. chi2 and the
+    decision are one shared-text double; OR_MH is a pure integer
+    floor-div ratio of the summed micro terms.
+
+    Plan: one star-join projection, ONE nation-grain conditional
+    aggregate (the whole 2x2xK table in a single pass), a 1-row sum.
+    Stratum count bounds every post-aggregate row set at any volume."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rec = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("cast(c_custkey % 2 as bigint)").alias("exposed"),
+            F.expr(
+                "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END"
+            ).alias("urgent"),
+        )
+    )
+    strat = rec.groupBy("nation").agg(
+        F.sum(F.expr("exposed * urgent")).cast("long").alias("a"),
+        F.sum(F.expr("exposed * (1 - urgent)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - exposed) * urgent")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - exposed) * (1 - urgent)")).cast("long").alias("d"),
+        F.sum("exposed").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("exposed")).cast("long").alias("n0"),
+        F.sum("urgent").cast("long").alias("m1"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    terms = strat.select(
+        "a",
+        F.expr(_CMH_E).alias("e_t"), F.expr(_CMH_V).alias("v_t"),
+        F.expr(_CMH_AD).alias("ad_t"), F.expr(_CMH_BC).alias("bc_t"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("o"),
+        F.sum("e_t").cast("long").alias("e_micro"),
+        F.sum("v_t").cast("long").alias("v_micro"),
+        F.sum("ad_t").cast("long").alias("ad_micro"),
+        F.sum("bc_t").cast("long").alias("bc_micro"),
+    )
+    return s.select(
+        "k", "o", "e_micro", "v_micro",
+        F.expr(f"round({_CMH_CHI2}, 6)").alias("chi2_stat"),
+        F.expr(
+            "cast(ad_micro * 1000000 div greatest(bc_micro, 1) as bigint)"
+        ).alias("or_mh_ppm"),
+        F.expr(
+            f"cast(CASE WHEN {_CMH_CHI2} > {_CMH_CHI2_CRIT} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (ordered-EMD) -- completes the k-anon / l-div trio
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T_PPM = 200000  # t = 0.20: flag classes whose EMD exceeds it
+_TCLOSE_PRIOS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def _tcloseness_oracle() -> str:
+    spine = ", ".join(f"'{p}'" for p in _TCLOSE_PRIOS)
+    return f"""
+    WITH rec AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             o_orderpriority AS sens
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    cv AS (SELECT nation, segment, bal_band, sens,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM rec GROUP BY 1, 2, 3, 4),
+    cls AS (SELECT nation, segment, bal_band, CAST(sum(c) AS BIGINT) AS k
+            FROM cv GROUP BY 1, 2, 3),
+    gl AS (SELECT sens, CAST(count(*) AS BIGINT) AS cg FROM rec GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rec),
+    spine AS (SELECT unnest([{spine}]) AS sens),
+    grid AS (
+      SELECT cls.nation, cls.segment, cls.bal_band, cls.k, spine.sens,
+             CAST(coalesce(cv.c, 0) AS BIGINT) AS c,
+             CAST(coalesce(gl.cg, 0) AS BIGINT) AS cg, tot.n
+      FROM cls CROSS JOIN spine CROSS JOIN tot
+      LEFT JOIN cv USING (nation, segment, bal_band, sens)
+      LEFT JOIN gl USING (sens)),
+    cum AS (
+      SELECT nation, segment, bal_band, k, n, sens,
+             CAST(sum(c) OVER (PARTITION BY nation, segment, bal_band
+                               ORDER BY sens ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_c,
+             CAST(sum(cg) OVER (PARTITION BY nation, segment, bal_band
+                                ORDER BY sens ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_g
+      FROM grid),
+    emd AS (
+      SELECT nation, segment, bal_band, k,
+             CAST(sum(abs(cum_c * n - cum_g * k)) * 1000000
+                  // (k * n * {len(_TCLOSE_PRIOS) - 1}) AS BIGINT) AS emd_ppm
+      FROM cum GROUP BY nation, segment, bal_band, k, n)
+    SELECT nation, segment, bal_band, k, emd_ppm,
+           CAST(CASE WHEN emd_ppm > {_TCLOSE_T_PPM} THEN 1 ELSE 0 END AS INT)
+               AS above_t
+    FROM emd
+    """
+
+
+@register("t_closeness_audit", _tcloseness_oracle())
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit over the same (nation, segment, balance-band)
+    quasi-identifier classes as k_anonymity_audit / l_diversity_audit —
+    the third rung of the anonymization-audit ladder (k-anonymity bounds
+    re-identification, l-diversity bounds attribute disclosure by
+    VARIETY, t-closeness bounds it by DISTRIBUTION: a class can hold 3
+    distinct priorities yet still leak if 95% of its mass sits on
+    1-URGENT while the corpus is uniform). Distance is the ordered-domain
+    EMD over the 5-level priority scale: EMD = sum_j |cumP_j - cumQ_j| /
+    (m - 1), computed as the all-integer |cum_c*N - cum_g*k| staged to
+    ppm by one floor div — exact on both engines, no doubles anywhere
+    (cum_c <= k and cum_g <= N keep the cross products inside int64 at
+    any plausible scale).
+
+    Plan: one join projection, a class x sensitive-value aggregate, a
+    class-grain aggregate, a 5-value global aggregate, then a bounded
+    class x 5-row literal-spine grid with two partitioned cumulative
+    windows over it. Every post-aggregate row set is class-count-bounded
+    (|nations| x |segments| x |bands| x 5)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    rec = orders.join(cust, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("cast(floor(c_acctbal / 1000) as bigint)").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cv = rec.groupBy("nation", "segment", "bal_band", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # class x sensitive counts: the single data-grain aggregate every other
+    # table below re-derives (associative count sums), materialized once
+    cv = cv.localCheckpoint(eager=True)
+    cls = cv.groupBy("nation", "segment", "bal_band").agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    gl = cv.groupBy("sens").agg(F.sum("c").cast("long").alias("cg"))
+    tot = cv.agg(F.sum("c").cast("long").alias("n"))
+    spine = spark.createDataFrame([(p,) for p in _TCLOSE_PRIOS], ["sens"])
+    grid = (
+        cls.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(tot))
+        .join(cv, ["nation", "segment", "bal_band", "sens"], "left")
+        .join(F.broadcast(gl), "sens", "left")
+        .select(
+            "nation", "segment", "bal_band", "k", "n", "sens",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            F.coalesce(F.col("cg"), F.lit(0)).cast("long").alias("cg"),
+        )
+    )
+    w = (
+        Window.partitionBy("nation", "segment", "bal_band")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "nation", "segment", "bal_band", "k", "n", "sens",
+        F.sum("c").over(w).cast("long").alias("cum_c"),
+        F.sum("cg").over(w).cast("long").alias("cum_g"),
+    )
+    emd = cum.groupBy("nation", "segment", "bal_band", "k", "n").agg(
+        F.expr(
+            f"cast(sum(abs(cum_c * n - cum_g * k)) * 1000000"
+            f" div (k * n * {len(_TCLOSE_PRIOS) - 1}) as bigint)"
+        ).alias("emd_ppm")
+    )
+    return emd.select(
+        "nation", "segment", "bal_band", "k", "emd_ppm",
+        F.expr(
+            f"cast(CASE WHEN emd_ppm > {_TCLOSE_T_PPM} THEN 1 ELSE 0 END"
+            " as int)"
+        ).alias("above_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement between two quality raters
+# ---------------------------------------------------------------------------
+
+# rater A: lexical quality -- stopword ratio >= 0.2 with at least 10 tokens
+# rater B: surface quality -- punct ratio <= 5% with at least 200 chars
+# (both pure integer-count comparisons: no ratio doubles anywhere)
+_KAPPA_SW = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+def _kappa_oracle() -> str:
+    return rf"""
+    WITH q AS (
+      SELECT length(text) AS nc,
+             length(text) - length(regexp_replace(text,
+                 '[!-/:-@\[-`{{-~]', '', 'g')) AS np,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> list_contains({_KAPPA_SW}, x))) AS sw
+      FROM documents WHERE length(trim(text)) > 0),
+    r AS (
+      SELECT CASE WHEN sw * 10 >= nt * 2 AND nt >= 10 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN np * 20 <= nc AND nc >= 200 THEN 1 ELSE 0 END AS rb
+      FROM q),
+    cm AS (
+      SELECT CAST(sum(ra * rb) AS BIGINT) AS a,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM r)
+    SELECT a, b, c, d, n,
+           CAST((a + d) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(((a + b) * (a + c) + (c + d) * (b + d)) * 1000000 // (n * n)
+                AS BIGINT) AS pe_ppm,
+           CAST((n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)))
+                * 1000000
+                // (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+                AS BIGINT) AS kappa_ppm
+    FROM cm
+    """
+
+
+@register("cohens_kappa_raters", _kappa_oracle())
+def cohens_kappa_raters(spark, sf_dir):
+    """Cohen's kappa between two independent document-quality raters (a
+    lexical stopword-ratio gate and a surface punct/length gate) — the
+    chance-corrected agreement metric every labeling/curation pipeline
+    reports before trusting a cheap heuristic as a stand-in for an
+    expensive one (raw percent agreement is inflated when both raters
+    say 'pass' to almost everything; kappa subtracts the marginal-rate
+    chance agreement). knn_label_agreement measures neighborhood label
+    consistency; this measures RATER consistency on the same items.
+
+    Both raters are pure integer-count threshold comparisons (sw*10 >=
+    nt*2 etc. — ratios never materialize as doubles), the confusion
+    matrix is ONE conditional aggregate, and po/pe/kappa are exact
+    integer ppm floor-divs of its four cells: no doubles anywhere.
+    kappa = (n(a+d) - ((a+b)(a+c)+(c+d)(b+d))) / (n^2 - (...)) in the
+    all-integer cross-multiplied form.
+
+    Plan: one projection with per-row token/char counts, one 1-row
+    conditional aggregate. Map-side combine does all the work; one
+    shuffle of one row at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    sw_arr = _KAPPA_SW.replace("[", "array(").replace("]", ")")
+    q = docs.select(
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[!-/:-@\[-`{-~]", ""))
+        ).alias("np"),
+        F.expr("size(split(trim(lower(text)), '\\\\s+'))").alias("nt"),
+        F.expr(
+            "size(filter(split(trim(lower(text)), '\\\\s+'),"
+            f" x -> array_contains({sw_arr}, x)))"
+        ).alias("sw"),
+    )
+    r = q.select(
+        F.expr(
+            "CASE WHEN sw * 10 >= nt * 2 AND nt >= 10 THEN 1 ELSE 0 END"
+        ).alias("ra"),
+        F.expr(
+            "CASE WHEN np * 20 <= nc AND nc >= 200 THEN 1 ELSE 0 END"
+        ).alias("rb"),
+    )
+    cm = r.agg(
+        F.sum(F.expr("ra * rb")).cast("long").alias("a"),
+        F.sum(F.expr("ra * (1 - rb)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - ra) * rb")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - ra) * (1 - rb)")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pe_expr = "((a + b) * (a + c) + (c + d) * (b + d))"
+    return cm.select(
+        "a", "b", "c", "d", "n",
+        F.expr("cast((a + d) * 1000000 div n as bigint)").alias("po_ppm"),
+        F.expr(f"cast({pe_expr} * 1000000 div (n * n) as bigint)").alias("pe_ppm"),
+        F.expr(
+            f"cast((n * (a + d) - {pe_expr}) * 1000000"
+            f" div (n * n - {pe_expr}) as bigint)"
+        ).alias("kappa_ppm"),
+    )

@@ -78,6 +78,9 @@ EXECUTES_AT_BUILD = {
     "funnel_strict_windowed",  # per-step first-timestamp tables pinned
     "levene_brown_forsythe",  # 25-row median + group-sum tables pinned
     "bm25_prf_expansion",  # postings index materialized once
+    # r7 growth tranche: model-sized count tables materialized at build
+    "js_divergence_sources",  # (source, tok) count table localCheckpoint-ed
+    "t_closeness_audit",  # class x sensitive count table localCheckpoint-ed
 }
 SKIP: set[str] = set()
 

@@ -157,14 +157,38 @@ def build(spark) -> None:
 
 
 def main() -> None:
+    # subset mode: `python tools/scale_probe_xl.py name1 name2 ...` probes
+    # only those registry queries and prints markdown table rows (no
+    # SCALING.md rewrite) — used for incremental xl coverage of new
+    # tranches without re-measuring the standing 28-probe section
+    only = sys.argv[1:]
     spark = get_spark(app_name="scale-probe-xl")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
     qs = e.queries()
-    runners = {name: qs[name] for name in PROBES}
-    runners.update(EXTRA_PROBES)
+    if only:
+        runners = {name: qs[name] for name in only}
+    else:
+        runners = {name: qs[name] for name in PROBES}
+        runners.update(EXTRA_PROBES)
     build(spark)
+    if only:
+        print("| query | sf0.1 s | sf~1 s | growth over 10x data |")
+        print("|---|---|---|---|")
+        for name in runners:
+            for d in (SRC, DST):  # warm
+                runners[name](spark, d).count()
+            times = []
+            for d in (SRC, DST):
+                t0 = time.time()
+                runners[name](spark, d).count()
+                times.append(time.time() - t0)
+            print(
+                f"| {name} | {times[0]:.2f} | {times[1]:.2f} "
+                f"| x{times[1] / max(times[0], 1e-9):.1f} |"
+            )
+        return
     # warm both scales
     for name in runners:
         for d in (SRC, DST):
