@@ -81,6 +81,9 @@ EXECUTES_AT_BUILD = {
     # r7 growth tranche: model-sized count tables materialized at build
     "js_divergence_sources",  # (source, tok) count table localCheckpoint-ed
     "t_closeness_audit",  # class x sensitive count table localCheckpoint-ed
+    "ar2_yule_walker_forecast",  # day-grain series + lag table checkpointed
+    "textrank_keywords",  # edge/degree/per-iteration rank tables checkpointed
+    "item_item_cosine_knn",  # distinct (basket, item) table checkpointed
 }
 SKIP: set[str] = set()
 
