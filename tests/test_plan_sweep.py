@@ -38,6 +38,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "knn_shapley_valuation": "by design: corpus x broadcast(8 queries via vec_id<8 filter), same scored arm as similarity_brute_topk",
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
+    "mmd_rbf_two_sample": "by design: bounded audit-pair population (vec_id<128 both sides, checkpointed so the filter bound is invisible to the proof; same posture as jl_projection_distortion)",
 }
 
 # Queries with driver-side setup (file writes, availableNow streams,
@@ -84,6 +85,8 @@ EXECUTES_AT_BUILD = {
     "ar2_yule_walker_forecast",  # day-grain series + lag table checkpointed
     "textrank_keywords",  # edge/degree/per-iteration rank tables checkpointed
     "item_item_cosine_knn",  # distinct (basket, item) table checkpointed
+    "friedman_test_blocks",  # calendar x 5 cell grid checkpointed
+    "mmd_rbf_two_sample",  # 128-row audit population checkpointed
 }
 SKIP: set[str] = set()
 
