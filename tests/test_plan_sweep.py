@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
     "mmd_rbf_two_sample": "by design: bounded audit-pair population (vec_id<128 both sides, checkpointed so the filter bound is invisible to the proof; same posture as jl_projection_distortion)",
+    "dunn_posthoc_nations": "by design: 25x25 nation-pair theta join over the checkpointed group-rank table (group-grain, bounded by |nations|; the checkpoint hides the aggregate bound from the proof)",
 }
 
 # Queries with driver-side setup (file writes, availableNow streams,
@@ -87,6 +88,8 @@ EXECUTES_AT_BUILD = {
     "item_item_cosine_knn",  # distinct (basket, item) table checkpointed
     "friedman_test_blocks",  # calendar x 5 cell grid checkpointed
     "mmd_rbf_two_sample",  # 128-row audit population checkpointed
+    "page_trend_test",  # calendar x 5 cell grid checkpointed
+    "dunn_posthoc_nations",  # value-grain + 25-row rank tables checkpointed
 }
 SKIP: set[str] = set()
 
