@@ -223,6 +223,8 @@ TRANCHE = [
     "permutation_test_diff",
     "geometric_median_embeddings",
     "error_budget_burn_rate",
+    # r8 additions
+    "conformal_interval_sketch",
 ]
 
 
@@ -230,6 +232,29 @@ def median(xs: list[float]) -> float:
     s = sorted(xs)
     m = len(s) // 2
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def control_workload(spark) -> None:
+    """Fixed calibration job, FROZEN round-over-round (r7 verdict ask #4):
+    a registry-independent range->shuffle->agg->sort pipeline whose cost is
+    pure host speed — no repo code in the hot path, so round-over-round
+    code changes cannot move it. The committed artifact carries
+    control_ratio = headline / control; across rounds the RATIO is
+    host-weather-proof while raw seconds are not (same code measured
+    22-33 s headline across days on this host — MICROBENCH.md r7)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 60_000_000, 1, 32)
+        .select(
+            (F.col("id") % 999_983).alias("k"),  # ~1M groups: a REAL shuffle
+            (F.col("id") % 31).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.count("*").alias("c"))
+        .orderBy(F.col("s").desc())
+        .count()
+    )
 
 
 def main() -> None:
@@ -294,6 +319,16 @@ def main() -> None:
 
     headline_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings, spread, noise, total_floor = run_set(HEADLINE, headline_passes)
+    # Same-session control run (r7 verdict ask #4): median-of-n of the
+    # frozen calibration workload, measured right after the headline passes
+    # so it samples the same host weather the headline saw.
+    control_workload(spark)  # warm-up
+    control_samples = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        control_workload(spark)
+        control_samples.append(time.time() - t0)
+    control_sec = round(median(control_samples), 3)
     # diagnostic knob: SPARK_GRAFT_BENCH_SECTIONS=headline skips the tranche
     # (used to adjudicate host-noise questions with a fast re-measure; the
     # driver always runs both sections)
@@ -309,6 +344,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "noise_floor": total_floor,
+        "control_sec": control_sec,
+        "control_ratio": round(sum(timings.values()) / control_sec, 3)
+        if control_sec
+        else None,
     }
     tranche_line = {
         "metric": "tranche_queries_total",

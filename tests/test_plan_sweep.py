@@ -70,6 +70,8 @@ EXECUTES_AT_BUILD = {
     "attribution_markov_removal",  # 49-row transition-matrix collect at build
     "dedup_cluster_components", "pagerank_neardup_graph",  # iterative loops
     "graph_k_core_peel",  # per-round localCheckpoint of the peeled edges
+    # r8 (shuffle gate): pair/edge tables pinned — 5 branches read oriented
+    "triangle_count_degree_ordered",
     # r7: the diamond-lineage queries the r6 verdict flagged now materialize
     # their bounded iteration state (localCheckpoint / 1-row collect) at
     # plan-build time instead of re-executing the data-grain pass per branch
@@ -260,6 +262,47 @@ def test_plan_file_scan_count_bounded(spark, name):
     )
 
 
+# ---------------------------------------------------------------------------
+# shuffle-count gate (r7 verdict ask #7): the file-scan gate kills recompute
+# diamonds, but a plan can still carry dozens of avoidable exchanges over
+# already-materialized state — e.g. an iteration loop that re-shuffles its
+# bounded model table per branch, or a union of per-step arms that each
+# re-partition the same grouped aggregate. Every ShuffleExchangeExec is a
+# full materialize-and-repartition of its input; at 100 TB an avoidable one
+# on a data-grain edge is minutes of wall and TBs of shuffle disk. No
+# registry plan may carry more than MAX_SHUFFLES exchanges. ReusedExchange
+# nodes don't count (reuse is the fix, not the problem), and neither do
+# broadcast exchanges (bounded sides by the NLJ gate above).
+# ---------------------------------------------------------------------------
+
+MAX_SHUFFLES = 32
+
+# justified exceptions; every entry documents WHY the exchange count is
+# bounded by construction despite exceeding the default gate
+ALLOWED_SHUFFLE_COUNT: dict[str, tuple[int, str]] = {}
+
+
+def _count_shuffles(plan) -> int:
+    n = 0
+    for node in _walk(plan):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_plan_shuffle_count_bounded(spark, name):
+    n = _count_shuffles(_plan(spark, name))
+    bound, why = ALLOWED_SHUFFLE_COUNT.get(name, (MAX_SHUFFLES, ""))
+    assert n <= bound, (
+        f"{name} plans {n} shuffle exchanges (> {bound}): some lineage "
+        "branch is re-partitioning shared state per reference. Materialize "
+        "the shared table once (localCheckpoint) or reuse one partitioning "
+        "across stages instead of widening the gate."
+        + (f" [{why}]" if why else "")
+    )
+
+
 def test_gate_metadata_names_exist_in_registry():
     """The documentation sets in this module (EXECUTES_AT_BUILD,
     ALLOWED_NESTED_LOOP, ALLOWED_GLOBAL_WINDOW) must not drift from the
@@ -270,6 +313,7 @@ def test_gate_metadata_names_exist_in_registry():
         ("ALLOWED_NESTED_LOOP", set(ALLOWED_NESTED_LOOP)),
         ("ALLOWED_GLOBAL_WINDOW", set(ALLOWED_GLOBAL_WINDOW)),
         ("ALLOWED_FILE_SCANS", set(ALLOWED_FILE_SCANS)),
+        ("ALLOWED_SHUFFLE_COUNT", set(ALLOWED_SHUFFLE_COUNT)),
     ):
         stale = set(names) - set(QUERIES)
         assert not stale, f"{label} names not in QUERIES registry: {sorted(stale)}"
