@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "similarity_ann_ivf": "corpus x broadcast(8 sampled centroids) assignment",
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
     "mmd_rbf_two_sample": "by design: bounded audit-pair population (vec_id<128 both sides, checkpointed so the filter bound is invisible to the proof; same posture as jl_projection_distortion)",
+    "conformal_interval_sketch": "by design: fact x broadcast(1-row OLS fit, checkpointed so the 1-row bound is invisible to the proof; same posture as mmd_rbf_two_sample)",
     "dunn_posthoc_nations": "by design: 25x25 nation-pair theta join over the checkpointed group-rank table (group-grain, bounded by |nations|; the checkpoint hides the aggregate bound from the proof)",
 }
 
@@ -59,6 +60,7 @@ EXECUTES_AT_BUILD = {
     "streaming_dedup_replay",  # runs an availableNow dropDuplicates stream
     "quantile_normalization_map",  # two-phase global rank collects offsets
     "conformal_interval",  # calibration-quantile rank collects offsets
+    "conformal_interval_sketch",  # 1-row fit + bucket table checkpointed
     "governed_ingest",  # writes a TxnTable + quarantine dir at plan-build time
     "gdpr_erasure_audit",  # TxnTable append+delete at plan-build time
     "orc_roundtrip", "jsonl_roundtrip", "csv_roundtrip", "xml_roundtrip",
