@@ -18,15 +18,41 @@ from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
-def _rows(spark, name, sf=SF):
-    return QUERIES[name](spark, sf).collect()
+def _gen_seed43():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_fixture", os.path.join(repo, "tools", "gen_fixture.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.generate(43)
+
+
+# r8: the whole r7 property suite now runs at BOTH deterministic fixtures
+# (the friedman incomplete-block bug was a data-shape bug — a second seed
+# with different month/priority holes is exactly what exercises it)
+@pytest.fixture(scope="module", params=["seed42", "seed43"])
+def sfd(request):
+    return SF if request.param == "seed42" else _gen_seed43()
+
+
+_CACHE: dict = {}
+
+
+def _rows(spark, name, sf):
+    if (name, sf) not in _CACHE:
+        _CACHE[(name, sf)] = QUERIES[name](spark, sf).collect()
+    return _CACHE[(name, sf)]
 
 
 # ---------------------------------------------------------------------------
 # Misra-Gries: output independent of physical partitioning
 # ---------------------------------------------------------------------------
 
-def test_misra_gries_partitioning_independent(spark):
+def test_misra_gries_partitioning_independent(spark, sfd):
     """The MG candidate set varies with partitioning; the exact-recount
     output must NOT (the guarantee argument in the docstring). Re-run the
     same logic over a deliberately different partition layout by changing
@@ -37,7 +63,7 @@ def test_misra_gries_partitioning_independent(spark):
     )
     from pyspark.sql import functions as F
 
-    _t1, tok, _u, _nu = _lm_parts(spark, SF)
+    _t1, tok, _u, _nu = _lm_parts(spark, sfd)
 
     def run(npart: int):
         stream = tok.select("tok").repartition(npart)
@@ -83,7 +109,7 @@ def test_misra_gries_partitioning_independent(spark):
     assert run(1) == run(16)
 
 
-def test_misra_gries_matches_exact_groupby(spark):
+def test_misra_gries_matches_exact_groupby(spark, sfd):
     """Output == the plain exact GROUP BY ... HAVING filter (the oracle's
     definition), computed independently here via DataFrame ops."""
     from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import (
@@ -93,9 +119,9 @@ def test_misra_gries_matches_exact_groupby(spark):
 
     got = sorted(
         (r["token"], r["cnt"])
-        for r in _rows(spark, "misra_gries_heavy_hitters")
+        for r in _rows(spark, "misra_gries_heavy_hitters", sfd)
     )
-    _t1, tok, _u, _nu = _lm_parts(spark, SF)
+    _t1, tok, _u, _nu = _lm_parts(spark, sfd)
     n = tok.count()
     exact = sorted(
         (r["tok"], r["cnt"])
@@ -111,8 +137,8 @@ def test_misra_gries_matches_exact_groupby(spark):
 # Dunn post-hoc: comparison count + decision consistency
 # ---------------------------------------------------------------------------
 
-def test_dunn_pair_count_and_decisions(spark):
-    rows = _rows(spark, "dunn_posthoc_nations")
+def test_dunn_pair_count_and_decisions(spark, sfd):
+    rows = _rows(spark, "dunn_posthoc_nations", sfd)
     k = len({r["nation_a"] for r in rows} | {r["nation_b"] for r in rows})
     assert len(rows) == k * (k - 1) // 2
     for r in rows:
@@ -126,8 +152,8 @@ def test_dunn_pair_count_and_decisions(spark):
 # t-closeness: EMD in [0, 1e6] ppm and class mass positive
 # ---------------------------------------------------------------------------
 
-def test_t_closeness_emd_bounds(spark):
-    rows = _rows(spark, "t_closeness_audit")
+def test_t_closeness_emd_bounds(spark, sfd):
+    rows = _rows(spark, "t_closeness_audit", sfd)
     assert rows
     for r in rows:
         assert 0 <= r["emd_ppm"] <= 1_000_000
@@ -139,8 +165,8 @@ def test_t_closeness_emd_bounds(spark):
 # PR-AUC: inside the unit square, above-baseline for the F-status signal
 # ---------------------------------------------------------------------------
 
-def test_pr_auc_bounds(spark):
-    (r,) = _rows(spark, "pr_auc_average_precision")
+def test_pr_auc_bounds(spark, sfd):
+    (r,) = _rows(spark, "pr_auc_average_precision", sfd)
     assert 0 <= r["pr_auc_micro"] <= 1_000_000
     assert 0 < r["baseline_micro"] < 1_000_000
 
@@ -149,17 +175,17 @@ def test_pr_auc_bounds(spark):
 # Cohen's kappa / McNemar: range + exact po relation
 # ---------------------------------------------------------------------------
 
-def test_kappa_range_and_po(spark):
-    (r,) = _rows(spark, "cohens_kappa_raters")
+def test_kappa_range_and_po(spark, sfd):
+    (r,) = _rows(spark, "cohens_kappa_raters", sfd)
     a, b, c, d, n = r["a"], r["b"], r["c"], r["d"], r["n"]
     assert a + b + c + d == n
     assert r["po_ppm"] == (a + d) * 1_000_000 // n
     assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
 
 
-def test_mcnemar_uses_same_confusion(spark):
-    (kap,) = _rows(spark, "cohens_kappa_raters")
-    (mc,) = _rows(spark, "mcnemar_paired_raters")
+def test_mcnemar_uses_same_confusion(spark, sfd):
+    (kap,) = _rows(spark, "cohens_kappa_raters", sfd)
+    (mc,) = _rows(spark, "mcnemar_paired_raters", sfd)
     assert (mc["b"], mc["c"], mc["n"]) == (kap["b"], kap["c"], kap["n"])
 
 
@@ -167,8 +193,8 @@ def test_mcnemar_uses_same_confusion(spark):
 # MMD: kernel means in (0, 1e6], MMD^2 consistent with its three means
 # ---------------------------------------------------------------------------
 
-def test_mmd_kernel_means_consistent(spark):
-    (r,) = _rows(spark, "mmd_rbf_two_sample")
+def test_mmd_kernel_means_consistent(spark, sfd):
+    (r,) = _rows(spark, "mmd_rbf_two_sample", sfd)
     for col in ("mean_kxx_ppm", "mean_kyy_ppm", "mean_kxy_ppm"):
         assert 0 < r[col] <= 1_000_000
     assert r["mmd2_ppm"] == (
@@ -181,13 +207,13 @@ def test_mmd_kernel_means_consistent(spark):
 # Survival pair: Nelson-Aalen vs Kaplan-Meier ordering H(t) >= -ln S(t)
 # ---------------------------------------------------------------------------
 
-def test_nelson_aalen_dominates_km_log_survival(spark):
+def test_nelson_aalen_dominates_km_log_survival(spark, sfd):
     """For the same event table, sum d/n >= sum -ln(1-d/n) is FALSE —
     the inequality runs the other way: -ln(1-x) >= x, so KM's -ln S(t)
     >= NA's H(t) at every event time (both in micro-nats, same grain).
     This cross-checks the two estimators against each other."""
-    na = {r["t_hours"]: r for r in _rows(spark, "nelson_aalen_hazard")}
-    km = {r["t_hours"]: r for r in _rows(spark, "kaplan_meier_survival")}
+    na = {r["t_hours"]: r for r in _rows(spark, "nelson_aalen_hazard", sfd)}
+    km = {r["t_hours"]: r for r in _rows(spark, "kaplan_meier_survival", sfd)}
     assert set(na) == set(km) and na
     for t, rna in na.items():
         rkm = km[t]
@@ -212,13 +238,13 @@ def test_nelson_aalen_dominates_km_log_survival(spark):
         ("friedman_test_blocks", "q_stat"),
     ],
 )
-def test_nonnegative_statistics(spark, name, stat_col):
-    (r,) = _rows(spark, name)
+def test_nonnegative_statistics(spark, name, stat_col, sfd):
+    (r,) = _rows(spark, name, sfd)
     assert r[stat_col] >= 0, (name, r)
 
 
-def test_item_item_knn_shape(spark):
-    rows = _rows(spark, "item_item_cosine_knn")
+def test_item_item_knn_shape(spark, sfd):
+    rows = _rows(spark, "item_item_cosine_knn", sfd)
     assert rows
     per_item: dict = {}
     for r in rows:
@@ -229,8 +255,8 @@ def test_item_item_knn_shape(spark):
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), item
 
 
-def test_textrank_scores_positive_and_topk(spark):
-    rows = _rows(spark, "textrank_keywords")
+def test_textrank_scores_positive_and_topk(spark, sfd):
+    rows = _rows(spark, "textrank_keywords", sfd)
     assert len(rows) == 20
     assert [r["rnk"] for r in rows] == list(range(1, 21))
     micro = [r["rank_micro"] for r in rows]
