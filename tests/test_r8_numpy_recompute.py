@@ -62,7 +62,8 @@ def _rows(spark, name: str, sfd: str):
 
 def _duck(sfd: str, sql: str) -> list[tuple]:
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "customer", "nation", "events", "documents"):
+    for t in ("orders", "lineitem", "customer", "nation", "events",
+              "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
     return con.sql(sql).fetchall()
 
@@ -351,3 +352,361 @@ def test_theil_sen_numpy(spark, sfd):
     # order statistic, which can move the median across adjacent floats —
     # bound by the gap to the true float order statistic plus 1 milli
     assert abs(r["ts_slope_milli"] - med) <= max(abs(med) * 1e-6, 1.5)
+
+
+# ===========================================================================
+# Second tranche: remaining formula-bearing statistics
+# ===========================================================================
+
+
+def test_acf_durbin_watson_numpy(spark, sfd):
+    """ACF (full-denominator variogram form) and d_k replayed in float from
+    the daily-dollar series."""
+    rows = {r["lag"]: r for r in _rows(spark, "acf_durbin_watson", sfd)}
+    raw = _duck(sfd, """
+        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                    AS BIGINT)
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ORDER BY CAST(o_orderdate AS DATE)""")
+    x = np.array([v for (v,) in raw], dtype=float)
+    n = len(x)
+    mean = x.mean()
+    ssq = float(((x - mean) ** 2).sum())
+    for lag in range(1, 8):
+        a, b = x[:-lag], x[lag:]
+        acf = float(((a - mean) * (b - mean)).sum()) / ssq
+        dw = float(((b - a) ** 2).sum()) / ssq
+        r = rows[lag]
+        assert r["n_pairs"] == n - lag
+        assert r["acf"] == pytest.approx(acf, abs=1e-5)
+        assert r["dw"] == pytest.approx(dw, abs=1e-5)
+
+
+def test_isotonic_pav_numpy(spark, sfd):
+    """The engine computes isotonic regression via the minimax formula
+    iso(i) = max_{j<=i} min_{k>=i} mean(j..k); numpy runs the SEQUENTIAL
+    pool-adjacent-violators stack algorithm — a genuinely different
+    algorithm for the same mathematical object. floor(1e6 * PAV) must
+    match the emitted iso_ppm exactly (floor commutes with min/max)."""
+    out = {r["b"]: r for r in _rows(spark, "isotonic_calibration", sfd)}
+    raw = _duck(sfd, """
+        SELECT least(CAST(floor(o_totalprice / 25000) AS INT), 19),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    # PAV stack: pool adjacent blocks while means decrease
+    blocks = []  # (n, s, [bins])
+    for b, n, s in raw:
+        blocks.append([n, s, [b]])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, s2, bs2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += s2
+            blocks[-1][2].extend(bs2)
+    for n, s, bs in blocks:
+        fit = s * 1_000_000 // n
+        for b in bs:
+            assert out[b]["iso_ppm"] == fit, (b, fit, out[b])
+
+
+def test_cmh_numpy(spark, sfd):
+    """Cochran-Mantel-Haenszel chi2 and MH odds ratio replayed in float
+    from the per-stratum 2x2 tables."""
+    (r,) = _rows(spark, "cmh_stratified_test", sfd)
+    raw = _duck(sfd, """
+        SELECT n_name,
+               CAST(sum((c_custkey % 2) * u) AS BIGINT),
+               CAST(sum((c_custkey % 2) * (1 - u)) AS BIGINT),
+               CAST(sum((1 - c_custkey % 2) * u) AS BIGINT),
+               CAST(sum((1 - c_custkey % 2) * (1 - u)) AS BIGINT)
+        FROM (SELECT c_custkey, n_name,
+                     CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                          THEN 1 ELSE 0 END AS u
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey)
+        GROUP BY 1""")
+    o = e = v = ad = bc = 0.0
+    for _, a, b, c, d in raw:
+        n1, n0, m1 = a + b, c + d, a + c
+        t = a + b + c + d
+        o += a
+        e += n1 * m1 / t
+        if t > 1:
+            v += n1 * n0 * m1 * (t - m1) / (t * t * (t - 1))
+        ad += a * d / t
+        bc += b * c / t
+    chi2 = (o - e) ** 2 / v
+    assert r["o"] == int(o) and r["k"] == len(raw)
+    assert r["chi2_stat"] == pytest.approx(chi2, rel=1e-3, abs=1e-4)
+    assert r["or_mh_ppm"] / 1e6 == pytest.approx(ad / bc, rel=1e-3)
+
+
+def test_page_trend_numpy(spark, sfd):
+    """Page's L and its z approximation replayed with tie-averaged
+    within-block ranks over complete blocks."""
+    (r,) = _rows(spark, "page_trend_test", sfd)
+    raw = _duck(sfd, """
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m'),
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1, 2""")
+    cells: dict[str, dict[int, int]] = {}
+    for blk, j, x in raw:
+        cells.setdefault(blk, {})[int(j)] = int(x)
+    k = max(len(v) for v in cells.values())
+    complete = {b: v for b, v in cells.items() if len(v) == k}
+    n = len(complete)
+    l_stat = 0.0
+    for v in complete.values():
+        js = sorted(v)
+        rks = _rankdata(np.array([v[j] for j in js], dtype=float))
+        l_stat += sum(j * rk for j, rk in zip(js, rks))
+    z = (12 * l_stat - 3 * n * k * (k + 1) ** 2) / math.sqrt(
+        n * k**2 * (k + 1) * (k**2 - 1)
+    )
+    assert r["n"] == n and r["k"] == k
+    assert r["l2"] == pytest.approx(2 * l_stat, abs=1.0)
+    assert r["z_stat"] == pytest.approx(z, abs=1e-4)
+
+
+def test_pr_auc_numpy(spark, sfd):
+    """Average precision (trapezoidal step form over distinct scores)
+    replayed in float."""
+    (r,) = _rows(spark, "pr_auc_average_precision", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY cents DESC""")
+    np_tot = sum(p for _, _, p in raw)
+    tp = fp = 0
+    tp_prev = fp_prev = 0
+    area = 0.0
+    for _, cnt, pos in raw:
+        tp += pos
+        fp += cnt - pos
+        prec = tp / (tp + fp)
+        prec_prev = tp_prev / max(tp_prev + fp_prev, 1)
+        area += (tp / np_tot - tp_prev / np_tot) * (prec + prec_prev) / 2
+        tp_prev, fp_prev = tp, fp
+    assert r["n_pos"] == np_tot
+    assert abs(r["pr_auc_micro"] / 1e6 - area) < 5e-6
+    assert r["baseline_micro"] == np_tot * 1_000_000 // (tp + fp)
+
+
+def test_nelson_aalen_numpy(spark, sfd):
+    """H(t) = sum d/n_risk and its variance replayed in float from the
+    duration table."""
+    out = {r["t_hours"]: r for r in _rows(spark, "nelson_aalen_hazard", sfd)}
+    raw = _duck(sfd, """
+        WITH ue AS (
+          SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t_first,
+                 CAST(min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END) AS BIGINT) AS t_purch
+          FROM events GROUP BY 1),
+        mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t_max FROM events)
+        SELECT CASE WHEN t_purch IS NOT NULL
+                    THEN (t_purch - t_first) // 3600000000
+                    ELSE (t_max - t_first) // 3600000000 END,
+               CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END
+        FROM ue CROSS JOIN mx""")
+    t = np.array([x[0] for x in raw], dtype=np.int64)
+    ev = np.array([x[1] for x in raw], dtype=np.int64)
+    h = 0.0
+    steps = 0
+    for tt in sorted(np.unique(t[ev == 1])):
+        n_risk = int((t >= tt).sum())
+        d = int(((t == tt) & (ev == 1)).sum())
+        h += d / n_risk
+        steps += 1
+        r = out[tt]
+        assert r["d"] == d and r["n_risk"] == n_risk
+        # per-step floor to micro: cumulative error bounded by step count
+        assert abs(r["cumhaz_micro"] / 1e6 - h) <= (steps + 1) / 1e6
+    assert set(out) == set(np.unique(t[ev == 1]))
+
+
+def test_mcnemar_numpy(spark, sfd):
+    """Continuity-corrected McNemar chi2 = (|b-c|-1)^2/(b+c) replayed."""
+    (r,) = _rows(spark, "mcnemar_paired_raters", sfd)
+    b, c = r["b"], r["c"]
+    chi2 = (abs(b - c) - 1) ** 2 / max(b + c, 1)
+    assert r["chi2_stat"] == pytest.approx(chi2, abs=1e-6)
+    if abs(chi2 - 3.84) > 0.01:
+        assert r["reject_95"] == int(chi2 > 3.84)
+
+
+def test_ewma_numpy(spark, sfd):
+    """The truncated dyadic EWMA and both anomaly flags replayed EXACTLY in
+    integer arithmetic (weights 2^(29-age) over a 30-day window)."""
+    rows = sorted(_rows(spark, "ewma_anomaly", sfd), key=lambda r: r["t"])
+    xs = [r["x"] for r in rows]
+    for idx, r in enumerate(rows):
+        lo = max(0, idx - 29)
+        window = xs[lo : idx + 1]  # ages: idx-lo .. 0
+        num = sum(x << (29 - (idx - j)) for j, x in enumerate(window, lo))
+        wsum = sum(1 << (29 - (idx - j)) for j, x in enumerate(window, lo))
+        prev_win = xs[max(0, idx - 29) : idx]
+        num_p = sum(x << (29 - (idx - j)) for j, x in enumerate(prev_win, lo))
+        wsum_p = sum(1 << (29 - (idx - j)) for j, x in enumerate(prev_win, lo))
+        assert r["ewma"] == pytest.approx(num / wsum, abs=2e-6 * num / wsum)
+        assert r["spike"] == int(wsum_p > 0 and r["x"] * wsum_p > 2 * num_p)
+        assert r["drop_"] == int(wsum_p > 0 and 2 * r["x"] * wsum_p < num_p)
+
+
+def test_gumbel_numpy(spark, sfd):
+    """Method-of-moments Gumbel fit (beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta) and the return-level inversion replayed in float."""
+    rows = {r["t_days"]: r for r in _rows(spark, "gumbel_return_levels", sfd)}
+    raw = _duck(sfd, """
+        SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR)""")
+    mx = np.array([v for (v,) in raw], dtype=float)
+    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = mx.mean() - 0.5772156649 * beta
+    any_r = rows[30]
+    assert any_r["n_days"] == len(mx)
+    assert any_r["observed_max"] == int(mx.max())
+    assert abs(any_r["mu_cents"] - mu) <= 2
+    assert abs(any_r["beta_cents"] - beta) <= 2
+    for t_days, r in rows.items():
+        rl = mu - beta * math.log(-math.log(1.0 - 1.0 / t_days))
+        assert abs(r["return_level_cents"] - rl) <= 2
+
+
+def test_changepoint_numpy(spark, sfd):
+    """The argmax split day and the scale-free RATIOS of the top
+    between-segment sums replayed in float (the emitted values carry an
+    opaque fixed scale; ratios are scale-invariant)."""
+    rows = _rows(spark, "changepoint_single_split", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    days = [d for d, _ in raw]
+    x = np.array([v for _, v in raw], dtype=float)
+    n = len(x)
+    cum = np.cumsum(x)
+    tot = cum[-1]
+    b = np.zeros(n - 1)
+    for k in range(1, n):
+        ml, mr = cum[k - 1] / k, (tot - cum[k - 1]) / (n - k)
+        b[k - 1] = k * (n - k) / n * (ml - mr) ** 2
+    order = sorted(range(n - 1), key=lambda i: (-b[i], days[i]))
+    top_days = [days[i] for i in order[: len(rows)]]
+    assert [r["split_day"] for r in rows] == top_days
+    b0 = b[order[0]]
+    for r, i in zip(rows, order):
+        assert r["between_ss_scaled"] / rows[0]["between_ss_scaled"] == (
+            pytest.approx(b[i] / b0, rel=1e-3, abs=1e-6)
+        )
+
+
+def test_logistic_irls_numpy(spark, sfd):
+    """Newton-IRLS refit in float numpy (true sigmoid, same features:
+    intercept, kilodollars, year offset) — the engine's staged rational
+    sigmoid and fixed iteration count must land on the same optimum."""
+    (r,) = _rows(spark, "logistic_regression_irls", sfd)
+    raw = _duck(sfd, """
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END,
+               CAST(round(o_totalprice) AS BIGINT) // 1000,
+               CAST(year(CAST(o_orderdate AS DATE)) - 1992 AS BIGINT)
+        FROM orders""")
+    y = np.array([a for a, _, _ in raw], dtype=float)
+    X = np.column_stack([
+        np.ones(len(raw)),
+        np.array([b for _, b, _ in raw], dtype=float),
+        np.array([c for _, _, c in raw], dtype=float),
+    ])
+    beta = np.zeros(3)
+    for _ in range(25):
+        z = np.clip(X @ beta, -30, 30)
+        p = 1.0 / (1.0 + np.exp(-z))
+        w = p * (1 - p)
+        g = X.T @ (y - p)
+        h = X.T @ (X * w[:, None])
+        step = np.linalg.solve(h, g)
+        beta = beta + step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    got = np.array([r["b0"], r["b1"], r["b2"]], dtype=float) / 1e6
+    for gb, nb in zip(got, beta):
+        assert abs(gb - nb) <= max(0.02 * abs(nb), 2e-4), (got, beta)
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    assert abs(r["mean_p_ppm"] / 1e6 - p.mean()) < 5e-3
+    acc = ((p >= 0.5) == (y == 1)).mean()
+    assert abs(r["accuracy_ppm"] / 1e6 - acc) < 5e-3
+
+
+def test_js_divergence_numpy(spark, sfd):
+    """JSD(source || corpus) in nats replayed in float: KL(p||m) + KL(q||m)
+    over the mixture m = (p+q)/2, bounded by ln 2."""
+    rows = _rows(spark, "js_divergence_sources", sfd)
+    raw = _duck(sfd, """
+        WITH tok AS (
+          SELECT source, unnest(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                 AS tok
+          FROM documents WHERE length(trim(text)) > 0)
+        SELECT source, tok, CAST(count(*) AS BIGINT)
+        FROM tok GROUP BY 1, 2""")
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for src, tok, c in raw:
+        corpus[tok] = corpus.get(tok, 0) + c
+        per_src.setdefault(src, {})[tok] = c
+    nu = sum(corpus.values())
+    for r in rows:
+        cs = per_src[r["source"]]
+        ns = sum(cs.values())
+        assert r["n_tokens"] == ns
+        kl_p = kl_q = 0.0
+        for tok, cg in corpus.items():
+            p = cs.get(tok, 0) / ns
+            q = cg / nu
+            m = (p + q) / 2
+            if p > 0:
+                kl_p += p * math.log(p / m)
+            kl_q += q * math.log(q / m)
+        jsd = (kl_p + kl_q) / 2
+        assert 0 <= jsd <= math.log(2) + 1e-9
+        assert abs(r["jsd_unat"] / 1e6 - jsd) < 5e-6
+        assert abs(r["distance_ppm"] / 1e6 - jsd / math.log(2)) < 1e-5
+
+
+def test_pca_rayleigh_bound_numpy(spark, sfd):
+    """The emitted lambda is a Rayleigh quotient of the true second-moment
+    matrix, so it can NEVER exceed the numpy-exact top eigenvalue; the
+    trace matches the staged integer trace within rounding."""
+    rows = _rows(spark, "pca_power_iteration", sfd)
+    lam = rows[0]["lambda_unit"]
+    tr = rows[0]["trace_unit"]
+    raw = _duck(sfd, "SELECT embedding FROM embeddings")
+    m = np.array([np.round(np.array(e, dtype=float) * 1e6) for (e,) in raw])
+    s = (m.T @ m) / len(m)
+    eig_max = float(np.linalg.eigvalsh(s)[-1])
+    assert lam <= eig_max * (1 + 1e-6) + 1
+    assert tr == pytest.approx(float(np.trace(s)), rel=1e-3)
+
+
+def test_geometric_median_minimizer_numpy(spark, sfd):
+    """The defining property: the Weiszfeld result has LOWER summed L2
+    distance than the mean (the objective it minimizes, checked on the
+    raw float embeddings)."""
+    rows = _rows(spark, "geometric_median_embeddings", sfd)
+    g = np.zeros(64)
+    mean_staged = np.zeros(64)
+    for r in rows:
+        g[r["dim"] - 1] = r["gmedian_micro"] / 1e6
+        mean_staged[r["dim"] - 1] = r["mean_micro"] / 1e6
+    raw = _duck(sfd, "SELECT embedding FROM embeddings")
+    x = np.array([np.array(e, dtype=float) for (e,) in raw])
+    dist_g = np.linalg.norm(x - g, axis=1).sum()
+    dist_mean = np.linalg.norm(x - x.mean(axis=0), axis=1).sum()
+    assert np.allclose(mean_staged, x.mean(axis=0), atol=2e-6)
+    assert dist_g <= dist_mean * (1 + 1e-9)
