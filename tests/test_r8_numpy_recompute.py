@@ -710,3 +710,189 @@ def test_geometric_median_minimizer_numpy(spark, sfd):
     dist_mean = np.linalg.norm(x - x.mean(axis=0), axis=1).sum()
     assert np.allclose(mean_staged, x.mean(axis=0), atol=2e-6)
     assert dist_g <= dist_mean * (1 + 1e-9)
+
+
+# ===========================================================================
+# Third tranche: distribution/shape statistics and text-model formulas
+# ===========================================================================
+
+_TOK_SQL = """
+    SELECT source, unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents WHERE length(trim(text)) > 0"""
+
+
+def test_zipf_fit_numpy(spark, sfd):
+    """Zipf log-log OLS slope/intercept replayed in float from the
+    rank-frequency table (the engine stages ln to milli-nats; float OLS
+    agrees to ~1e-3)."""
+    (r,) = _rows(spark, "text_zipf_fit", sfd)
+    raw = _duck(sfd, f"SELECT tok, count(*) FROM ({_TOK_SQL}) GROUP BY 1")
+    counts = np.array(sorted((c for _, c in raw), reverse=True), dtype=float)
+    lnx = np.log(np.arange(1, len(counts) + 1))
+    lny = np.log(counts)
+    slope, intercept = np.polyfit(lnx, lny, 1)
+    assert r["n_types"] == len(counts)
+    assert r["zipf_slope"] == pytest.approx(slope, abs=2e-3)
+    assert r["intercept_lnfreq"] == pytest.approx(intercept, abs=5e-3)
+
+
+def test_gini_numpy(spark, sfd):
+    """Per-nation Gini replayed with the sorted-weights formula
+    G = (2 sum i*w_i - (n+1) sum w) / (n sum w)."""
+    rows = _rows(spark, "revenue_gini_by_nation", sfd)
+    raw = _duck(sfd, """
+        SELECT n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name, c_custkey""")
+    by_n: dict[str, list[int]] = {}
+    for nat, cents in raw:
+        by_n.setdefault(nat, []).append(int(cents))
+    for r in rows:
+        w = np.array(sorted(by_n[r["n_name"]]), dtype=float)
+        n = len(w)
+        gini = (2 * np.sum(np.arange(1, n + 1) * w) - (n + 1) * w.sum()) / (
+            n * w.sum()
+        )
+        assert r["n_customers"] == n
+        assert abs(r["gini_ppm"] / 1e6 - gini) < 2e-6
+
+
+def test_dist_moments_numpy(spark, sfd):
+    """Population skewness and excess kurtosis replayed from raw
+    quantities (textbook central-moment formulas)."""
+    rows = _rows(spark, "dist_moments", sfd)
+    raw = _duck(sfd, "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem")
+    by_f: dict[str, list[float]] = {}
+    for f, q in raw:
+        by_f.setdefault(f, []).append(float(q))
+    for r in rows:
+        x = np.array(by_f[r["l_returnflag"]])
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        assert r["n"] == len(x)
+        assert r["skewness"] == pytest.approx(m3 / m2**1.5, abs=1e-5)
+        assert r["kurtosis_excess"] == pytest.approx(m4 / m2**2 - 3, abs=1e-5)
+
+
+def test_linear_regression_numpy(spark, sfd):
+    """Per-group OLS slope/intercept replayed with numpy polyfit."""
+    rows = _rows(spark, "linear_regression_stats", sfd)
+    raw = _duck(sfd, """
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT),
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem""")
+    by_f: dict[str, tuple[list, list]] = {}
+    for f, x, y in raw:
+        by_f.setdefault(f, ([], []))[0].append(float(x))
+        by_f[f][1].append(float(y))
+    for r in rows:
+        xs, ys = by_f[r["l_returnflag"]]
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        assert r["n"] == len(xs)
+        assert r["slope_cents"] == pytest.approx(slope, rel=1e-6, abs=1e-4)
+        assert r["intercept_cents"] == pytest.approx(intercept, rel=1e-6, abs=1e-3)
+
+
+def test_drift_psi_numpy(spark, sfd):
+    """Per-bin PSI terms (a-b)ln(a/b) replayed in float."""
+    rows = _rows(spark, "drift_psi", sfd)
+    raw = _duck(sfd, """
+        SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+                    THEN 'base' ELSE 'cur' END,
+               least(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                     // 6000000, 9)
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'""")
+    nb: dict[int, int] = {}
+    nc: dict[int, int] = {}
+    for period, b in raw:
+        (nb if period == "base" else nc)[int(b)] = (
+            (nb if period == "base" else nc).get(int(b), 0) + 1
+        )
+    tb, tc = sum(nb.values()), sum(nc.values())
+    for r in rows:
+        b = r["bin"]
+        if nb.get(b, 0) > 0 and nc.get(b, 0) > 0:
+            a, q = nb[b] / tb, nc[b] / tc
+            term = (a - q) * math.log(a / q)
+        else:
+            term = 0.0
+        assert r["nb"] == nb.get(b, 0) and r["nc"] == nc.get(b, 0)
+        assert r["psi_term"] == pytest.approx(term, abs=2e-6)
+
+
+def test_source_kl_numpy(spark, sfd):
+    """KL(source || corpus) in nats replayed in float."""
+    rows = _rows(spark, "source_kl_divergence", sfd)
+    raw = _duck(sfd, f"SELECT source, tok, count(*) FROM ({_TOK_SQL}) GROUP BY 1, 2")
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for src, tok, c in raw:
+        corpus[tok] = corpus.get(tok, 0) + c
+        per_src.setdefault(src, {})[tok] = c
+    nu = sum(corpus.values())
+    for r in rows:
+        cs = per_src[r["source"]]
+        ns = sum(cs.values())
+        kl = sum(
+            (c / ns) * math.log((c / ns) / (corpus[t] / nu))
+            for t, c in cs.items()
+        )
+        assert r["n_tokens"] == ns and r["n_types"] == len(cs)
+        assert abs(r["kl_unat"] / 1e6 - max(kl, 0)) < 5e-6
+
+
+def test_benford_numpy(spark, sfd):
+    """Observed first-digit shares and the Benford expectation
+    log10(1 + 1/d) replayed."""
+    rows = _rows(spark, "benford_first_digit", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT), count(*)
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1""")
+    counts = {int(d): int(n) for d, n in raw}
+    tot = sum(counts.values())
+    for r in rows:
+        d = r["digit"]
+        assert r["n_orders"] == counts[d]
+        assert r["observed_ppm"] == counts[d] * 1_000_000 // tot
+        assert abs(r["expected_ppm"] / 1e6 - math.log10(1 + 1 / d)) < 2e-6
+        assert r["deviation_ppm"] == r["observed_ppm"] - r["expected_ppm"]
+
+
+def test_winsorized_numpy(spark, sfd):
+    """1%/99% winsorization replayed: the clamp bounds are the ceil-rank
+    order statistics, the winsorized sum is the clipped sum."""
+    (r,) = _rows(spark, "winsorized_price_stats", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders""")
+    cents = np.array(sorted(v for (v,) in raw), dtype=np.int64)
+    n = len(cents)
+    lo = int(cents[(n + 99) // 100 - 1])
+    hi = int(cents[(99 * n + 99) // 100 - 1])
+    assert r["n_orders"] == n
+    assert r["lo_cents"] == lo and r["hi_cents"] == hi
+    assert r["sum_cents_raw"] == int(cents.sum())
+    assert r["sum_cents_winsorized"] == int(np.clip(cents, lo, hi).sum())
+
+
+def test_kneser_ney_numpy(spark, sfd):
+    """Interpolated KN bigram probability replayed in float:
+    P = max(c12 - D, 0)/c1 + (D n1fw / c1)(n1bw / nbt), D = 0.75, from the
+    emitted count columns (the formula layer above the count staging)."""
+    rows = _rows(spark, "text_kneser_ney_bigram", sfd)
+    assert rows
+    for r in rows:
+        d = 0.75
+        p = max(r["c12"] - d, 0) / r["c1"] + (
+            d * r["n1fw"] / r["c1"]
+        ) * (r["n1bw"] / r["nbt"])
+        pml = r["c12"] / r["c1"]
+        assert abs(r["pkn_ppm"] / 1e6 - p) < 5e-6
+        assert abs(r["pml_ppm"] / 1e6 - pml) < 2e-6
