@@ -896,3 +896,147 @@ def test_kneser_ney_numpy(spark, sfd):
         pml = r["c12"] / r["c1"]
         assert abs(r["pkn_ppm"] / 1e6 - p) < 5e-6
         assert abs(r["pml_ppm"] / 1e6 - pml) < 2e-6
+
+
+# ===========================================================================
+# Fourth tranche: LLM-pipeline stacks replayed end to end in pure Python
+# (hashlib md5 == Spark md5 == DuckDB md5, so the WHOLE pipeline — not just
+# the final formula — is independently reproducible)
+# ===========================================================================
+
+import hashlib
+
+
+def _md5_long(s: str, hex_chars: int = 15) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hex_chars], 16)
+
+
+def test_similarity_brute_topk_numpy(spark, sfd):
+    """The truth tier of the similarity stack: numpy cosine over the raw
+    float embeddings must agree with every emitted similarity, and every
+    emitted neighbor must genuinely be top-5 (within rounding) for its
+    query."""
+    rows = _rows(spark, "similarity_brute_topk", sfd)
+    raw = _duck(sfd, "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    ids = np.array([i for i, _ in raw], dtype=np.int64)
+    m = np.array([np.array(e, dtype=np.float64) for _, e in raw])
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {int(v): j for j, v in enumerate(ids)}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10)) & set(int(v) for v in ids)
+    for q, rs in by_q.items():
+        sims = m_n @ m_n[idx[q]]
+        sims[idx[q]] = -2.0  # exclude self
+        kth = np.sort(sims)[-5] if len(sims) > 5 else -2.0
+        assert len(rs) == min(5, len(sims) - 1)
+        for r in rs:
+            true_sim = float(sims[idx[r["neighbor_id"]]])
+            assert abs(r["sim"] - true_sim) < 1.5e-6, (q, r)
+            assert true_sim >= kth - 2e-6, (q, r, kth)
+
+
+def test_hll_estimator_python_replay(spark, sfd):
+    """The full HLL pipeline — md5 hash, 1024-way bucketing, rho from the
+    remaining 50 bits, register max, the fixed-point alpha*m^2 estimator
+    with its linear-counting fallback — replayed in pure Python integers,
+    plus a check that the baked alpha constant IS 0.7213/(1+1.079/m)."""
+    rows = {r["event_type"]: r for r in _rows(spark, "hll_distinct_by_source", sfd)}
+    const = 1702413117074507099537408
+    m = 1024
+    # the engine deliberately stages alpha as the 0.721 milli approximation
+    # (documented at driver_queries._HLL_NUM); pin the staging exactly and
+    # bound the approximation against the exact alpha_m within 0.1%
+    assert const == 721 * (1 << 71)
+    alpha_exact = 0.7213 / (1 + 1.079 / m)
+    alpha = const / 1000 / (1 << 51) / m**2
+    assert abs(alpha - alpha_exact) / alpha_exact < 1e-3
+    raw = _duck(sfd, "SELECT event_type, user_id FROM events")
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for et, uid in raw:
+        h = _md5_long(str(uid))
+        bucket = h % m
+        rest = h // m
+        rho = 51 if rest == 0 else 51 - rest.bit_length()
+        regs.setdefault(et, {})
+        regs[et][bucket] = max(regs[et].get(bucket, 0), rho)
+        exact.setdefault(et, set()).add(uid)
+    for et, r in rows.items():
+        mj = regs[et]
+        v_zero = m - len(mj)
+        s_sum = sum(1 << (51 - v) for v in mj.values()) + v_zero * (1 << 51)
+        raw_est = const // (1000 * s_sum)
+        if v_zero > 0 and raw_est < 2560:
+            est = m * (6931472 - round(math.log(v_zero) * 1_000_000)) // 1_000_000
+        else:
+            est = raw_est
+        assert r["v_zero"] == v_zero and r["s_sum"] == s_sum
+        assert r["hll_est"] == est
+        assert r["exact_distinct"] == len(exact[et])
+        # and the estimator itself is the textbook alpha m^2 / sum 2^-M
+        float_est = alpha * m * m / (
+            sum(2.0 ** -(v) for v in mj.values()) + v_zero * 1.0
+        )
+        if not (v_zero > 0 and raw_est < 2560):
+            assert est == pytest.approx(float_est, rel=1e-3)
+
+
+def test_kmv_estimator_python_replay(spark, sfd):
+    """KMV: k-th minimum md5 value over distinct users, est =
+    (k-1) * 2^52 / kth, replayed in pure Python."""
+    rows = {r["event_type"]: r for r in _rows(spark, "kmv_distinct_sketch", sfd)}
+    raw = _duck(sfd, "SELECT DISTINCT event_type, user_id FROM events")
+    hs: dict[str, list[int]] = {}
+    for et, uid in raw:
+        hs.setdefault(et, []).append(_md5_long(str(uid), hex_chars=13))
+    for et, r in rows.items():
+        vals = sorted(set(hs[et]))
+        if len(vals) < 64:
+            est = len(vals)
+        else:
+            est = (64 - 1) * (1 << 52) // vals[63]
+        assert r["est_distinct"] == est, et
+
+
+def test_ngram_jaccard_python_replay(spark, sfd):
+    """The exact-Jaccard dedup pipeline replayed in pure Python: tokenize,
+    md5 token hashes mod 2^31-1, rolling 3-gram shingle combine, distinct
+    shingle sets, within-source pair intersections, ppm threshold 0.1."""
+    rows = _rows(spark, "dedup_ngram_jaccard", sfd)
+    raw = _duck(sfd, """
+        SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        FROM documents""")
+    P, A = 2147483647, 219014439
+    sh: dict[int, set] = {}
+    src: dict[int, str] = {}
+    for doc_id, source, text in raw:
+        toks = text.split(" ") if text else [""]
+        th = [_md5_long(t) % P for t in toks]
+        if len(th) >= 3:
+            s = {(((th[i] * A + th[i + 1]) % P) * A + th[i + 2]) % P
+                 for i in range(len(th) - 2)}
+        elif len(th) == 2:
+            s = {(th[0] * A + th[1]) % P}
+        else:
+            s = {th[0]}
+        sh[doc_id] = s
+        src[doc_id] = source
+    by_src: dict[str, list[int]] = {}
+    for d, s_ in src.items():
+        by_src.setdefault(s_, []).append(d)
+    want = {}
+    for s_, docs in by_src.items():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = docs[i], docs[j]
+                inter = len(sh[a] & sh[b])
+                if inter == 0:
+                    continue
+                ppm = inter * 1_000_000 // (len(sh[a]) + len(sh[b]) - inter)
+                if ppm >= 100_000:
+                    want[(a, b)] = ppm
+    got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in rows}
+    assert got == want
