@@ -1040,3 +1040,217 @@ def test_ngram_jaccard_python_replay(spark, sfd):
                     want[(a, b)] = ppm
     got = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in rows}
     assert got == want
+
+
+# ===========================================================================
+# Fifth tranche: retrieval scoring, log-odds, surprisal, MinHash-LSH, and
+# the frequency-sketch estimators
+# ===========================================================================
+
+
+def _norm_tokens(text: str) -> list[str]:
+    import re as _re
+
+    t = _re.sub(r"\s+", " ", text.lower()).strip()
+    return t.split(" ") if t else []
+
+
+def _doc_tokens(sfd: str) -> list[tuple[int, str, list[str]]]:
+    raw = _duck(sfd, """
+        SELECT doc_id, source, text FROM documents
+        WHERE length(trim(text)) > 0 ORDER BY doc_id""")
+    return [(int(d), s, _norm_tokens(t)) for d, s, t in raw]
+
+
+def _shingles(toks: list[str]) -> set[int]:
+    P, A = 2147483647, 219014439
+    th = [_md5_long(t) % P for t in toks] or [_md5_long("") % P]
+    if len(th) >= 3:
+        return {(((th[i] * A + th[i + 1]) % P) * A + th[i + 2]) % P
+                for i in range(len(th) - 2)}
+    if len(th) == 2:
+        return {(th[0] * A + th[1]) % P}
+    return {th[0]}
+
+
+def test_bm25_python_replay(spark, sfd):
+    """Okapi BM25 replayed end to end in pure Python integers: tokenize,
+    df band [10, 200], top-5 query terms, milli-nat idf, rational
+    k1=6/5 b=3/4 saturation + length norm, top-20 ranking — exact match."""
+    rows = _rows(spark, "bm25_retrieval_topk", sfd)
+    docs = _doc_tokens(sfd)
+    dl = {d: len(tk) for d, _, tk in docs}
+    n_docs, total_len = len(dl), sum(dl.values())
+    tf: dict[tuple[int, str], int] = {}
+    df: dict[str, int] = {}
+    for d, _, tk in docs:
+        seen = {}
+        for t in tk:
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            tf[(d, t)] = c
+            df[t] = df.get(t, 0) + 1
+    band = [(t, c) for t, c in df.items() if 10 <= c <= 200]
+    band.sort(key=lambda x: (-x[1], x[0]))
+    qterms = band[:5]
+    idf = {
+        t: round(math.log((n_docs - c + 0.5) / (c + 0.5) + 1) * 1000)
+        for t, c in qterms
+    }
+    scores: dict[int, list[int]] = {}
+    for d in dl:
+        norm = 250000 + 750000 * dl[d] * n_docs // total_len
+        s = 0
+        hits = 0
+        for t, _ in qterms:
+            if (d, t) in tf:
+                c = tf[(d, t)]
+                s += idf[t] * 11 * c * 1_000_000 // (5 * c * 1_000_000 + 6 * norm)
+                hits += 1
+        if hits:
+            scores[d] = [s, hits]
+    order = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    want = [(d, v[0], v[1]) for d, v in order]
+    got = [(r["doc_id"], r["score_milli"], r["n_terms_hit"]) for r in rows]
+    assert got == want
+
+
+def test_logodds_z_python_replay(spark, sfd):
+    """Monroe et al. log-odds z with the informative Dirichlet prior
+    replayed in float for every emitted token."""
+    rows = _rows(spark, "logodds_fightin_words", sfd)
+    docs = _doc_tokens(sfd)
+    per_src: dict[str, int] = {}
+    cw: dict[str, int] = {}
+    ys_map: dict[str, dict[str, int]] = {}
+    for _, s, tk in docs:
+        for t in tk:
+            per_src[s] = per_src.get(s, 0) + 1
+            cw[t] = cw.get(t, 0) + 1
+            dd = ys_map.setdefault(t, {})
+            dd[s] = dd.get(s, 0) + 1
+    big = sorted(per_src.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    ct = sum(cw.values())
+    ns = per_src[big]
+    nr = ct - ns
+    for r in rows:
+        t = r["token"]
+        ys = ys_map.get(t, {}).get(big, 0)
+        yr = cw[t] - ys
+        assert r["ys"] == ys and r["yr"] == yr
+        aw = 1000.0 * cw[t] / ct
+        delta = math.log((ys + aw) / (ns + 1000 - ys - aw)) - math.log(
+            (yr + aw) / (nr + 1000 - yr - aw)
+        )
+        z = delta / math.sqrt(1.0 / (ys + aw) + 1.0 / (yr + aw))
+        assert r["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_unigram_surprisal_python_replay(spark, sfd):
+    """Per-doc mean unigram surprisal replayed exactly (per-token micro-nat
+    rounding then floor-div) and within float tolerance of the textbook
+    cross-entropy -mean ln p."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "text_unigram_surprisal", sfd)}
+    docs = _doc_tokens(sfd)
+    c: dict[str, int] = {}
+    for _, _, tk in docs:
+        for t in tk:
+            c[t] = c.get(t, 0) + 1
+    nu = sum(c.values())
+    s_unat = {t: round((math.log(nu) - math.log(v)) * 1_000_000)
+              for t, v in c.items()}
+    for d, _, tk in docs:
+        want = sum(s_unat[t] for t in tk) // len(tk)
+        r = rows[d]
+        assert r["n_tokens"] == len(tk)
+        assert r["mean_surprisal_unat"] == want
+        textbook = -sum(math.log(c[t] / nu) for t in tk) / len(tk)
+        assert abs(want / 1e6 - textbook) < 2e-6
+
+
+_MH_SEEDS = [
+    (0, 1404583565, 1193223681), (1, 627512682, 1410234676),
+    (2, 392508639, 451958037), (3, 845855285, 1278821779),
+    (4, 1498746989, 954298517), (5, 372982488, 432834890),
+    (6, 1228264184, 546202695), (7, 922928647, 1402409017),
+    (8, 1548894417, 1090787407), (9, 739759379, 644480374),
+    (10, 2009050645, 1073664928), (11, 645744306, 1432608656),
+    (12, 930525824, 450153301), (13, 257292630, 1889917216),
+    (14, 1144445511, 1538549136), (15, 356415992, 1413860676),
+]
+
+
+def test_minhash_lsh_python_replay(spark, sfd):
+    """The MinHash+LSH candidate-pair pipeline replayed in pure Python:
+    shingle hashes, 16 affine minhashes, 4 bands of 4, md5 band buckets —
+    the emitted pair set must match exactly."""
+    rows = _rows(spark, "dedup_minhash_lsh", sfd)
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    P = 2147483647
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in raw:
+        sh = _shingles(_norm_tokens(text))
+        sig = [min((a * h + b) % P for h in sh) for _, a, b in _MH_SEEDS]
+        for band in range(4):
+            sigstr = "|".join(str(v) for v in sig[band * 4 : band * 4 + 4])
+            bh = _md5_long(f"{sigstr}#{1000 + band}")
+            buckets.setdefault((band, bh), []).append(int(doc_id))
+    want = set()
+    for (_, _), ds in buckets.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want.add((ds[i], ds[j]))
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == want
+
+
+def test_cms_python_replay(spark, sfd):
+    """CountMin replayed from md5 hex slices; the one-sided error property
+    est >= exact holds for every probe."""
+    rows = _rows(spark, "cms_frequency_sketch", sfd)
+    raw = _duck(sfd, "SELECT user_id FROM events")
+    slices = [(0, 3), (3, 6), (6, 9), (9, 12)]
+    sketch: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    for (uid,) in raw:
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        exact[uid] = exact.get(uid, 0) + 1
+        for seed, (lo, hi) in enumerate(slices):
+            b = int(hx[lo:hi], 16) % 1024
+            sketch[(seed, b)] = sketch.get((seed, b), 0) + 1
+    for r in rows:
+        uid = r["user_id"]
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        est = min(
+            sketch.get((seed, int(hx[lo:hi], 16) % 1024), 0)
+            for seed, (lo, hi) in enumerate(slices)
+        )
+        assert r["exact_cnt"] == exact[uid]
+        assert r["cms_est"] == est
+        assert est >= exact[uid]  # CMS never underestimates
+
+
+def test_countsketch_python_replay(spark, sfd):
+    """CountSketch median-of-5 signed estimates replayed from md5 hex
+    slices (buckets) and hex chars 16-20 (signs)."""
+    rows = _rows(spark, "countsketch_unbiased_freq", sfd)
+    raw = _duck(sfd, "SELECT user_id FROM events")
+    slices = [(0, 3), (3, 6), (6, 9), (9, 12), (12, 15)]
+    sketch: dict[tuple[int, int], int] = {}
+    for (uid,) in raw:
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        for seed, (lo, hi) in enumerate(slices):
+            b = int(hx[lo:hi], 16) % 1024
+            sign = 1 - 2 * (int(hx[15 + seed], 16) % 2)
+            sketch[(seed, b)] = sketch.get((seed, b), 0) + sign
+    for r in rows:
+        uid = r["user_id"]
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        vals = sorted(
+            (1 - 2 * (int(hx[15 + seed], 16) % 2))
+            * sketch.get((seed, int(hx[lo:hi], 16) % 1024), 0)
+            for seed, (lo, hi) in enumerate(slices)
+        )
+        assert r["cs_est"] == vals[2]  # median of 5
+        assert r["cs_min"] == vals[0] and r["cs_max"] == vals[-1]
