@@ -1254,3 +1254,475 @@ def test_countsketch_python_replay(spark, sfd):
         )
         assert r["cs_est"] == vals[2]  # median of 5
         assert r["cs_min"] == vals[0] and r["cs_max"] == vals[-1]
+
+
+# ---------------------------------------------------------------------------
+# Fourth tranche: profiling / sampling / allocation / text-mixture operators.
+# Same discipline — populations assembled with fresh DuckDB SQL, statistics
+# recomputed with textbook float formulas (or exact unbounded Python ints
+# where the contract is exact), never by re-staging the engines' shared
+# integer tricks — except where an md5-exact pipeline replay is the point.
+# ---------------------------------------------------------------------------
+
+
+def test_manual_corr_stats_numpy(spark, sfd):
+    """Pearson r and sample stddev per returnflag via np.corrcoef/np.std —
+    the two-pass float path vs the engines' integer sufficient statistics."""
+    rows = _rows(spark, "manual_corr_stats", sfd)
+    raw = _duck(sfd, """
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT),
+               CAST(round(l_discount * 100) AS BIGINT) FROM lineitem""")
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for g, x, y in raw:
+        by_g.setdefault(g, []).append((int(x), int(y)))
+    assert len(rows) == len(by_g)
+    for r in rows:
+        xs = np.array([x for x, _ in by_g[r["l_returnflag"]]], dtype=float)
+        ys = np.array([y for _, y in by_g[r["l_returnflag"]]], dtype=float)
+        assert r["n"] == len(xs)
+        assert abs(r["corr_qty_disc"] - float(np.corrcoef(xs, ys)[0, 1])) < 2e-6
+        assert abs(r["stddev_qty"] - float(np.std(xs, ddof=1))) < 2e-6
+
+
+def test_robust_stats_mad_numpy(spark, sfd):
+    """Median and MAD per returnflag via np.median (interpolated median ==
+    quantile_cont on integer inputs)."""
+    rows = _rows(spark, "robust_stats_mad", sfd)
+    raw = _duck(sfd, "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem")
+    by_g: dict[str, list[int]] = {}
+    for g, q in raw:
+        by_g.setdefault(g, []).append(int(q))
+    assert len(rows) == len(by_g)
+    for r in rows:
+        v = np.array(by_g[r["l_returnflag"]], dtype=float)
+        med = float(np.median(v))
+        assert r["median_qty"] == med
+        assert r["mad_qty"] == float(np.median(np.abs(v - med)))
+
+
+def test_zscore_anomaly_numpy(spark, sfd):
+    """|z| > 3 anomaly set recomputed the textbook way (float population
+    mean/stddev per type), vs the engines' division-free integer inequality.
+    Rows may differ only within the float boundary zone of the threshold."""
+    rows = _rows(spark, "zscore_anomaly", sfd)
+    raw = _duck(sfd, """
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT)
+        FROM events""")
+    by_t: dict[str, list[tuple[int, int]]] = {}
+    for eid, et, v in raw:
+        by_t.setdefault(et, []).append((int(eid), int(v)))
+    want = set()
+    stats = {}
+    for et, evs in by_t.items():
+        v = np.array([x for _, x in evs], dtype=float)
+        mu, sig = float(v.mean()), float(v.std())  # population sigma
+        stats[et] = (mu, sig)
+        for eid, x in evs:
+            if abs(x - mu) > 3.0 * sig:
+                want.add((eid, et, x))
+    got = {(r["event_id"], r["event_type"], r["v_cents"]) for r in rows}
+    for eid, et, x in got ^ want:
+        mu, sig = stats[et]
+        assert abs(abs(x - mu) - 3.0 * sig) < 1e-9 * max(1.0, 3.0 * sig)
+
+
+def test_time_weighted_avg_python(spark, sfd):
+    """Per-(type, day) time-weighted average replayed with a plain Python
+    sort + lead loop over (epoch_us, event_id)."""
+    rows = _rows(spark, "time_weighted_avg", sfd)
+    raw = _duck(sfd, """
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR),
+               CAST(round(value * 100) AS BIGINT), epoch_us(ts), event_id
+        FROM events""")
+    series: dict[tuple[str, str], list[tuple[int, int, int]]] = {}
+    for et, day, v, us, eid in raw:
+        series.setdefault((et, day), []).append((int(us), int(eid), int(v)))
+    want = {}
+    for key, evs in series.items():
+        evs.sort()
+        ws = ts = 0
+        for i in range(len(evs) - 1):
+            dt = evs[i + 1][0] - evs[i][0]
+            ws += evs[i][2] * dt
+            ts += dt
+        if ts or len(evs) > 1:
+            want[key] = (ws, ts)
+    got = {(r["event_type"], r["day"]): r for r in rows}
+    assert set(got) == {k for k, (ws, ts) in want.items()}
+    for key, r in got.items():
+        ws, ts = want[key]
+        assert r["weighted_sum"] == ws and r["total_us"] == ts
+        assert abs(r["twa_cents"] - ws / ts) < 2e-6
+
+
+def _ntile_buckets(n: int, k: int) -> list[int]:
+    """Standard SQL ntile bucket per 1-based rank: first n%k buckets get
+    one extra row."""
+    out, size, extra = [], n // k, n % k
+    for b in range(1, k + 1):
+        out.extend([b] * (size + (1 if b <= extra else 0)))
+    return out
+
+
+def test_equidepth_histogram_python(spark, sfd):
+    """ntile(8) over (price, orderkey) replayed with a plain Python sort —
+    validates the distributed two-phase global_ntile against the textbook
+    single-sorted-list definition."""
+    rows = _rows(spark, "equidepth_histogram", sfd)
+    raw = _duck(sfd, """
+        SELECT o_totalprice, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) FROM orders""")
+    srt = sorted(((float(p), int(k), int(c)) for p, k, c in raw))
+    buckets = _ntile_buckets(len(srt), 8)
+    agg: dict[int, list[int]] = {}
+    for (_, _, cents), b in zip(srt, buckets):
+        agg.setdefault(b, []).append(cents)
+    assert {r["bucket"] for r in rows} == set(agg)
+    for r in rows:
+        cs = agg[r["bucket"]]
+        assert r["n_rows"] == len(cs)
+        assert r["lo_cents"] == min(cs) and r["hi_cents"] == max(cs)
+
+
+def test_curriculum_length_deciles_python(spark, sfd):
+    """ntile(10) curriculum tranches by char length replayed with a Python
+    sort over (len(text), doc_id)."""
+    rows = _rows(spark, "curriculum_length_deciles", sfd)
+    raw = _duck(sfd, "SELECT len(text), doc_id FROM documents")
+    srt = sorted(((int(c), int(d)) for c, d in raw))
+    buckets = _ntile_buckets(len(srt), 10)
+    agg: dict[int, list[int]] = {}
+    for (chars, _), b in zip(srt, buckets):
+        agg.setdefault(b, []).append(chars)
+    assert {r["decile"] for r in rows} == set(agg)
+    for r in rows:
+        cs = agg[r["decile"]]
+        assert r["n_docs"] == len(cs)
+        assert r["min_chars"] == min(cs) and r["max_chars"] == max(cs)
+        assert r["sum_chars"] == sum(cs)
+
+
+def test_event_rate_cusum_python(spark, sfd):
+    """Daily error-rate CUSUM replayed in exact unbounded Python ints."""
+    rows = _rows(spark, "event_rate_cusum", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR), count(*),
+               count(*) FILTER (WHERE event_type = 'error')
+        FROM events GROUP BY 1 ORDER BY 1""")
+    tot_e = sum(int(n) for _, n, _ in raw)
+    tot_err = sum(int(e) for _, _, e in raw)
+    mean_ppm = tot_err * 1_000_000 // tot_e
+    cusum, want = 0, {}
+    for day, n, e in raw:
+        rate = int(e) * 1_000_000 // int(n)
+        cusum += rate - mean_ppm
+        want[day] = (int(n), int(e), rate, cusum)
+    assert len(rows) == len(want)
+    for r in rows:
+        n, e, rate, cs = want[r["day"]]
+        assert (r["n_events"], r["n_errors"], r["rate_ppm"],
+                r["cusum_ppm_days"]) == (n, e, rate, cs)
+
+
+def _rnd_away(x: float) -> int:
+    """round() half away from zero on doubles — Spark/DuckDB round twin."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_embedding_quantization_error_python(spark, sfd):
+    """int8 scalar-quantization error per label replayed in exact Python
+    ints from the raw float embeddings."""
+    rows = _rows(spark, "embedding_quantization_error", sfd)
+    raw = _duck(sfd, "SELECT label, embedding FROM embeddings")
+    agg: dict[str, list[tuple[int, int]]] = {}
+    for label, vec in raw:
+        err = sum(abs(127 * _rnd_away(x * 1_000_000) - 1_000_000 * _rnd_away(x * 127))
+                  for x in vec)
+        mag = sum(abs(_rnd_away(x * 1_000_000)) for x in vec)
+        agg.setdefault(label, []).append((err, mag))
+    assert len(rows) == len(agg)
+    for r in rows:
+        errs = [e for e, _ in agg[r["label"]]]
+        mags = [m for _, m in agg[r["label"]]]
+        assert r["n_vectors"] == len(errs)
+        assert r["total_err_scaled"] == sum(errs)
+        assert r["max_vec_err_scaled"] == max(errs)
+        assert r["mean_vec_err_scaled"] == sum(errs) // len(errs)
+        assert r["rel_err_permille"] == (sum(errs) * 1000) // (127 * sum(mags))
+
+
+def _sql_token_count(text: str) -> int:
+    """Twin of len(regexp_split_to_array(trim(text), '\\s+')) with SQL trim
+    (strips spaces only, unlike Python str.strip)."""
+    import re as _re
+
+    t = text.strip(" ")
+    return 0 if t == "" else len(_re.split(r"\s+", t))
+
+
+def test_token_budget_allocation_python(spark, sfd):
+    """Hamilton largest-remainder apportionment replayed in exact Python
+    ints; allocations must sum exactly to the budget."""
+    rows = _rows(spark, "token_budget_allocation", sfd)
+    raw = _duck(sfd, "SELECT source, text FROM documents")
+    per: dict[str, int] = {}
+    for src, txt in raw:
+        per[src] = per.get(src, 0) + _sql_token_count(txt)
+    budget, total = 100_000, sum(per.values())
+    base = {s: budget * t // total for s, t in per.items()}
+    rem = {s: budget * t % total for s, t in per.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(per, key=lambda s: (-rem[s], s))
+    alloc = {s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)}
+    assert sum(alloc.values()) == budget
+    assert len(rows) == len(per)
+    for r in rows:
+        assert r["tokens"] == per[r["source"]]
+        assert r["alloc_tokens"] == alloc[r["source"]]
+
+
+def test_class_weights_numpy(spark, sfd):
+    """sklearn 'balanced' rule w = T / (k * c) recomputed in float."""
+    rows = _rows(spark, "class_weights", sfd)
+    raw = _duck(sfd, "SELECT o_orderpriority, count(*) FROM orders GROUP BY 1")
+    cnt = {lab: int(n) for lab, n in raw}
+    total, k = sum(cnt.values()), len(cnt)
+    assert len(rows) == k
+    for r in rows:
+        assert r["n_rows"] == cnt[r["label"]]
+        w = total / (k * cnt[r["label"]])
+        assert abs(r["weight_ppm"] - w * 1e6) <= 1.0
+
+
+def test_gini_impurity_profile_numpy(spark, sfd):
+    """Gini impurity 1 - sum(p^2) recomputed in float per profiled column."""
+    rows = _rows(spark, "gini_impurity_profile", sfd)
+    cols = {
+        "o_orderstatus": "SELECT o_orderstatus, count(*) FROM orders GROUP BY 1",
+        "o_orderpriority": "SELECT o_orderpriority, count(*) FROM orders GROUP BY 1",
+        "l_returnflag": "SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1",
+        "l_linestatus": "SELECT l_linestatus, count(*) FROM lineitem GROUP BY 1",
+        "event_type": "SELECT event_type, count(*) FROM events GROUP BY 1",
+    }
+    assert {r["column_name"] for r in rows} == set(cols)
+    for r in rows:
+        counts = np.array([int(n) for _, n in _duck(sfd, cols[r["column_name"]])],
+                          dtype=float)
+        p = counts / counts.sum()
+        gini = 1.0 - float((p * p).sum())
+        assert r["n_distinct"] == len(counts)
+        assert abs(r["gini_ppm"] - gini * 1e6) <= 1.0
+
+
+def test_text_vocab_heaps_python(spark, sfd):
+    """Per-source vocabulary profile (token mass, types, hapax) recomputed
+    from the Python tokenizer."""
+    rows = _rows(spark, "text_vocab_heaps", sfd)
+    per: dict[str, dict[str, int]] = {}
+    for _, src, tk in _doc_tokens(sfd):
+        d = per.setdefault(src, {})
+        for t in tk:
+            d[t] = d.get(t, 0) + 1
+    assert {r["source"] for r in rows} == set(per)
+    for r in rows:
+        d = per[r["source"]]
+        hapax = sum(1 for c in d.values() if c == 1)
+        assert r["total_tokens"] == sum(d.values())
+        assert r["distinct_tokens"] == len(d)
+        assert r["hapax_tokens"] == hapax
+        assert r["hapax_share_ppm"] == hapax * 1_000_000 // len(d)
+        assert r["top_token_count"] == max(d.values())
+
+
+def test_text_oov_rate_python(spark, sfd):
+    """Per-document rare-token (corpus freq <= 2) position share, exact."""
+    rows = _rows(spark, "text_oov_rate", sfd)
+    docs = _doc_tokens(sfd)
+    freq: dict[str, int] = {}
+    for _, _, tk in docs:
+        for t in tk:
+            freq[t] = freq.get(t, 0) + 1
+    want = {}
+    for d, _, tk in docs:
+        if tk:
+            rare = sum(1 for t in tk if freq[t] <= 2)
+            want[d] = (len(tk), rare)
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(want)
+    for d, r in got.items():
+        n, rare = want[d]
+        assert (r["n_tokens"], r["n_rare"]) == (n, rare)
+        assert r["rare_ppm"] == rare * 1_000_000 // n
+
+
+def test_mixture_alpha_weights_numpy(spark, sfd):
+    """Temperature-alpha=0.5 mixture weights: sqrt(n)/sum sqrt(n) in float
+    vs the engines' milli-staged integers."""
+    rows = _rows(spark, "mixture_alpha_weights", sfd)
+    per: dict[str, int] = {}
+    for _, src, tk in _doc_tokens(sfd):
+        per[src] = per.get(src, 0) + len(tk)
+    nt = sum(per.values())
+    rt = sum(math.sqrt(n) for n in per.values())
+    assert {r["source"] for r in rows} == set(per)
+    for r in rows:
+        n = per[r["source"]]
+        assert r["n_toks"] == n
+        assert abs(r["raw_ppm"] - n / nt * 1e6) <= 1.0
+        assert abs(r["alpha_ppm"] - math.sqrt(n) / rt * 1e6) <= 6.0
+
+
+def test_text_bigram_lift_python(spark, sfd):
+    """Top-20 collocations: exact staged-integer replay of the selection
+    AND a textbook float lift check within the staging's rounding bound."""
+    rows = _rows(spark, "text_bigram_lift", sfd)
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for _, _, tk in _doc_tokens(sfd):
+        for t in tk:
+            uni[t] = uni.get(t, 0) + 1
+        for i in range(len(tk) - 1):
+            big[(tk[i], tk[i + 1])] = big.get((tk[i], tk[i + 1]), 0) + 1
+    nu, nb = sum(uni.values()), sum(big.values())
+    scored = [
+        (w1, w2, c, ((c * nu) // uni[w1]) * nu * 1000 // (uni[w2] * nb))
+        for (w1, w2), c in big.items() if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = scored[:20]
+    got = [(r["w1"], r["w2"], r["n_pairs"], r["lift_milli"]) for r in rows]
+    assert got == want
+    for w1, w2, c, staged in want:
+        lift = 1000.0 * c * nu * nu / (uni[w1] * uni[w2] * nb)
+        bound = nu * 1000.0 / (uni[w2] * nb) + 2.0
+        assert abs(staged - lift) <= bound
+
+
+def test_tfidf_top_terms_python(spark, sfd):
+    """tf-idf = tf * ln(N/df) recomputed in float; tf/df exact; every
+    emitted term must clear the doc's true 3rd-best score (margin check)."""
+    rows = _rows(spark, "tfidf_top_terms", sfd)
+    (n_docs,) = _duck(sfd, "SELECT count(*) FROM documents")[0]
+    tf: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for d, _, tk in _doc_tokens(sfd):
+        cnt: dict[str, int] = {}
+        for t in tk:
+            cnt[t] = cnt.get(t, 0) + 1
+        tf[d] = cnt
+        for t in cnt:
+            df[t] = df.get(t, 0) + 1
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        scores = sorted(
+            (c * math.log(n_docs / df[t]) for t, c in tf[d].items()), reverse=True)
+        kth = scores[min(3, len(scores)) - 1]
+        assert len(rs) == min(3, len(tf[d]))
+        for r in rs:
+            assert r["tf"] == tf[d][r["term"]]
+            assert r["df"] == df[r["term"]]
+            val = tf[d][r["term"]] * math.log(n_docs / df[r["term"]])
+            assert abs(r["tfidf"] - val) < 2e-6
+            assert r["tfidf"] >= kth - 1e-5
+
+
+def test_weighted_sample_topk_python(spark, sfd):
+    """Efraimidis-Spirakis weighted top-k replayed from md5 uniforms; any
+    membership difference must sit inside the float zone at the cutoff."""
+    rows = _rows(spark, "weighted_sample_topk", sfd)
+    raw = _duck(sfd, "SELECT o_orderkey, o_totalprice FROM orders")
+    scored = {}
+    for k, p in raw:
+        u = (_md5_long(f"{int(k)}#91") % 2147483647 + 1) / 2147483647.0
+        w = _rnd_away(float(p) * 100) / 100.0
+        scored[int(k)] = math.log(u) / w
+    order = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {k for k, _ in order[:100]}
+    cutoff = order[99][1]
+    got = set()
+    for r in rows:
+        got.add(r["o_orderkey"])
+        assert abs(r["score"] - scored[r["o_orderkey"]]) < 2e-6
+    assert len(got) == 100
+    for k in got ^ want:
+        assert abs(scored[k] - cutoff) < 1e-5
+
+
+def _mh_signatures(sfd: str) -> dict[int, list[int]]:
+    """MinHash signatures (16 affine hashes over 3-gram shingles) for every
+    document — shared by the LSH diagnostics replays."""
+    P = 2147483647
+    sigs = {}
+    for doc_id, text in _duck(sfd, "SELECT doc_id, text FROM documents"):
+        sh = _shingles(_norm_tokens(text))
+        sigs[int(doc_id)] = [min((a * h + b) % P for h in sh) for _, a, b in _MH_SEEDS]
+    return sigs
+
+
+def test_minhash_band_stats_python_replay(spark, sfd):
+    """Per-band LSH index diagnostics (bucket count, singletons, hottest
+    bucket, candidate-pair mass) replayed in pure Python."""
+    rows = _rows(spark, "minhash_band_stats", sfd)
+    sigs = _mh_signatures(sfd)
+    buckets: dict[int, dict[int, int]] = {b: {} for b in range(4)}
+    for _, sig in sigs.items():
+        for band in range(4):
+            sigstr = "|".join(str(v) for v in sig[band * 4 : band * 4 + 4])
+            bh = _md5_long(f"{sigstr}#{1000 + band}")
+            buckets[band][bh] = buckets[band].get(bh, 0) + 1
+    assert {r["band"] for r in rows} == set(buckets)
+    for r in rows:
+        sz = list(buckets[r["band"]].values())
+        assert r["n_buckets"] == len(sz)
+        assert r["n_singletons"] == sum(1 for s in sz if s == 1)
+        assert r["max_bucket"] == max(sz)
+        assert r["candidate_pairs"] == sum(s * (s - 1) // 2 for s in sz)
+
+
+def test_dedup_minhash_estimate_python_replay(spark, sfd):
+    """Signature-agreement Jaccard estimates on every LSH candidate pair
+    replayed in pure Python (est_ppm = matching seeds x 62500)."""
+    rows = _rows(spark, "dedup_minhash_estimate", sfd)
+    sigs = _mh_signatures(sfd)
+    cand = set()
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for band in range(4):
+            sigstr = "|".join(str(v) for v in sig[band * 4 : band * 4 + 4])
+            bh = _md5_long(f"{sigstr}#{1000 + band}")
+            buckets.setdefault((band, bh), []).append(doc_id)
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    want = {
+        (a, b): sum(1 for s in range(16) if sigs[a][s] == sigs[b][s]) * 62500
+        for a, b in cand
+    }
+    got = {(r["id_a"], r["id_b"]): r["est_ppm"] for r in rows}
+    assert got == want
+
+
+def test_label_centroid_separation_numpy(spark, sfd):
+    """Pairwise squared centroid distances recomputed with float numpy
+    means; the engines' floor-mean staging may shift each per-dim delta by
+    at most 1 micro, which bounds the admissible difference."""
+    rows = _rows(spark, "label_centroid_separation", sfd)
+    raw = _duck(sfd, "SELECT label, embedding FROM embeddings")
+    vecs: dict[str, list[np.ndarray]] = {}
+    for label, vec in raw:
+        vecs.setdefault(label, []).append(
+            np.array([_rnd_away(x * 1_000_000) for x in vec], dtype=float))
+    cents = {lab: np.mean(np.stack(vs), axis=0) for lab, vs in vecs.items()}
+    labs = sorted(cents)
+    assert {(r["label_a"], r["label_b"]) for r in rows} == {
+        (a, b) for i, a in enumerate(labs) for b in labs[i + 1 :]
+    }
+    for r in rows:
+        delta = cents[r["label_a"]] - cents[r["label_b"]]
+        dist_f = float((delta * delta).sum())
+        bound = float((2.0 * np.abs(delta) + 2.0).sum())
+        assert abs(r["dist_micro2"] - dist_f) <= bound
