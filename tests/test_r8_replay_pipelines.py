@@ -1,0 +1,341 @@
+"""Fifth third-implementation tranche: end-to-end pure-Python replays of the
+hash-pipeline operators (SimHash, winnowing, HLL union, KMV pair sketches,
+Bloom decontamination, perceptual dHash) that were not yet covered by
+test_r8_numpy_recompute.py.
+
+Same discipline as the earlier tranches: the population is read with plain
+DuckDB SQL straight from parquet, the whole pipeline — normalization,
+hashing, banding, register folds, estimator staging — is recomputed in
+ordinary Python (hashlib.md5, ints, dicts), and the engine's emitted rows
+must match exactly.  This is a third, independently-written implementation:
+the Spark and DuckDB twins share their staging conventions by construction,
+so only a replay like this can catch a shared staging error (the
+friedman_test_blocks lesson).
+
+Runs at both deterministic fixtures (seed-42 testdata, derived seed-43
+subsample), like the sibling suites.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import math
+import os
+import re
+
+import duckdb
+import pytest
+
+from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SEED42 = "/root/testdata/sf0.001"
+
+
+def _gen_seed43() -> str:
+    spec = importlib.util.spec_from_file_location(
+        "gen_fixture", os.path.join(_REPO, "tools", "gen_fixture.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.generate(43)
+
+
+@pytest.fixture(scope="module", params=["seed42", "seed43"])
+def sfd(request):
+    return _SEED42 if request.param == "seed42" else _gen_seed43()
+
+
+_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _rows(spark, name: str, sfd: str):
+    key = (name, sfd)
+    if key not in _CACHE:
+        _CACHE[key] = QUERIES[name](spark, sfd).collect()
+    return _CACHE[key]
+
+
+def _duck(sfd: str, sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation", "events",
+              "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
+    return con.sql(sql).fetchall()
+
+
+# --- shared hash/text primitives, re-derived from the documented contracts
+# (functions/hashing.py, functions/text.py, functions/dedup.py), written
+# against hashlib directly -------------------------------------------------
+
+_P = 2147483647  # MINHASH_P
+_C1 = int(hashlib.md5(b"sh-c1").hexdigest()[:15], 16) % (_P - 2) + 2  # SHINGLE_C1
+
+
+def _md5_long(s: str, hex_chars: int = 15) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hex_chars], 16)
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", _norm(text))
+
+
+def _shingle_hashes(text: str) -> set[int]:
+    """Distinct 3-window polynomial shingle hashes with the short-doc
+    fallback (dedup.shingle_hashes contract)."""
+    th = [_md5_long(t) % _P for t in _toks(text)]
+    n = len(th)
+    if n >= 3:
+        return {
+            ((th[i] * _C1 + th[i + 1]) % _P * _C1 + th[i + 2]) % _P
+            for i in range(n - 2)
+        }
+    if n == 2:
+        return {(th[0] * _C1 + th[1]) % _P}
+    return {th[0]}
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_simhash_python_replay(spark, sfd):
+    """60-bit SimHash replayed per document: distinct normalized tokens,
+    md5 60-bit hashes, per-bit +-1 votes, sign-packed bigint — every
+    fingerprint must match."""
+    got = {r["doc_id"]: r["simhash"] for r in _rows(spark, "dedup_simhash", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    assert set(got) == {int(d) for d, _ in raw}
+    for doc_id, text in raw:
+        hs = {_md5_long(t) for t in set(_toks(text))}
+        sig = 0
+        for j in range(60):
+            votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if votes > 0:
+                sig |= 1 << j
+        assert got[int(doc_id)] == sig, doc_id
+
+
+def test_text_fingerprint_python_replay(spark, sfd):
+    """Content fingerprint = md5-60bit of the normalized text, all docs."""
+    got = {r["doc_id"]: r["fp"] for r in _rows(spark, "text_fingerprint", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    assert set(got) == {int(d) for d, _ in raw}
+    for doc_id, text in raw:
+        assert got[int(doc_id)] == _md5_long(_norm(text)), doc_id
+
+
+def test_winnowing_python_replay(spark, sfd):
+    """The full winnowing pipeline — 3-gram 40-bit hashes, rightmost-tie
+    window minima over w=4 via the combined h*2^20+(2^20-1-pos) key,
+    posting-capped pair join, top-20 by (shared, containment) — replayed
+    row for row."""
+    got = [
+        (r["doc_a"], r["doc_b"], r["shared_fp"], r["fp_a"], r["fp_b"],
+         r["containment_ppm"])
+        for r in _rows(spark, "dedup_winnowing_overlap", sfd)
+    ]
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    M = 1 << 20
+    fps: dict[int, set[int]] = {}
+    for doc_id, text in raw:
+        toks = _toks(text)
+        if len(toks) < 3:
+            continue
+        grams = [
+            int(hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()[:10], 16)
+            for i in range(len(toks) - 2)
+        ]
+        combined = [
+            h * M + (M - 1 - min(pos + 1, M - 1)) for pos, h in enumerate(grams)
+        ]
+        sel = set()
+        for pos in range(len(combined)):
+            lo = max(0, pos - 3)
+            sel.add(min(combined[lo:pos + 1]) // M)
+        fps[int(doc_id)] = sel
+    posting: dict[int, list[int]] = {}
+    for d, sel in fps.items():
+        for h in sel:
+            posting.setdefault(h, []).append(d)
+    pairs: dict[tuple[int, int], int] = {}
+    for h, ds in posting.items():
+        if not (2 <= len(ds) <= 50):
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] = pairs.get((ds[i], ds[j]), 0) + 1
+    out = [
+        (a, b, n, len(fps[a]), len(fps[b]),
+         n * 1000000 // min(len(fps[a]), len(fps[b])))
+        for (a, b), n in pairs.items()
+    ]
+    out.sort(key=lambda r: (-r[2], -r[5], r[0], r[1]))
+    assert got == out[:20]
+
+
+def test_hll_union_merge_python_replay(spark, sfd):
+    """Register-wise-max HLL union replayed: md5 60-bit hash, 1024 buckets,
+    rho from the top 50 bits, per-type registers merged by max, the fixed
+    alpha*m^2 integer estimator with linear-counting fallback, and the
+    exact-union audit columns."""
+    (r,) = _rows(spark, "hll_union_merge", sfd)
+    raw = _duck(sfd, "SELECT user_id, event_type FROM events")
+    m, vbits = 1024, 50
+    num = 721 * (1 << 71)
+    regs: dict[tuple[str, int], int] = {}
+    per_type: dict[str, set] = {}
+    union_users = set()
+    for uid, et in raw:
+        h = _md5_long(str(uid))
+        q = h // m
+        rho = (vbits + 1) if q == 0 else (vbits + 1) - q.bit_length()
+        key = (et, h % m)
+        regs[key] = max(regs.get(key, 0), rho)
+        per_type.setdefault(et, set()).add(uid)
+        union_users.add(uid)
+    merged: dict[int, int] = {}
+    for (_, b), mj in regs.items():
+        merged[b] = max(merged.get(b, 0), mj)
+    n_present = len(merged)
+    v_zero = m - n_present
+    s_sum = sum(1 << (vbits + 1 - mj) for mj in merged.values()) + v_zero * (
+        1 << (vbits + 1)
+    )
+    raw_est = num // (1000 * s_sum)
+    if v_zero > 0 and raw_est < 5 * m // 2:
+        est = m * (6931472 - round(math.log(v_zero) * 1e6)) // 1000000
+    else:
+        est = raw_est
+    exact_union = len(union_users)
+    assert r["n_present"] == n_present and r["v_zero"] == v_zero
+    assert r["s_sum"] == s_sum
+    assert r["hll_union_est"] == est
+    assert r["exact_union"] == exact_union
+    assert r["sum_of_parts"] == sum(len(s) for s in per_type.values())
+    assert r["err_ppm"] == abs(est - exact_union) * 1000000 // exact_union
+
+
+def test_kmv_cross_source_python_replay(spark, sfd):
+    """Mergeable KMV pair sketches replayed: 52-bit md5 token hashes, the
+    64 smallest per source, merged-rank Jaccard and (k-1)*2^52/kth union
+    estimators, plus the exact audit columns — every pair row must match."""
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["jaccard_est_ppm"], r["union_est"],
+             r["jaccard_exact_ppm"], r["union_exact"])
+        for r in _rows(spark, "kmv_cross_source_jaccard", sfd)
+    }
+    raw = _duck(
+        sfd,
+        "SELECT source, text FROM documents WHERE length(trim(text)) > 0",
+    )
+    tok_sets: dict[str, set[str]] = {}
+    for src, text in raw:
+        tok_sets.setdefault(src, set()).update(_toks(text))
+    K = 64
+    sk = {
+        src: sorted(_md5_long(t, 13) for t in toks)[:K]
+        for src, toks in tok_sets.items()
+    }
+    want = {}
+    for sa in sorted(sk):
+        for sb in sorted(sk):
+            if sa >= sb:
+                continue
+            set_a, set_b = set(sk[sa]), set(sk[sb])
+            merged = sorted(set_a | set_b)[:K]
+            k_eff, kth = len(merged), max(merged)
+            n_both = sum(1 for h in merged if h in set_a and h in set_b)
+            union_est = k_eff if k_eff < K else (K - 1) * (1 << 52) // kth
+            ni = len(tok_sets[sa] & tok_sets[sb])
+            nu = len(tok_sets[sa]) + len(tok_sets[sb]) - ni
+            want[(sa, sb)] = (
+                n_both * 1000000 // k_eff, union_est,
+                ni * 1000000 // nu, nu,
+            )
+    assert got == want
+
+
+def test_bloom_decontaminate_python_replay(spark, sfd):
+    """The Bloom decontamination filter replayed bit for bit: seeded md5
+    positions (k=3, m=2^18) of every benchmark shingle, probe-side
+    all-positions-set membership (false positives included), the >=10%
+    flag rule, and the per-source rollup."""
+    got = {
+        r["source"]: (r["n_docs"], r["n_flagged_docs"],
+                      r["total_hit_shingles"], r["total_shingles"])
+        for r in _rows(spark, "bloom_decontaminate", sfd)
+    }
+    raw = _duck(sfd, "SELECT doc_id, source, text FROM documents")
+    m_bits, k, seed0 = 1 << 18, 3, 9000
+
+    def positions(key: int) -> list[int]:
+        return [_md5_long(f"{key}#{seed0 + i}") % m_bits for i in range(k)]
+
+    bloom: set[int] = set()
+    for doc_id, _, text in raw:
+        if int(doc_id) < 25:
+            for sh in _shingle_hashes(text):
+                bloom.update(positions(sh))
+    flag_cache: dict[int, int] = {}
+    per_source: dict[str, list[int]] = {}
+    for doc_id, src, text in raw:
+        if int(doc_id) < 25:
+            continue
+        shs = _shingle_hashes(text)
+        n_hit = 0
+        for sh in shs:
+            if sh not in flag_cache:
+                flag_cache[sh] = int(
+                    sum(p in bloom for p in positions(sh)) == k
+                )
+            n_hit += flag_cache[sh]
+        acc = per_source.setdefault(src, [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(n_hit * 1000 // len(shs) >= 100)
+        acc[2] += n_hit
+        acc[3] += len(shs)
+    assert got == {s: tuple(a) for s, a in per_source.items()}
+
+
+def test_dhash_neardup_python_replay(spark, sfd):
+    """Perceptual dHash near-dup replayed: 8x8x3 grayscale from the padded
+    payload, 56 adjacent-pixel comparison bits, 4x14-bit LSH bands, and
+    the Hamming<=10 verify — the emitted pair set must match exactly."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in _rows(spark, "multimodal_dhash_neardup", sfd)
+    }
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0")
+    hashes: dict[int, int] = {}
+    for doc_id, text in raw:
+        padded = (text[:192] + "." * 192)[:192]
+        g = [
+            (ord(padded[3 * p]) + ord(padded[3 * p + 1]) + ord(padded[3 * p + 2])) // 3
+            for p in range(64)
+        ]
+        dh = 0
+        for b in range(56):
+            row, col = b // 7, b % 7
+            if g[row * 8 + col] < g[row * 8 + col + 1]:
+                dh |= 1 << b
+        hashes[int(doc_id)] = dh
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, dh in hashes.items():
+        for band in range(4):
+            buckets.setdefault((band, (dh >> (14 * band)) & 16383, ), []).append(d)
+    want = {}
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                ham = bin(hashes[ds[i]] ^ hashes[ds[j]]).count("1")
+                if ham <= 10:
+                    want[(ds[i], ds[j])] = ham
+    assert got == want
