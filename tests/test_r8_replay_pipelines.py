@@ -339,3 +339,143 @@ def test_dhash_neardup_python_replay(spark, sfd):
                 if ham <= 10:
                     want[(ds[i], ds[j])] = ham
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche B: graph operators over the near-dup candidate graph.  The LSH
+# pair generator is replayed once (same contract as the dedup_minhash_lsh
+# replay in test_r8_numpy_recompute.py), then each graph algorithm is
+# recomputed with ordinary Python data structures (union-find, BFS,
+# set-based triangle closure, integer PageRank loop).
+# ---------------------------------------------------------------------------
+
+
+def _mh_const(tag: str, mod: int) -> int:
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % mod
+
+
+_MH_COEFFS = [
+    (_mh_const(f"mh-a-{i}", _P - 1) + 1, _mh_const(f"mh-b-{i}", _P))
+    for i in range(16)
+]
+
+
+def _lsh_pairs(sfd: str) -> set[tuple[int, int]]:
+    """Replayed MinHash+LSH candidate pairs (16 hashes, 4 bands of 4)."""
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in raw:
+        sh = _shingle_hashes(text)
+        sig = [min((a * h + b) % _P for h in sh) for a, b in _MH_COEFFS]
+        for band in range(4):
+            sigstr = "|".join(str(v) for v in sig[band * 4: band * 4 + 4])
+            bh = _md5_long(f"{sigstr}#{1000 + band}")
+            buckets.setdefault((band, bh), []).append(int(doc_id))
+    pairs: set[tuple[int, int]] = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    return pairs
+
+
+def test_cluster_components_python_replay(spark, sfd):
+    """Connected components via union-find over the replayed LSH pairs:
+    label = min doc_id per component, singletons included, sizes joined."""
+    rows = _rows(spark, "dedup_cluster_components", sfd)
+    all_ids = [int(d) for (d,) in _duck(sfd, "SELECT doc_id FROM documents")]
+    parent = {d: d for d in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _lsh_pairs(sfd):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in all_ids}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    got = {r["doc_id"]: (r["component"], r["cluster_size"]) for r in rows}
+    assert got == {d: (c, sizes[c]) for d, c in comp.items()}
+
+
+def test_triangle_count_python_replay(spark, sfd):
+    """Exact triangle count over the candidate graph, set-closure in
+    Python — and the degree-ordered variant must agree on the count and
+    satisfy its own sqrt(2m) out-degree bound."""
+    (plain,) = _rows(spark, "graph_triangle_count", sfd)
+    (ordered,) = _rows(spark, "triangle_count_degree_ordered", sfd)
+    pairs = _lsh_pairs(sfd)
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in pairs:
+        tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    assert plain["n_triangles"] == tri and plain["n_edges"] == len(pairs)
+    assert ordered["n_triangles"] == tri and ordered["n_edges"] == len(pairs)
+    # replay the orientation's out-degrees and the theorem column
+    deg = {v: len(ns) for v, ns in adj.items()}
+    outd: dict[int, int] = {}
+    for a, b in pairs:
+        src = a if (deg[a], a) < (deg[b], b) else b
+        outd[src] = outd.get(src, 0) + 1
+    assert ordered["max_outdeg"] == max(outd.values())
+    assert ordered["outdeg_bound_holds"] == int(
+        max(outd.values()) ** 2 <= 2 * len(pairs)
+    )
+
+
+def test_pagerank_python_replay(spark, sfd):
+    """Integer PageRank (3 iterations, truncating division, 0.85 damping
+    in micro-mass) replayed as a plain Python loop; top-20 must match in
+    order and value."""
+    rows = _rows(spark, "pagerank_neardup_graph", sfd)
+    pairs = _lsh_pairs(sfd)
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    mass = {v: 1000000 for v in deg}
+    for _ in range(3):
+        infl: dict[int, int] = {}
+        for a, b in edges:
+            infl[b] = infl.get(b, 0) + mass[a] // deg[a]
+        mass = {v: 150000 + (850 * infl.get(v, 0)) // 1000 for v in deg}
+    want = sorted(mass.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["doc_id"], r["rank_mass"]) for r in rows] == want
+
+
+def test_components_recursive_python_replay(spark, sfd):
+    """The depth-6-bounded recursive-SQL closure replayed with BFS: label =
+    min(self, min vertex within 6 hops), grouped to (component, n_members,
+    rep)."""
+    rows = _rows(spark, "components_recursive_sql", sfd)
+    pairs = _lsh_pairs(sfd)
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels: dict[int, int] = {}
+    for v in adj:
+        seen = {v}
+        frontier = {v}
+        for _ in range(6):
+            frontier = {n for u in frontier for n in adj[u]} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        labels[v] = min(seen)
+    out: dict[int, list[int]] = {}
+    for v, c in labels.items():
+        out.setdefault(c, []).append(v)
+    want = {c: (len(vs), min(vs)) for c, vs in out.items()}
+    got = {r["component"]: (r["n_members"], r["rep"]) for r in rows}
+    assert got == want
