@@ -479,3 +479,281 @@ def test_components_recursive_python_replay(spark, sfd):
     want = {c: (len(vs), min(vs)) for c, vs in out.items()}
     got = {r["component"]: (r["n_members"], r["rep"]) for r in rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche C: similarity / vector-index operators.  Cosines recompute in
+# numpy float64 (tolerance 1.5e-6 against the engines' 6-dp rounding);
+# every quantized / integer-staged column replays EXACTLY with Python ints
+# (truncating division where the engines use div/'//' on signed values).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _emb(sfd: str):
+    raw = _duck(sfd, "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id")
+    ids = [int(v) for v, _, _ in raw]
+    m = np.array([np.array(e, dtype=np.float64) for _, e, _ in raw])
+    labels = {int(v): int(l) for v, _, l in raw}
+    return ids, m, labels
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Spark div / DuckDB // on signed ints)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _round_away(x: float) -> int:
+    """round() with half away from zero (Spark/DuckDB round convention)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def test_ann_lsh_python_replay(spark, sfd):
+    """Sign-bucket LSH with margin-ordered multi-probe replayed: 12-bit
+    sign buckets, per-query (margin-sum, mask) ordering over all 4096
+    masks, 1024 probes, cosine rerank of the bucket candidates."""
+    rows = _rows(spark, "similarity_ann_lsh", sfd)
+    ids, m, _ = _emb(sfd)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    bucket = {
+        v: sum(1 << j for j in range(12) if m[idx[v]][j] > 0) for v in ids
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for v in ids:
+        by_bucket.setdefault(bucket[v], []).append(v)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q in [v for v in ids if v < 10]:
+        margins = [
+            abs(_round_away(float(m[idx[q]][j]) * 1_000_000)) for j in range(12)
+        ]
+        masks = sorted(
+            range(1 << 12),
+            key=lambda mask: (
+                sum(margins[j] for j in range(12) if (mask >> j) & 1),
+                mask,
+            ),
+        )[:1024]
+        probes = {bucket[q] ^ mask for mask in masks}
+        cand = [
+            c for b in probes for c in by_bucket.get(b, []) if c != q
+        ]
+        sims = sorted(
+            ((float(mn[idx[c]] @ mn[idx[q]]), c) for c in cand),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )[:5]
+        grows = sorted(got.get(q, []), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in grows] == [c for _, c in sims], q
+        for r, (s, _) in zip(grows, sims):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_quantized_topk_python_replay(spark, sfd):
+    """Global-scale SQ8 candidate sweep + exact rerank replayed: normalize,
+    one global gmax, floor int8 codes, integer dot candidates (exact),
+    cosine rerank (tolerance)."""
+    rows = _rows(spark, "similarity_quantized_topk", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    gmax = float(np.max(np.abs(mn)))
+    q8 = np.floor(mn * 127.0 / gmax).astype(np.int64)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q in [v for v in ids if v < 10]:
+        scores = q8 @ q8[idx[q]]
+        cand = sorted(
+            ((int(scores[idx[c]]), c) for c in ids if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        rer = sorted(
+            ((round(float(mn[idx[c]] @ mn[idx[q]]), 6), sc, c) for sc, c in cand),
+            key=lambda t: (-t[0], t[2]),
+        )[:5]
+        grows = sorted(got[q], key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["q_score"]) for r in grows] == [
+            (c, sc) for _, sc, c in rer
+        ], q
+        for r, (s, _, _) in zip(grows, rer):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_pq_adc_python_replay(spark, sfd):
+    """Product quantization + ADC replayed end to end in Python ints: the
+    md5-priority train sample and seeds, all 8 per-subspace k-means chains
+    (truncating-mean updates, tie-to-lower-code assignment), corpus
+    encoding, per-subspace table distances, top-64 ADC candidates, cosine
+    rerank."""
+    rows = _rows(spark, "similarity_pq_adc", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qv = {v: [_round_away(float(x) * 1_000_000) for x in m[idx[v]]] for v in ids}
+    order = sorted(ids, key=lambda v: (_md5_long(str(v)), v))
+    train = order[:1024]
+    seeds = order[:32]
+    M, K, D, ITERS = 8, 32, 8, 2
+    adc = {v: {} for v in ids if v < 10}
+    for s in range(M):
+        base = s * D
+        cb = [qv[v][base:base + D] for v in seeds]
+
+        def nearest(vec):
+            best, bd = None, None
+            for code, cw in enumerate(cb):
+                d2 = sum((vec[i] - cw[i]) ** 2 for i in range(D))
+                if bd is None or d2 < bd:
+                    best, bd = code, d2
+            return best
+
+        for _ in range(ITERS):
+            assign: dict[int, list[int]] = {}
+            for v in train:
+                assign.setdefault(nearest(qv[v][base:base + D]), []).append(v)
+            cb = [
+                [
+                    _tdiv(sum(qv[v][base + i] for v in vs), len(vs))
+                    for i in range(D)
+                ]
+                if (vs := assign.get(code))
+                else cw
+                for code, cw in enumerate(cb)
+            ]
+        codes = {v: nearest(qv[v][base:base + D]) for v in ids}
+        for q in adc:
+            qsub = qv[q][base:base + D]
+            for v in ids:
+                cw = cb[codes[v]]
+                adc[q][v] = adc[q].get(v, 0) + sum(
+                    (qsub[i] - cw[i]) ** 2 for i in range(D)
+                )
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q, dists in adc.items():
+        cand = sorted(
+            ((d, v) for v, d in dists.items() if v != q),
+            key=lambda t: (t[0], t[1]),
+        )[:64]
+        rer = sorted(
+            ((round(float(mn[idx[v]] @ mn[idx[q]]), 6), d, v) for d, v in cand),
+            key=lambda t: (-t[0], t[2]),
+        )[:5]
+        grows = sorted(got[q], key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["adc_dist"]) for r in grows] == [
+            (v, d) for _, d, v in rer
+        ], q
+        for r, (s, _, _) in zip(grows, rer):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_knn_label_agreement_python_replay(spark, sfd):
+    """Exact top-5 label agreement replayed: cosine neighborhoods in numpy,
+    integer label counting, majority rule."""
+    rows = {r["query_id"]: r for r in _rows(spark, "knn_label_agreement", sfd)}
+    ids, m, labels = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert set(rows) == {v for v in ids if v < 50}
+    for q in [v for v in ids if v < 50]:
+        sims = sorted(
+            ((round(float(mn[idx[c]] @ mn[idx[q]]), 6), c) for c in ids if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        n_same = sum(1 for _, c in sims if labels[c] == labels[q])
+        r = rows[q]
+        assert r["label"] == labels[q]
+        assert r["n_same_label"] == n_same
+        assert r["knn_majority_match"] == int(n_same * 2 > 5)
+
+
+def test_hybrid_rrf_python_replay(spark, sfd):
+    """Reciprocal-rank fusion replayed: dense cosine arm, sparse
+    idf-micro-nat arm over distinct tokens, integer 1e6//(60+rank) fusion,
+    top-10 per query — every emitted column must match."""
+    rows = _rows(spark, "hybrid_search_rrf", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    toks = {
+        int(d): {t for t in _toks(text) if t != ""} for d, text in raw
+    }
+    df: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    nd = sum(1 for ts in toks.values() if ts)
+    lnu = lambda x: _round_away(math.log(x) * 1e6)
+    dense: dict[int, dict[int, int]] = {}
+    sparse: dict[int, dict[int, int]] = {}
+    queries = [v for v in ids if v < 5]
+    for q in queries:
+        top = sorted(
+            ((round(float(mn[idx[c]] @ mn[idx[q]]), 6), c) for c in ids if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        dense[q] = {c: r + 1 for r, (_, c) in enumerate(top)}
+        scores = {
+            d: sum(lnu(nd) - lnu(df[t]) for t in (toks[q] & ts))
+            for d, ts in toks.items()
+            if d != q and toks[q] & ts
+        }
+        stop = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        sparse[q] = {d: r + 1 for r, (d, _) in enumerate(stop)}
+    want = []
+    for q in queries:
+        fused = {}
+        for n in set(dense[q]) | set(sparse[q]):
+            dr, sr = dense[q].get(n, 0), sparse[q].get(n, 0)
+            ppm = (1_000_000 // (60 + dr) if dr else 0) + (
+                1_000_000 // (60 + sr) if sr else 0
+            )
+            fused[n] = (dr, sr, ppm)
+        top = sorted(fused.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+        for fr, (n, (dr, sr, ppm)) in enumerate(top):
+            want.append((q, n, dr, sr, ppm, fr + 1))
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["dense_rank"], r["sparse_rank"],
+         r["rrf_ppm"], r["fused_rank"])
+        for r in rows
+    )
+    assert got == sorted(want)
+
+
+def test_jl_projection_python_replay(spark, sfd):
+    """JL Rademacher projection distortion replayed exactly: md5 parity
+    signs, integer projections, integer squared distances, ppm ratios —
+    all 496 pair rows bit for bit."""
+    rows = _rows(spark, "jl_projection_distortion", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    sub = [v for v in ids if v < 32]
+    q = {v: [_round_away(float(x) * 1_000_000) for x in m[idx[v]]] for v in sub}
+    sign = {
+        (i, j): 1 - 2 * (int(hashlib.md5(f"jl_{i}_{j}".encode()).hexdigest()[0], 16) % 2)
+        for i in range(64)
+        for j in range(16)
+    }
+    proj = {
+        v: [sum(sign[(i, j)] * q[v][i] for i in range(64)) for j in range(16)]
+        for v in sub
+    }
+    want = {}
+    for a in sub:
+        for b in sub:
+            if a >= b:
+                continue
+            d2f = sum((q[a][i] - q[b][i]) ** 2 for i in range(64))
+            d2p = sum((proj[a][j] - proj[b][j]) ** 2 for j in range(16))
+            want[(a, b)] = (d2f, d2p, d2p * 1_000_000 // (16 * d2f))
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["d2_full"], r["d2_proj"], r["ratio_ppm"])
+        for r in rows
+    }
+    assert got == want
