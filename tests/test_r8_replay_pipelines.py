@@ -757,3 +757,335 @@ def test_jl_projection_python_replay(spark, sfd):
         for r in rows
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche D: text-analysis / curation operators.  Integer micro-nat staging
+# replays exactly (round half-away-from-zero, truncating division); the few
+# raw-double outputs compare within 1e-9.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+    "it": ["il", "la", "che", "di", "non"],
+}
+_PUNCT = set(
+    [chr(c) for c in range(0x21, 0x30)] + [chr(c) for c in range(0x3A, 0x41)]
+    + [chr(c) for c in range(0x5B, 0x61)] + [chr(c) for c in range(0x7B, 0x7F)]
+)
+
+
+def test_text_quality_python_replay(spark, sfd):
+    """Punctuation/stopword ratios and the composite quality score
+    recomputed with plain Python floats."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "text_quality", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    assert set(rows) == {int(d) for d, _ in raw}
+    for doc_id, text in raw:
+        r = rows[int(doc_id)]
+        nc = len(text)
+        np_ = sum(1 for ch in text if ch in _PUNCT)
+        low = text.lower().strip()
+        toks = re.split(r"\s+", low) if low else None
+        punct = 0.0 if nc == 0 else np_ / nc
+        assert abs(r["punct_ratio"] - punct) < 1e-9
+        if toks is None:
+            assert r["stopword_ratio"] is None and r["quality_score"] is None
+            continue
+        sw = sum(1 for t in toks if t in _STOPWORDS)
+        stop = 0.0 if len(toks) == 0 else sw / len(toks)
+        q = (min(nc / 500.0, 1.0) * 0.4 + min(stop * 5.0, 1.0) * 0.4
+             + (1.0 - min(punct * 4.0, 1.0)) * 0.2)
+        assert abs(r["stopword_ratio"] - stop) < 1e-9
+        assert abs(r["quality_score"] - q) < 1e-9
+
+
+def test_text_lang_id_python_replay(spark, sfd):
+    """Marker-lexicon language ID replayed: score each language's marker
+    hits over the lowercased tokens, ties to the alphabetically first."""
+    rows = {r["doc_id"]: r["lang_pred"] for r in _rows(spark, "text_lang_id", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    for doc_id, text in raw:
+        low = text.lower().strip()
+        toks = re.split(r"\s+", low)
+        scores = {
+            lang: sum(1 for t in toks if t in ms)
+            for lang, ms in _LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        pred = "und" if best == 0 else min(
+            lang for lang, s in scores.items() if s == best
+        )
+        assert rows[int(doc_id)] == pred, doc_id
+
+
+def test_text_ngram_freq_python_replay(spark, sfd):
+    """Top-20 trigram-hash document frequencies replayed from the shingle
+    pipeline."""
+    got = [(r["shingle_hash"], r["n_docs"], r["rank"])
+           for r in _rows(spark, "text_ngram_freq", sfd)]
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    freq: dict[int, int] = {}
+    for _, text in raw:
+        for sh in _shingle_hashes(text):
+            freq[sh] = freq.get(sh, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [(sh, n, i + 1) for i, (sh, n) in enumerate(top)]
+
+
+def test_pii_redaction_python_replay(spark, sfd):
+    """Email/phone redaction + audit counts replayed with Python re over
+    the deterministically constructed contact notes."""
+    rows = {r["c_custkey"]: r for r in _rows(spark, "pii_redaction", sfd)}
+    raw = _duck(sfd, "SELECT c_custkey, c_name FROM customer")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    phone_re = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    assert set(rows) == {int(k) for k, _ in raw}
+    for ck, name in raw:
+        ck = int(ck)
+        note = (f"reach {name} at {name.lower().replace(' ', '.')}"
+                f"@example.com or call 555-{ck % 1000:03d}-{ck % 10000:04d}"
+                f" re account {name}")
+        red = re.sub(phone_re, "<PHONE>", re.sub(email_re, "<EMAIL>", note))
+        r = rows[ck]
+        assert r["redacted"] == red
+        assert r["n_emails"] == len(re.findall(email_re, note))
+        assert r["n_phones"] == len(re.findall(phone_re, note))
+
+
+def test_gopher_rules_python_replay(spark, sfd):
+    """Gopher repetition/quality rules replayed: word counts, mean word
+    length, top/duplicate bigram mass in ppm, and the keep verdict."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "gopher_quality_rules", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    assert set(rows) == {int(d) for d, _ in raw}
+    for doc_id, text in raw:
+        toks = _norm(text).split(" ")
+        n_words = len(toks)
+        n_tok_chars = sum(len(t) for t in toks)
+        r = rows[int(doc_id)]
+        assert r["n_words"] == n_words
+        mwl = n_tok_chars * 1000000 // n_words
+        assert r["mean_word_len_ppm"] == mwl
+        bc: dict[int, int] = {}
+        for i in range(n_words - 1):
+            h = _md5_long(toks[i] + " " + toks[i + 1])
+            bc[h] = bc.get(h, 0) + 1
+        if not bc:
+            assert r["top_bigram_ppm"] is None and r["dup_bigram_ppm"] is None
+            assert r["keep"] is False
+            continue
+        total = sum(bc.values())
+        topp = max(bc.values()) * 1000000 // total
+        dupp = sum(c for c in bc.values() if c >= 2) * 1000000 // total
+        assert r["top_bigram_ppm"] == topp and r["dup_bigram_ppm"] == dupp
+        keep = (30 <= n_words <= 2000 and 3000000 <= mwl <= 12000000
+                and topp <= 120000 and dupp <= 400000)
+        assert r["keep"] == keep
+
+
+def test_decontamination_python_replay(spark, sfd):
+    """Exact shingle-set benchmark decontamination replayed: eval slice
+    doc_id%97==0, per-corpus-doc matched-shingle counts and ppm."""
+    got = {r["doc_id"]: (r["n_matched"], r["n_sh"], r["contamination_ppm"])
+           for r in _rows(spark, "decontamination_overlap", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    ev: set[int] = set()
+    for doc_id, text in raw:
+        if int(doc_id) % 97 == 0:
+            ev |= _shingle_hashes(text)
+    want = {}
+    for doc_id, text in raw:
+        if int(doc_id) % 97 == 0:
+            continue
+        shs = _shingle_hashes(text)
+        nm = sum(1 for sh in shs if sh in ev)
+        if nm:
+            want[int(doc_id)] = (nm, len(shs), nm * 1000000 // len(shs))
+    assert got == want
+
+
+def test_intra_doc_repetition_python_replay(spark, sfd):
+    """Type/token ratio and top-token mass replayed, including the
+    (-count, token) lexicographic tie rule."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "intra_doc_repetition", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    for doc_id, text in raw:
+        toks = _toks(text)
+        cnt: dict[str, int] = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        r = rows[int(doc_id)]
+        top_c = -min((-c, t) for t, c in cnt.items())[0]
+        assert r["n_tokens"] == n and r["n_distinct"] == len(cnt)
+        assert r["distinct_ratio_ppm"] == len(cnt) * 1000000 // n
+        assert r["top_token_ppm"] == top_c * 1000000 // n
+
+
+def test_bigram_lm_python_replay(spark, sfd):
+    """Self-trained add-one bigram LM score replayed in integer
+    micro-nats: corpus unigram/bigram counts, per-position
+    round((ln(c1+V)-ln(c12+1))*1e6), per-doc mean, quality flag."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "text_bigram_lm_score", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0")
+    docs_toks = {int(d): _toks(t) for d, t in raw}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for toks in docs_toks.values():
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for i in range(len(toks) - 1):
+            k = (toks[i], toks[i + 1])
+            big[k] = big.get(k, 0) + 1
+    V = len(uni)
+    nlp = {
+        k: _round_away((math.log(uni[k[0]] + V) - math.log(c + 1)) * 1e6)
+        for k, c in big.items()
+    }
+    want = {}
+    for d, toks in docs_toks.items():
+        if len(toks) < 2:
+            continue
+        terms = [nlp[(toks[i], toks[i + 1])] for i in range(len(toks) - 1)]
+        mean = sum(terms) // len(terms)
+        want[d] = (len(terms), mean, int(mean >= 9000000))
+    assert {d: (r["n_bigrams"], r["mean_nlp_unat"], r["low_quality"])
+            for d, r in rows.items()} == want
+
+
+def test_event_transition_entropy_python_replay(spark, sfd):
+    """Conditional next-event entropy per state replayed: user-ordered
+    lead pairs, integer micro-nat H = (n*ln(n) - sum c*ln(c)) // n."""
+    rows = {r["event_type"]: r for r in
+            _rows(spark, "event_transition_entropy", sfd)}
+    raw = _duck(sfd, "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id")
+    lnu = lambda x: _round_away(math.log(x) * 1e6)
+    trans: dict[tuple[str, str], int] = {}
+    prev_u, prev_e = None, None
+    for uid, et in raw:
+        if uid == prev_u:
+            trans[(prev_e, et)] = trans.get((prev_e, et), 0) + 1
+        prev_u, prev_e = uid, et
+    agg: dict[str, list[int]] = {}
+    for (a, _), c in trans.items():
+        acc = agg.setdefault(a, [0, 0, 0])
+        acc[0] += c
+        acc[1] += 1
+        acc[2] += c * lnu(c)
+    want = {
+        a: (n, ns, max(n * lnu(n) - slc, 0) // n)
+        for a, (n, ns, slc) in agg.items()
+    }
+    assert {a: (r["n_transitions"], r["n_next_states"], r["entropy_unat"])
+            for a, r in rows.items()} == want
+
+
+def test_ngram_novelty_python_replay(spark, sfd):
+    """First-seen shingle novelty by corpus decile replayed, including
+    the NTILE(10)-over-doc_id decile assignment."""
+    got = {r["decile"]: (r["n_docs"], r["n_shingles"], r["n_novel"],
+                         r["novelty_ppm"])
+           for r in _rows(spark, "ngram_novelty_curve", sfd)}
+    raw = sorted(_duck(sfd, "SELECT doc_id, text FROM documents"))
+    first: dict[int, int] = {}
+    per = []
+    for doc_id, text in raw:
+        shs = _shingle_hashes(text)
+        for sh in shs:
+            first.setdefault(sh, int(doc_id))
+        per.append((int(doc_id), shs))
+    n = len(per)
+    base, extra = divmod(n, 10)
+    want: dict[int, list[int]] = {}
+    pos = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        acc = [0, 0, 0]
+        for doc_id, shs in per[pos:pos + size]:
+            acc[0] += 1
+            acc[1] += len(shs)
+            acc[2] += sum(1 for sh in shs if first[sh] == doc_id)
+        pos += size
+        if acc[0]:
+            want[dec] = (acc[0], acc[1], acc[2], acc[2] * 1000000 // acc[1])
+    assert got == want
+
+
+def test_dsir_python_replay(spark, sfd):
+    """DSIR hashed-unigram importance weights replayed exactly: 4096
+    md5 buckets, per-bucket micro-nat deltas, the 1-row normalizer, and
+    per-doc integer sums."""
+    rows = {r["doc_id"]: (r["n_tokens"], r["logw_unat"])
+            for r in _rows(spark, "dsir_importance_weights", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0")
+    B = 4096
+    g: dict[int, list[int]] = {}
+    docs = []
+    for doc_id, lang, text in raw:
+        bs = [_md5_long(t) % B for t in _toks(text)]
+        docs.append((int(doc_id), bs))
+        for b in bs:
+            acc = g.setdefault(b, [0, 0])
+            acc[0] += 1
+            acc[1] += int(lang == "en")
+    delta = {
+        b: _round_away((math.log(ct + 1) - math.log(cr + 1)) * 1e6)
+        for b, (cr, ct) in g.items()
+    }
+    sum_cr = sum(cr for cr, _ in g.values())
+    sum_ct = sum(ct for _, ct in g.values())
+    const = _round_away((math.log(sum_cr + B) - math.log(sum_ct + B)) * 1e6)
+    want = {
+        d: (len(bs), sum(delta[b] for b in bs) + len(bs) * const)
+        for d, bs in docs
+    }
+    assert rows == want
+
+
+def test_fertility_python_replay(spark, sfd):
+    """Tokenizer fertility by language replayed: whitespace words and
+    BPE-ish segments per character, integer ppm."""
+    rows = {r["lang"]: r for r in _rows(spark, "tokenizer_fertility_by_lang", sfd)}
+    raw = _duck(sfd, "SELECT lang, text FROM documents")
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    agg: dict[str, list[int]] = {}
+    for lang, text in raw:
+        acc = agg.setdefault(lang, [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += len(text)
+        acc[2] += len(re.split(r"\s+", text.strip())) if text.strip() else 0
+        acc[3] += len(bpe_re.findall(text))
+    for lang, (nd, nc, nw, nb) in agg.items():
+        r = rows[lang]
+        assert (r["n_docs"], r["n_chars"], r["n_words"], r["n_bpe_tokens"]) == \
+            (nd, nc, nw, nb)
+        assert r["word_fertility_ppm"] == (0 if nc == 0 else nw * 1000000 // nc)
+        assert r["bpe_fertility_ppm"] == (0 if nc == 0 else nb * 1000000 // nc)
+    assert set(rows) == set(agg)
+
+
+def test_char_entropy_python_replay(spark, sfd):
+    """Character-level Shannon entropy in micro-nats replayed over the
+    normalized [a-z0-9 ] alphabet."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "char_entropy_profile", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    lnu = lambda x: _round_away(math.log(x) * 1e6)
+    want = {}
+    for doc_id, text in raw:
+        chars = [ch for ch in _norm(text) if ch in "abcdefghijklmnopqrstuvwxyz0123456789 "]
+        if not chars:
+            continue
+        cnt: dict[str, int] = {}
+        for ch in chars:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        n = len(chars)
+        slc = sum(c * lnu(c) for c in cnt.values())
+        ent = lnu(n) - slc // n
+        want[int(doc_id)] = (n, ent, int(ent < 2500000))
+    assert {d: (r["n_chars"], r["entropy_unat"], r["low_entropy"])
+            for d, r in rows.items()} == want
