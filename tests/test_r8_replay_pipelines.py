@@ -1089,3 +1089,346 @@ def test_char_entropy_python_replay(spark, sfd):
         want[int(doc_id)] = (n, ent, int(ent < 2500000))
     assert {d: (r["n_chars"], r["entropy_unat"], r["low_entropy"])
             for d, r in rows.items()} == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche E: the remaining dedup-family operators — exact/containment/capped
+# Jaccard, prefix-filter, LSH audit & incremental probe, tiered pipeline,
+# 8-token substring spans (+ removal, top spans), chunk hashes, and the
+# embedding sign-bucket near-dup.  Shared machinery: _toks/_shingle_hashes/
+# _MH_COEFFS above.
+# ---------------------------------------------------------------------------
+
+
+def _win8_hashes(text: str) -> list[int]:
+    """Positions (1-based) -> 8-token polynomial window hash; [] if <8 toks."""
+    th = [_md5_long(t) % _P for t in _toks(text)]
+    if len(th) < 8:
+        return []
+    out = []
+    for i in range(len(th) - 7):
+        h = th[i]
+        for j in range(1, 8):
+            h = (h * _C1 + th[i + j]) % _P
+        out.append(h)
+    return out
+
+
+def _minhash_sig(text: str) -> list[int]:
+    sh = _shingle_hashes(text)
+    return [min((a * h + b) % _P for h in sh) for a, b in _MH_COEFFS]
+
+
+def test_dedup_exact_python_replay(spark, sfd):
+    got = {r["content_hash"]: (r["keep_id"], r["n_copies"])
+           for r in _rows(spark, "dedup_exact", sfd)}
+    want: dict[int, list[int]] = {}
+    for d, t in _duck(sfd, "SELECT doc_id, text FROM documents"):
+        want.setdefault(_md5_long(_norm(t)), []).append(int(d))
+    assert got == {h: (min(ds), len(ds)) for h, ds in want.items()}
+
+
+def test_dedup_keep_representatives_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["lang"], r["n_chars"])
+           for r in _rows(spark, "dedup_keep_representatives", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, lang, n_chars, text FROM documents")
+    first: dict[int, int] = {}
+    for d, _, _, t in raw:
+        h = _md5_long(_norm(t))
+        first[h] = min(first.get(h, 1 << 62), int(d))
+    keep = set(first.values())
+    assert got == {int(d): (lg, nc) for d, lg, nc, _ in raw if int(d) in keep}
+
+
+def test_dedup_survivorship_python_replay(spark, sfd):
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["n_dropped"], r["kept_ppm"])
+           for r in _rows(spark, "dedup_survivorship_by_source", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, source, text FROM documents")
+    first: dict[int, int] = {}
+    for d, _, t in raw:
+        h = _md5_long(_norm(t))
+        first[h] = min(first.get(h, 1 << 62), int(d))
+    agg: dict[str, list[int]] = {}
+    for d, s, t in raw:
+        acc = agg.setdefault(s, [0, 0])
+        acc[0] += 1
+        acc[1] += int(first[_md5_long(_norm(t))] == int(d))
+    assert got == {
+        s: (n, k, n - k, k * 1000000 // n) for s, (n, k) in agg.items()
+    }
+
+
+def _doc_shingles_by_source(sfd: str):
+    raw = _duck(sfd, "SELECT doc_id, source, text FROM documents")
+    return {int(d): (s, _shingle_hashes(t)) for d, s, t in raw}
+
+
+def test_shingle_containment_python_replay(spark, sfd):
+    got = {(r["id_a"], r["id_b"]):
+           (r["containment_a_ppm"], r["containment_b_ppm"], r["containment_ppm"])
+           for r in _rows(spark, "dedup_shingle_containment", sfd)}
+    docs = _doc_shingles_by_source(sfd)
+    ids = sorted(docs)
+    want = {}
+    posting: dict[tuple[str, int], list[int]] = {}
+    for d in ids:
+        s, shs = docs[d]
+        for sh in shs:
+            posting.setdefault((s, sh), []).append(d)
+    inter: dict[tuple[int, int], int] = {}
+    for ds in posting.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                k = (ds[i], ds[j])
+                inter[k] = inter.get(k, 0) + 1
+    for (a, b), n in inter.items():
+        na, nb = len(docs[a][1]), len(docs[b][1])
+        cp = n * 1000000 // min(na, nb)
+        if cp >= 500000:
+            want[(a, b)] = (n * 1000000 // na, n * 1000000 // nb, cp)
+    assert got == want
+
+
+def test_ngram_jaccard_capped_python_replay(spark, sfd):
+    rows = _rows(spark, "dedup_ngram_jaccard_capped", sfd)
+    docs = _doc_shingles_by_source(sfd)
+    posting: dict[tuple[str, int], list[int]] = {}
+    for d in sorted(docs):
+        s, shs = docs[d]
+        for sh in shs:
+            posting.setdefault((s, sh), []).append(d)
+    inter: dict[tuple[int, int], int] = {}
+    for ds in posting.values():
+        if not (2 <= len(ds) <= 20):
+            continue
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                k = (ds[i], ds[j])
+                inter[k] = inter.get(k, 0) + 1
+    want = {}
+    for (a, b), n in inter.items():
+        u = len(docs[a][1]) + len(docs[b][1]) - n
+        if n * 1000000 // u >= 100000:
+            want[(a, b)] = (n / u, n * 1000000 // u)
+    got = {(r["id_a"], r["id_b"]): (r["jaccard"], r["jaccard_ppm"]) for r in rows}
+    assert set(got) == set(want)
+    for k, (j, ppm) in want.items():
+        assert got[k][1] == ppm and abs(got[k][0] - j) < 1e-12
+
+
+def _exact_jaccard_pairs(docs: dict) -> dict[tuple[int, int], int]:
+    """(a,b) -> intersection size over distinct shingles, no blocking."""
+    posting: dict[int, list[int]] = {}
+    for d in sorted(docs):
+        for sh in docs[d][1]:
+            posting.setdefault(sh, []).append(d)
+    inter: dict[tuple[int, int], int] = {}
+    for ds in posting.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                k = (ds[i], ds[j])
+                inter[k] = inter.get(k, 0) + 1
+    return inter
+
+
+def test_lsh_audit_python_replay(spark, sfd):
+    (r,) = _rows(spark, "dedup_lsh_audit", sfd)
+    docs = _doc_shingles_by_source(sfd)
+    inter = _exact_jaccard_pairs(docs)
+    truth = {
+        k for k, n in inter.items()
+        if n * 1000000 // (len(docs[k[0]][1]) + len(docs[k[1]][1]) - n) >= 500000
+    }
+    cand = _lsh_pairs(sfd)
+    hits = truth & cand
+    assert r["n_candidates"] == len(cand) and r["n_truth"] == len(truth)
+    assert r["n_hits"] == len(hits)
+    assert r["precision_ppm"] == len(hits) * 1000000 // max(len(cand), 1)
+    assert r["recall_ppm"] == len(hits) * 1000000 // max(len(truth), 1)
+
+
+def test_incremental_batch_python_replay(spark, sfd):
+    got = {r["doc_id"]: r["n_corpus_matches"]
+           for r in _rows(spark, "dedup_incremental_batch", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    bands: dict[int, set[tuple[int, int]]] = {}
+    for d, t in raw:
+        sig = _minhash_sig(t)
+        bs = set()
+        for band in range(4):
+            sigstr = "|".join(str(v) for v in sig[band * 4: band * 4 + 4])
+            bs.add((band, _md5_long(f"{sigstr}#{1000 + band}")))
+        bands[int(d)] = bs
+    want = {}
+    for b in bands:
+        if b % 10 != 3:
+            continue
+        n = sum(
+            1 for c in bands
+            if c % 10 != 3 and bands[b] & bands[c]
+        )
+        if n:
+            want[b] = n
+    assert got == want
+
+
+def test_jaccard_prefix_filter_python_replay(spark, sfd):
+    rows = _rows(spark, "dedup_jaccard_prefix_filter", sfd)
+    docs = _doc_shingles_by_source(sfd)
+    df: dict[int, int] = {}
+    for d in docs:
+        for sh in docs[d][1]:
+            df[sh] = df.get(sh, 0) + 1
+    pre_posting: dict[int, list[int]] = {}
+    for d in sorted(docs):
+        shs = sorted(docs[d][1], key=lambda sh: (df[sh], sh))
+        n = len(shs)
+        plen = n - (500 * n + 999) // 1000 + 1
+        for sh in shs[:plen]:
+            pre_posting.setdefault(sh, []).append(d)
+    cand = set()
+    for ds in pre_posting.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    want = {}
+    for a, b in cand:
+        n = len(docs[a][1] & docs[b][1])
+        u = len(docs[a][1]) + len(docs[b][1]) - n
+        if n * 1000000 // u >= 500000:
+            want[(a, b)] = (n / u, n * 1000000 // u)
+    got = {(r["id_a"], r["id_b"]): (r["jaccard"], r["jaccard_ppm"]) for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1] and abs(got[k][0] - want[k][0]) < 1e-12
+
+
+def test_chunk_dedup_python_replay(spark, sfd):
+    got = {r["chunk_hash"]: (r["n_docs"], r["n_occ"])
+           for r in _rows(spark, "chunk_dedup_crossdoc", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0")
+    occ: dict[int, list[int]] = {}
+    for d, t in raw:
+        toks = _toks(t)
+        for start in range(0, len(toks), 40):
+            h = _md5_long(" ".join(toks[start:start + 50]))
+            occ.setdefault(h, []).append(int(d))
+    assert got == {
+        h: (len(set(ds)), len(ds)) for h, ds in occ.items() if len(set(ds)) >= 2
+    }
+
+
+def test_tiered_pipeline_python_replay(spark, sfd):
+    got = {(r["id_a"], r["id_b"]): (r["est_ppm"], r["jaccard_ppm"])
+           for r in _rows(spark, "dedup_tiered_pipeline", sfd)}
+    docs = _doc_shingles_by_source(sfd)
+    sigs = {
+        int(d): _minhash_sig(t)
+        for d, t in _duck(sfd, "SELECT doc_id, text FROM documents")
+    }
+    want = {}
+    for a, b in _lsh_pairs(sfd):
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) * 62500
+        if est < 250000:
+            continue
+        n = len(docs[a][1] & docs[b][1])
+        u = len(docs[a][1]) + len(docs[b][1]) - n
+        jp = n * 1000000 // u
+        if jp >= 500000:
+            want[(a, b)] = (est, jp)
+    assert got == want
+
+
+def test_substring_spans_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_spans"],
+                         r["max_span_tokens"], r["dup_ppm"])
+           for r in _rows(spark, "dedup_substring_spans", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    wins = {int(d): _win8_hashes(t) for d, t in raw}
+    by_wh: dict[int, set[int]] = {}
+    for d, ws in wins.items():
+        for wh in ws:
+            by_wh.setdefault(wh, set()).add(d)
+    dup = {wh for wh, ds in by_wh.items() if len(ds) >= 2}
+    want = {}
+    for d, ws in wins.items():
+        flagged = [i + 1 for i, wh in enumerate(ws) if wh in dup]
+        if not flagged:
+            continue
+        spans = []
+        s = e = flagged[0]
+        for p in flagged[1:]:
+            if p == e + 1:
+                e = p
+            else:
+                spans.append((s, e))
+                s = e = p
+        spans.append((s, e))
+        want[d] = (
+            len(ws), len(flagged), len(spans),
+            max(e - s + 8 for s, e in spans),
+            len(flagged) * 1000000 // len(ws),
+        )
+    assert got == want
+
+
+def test_span_removal_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_tokens_kept"], r["kept_fp"])
+           for r in _rows(spark, "dedup_span_removal", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    wins = {int(d): _win8_hashes(t) for d, t in raw}
+    by_wh: dict[int, set[int]] = {}
+    for d, ws in wins.items():
+        for wh in ws:
+            by_wh.setdefault(wh, set()).add(d)
+    dup = {wh for wh, ds in by_wh.items() if len(ds) >= 2}
+    want = {}
+    for d, t in raw:
+        d = int(d)
+        toks = _toks(t)
+        removed = set()
+        for i, wh in enumerate(wins.get(d, [])):
+            if wh in dup:
+                removed.update(range(i + 1, i + 9))
+        kept = [toks[i - 1] for i in range(1, len(toks) + 1) if i not in removed]
+        want[d] = (len(toks), len(kept), _md5_long(" ".join(kept)))
+    assert got == want
+
+
+def test_top_spans_python_replay(spark, sfd):
+    got = [(r["wh"], r["n_docs"], r["n_occurrences"], r["example_doc"])
+           for r in _rows(spark, "dedup_top_spans", sfd)]
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    occ: dict[int, list[int]] = {}
+    for d, t in raw:
+        for wh in _win8_hashes(t):
+            occ.setdefault(wh, []).append(int(d))
+    rows = [
+        (wh, len(set(ds)), len(ds), min(ds))
+        for wh, ds in occ.items() if len(set(ds)) >= 2
+    ]
+    rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    assert got == rows[:20]
+
+
+def test_embedding_neardup_python_replay(spark, sfd):
+    rows = _rows(spark, "dedup_embedding_near", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bucket = {v: sum(1 << j for j in range(6) if m[idx[v]][j] > 0) for v in ids}
+    by_b: dict[int, list[int]] = {}
+    for v in ids:
+        by_b.setdefault(bucket[v], []).append(v)
+    want = {}
+    for ds in by_b.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                sim = float(mn[idx[ds[i]]] @ mn[idx[ds[j]]])
+                if round(sim, 6) >= 0.5:
+                    want[(ds[i], ds[j])] = sim
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1.5e-6
