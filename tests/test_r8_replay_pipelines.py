@@ -1432,3 +1432,176 @@ def test_embedding_neardup_python_replay(spark, sfd):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1.5e-6
+
+
+# ---------------------------------------------------------------------------
+# Tranche F: sketch operators — Bloom semijoin, CMS heavy hitters and the
+# AGMS-style join-size estimate, incremental HLL, exact percentile spine,
+# and the LSH S-curve table.
+# ---------------------------------------------------------------------------
+
+
+def _hex_bucket(key: str, seed: int) -> int:
+    """CMS bucket: md5 hex chars [3*seed, 3*seed+3) as int, mod 1024."""
+    hx = hashlib.md5(key.encode()).hexdigest()
+    return int(hx[3 * seed: 3 * seed + 3], 16) % 1024
+
+
+def test_lsh_scurve_python_replay(spark, sfd):
+    rows = {r["grid_i"]: r for r in _rows(spark, "lsh_scurve_theory", sfd)}
+    assert set(rows) == set(range(21))
+    for i in range(21):
+        jc = i / 20.0
+        r = rows[i]
+        assert abs(r["jaccard"] - jc) < 1e-15
+        assert abs(r["p_cand_4x4"] - (1.0 - (1.0 - jc ** 4) ** 4)) < 1e-12
+        assert abs(r["p_cand_8x2"] - (1.0 - (1.0 - jc ** 2) ** 8)) < 1e-12
+
+
+def test_approx_percentile_bounds_python_replay(spark, sfd):
+    (r,) = _rows(spark, "approx_percentile_bounds", sfd)
+    cents = sorted(
+        c for (c,) in _duck(
+            sfd, "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders")
+    )
+    n = len(cents)
+    assert r["exact_p50"] == cents[(n + 1) // 2 - 1]
+    assert r["exact_p95"] == cents[math.ceil(n * 0.95) - 1]
+    assert r["approx_p50_ok"] == 1 and r["approx_p95_ok"] == 1
+
+
+def test_bloom_semijoin_python_replay(spark, sfd):
+    (r,) = _rows(spark, "bloom_semijoin_reduction", sfd)
+    urgent = {
+        int(k) for (k,) in _duck(
+            sfd, "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'")
+    }
+    m_bits = 1 << 18
+    bloom: set[int] = set()
+    for k in urgent:
+        for i in range(3):
+            bloom.add(_md5_long(f"{k}#{9000 + i}") % m_bits)
+    li = [int(k) for (k,) in _duck(sfd, "SELECT l_orderkey FROM lineitem")]
+    passes: dict[int, bool] = {}
+    for k in set(li):
+        passes[k] = all(
+            _md5_long(f"{k}#{9000 + i}") % m_bits in bloom for i in range(3)
+        )
+    n_fact = len(li)
+    exact_pass = sum(1 for k in li if k in urgent)
+    bloom_pass = sum(1 for k in li if passes[k])
+    assert (r["n_fact"], r["exact_pass"], r["bloom_pass"]) == \
+        (n_fact, exact_pass, bloom_pass)
+    fp = 0 if bloom_pass == 0 else (bloom_pass - exact_pass) * 1000000 // bloom_pass
+    assert r["fp_ppm"] == fp
+    assert r["reduction_ppm"] == (n_fact - bloom_pass) * 1000000 // n_fact
+
+
+def test_cms_heavy_hitters_python_replay(spark, sfd):
+    rows = {r["user_id"]: r for r in _rows(spark, "cms_heavy_hitters_twopass", sfd)}
+    uids = [u for (u,) in _duck(sfd, "SELECT user_id FROM events")]
+    sketch: dict[tuple[int, int], int] = {}
+    exact: dict = {}
+    for u in uids:
+        exact[u] = exact.get(u, 0) + 1
+        for seed in range(4):
+            b = _hex_bucket(str(u), seed)
+            sketch[(seed, b)] = sketch.get((seed, b), 0) + 1
+    thr = 5 * len(uids) // (4 * len(exact))
+    want = {}
+    for u in exact:
+        est = min(sketch[(s, _hex_bucket(str(u), s))] for s in range(4))
+        if est >= thr:
+            want[u] = (est, exact[u], thr, int(exact[u] >= thr))
+    assert {
+        u: (r["cms_est"], r["exact_cnt"], r["threshold"], r["is_true_hh"])
+        for u, r in rows.items()
+    } == want
+
+
+def test_join_size_cms_python_replay(spark, sfd):
+    rows = {r["join_name"]: r for r in _rows(spark, "join_size_estimate_cms", sfd)}
+
+    def sketch_of(keys):
+        sk: dict[tuple[int, int], int] = {}
+        for k in keys:
+            for seed in range(4):
+                b = _hex_bucket(str(k), seed)
+                sk[(seed, b)] = sk.get((seed, b), 0) + 1
+        return sk
+
+    def self_est(sk):
+        return min(
+            sum(c * c for (s, _), c in sk.items() if s == seed)
+            for seed in range(4)
+        )
+
+    orders_ck = [int(k) for (k,) in _duck(sfd, "SELECT o_custkey FROM orders")]
+    li_sk = [int(k) for (k,) in _duck(sfd, "SELECT l_suppkey FROM lineitem")]
+    li_ok = [int(k) for (k,) in _duck(sfd, "SELECT l_orderkey FROM lineitem")]
+    o_ok = [int(k) for (k,) in _duck(sfd, "SELECT o_orderkey FROM orders")]
+
+    def exact_self(keys):
+        c: dict[int, int] = {}
+        for k in keys:
+            c[k] = c.get(k, 0) + 1
+        return sum(n * n for n in c.values())
+
+    def exact_join(ka, kb):
+        ca: dict[int, int] = {}
+        cb: dict[int, int] = {}
+        for k in ka:
+            ca[k] = ca.get(k, 0) + 1
+        for k in kb:
+            cb[k] = cb.get(k, 0) + 1
+        return sum(n * cb.get(k, 0) for k, n in ca.items())
+
+    sk_li_ok, sk_o_ok = sketch_of(li_ok), sketch_of(o_ok)
+    cross_est = min(
+        sum(
+            c * sk_o_ok.get((seed, b), 0)
+            for (s, b), c in sk_li_ok.items() if s == seed
+        )
+        for seed in range(4)
+    )
+    want = {
+        "orders_self_custkey": (exact_self(orders_ck), self_est(sketch_of(orders_ck))),
+        "lineitem_self_suppkey": (exact_self(li_sk), self_est(sketch_of(li_sk))),
+        "lineitem_orders_orderkey": (exact_join(li_ok, o_ok), cross_est),
+    }
+    assert set(rows) == set(want)
+    for name, (ex, est) in want.items():
+        r = rows[name]
+        assert (r["exact_pairs"], r["cms_est_pairs"]) == (ex, est), name
+        assert r["overest_ppm"] == (est - ex) * 1000000 // ex
+
+
+def test_hll_incremental_python_replay(spark, sfd):
+    rows = {r["day"]: r for r in _rows(spark, "hll_incremental_daily", sfd)}
+    raw = _duck(sfd, "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), user_id FROM events")
+    by_day: dict[str, list] = {}
+    for day, uid in raw:
+        by_day.setdefault(day, []).append(uid)
+    days = sorted(by_day)
+    regs = [0] * 1024
+    seen: set = set()
+    num = 721 * (1 << 71)
+    for day in days:
+        for uid in by_day[day]:
+            h = _md5_long(str(uid))
+            q = h // 1024
+            rho = 51 if q == 0 else 51 - q.bit_length()
+            b = h % 1024
+            regs[b] = max(regs[b], rho)
+            seen.add(uid)
+        v_zero = sum(1 for mj in regs if mj == 0)
+        s_sum = sum(1 << (51 - mj) for mj in regs)
+        raw_est = num // (1000 * s_sum)
+        if v_zero > 0 and raw_est < 2560:
+            est = 1024 * (6931472 - _round_away(math.log(v_zero) * 1e6)) // 1000000
+        else:
+            est = raw_est
+        r = rows[day]
+        assert (r["v_zero"], r["s_sum"], r["hll_cum_est"]) == (v_zero, s_sum, est)
+        assert r["exact_cum"] == len(seen)
+        assert r["err_ppm"] == abs(est - len(seen)) * 1000000 // len(seen)
