@@ -60,7 +60,7 @@ def _rows(spark, name: str, sfd: str):
 def _duck(sfd: str, sql: str) -> list[tuple]:
     con = duckdb.connect()
     for t in ("orders", "lineitem", "customer", "nation", "events",
-              "documents", "embeddings"):
+              "documents", "embeddings", "part", "supplier", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
     return con.sql(sql).fetchall()
 
@@ -1605,3 +1605,155 @@ def test_hll_incremental_python_replay(spark, sfd):
         assert (r["v_zero"], r["s_sum"], r["hll_cum_est"]) == (v_zero, s_sum, est)
         assert r["exact_cum"] == len(seen)
         assert r["err_ppm"] == abs(est - len(seen)) * 1000000 // len(seen)
+
+
+# ---------------------------------------------------------------------------
+# Tranche G: misc exact operators — weighted median, Levenshtein blocking,
+# record linkage, language-ID confusion matrix, per-group mode, and the
+# AR(2) Yule-Walker fit (textbook float recompute with tolerances).
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic DP Levenshtein — independent of both engines' builtins."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_grouped_weighted_median_python_replay(spark, sfd):
+    got = {r["grp"]: (r["total_weight"], r["wmedian_cents"])
+           for r in _rows(spark, "grouped_weighted_median", sfd)}
+    raw = _duck(sfd, """
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT),
+               CAST(l_quantity AS BIGINT)
+        FROM lineitem""")
+    w: dict[str, dict[int, int]] = {}
+    for g, c, q in raw:
+        w.setdefault(g, {})[c] = w.get(g, {}).get(c, 0) + int(q)
+    want = {}
+    for g, cw in w.items():
+        tot = sum(cw.values())
+        acc = 0
+        for c in sorted(cw):
+            acc += cw[c]
+            if 2 * acc >= tot:
+                want[g] = (tot, c)
+                break
+    assert got == want
+
+
+def test_levenshtein_pairs_python_replay(spark, sfd):
+    got = {(r["name_a"], r["name_b"]): r["dist"]
+           for r in _rows(spark, "levenshtein_name_pairs", sfd)}
+    names = sorted({n for (n,) in _duck(sfd, "SELECT DISTINCT p_name FROM part")})
+    by_first: dict[str, list[str]] = {}
+    for n in names:
+        by_first.setdefault(n[0], []).append(n)
+    want = {}
+    for ns in by_first.values():
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                d = _lev(ns[i], ns[j])
+                if d <= 4:
+                    want[(ns[i], ns[j])] = d
+    assert got == want
+
+
+def test_record_linkage_python_replay(spark, sfd):
+    got = {(r["c_custkey"], r["d_custkey"]):
+           (r["name_dist"], r["nation_agree"], r["match_score"])
+           for r in _rows(spark, "record_linkage", sfd)}
+    raw = _duck(sfd, "SELECT c_custkey, c_name, c_nationkey FROM customer")
+    dirty = []
+    for ck, name, nk in raw:
+        ck = int(ck)
+        if ck % 3 == 0:
+            dn = name.replace("Customer", "Custmer")
+        elif ck % 3 == 1:
+            dn = name + " "
+        else:
+            dn = name
+        dirty.append((ck + 1000000, dn, nk))
+    by_sfx: dict[str, list] = {}
+    for dk, dn, nk in dirty:
+        t = dn.strip()
+        by_sfx.setdefault(t[-3:], []).append((dk, dn, nk))
+    want = {}
+    for ck, name, nk in raw:
+        for dk, dn, dnk in by_sfx.get(name[-3:], []):
+            nd = _lev(name.strip(), dn.strip())
+            agree = int(nk == dnk)
+            score = (40 if nd == 0 else 25 if nd <= 2 else 0) + agree * 10
+            if score >= 35:
+                want[(int(ck), dk)] = (nd, agree, score)
+    assert got == want
+
+
+def test_lang_id_confusion_python_replay(spark, sfd):
+    got = {(r["lang_true"], r["lang_pred"]): r["n_docs"]
+           for r in _rows(spark, "lang_id_confusion", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, lang, text FROM documents")
+    want: dict[tuple[str, str], int] = {}
+    for _, lang, text in raw:
+        toks = re.split(r"\s+", text.lower().strip())
+        scores = {
+            lg: sum(1 for t in toks if t in ms) for lg, ms in _LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        pred = "und" if best == 0 else min(lg for lg, s in scores.items() if s == best)
+        want[(lang, pred)] = want.get((lang, pred), 0) + 1
+    assert got == want
+
+
+def test_mode_per_group_python_replay(spark, sfd):
+    got = {r["c_mktsegment"]: (r["mode_priority"], r["n_orders"])
+           for r in _rows(spark, "mode_per_group", sfd)}
+    raw = _duck(sfd, """
+        SELECT c_mktsegment, o_orderpriority, count(*)
+        FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2""")
+    best: dict[str, tuple] = {}
+    for seg, pri, n in raw:
+        key = (-int(n), pri)
+        if seg not in best or key < best[seg]:
+            best[seg] = key
+    assert got == {s: (p, -negn) for s, (negn, p) in best.items()}
+
+
+def test_ar2_yule_walker_numpy(spark, sfd):
+    """Yule-Walker AR(2) on the daily revenue series recomputed with
+    textbook pairwise-deleted covariances; phi/micro within 2, MAE within
+    2 kd, skill within 200 ppm."""
+    (r,) = _rows(spark, "ar2_yule_walker_forecast", sfd)
+    raw = _duck(sfd, """
+        SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) // 1000 AS BIGINT)
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    x = np.array([float(v) for _, v in raw])
+    n = len(x)
+    mu = x.sum() / n
+
+    def cov(k):
+        a, b = x[k:], x[: n - k] if k else x
+        return float(np.sum(a * b) - mu * (a.sum() + b.sum()) + len(a) * mu * mu)
+
+    c0, c1, c2 = cov(0), cov(1), cov(2)
+    den = c1 * c1 - c0 * c0
+    phi1 = c1 * (c2 - c0) / den
+    phi2 = (c1 * c1 - c0 * c2) / den
+    assert r["n_days"] == n
+    assert abs(r["phi1_micro"] - round(phi1 * 1e6)) <= 2
+    assert abs(r["phi2_micro"] - round(phi2 * 1e6)) <= 2
+    pred = mu + phi1 * (x[1:-1] - mu) + phi2 * (x[:-2] - mu)
+    ae_ar2 = int(np.sum(np.abs(np.round(pred) - x[2:])))
+    ae_naive = int(np.sum(np.abs(x[1:-1] - x[2:])))
+    assert r["n_test"] == n - 2
+    assert abs(r["mae_ar2_kd"] - ae_ar2 // (n - 2)) <= 2
+    assert r["mae_naive_kd"] == ae_naive // (n - 2)
+    assert abs(r["skill_ppm"] - (ae_naive - ae_ar2) * 1000000 // ae_naive) <= 200
