@@ -1757,3 +1757,242 @@ def test_ar2_yule_walker_numpy(spark, sfd):
     assert abs(r["mae_ar2_kd"] - ae_ar2 // (n - 2)) <= 2
     assert r["mae_naive_kd"] == ae_naive // (n - 2)
     assert abs(r["skill_ppm"] - (ae_naive - ae_ar2) * 1000000 // ae_naive) <= 200
+
+
+# ---------------------------------------------------------------------------
+# Tranche H: IVF coarse quantizers (fixed + trained), the wide LSH tier,
+# SemDeDup pruning, the integer covariance matrix, and the chi-square
+# contribution table.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_ivf_python_replay(spark, sfd):
+    """Fixed-centroid IVF: assignment by rounded cosine (tie to lower
+    cell), nprobe=2, exact rerank."""
+    rows = _rows(spark, "similarity_ann_ivf", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = [v for v in ids if v < 8]
+
+    def cell_ranking(v):
+        return sorted(
+            ((round(float(mn[idx[v]] @ mn[idx[c]]), 6), c) for c in cents),
+            key=lambda t: (-t[0], t[1]),
+        )
+
+    corpus_cell = {v: cell_ranking(v)[0][1] for v in ids}
+    by_cell: dict[int, list[int]] = {}
+    for v, c in corpus_cell.items():
+        by_cell.setdefault(c, []).append(v)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q in [v for v in ids if v < 10]:
+        probe = [c for _, c in cell_ranking(q)[:2]]
+        cand = [v for c in probe for v in by_cell.get(c, []) if v != q]
+        top = sorted(
+            ((round(float(mn[idx[v]] @ mn[idx[q]]), 6), v) for v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        grows = sorted(got.get(q, []), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in grows] == [v for _, v in top], q
+        for r, (s, _) in zip(grows, top):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_ann_ivf_trained_python_replay(spark, sfd):
+    """Trained IVF: md5-priority sample, 8 seeds, two integer k-means
+    iterations (truncating mean), nprobe=4, exact rerank."""
+    rows = _rows(spark, "similarity_ann_ivf_trained", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qv = {v: [_round_away(float(x) * 1_000_000) for x in m[idx[v]]] for v in ids}
+    order = sorted(ids, key=lambda v: (_md5_long(str(v)), v))
+    train = order[:1024]
+    cents = [list(qv[v]) for v in order[:8]]
+
+    def dist_rank(v):
+        return sorted(
+            (
+                (sum((qv[v][i] - cw[i]) ** 2 for i in range(64)), cid)
+                for cid, cw in enumerate(cents)
+            )
+        )
+
+    for _ in range(2):
+        assign: dict[int, list[int]] = {}
+        for v in train:
+            assign.setdefault(dist_rank(v)[0][1], []).append(v)
+        cents = [
+            [_tdiv(sum(qv[v][i] for v in vs), len(vs)) for i in range(64)]
+            if (vs := assign.get(cid))
+            else cw
+            for cid, cw in enumerate(cents)
+        ]
+    corpus_cell = {v: dist_rank(v)[0][1] for v in ids}
+    by_cell: dict[int, list[int]] = {}
+    for v, c in corpus_cell.items():
+        by_cell.setdefault(c, []).append(v)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q in [v for v in ids if v < 10]:
+        probe = [cid for _, cid in dist_rank(q)[:4]]
+        cand = [v for c in probe for v in by_cell.get(c, []) if v != q]
+        top = sorted(
+            ((round(float(mn[idx[v]] @ mn[idx[q]]), 6), v) for v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        grows = sorted(got.get(q, []), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in grows] == [v for _, v in top], q
+        for r, (s, _) in zip(grows, top):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_ann_lsh_wide_python_replay(spark, sfd):
+    """The 16-bit wide LSH tier: 65536-mask margin ordering, 16384 probes
+    per query, bucket-join candidates, exact rerank."""
+    rows = _rows(spark, "similarity_ann_lsh_wide", sfd)
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bucket = {v: sum(1 << j for j in range(16) if m[idx[v]][j] > 0) for v in ids}
+    by_bucket: dict[int, list[int]] = {}
+    for v in ids:
+        by_bucket.setdefault(bucket[v], []).append(v)
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    for q in [v for v in ids if v < 10]:
+        margins = [
+            abs(_round_away(float(m[idx[q]][j]) * 1_000_000)) for j in range(16)
+        ]
+        keyed = sorted(
+            range(1 << 16),
+            key=lambda mask: (
+                sum(margins[j] for j in range(16) if (mask >> j) & 1),
+                mask,
+            ),
+        )[:16384]
+        probes = {bucket[q] ^ mask for mask in keyed}
+        cand = [c for b in probes for c in by_bucket.get(b, []) if c != q]
+        top = sorted(
+            ((round(float(mn[idx[c]] @ mn[idx[q]]), 6), c) for c in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        grows = sorted(got.get(q, []), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in grows] == [c for _, c in top], q
+        for r, (s, _) in zip(grows, top):
+            assert abs(r["sim"] - s) < 1.5e-6
+
+
+def test_lsh_audit_wide_python_replay(spark, sfd):
+    """The (b=8, r=2) banding audit: same truth arm, 8 bands of 2 seeds."""
+    (r,) = _rows(spark, "dedup_lsh_audit_wide", sfd)
+    docs = _doc_shingles_by_source(sfd)
+    inter = _exact_jaccard_pairs(docs)
+    truth = {
+        k for k, n in inter.items()
+        if n * 1000000 // (len(docs[k[0]][1]) + len(docs[k[1]][1]) - n) >= 500000
+    }
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, t in raw:
+        sig = _minhash_sig(t)
+        for band in range(8):
+            sigstr = "|".join(str(v) for v in sig[band * 2: band * 2 + 2])
+            bh = _md5_long(f"{sigstr}#{1000 + band}")
+            buckets.setdefault((band, bh), []).append(int(d))
+    cand = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    hits = truth & cand
+    assert (r["n_candidates"], r["n_truth"], r["n_hits"]) == \
+        (len(cand), len(truth), len(hits))
+    assert r["precision_ppm"] == len(hits) * 1000000 // max(len(cand), 1)
+    assert r["recall_ppm"] == len(hits) * 1000000 // max(len(truth), 1)
+
+
+def test_semantic_prune_python_replay(spark, sfd):
+    """SemDeDup: micro-int centroid similarity assignment, within-cell
+    dominance pruning at cos >= 0.5."""
+    rows = {r["vec_id"]: r for r in _rows(spark, "dedup_semantic_prune", sfd)}
+    ids, m, _ = _emb(sfd)
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = [v for v in ids if v < 8]
+    asg = {}
+    for v in ids:
+        best = sorted(
+            ((_round_away(float(mn[idx[v]] @ mn[idx[c]]) * 1e6), ci)
+             for ci, c in enumerate(cents)),
+            key=lambda t: (-t[0], t[1]),
+        )[0]
+        asg[v] = (best[1], best[0])  # (cell_id, cs)
+    by_cell: dict[int, list[int]] = {}
+    for v, (c, _) in asg.items():
+        by_cell.setdefault(c, []).append(v)
+    dropped = set()
+    for c, vs in by_cell.items():
+        for y in vs:
+            for x in vs:
+                if x == y:
+                    continue
+                xc, yc = asg[x][1], asg[y][1]
+                if (xc > yc or (xc == yc and x < y)) and _round_away(
+                    float(mn[idx[x]] @ mn[idx[y]]) * 1e6
+                ) >= 500000:
+                    dropped.add(y)
+                    break
+    for v in ids:
+        r = rows[v]
+        assert r["cell_id"] == asg[v][0], v
+        assert abs(r["cent_sim_micro"] - asg[v][1]) <= 1, v
+        assert r["kept"] == int(v not in dropped), v
+
+
+def test_embedding_covariance_python_replay(spark, sfd):
+    """Integer micro-unit covariance top-20 replayed exactly."""
+    got = [(r["dim_i"], r["dim_j"], r["cov_unit"], r["rnk"])
+           for r in _rows(spark, "embedding_covariance_topk", sfd)]
+    ids, m, _ = _emb(sfd)
+    micro = np.vectorize(_round_away)(m * 1_000_000).astype(object)
+    n = len(ids)
+    sx = [int(sum(micro[:, i])) for i in range(64)]
+    cov = []
+    off = 1_000_000_000_000
+    for i in range(64):
+        for j in range(i + 1, 64):
+            sxy = int(sum(int(a) * int(b) for a, b in zip(micro[:, i], micro[:, j])))
+            cu = (n * sxy - sx[i] * sx[j] + off * n * n) // (n * n) - off
+            cov.append((i + 1, j + 1, cu))
+    cov.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
+    assert got == [(i, j, cu, r + 1) for r, (i, j, cu) in enumerate(cov[:20])]
+
+
+def test_chi_square_python_replay(spark, sfd):
+    """Chi-square contingency contributions in exact milli-units."""
+    got = {(r["priority"], r["status"]):
+           (r["observed"], r["expected_milli"], r["contribution_milli"])
+           for r in _rows(spark, "chi_square_priority_status", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderpriority, o_orderstatus, count(*)
+        FROM orders GROUP BY 1, 2""")
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    tt = 0
+    for p, s, n in raw:
+        rt[p] = rt.get(p, 0) + int(n)
+        ct[s] = ct.get(s, 0) + int(n)
+        tt += int(n)
+    want = {}
+    for p, s, n in raw:
+        em = rt[p] * ct[s] * 1000 // tt
+        contrib = (int(n) * 1000 - em) ** 2 // max(em, 1)
+        want[(p, s)] = (int(n), em, contrib)
+    assert got == want
