@@ -1996,3 +1996,133 @@ def test_chi_square_python_replay(spark, sfd):
         contrib = (int(n) * 1000 - em) ** 2 // max(em, 1)
         want[(p, s)] = (int(n), em, contrib)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche I: multimodal plumbing (metadata, nearest-neighbor resize, frame
+# sampling, audio chunking) and the tokenizer stack (BPE merge training,
+# vocab-id encoding).
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_meta_python_replay(spark, sfd):
+    got = {r["media_id"]: (r["media_type"], r["n_bytes"], r["width"],
+                           r["height"], r["n_frames"], r["sample_rate"])
+           for r in _rows(spark, "multimodal_meta", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    want = {}
+    for d, t in raw:
+        d = int(d)
+        mt = ["image", "audio", "video"][d % 3]
+        n = len(t.encode())
+        want[d] = (
+            mt, n,
+            n % 64 + 1 if mt in ("image", "video") else None,
+            n % 48 + 1 if mt in ("image", "video") else None,
+            1 if mt == "image" else (n % 30 + 1 if mt == "video" else None),
+            8000 + (n % 8) * 1000 if mt == "audio" else None,
+        )
+    assert got == want
+
+
+def test_multimodal_resize_python_replay(spark, sfd):
+    """8x8 -> 4x4 nearest-neighbor RGB resize: stride-2 pixel sampling of
+    the padded payload, md5 content hash."""
+    got = {r["media_id"]: (r["out_w"], r["out_h"], r["n_bytes"], r["content_hash"])
+           for r in _rows(spark, "multimodal_image_resize", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0")
+    want = {}
+    for d, t in raw:
+        padded = (t[:192] + "." * 192)[:192]
+        out = "".join(
+            padded[row * 48 + col * 6 + ch]
+            for row in range(4) for col in range(4) for ch in range(3)
+        )
+        want[int(d)] = (4, 4, len(out), _md5_long(out))
+    assert got == want
+
+
+def test_multimodal_frames_python_replay(spark, sfd):
+    got = {(r["media_id"], r["frame_index"]): (r["frame_md5"], r["frame_len"])
+           for r in _rows(spark, "multimodal_frames", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2")
+    want = {}
+    for d, t in raw:
+        n = len(t.encode())
+        for fi in range(min(8, max(1, n // 64))):
+            fr = t[fi * 64: fi * 64 + 64]
+            want[(int(d), fi)] = (hashlib.md5(fr.encode()).hexdigest(),
+                                  len(fr.encode()))
+    assert got == want
+
+
+def test_multimodal_audio_python_replay(spark, sfd):
+    got = {(r["media_id"], r["chunk_no"]):
+           (r["start_byte"], r["n_bytes"], r["chunk_hash"])
+           for r in _rows(spark, "multimodal_audio_chunks", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1")
+    want = {}
+    for d, t in raw:
+        n = len(t)
+        for pos in range(0, min(n, 4 * 192), 192):
+            want[(int(d), pos // 192)] = (
+                pos, min(256, n - pos), _md5_long(t[pos: pos + 256])
+            )
+    assert got == want
+
+
+def test_bpe_train_python_replay(spark, sfd):
+    """8 greedy BPE merges replayed on the same '||'-delimited sequence
+    representation (left-to-right non-overlapping replace semantics)."""
+    got = [(r["step"], r["x"], r["y"], r["merged"], r["cnt"])
+           for r in _rows(spark, "bpe_train_merges", sfd)]
+    got.sort()
+    raw = _duck(sfd, "SELECT text FROM documents WHERE length(trim(text)) > 0")
+    wc: dict[str, int] = {}
+    for (t,) in raw:
+        for w in _toks(t):
+            if w != "":
+                wc[w] = wc.get(w, 0) + 1
+    seqs = {w: "||" + "".join(ch + "||" for ch in w) for w in wc}
+    want = []
+    for step in range(1, 9):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            toks = [t for t in seq.split("||") if t != ""]
+            for j in range(len(toks) - 1):
+                k = (toks[j], toks[j + 1])
+                pairs[k] = pairs.get(k, 0) + wc[w]
+        (x, y), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        want.append((step, x, y, x + y, cnt))
+        seqs = {
+            w: seq.replace(f"|{x}||{y}|", f"|{x}{y}|") for w, seq in seqs.items()
+        }
+    assert got == sorted(want)
+
+
+def test_text_encode_ids_python_replay(spark, sfd):
+    """Top-256 vocab + md5 OOV bucket encoding replayed; the full id csv
+    must match per document."""
+    got = {r["doc_id"]: (r["n_tokens"], r["token_ids_csv"])
+           for r in _rows(spark, "text_encode_ids", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    freq: dict[str, int] = {}
+    for _, t in raw:
+        for w in _toks(t):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {
+        w: i for i, (w, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+        )
+    }
+    want = {}
+    for d, t in raw:
+        ids = [
+            vocab.get(w, 256 + _md5_long(w) % 256 if w not in vocab else None)
+            if w not in vocab else vocab[w]
+            for w in _toks(t)
+        ]
+        want[int(d)] = (len(ids), ",".join(str(i) for i in ids))
+    assert got == want
