@@ -2126,3 +2126,140 @@ def test_text_encode_ids_python_replay(spark, sfd):
         ]
         want[int(d)] = (len(ids), ",".join(str(i) for i in ids))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche J: custom distributed operators — two-phase exact percentiles,
+# as-of joins (with tolerance), sessionization, latest-per-key, top-k per
+# group.  The Spark side implements these as bespoke operators
+# (operators/cumsum.py two-phase range exchange, composed window plans);
+# the replay recomputes the contract with plain Python sorting.
+# ---------------------------------------------------------------------------
+
+
+def test_exact_percentiles_python_replay(spark, sfd):
+    got = {r["pct"]: (r["at_rank"], r["value_cents"])
+           for r in _rows(spark, "exact_percentiles", sfd)}
+    raw = sorted(
+        _duck(sfd, "SELECT o_totalprice, o_orderkey FROM orders"),
+        key=lambda t: (t[0], t[1]),
+    )
+    n = len(raw)
+    want = {}
+    for pct in (25, 50, 75, 90, 99):
+        rn = (pct * n + 99) // 100
+        want[pct] = (rn, round(raw[rn - 1][0] * 100))
+    assert got == want
+
+
+def test_grouped_percentiles_python_replay(spark, sfd):
+    got = {(r["label"], r["pct"]): (r["at_rank"], r["value_cents"])
+           for r in _rows(spark, "grouped_percentiles", sfd)}
+    raw = _duck(sfd, "SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders")
+    groups: dict[str, list] = {}
+    for lab, price, key in raw:
+        groups.setdefault(lab, []).append((price, key))
+    want = {}
+    for lab, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (50, 90):
+            rn = (pct * n + 99) // 100
+            want[(lab, pct)] = (rn, round(vals[rn - 1][0] * 100))
+    assert got == want
+
+
+def _events_by_type(sfd: str, et: str):
+    return _duck(
+        sfd,
+        f"SELECT event_id, user_id, ts, value FROM events "
+        f"WHERE event_type = '{et}'",
+    )
+
+
+def test_asof_join_python_replay(spark, sfd):
+    """As-of left join replayed: per click, the latest purchase at or
+    before it for the same user; tolerance variant nulls beyond 6h."""
+    for qname, tol_us in (("asof_join", None), ("asof_join_tolerance", 21600 * 10**6)):
+        rows = {r["event_id"]: (r["asof_ts"], r["asof_value"])
+                for r in _rows(spark, qname, sfd)}
+        clicks = _events_by_type(sfd, "click")
+        purchases: dict = {}
+        for _, uid, ts, val in _events_by_type(sfd, "purchase"):
+            purchases.setdefault(uid, []).append((ts, val))
+        for ps in purchases.values():
+            ps.sort(key=lambda t: t[0])
+        assert set(rows) == {int(e) for e, _, _, _ in clicks}
+        for eid, uid, ts, _ in clicks:
+            best = None
+            for pts, pval in purchases.get(uid, []):
+                if pts <= ts:
+                    best = (pts, pval)
+                else:
+                    break
+            if best is not None and tol_us is not None:
+                if (ts - best[0]).total_seconds() * 10**6 > tol_us:
+                    best = None
+            g_ts, g_val = rows[int(eid)]
+            if best is None:
+                assert g_ts is None and g_val is None, eid
+            else:
+                assert g_ts == best[0], eid
+                assert abs(float(g_val) - float(best[1])) < 1e-9, eid
+
+
+def test_sessionize_python_replay(spark, sfd):
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _rows(spark, "sessionize", sfd)
+    )
+    raw = _duck(sfd, "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id")
+    want = []
+    cur = None  # (uid, start, end, n)
+    prev_uid, prev_ts = None, None
+    for uid, ts, _ in raw:
+        new_s = uid != prev_uid or (ts - prev_ts).total_seconds() > 1800
+        if new_s:
+            if cur:
+                want.append(cur)
+            cur = (uid, ts, ts, 1)
+        else:
+            cur = (uid, cur[1], ts, cur[3] + 1)
+        prev_uid, prev_ts = uid, ts
+    if cur:
+        want.append(cur)
+    assert got == sorted(want)
+
+
+def test_latest_per_key_python_replay(spark, sfd):
+    got = {r["o_custkey"]: (r["latest_orderkey"], r["latest_orderdate"],
+                            r["latest_cents"])
+           for r in _rows(spark, "latest_per_key", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders""")
+    best: dict[int, tuple] = {}
+    for ck, ok, od, cents in raw:
+        key = (od, int(ok))
+        if ck not in best or key > best[ck][:2]:
+            best[ck] = (od, int(ok), cents)
+    assert got == {ck: (ok, od, c) for ck, (od, ok, c) in best.items()}
+
+
+def test_topk_per_group_python_replay(spark, sfd):
+    got = sorted(
+        (r["o_orderpriority"], r["o_orderkey"], round(r["o_totalprice"] * 100),
+         r["rank"])
+        for r in _rows(spark, "topk_per_group", sfd)
+    )
+    raw = _duck(sfd, "SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders")
+    groups: dict[str, list] = {}
+    for pri, ok, price in raw:
+        groups.setdefault(pri, []).append((-price, int(ok), price))
+    want = []
+    for pri, vals in groups.items():
+        vals.sort()
+        for rk, (_, ok, price) in enumerate(vals[:3], 1):
+            want.append((pri, ok, round(price * 100), rk))
+    assert got == sorted(want)
