@@ -2263,3 +2263,163 @@ def test_topk_per_group_python_replay(spark, sfd):
         for rk, (_, ok, price) in enumerate(vals[:3], 1):
             want.append((pri, ok, round(price * 100), rk))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Tranche K: SCD2 dimension builds, range/interval joins, hypertable rollup,
+# gap-filled spines, rolling windows, cohort retention.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def test_scd2_build_python_replay(spark, sfd):
+    got = sorted(
+        (r["o_custkey"], r["o_orderpriority"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in _rows(spark, "scd2_build", sfd)
+    )
+    raw = _duck(sfd, """
+        SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE), o_orderkey
+        FROM orders WHERE o_custkey < 500""")
+    per: dict[int, list] = {}
+    for ck, pri, d, ok in raw:
+        per.setdefault(int(ck), []).append((d, int(ok), pri))
+    want = []
+    for ck, vs in per.items():
+        vs.sort()
+        for i, (d, _, pri) in enumerate(vs):
+            nxt = str(vs[i + 1][0]) if i + 1 < len(vs) else None
+            want.append((ck, pri, str(d), nxt, int(nxt is None)))
+    assert got == sorted(want)
+
+
+def test_scd2_point_in_time_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: (r["version"], r["dim_priority"], r["matches_event"])
+           for r in _rows(spark, "scd2_point_in_time", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE), o_orderpriority
+        FROM orders""")
+    ev: dict[tuple[int, object], tuple] = {}
+    for ok, ck, d, pri in raw:
+        key = (int(ck), d)
+        if key not in ev or int(ok) > ev[key][0]:
+            ev[key] = (int(ok), pri)
+    by_ck: dict[int, list] = {}
+    for (ck, d), (_, pri) in ev.items():
+        by_ck.setdefault(ck, []).append((d, pri))
+    intervals: dict[int, list] = {}
+    for ck, vs in by_ck.items():
+        vs.sort()
+        cps = []
+        prev = None
+        for d, pri in vs:
+            if prev is None or pri != prev:
+                cps.append((d, pri))
+            prev = pri
+        ivs = []
+        for i, (d, pri) in enumerate(cps):
+            vt = cps[i + 1][0] if i + 1 < len(cps) else None
+            ivs.append((d, vt, i + 1, pri))
+        intervals[ck] = ivs
+    want = {}
+    for ok, ck, fd, pri in raw:
+        for d, vt, ver, ipri in intervals[int(ck)]:
+            if d <= fd and (vt is None or fd < vt):
+                want[int(ok)] = (ver, ipri, pri == ipri)
+                break
+    assert got == want
+
+
+def test_range_join_python_replay(spark, sfd):
+    got = sorted((r["event_id"], r["incident_id"])
+                 for r in _rows(spark, "range_join_incidents", sfd))
+    probes = _duck(sfd, "SELECT event_id, ts FROM events WHERE event_type <> 'error'")
+    errs = _duck(sfd, "SELECT event_id, ts FROM events WHERE event_type = 'error'")
+    want = sorted(
+        (int(pe), int(ie))
+        for pe, pts in probes
+        for ie, its in errs
+        if its <= pts < its + _dt.timedelta(minutes=30)
+    )
+    assert got == want
+
+
+def test_hypertable_rollup_python_replay(spark, sfd):
+    got = {(r["day"], r["event_type"]): (r["n_events"], r["total_cents"])
+           for r in _rows(spark, "hypertable_rollup", sfd)}
+    raw = _duck(sfd, "SELECT ts, event_type, value FROM events")
+    agg: dict[tuple[str, str], list[int]] = {}
+    for ts, et, val in raw:
+        key = (str(ts.date()), et)
+        acc = agg.setdefault(key, [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(float(val) * 100)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_gap_fill_python_replay(spark, sfd):
+    got = {(r["n_name"], r["day"]): (r["n_orders"], r["last_rev_cents"])
+           for r in _rows(spark, "gap_fill_daily", sfd)}
+    nats = _duck(sfd, "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5")
+    raw = _duck(sfd, """
+        SELECT c_nationkey, CAST(o_orderdate AS DATE), count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+        GROUP BY 1, 2""")
+    counts = {(int(nk), d): (int(n), int(c)) for nk, d, n, c in raw}
+    want = {}
+    days = [_dt.date(1995, 3, 1) + _dt.timedelta(days=i) for i in range(31)]
+    for nk, name in nats:
+        last = 0
+        for d in days:
+            n, c = counts.get((int(nk), d), (0, None))
+            if c is not None:
+                last = c
+            want[(name, str(d))] = (n, last)
+    assert got == want
+
+
+def test_rolling_28d_python_replay(spark, sfd):
+    got = {r["day"]: r["active_28d"]
+           for r in _rows(spark, "rolling_28d_active_users", sfd)}
+    raw = _duck(sfd, "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events")
+    by_user: dict = {}
+    days = set()
+    for uid, d in raw:
+        by_user.setdefault(uid, []).append(d)
+        days.add(d)
+    want = {}
+    for target in days:
+        n = sum(
+            1 for uid, ds in by_user.items()
+            if any(target >= d and target < d + _dt.timedelta(days=28) for d in ds)
+        )
+        want[str(target)] = n
+    assert got == want
+
+
+def test_cohort_retention_python_replay(spark, sfd):
+    got = {(r["cohort_week"], r["weeks_since"]): r["n_active"]
+           for r in _rows(spark, "cohort_retention", sfd)}
+    raw = _duck(sfd, "SELECT user_id, CAST(ts AS DATE) FROM events")
+
+    def week(d):
+        return d - _dt.timedelta(days=d.weekday())
+
+    first: dict = {}
+    active: dict = {}
+    for uid, d in raw:
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+        active.setdefault(uid, set()).add(week(d))
+    want: dict[tuple[str, int], set] = {}
+    for uid, fd in first.items():
+        cw = week(fd)
+        for aw in active[uid]:
+            ws = (aw - cw).days // 7
+            if 0 <= ws <= 8:
+                want.setdefault((str(cw), ws), set()).add(uid)
+    assert got == {k: len(v) for k, v in want.items()}
