@@ -2423,3 +2423,178 @@ def test_cohort_retention_python_replay(spark, sfd):
             if 0 <= ws <= 8:
                 want.setdefault((str(cw), ws), set()).add(uid)
     assert got == {k: len(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tranche L: training splits / deterministic sampling / session analytics.
+# ---------------------------------------------------------------------------
+
+
+def test_training_pack_bins_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["start_offset"], r["bin_id"])
+           for r in _rows(spark, "training_pack_bins", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, source, text FROM documents ORDER BY source, doc_id")
+    want = {}
+    offsets: dict[str, int] = {}
+    for d, s, t in raw:
+        nt = len(re.split(r"\s+", t.strip())) if t.strip() else 0
+        off = offsets.get(s, 0)
+        want[int(d)] = (s, nt, off, off // 2048)
+        offsets[s] = off + nt
+    assert got == want
+
+
+def test_cv_fold_python_replay(spark, sfd):
+    got = {r["fold"]: (r["n_docs"], r["sum_chars"], r["fold_checksum"])
+           for r in _rows(spark, "cv_fold_assignment", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, len(text) FROM documents")
+    agg: dict[int, list[int]] = {}
+    for d, nc in raw:
+        fold = _md5_long(f"{int(d)}#42") % 5
+        acc = agg.setdefault(fold, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(nc)
+        acc[2] ^= _md5_long(str(int(d)))
+    assert got == {f: tuple(a) for f, a in agg.items()}
+
+
+def test_source_quota_python_replay(spark, sfd):
+    got = {(r["source"], r["rk"]): r["doc_id"]
+           for r in _rows(spark, "source_quota_sample", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, source FROM documents")
+    per: dict[str, list] = {}
+    for d, s in raw:
+        per.setdefault(s, []).append((_md5_long(f"{int(d)}#777"), int(d)))
+    want = {}
+    for s, vs in per.items():
+        vs.sort()
+        for rk, (_, d) in enumerate(vs[:30], 1):
+            want[(s, rk)] = d
+    assert got == want
+
+
+def test_stratified_sample_python_replay(spark, sfd):
+    got = {r["o_orderpriority"]: (r["n_sampled"], r["sampled_cents"])
+           for r in _rows(spark, "stratified_sample", sfd)}
+    raw = _duck(sfd, "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
+    th = {"1-URGENT": 500, "2-HIGH": 250, "3-MEDIUM": 100, "4-NOT SPECIFIED": 50}
+    agg: dict[str, list[int]] = {}
+    for ok, pri, price in raw:
+        if _md5_long(f"{int(ok)}#77") % 1000 < th.get(pri, 0):
+            acc = agg.setdefault(pri, [0, 0])
+            acc[0] += 1
+            acc[1] += round(price * 100)
+    assert got == {p: tuple(a) for p, a in agg.items()}
+
+
+def test_concurrent_peak_python_replay(spark, sfd):
+    got = {r["day"]: r["peak_concurrent"]
+           for r in _rows(spark, "concurrent_sessions_peak", sfd)}
+    raw = _duck(sfd, "SELECT ts FROM events WHERE event_type = 'signup'")
+    by_day: dict[str, list] = {}
+    for (ts,) in raw:
+        day = str(ts.date())
+        by_day.setdefault(day, []).append((ts, 1))
+        by_day[day].append((ts + _dt.timedelta(minutes=30), -1))
+    want = {}
+    for day, pts in by_day.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        live = peak = 0
+        for _, delta in pts:
+            live += delta
+            peak = max(peak, live)
+        want[day] = peak
+    assert got == want
+
+
+def test_sequence_detection_python_replay(spark, sfd):
+    got = {r["user_id"]: r["converted_at"]
+           for r in _rows(spark, "sequence_detection", sfd)}
+    raw = _duck(sfd, """
+        SELECT user_id, ts, event_id, event_type FROM events
+        ORDER BY user_id, ts, event_id""")
+    want = {}
+    cur_u, first_view, first_click, conv = None, None, None, None
+
+    def fmt(ts):
+        s = str(ts)
+        return s.rstrip("0").rstrip(".") if "." in s else s
+
+    def flush():
+        if cur_u is not None and conv is not None:
+            want[cur_u] = fmt(conv)
+
+    for uid, ts, _, et in raw:
+        if uid != cur_u:
+            flush()
+            cur_u, first_view, first_click, conv = uid, None, None, None
+        if et == "view" and (first_view is None or ts < first_view):
+            first_view = ts
+        if (et == "click" and first_view is not None and ts > first_view
+                and (first_click is None or ts < first_click)):
+            first_click = ts
+        if (et == "purchase" and first_click is not None and ts > first_click
+                and (conv is None or ts < conv)):
+            conv = ts
+    flush()
+    assert got == want
+
+
+def test_top_session_paths_python_replay(spark, sfd):
+    got = [(r["path"], r["n_sessions"]) for r in _rows(spark, "top_session_paths", sfd)]
+    raw = _duck(sfd, """
+        SELECT user_id, ts, event_id, event_type FROM events
+        ORDER BY user_id, ts, event_id""")
+    paths: dict[str, int] = {}
+    cur: list[str] = []
+    prev_u, prev_ts = None, None
+
+    def flush():
+        if cur and len(cur) <= 4:
+            p = ">".join(cur)
+            paths[p] = paths.get(p, 0) + 1
+
+    for uid, ts, _, et in raw:
+        if uid != prev_u or (ts - prev_ts).total_seconds() > 1800:
+            flush()
+            cur = []
+        cur.append(et)
+        prev_u, prev_ts = uid, ts
+    flush()
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == top
+
+
+def _ntile(vals: list, n: int) -> dict:
+    """SQL NTILE over a pre-sorted list -> value index -> tile (1-based)."""
+    total = len(vals)
+    base, extra = divmod(total, n)
+    out = {}
+    pos = 0
+    for tile in range(1, n + 1):
+        size = base + (1 if tile <= extra else 0)
+        for k in vals[pos:pos + size]:
+            out[k] = tile
+        pos += size
+    return out
+
+
+def test_rfm_python_replay(spark, sfd):
+    got = {r["o_custkey"]: (r["recency_days"], r["frequency"], r["monetary_cents"],
+                            r["r_score"], r["f_score"], r["m_score"], r["rfm_code"])
+           for r in _rows(spark, "rfm_segmentation", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)), count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1""")
+    head = max(d for _, d, _, _ in raw)
+    m = {int(ck): ((head - d).days, int(f), int(c)) for ck, d, f, c in raw}
+    r_s = _ntile(sorted(m, key=lambda ck: (m[ck][0], ck)), 4)
+    f_s = _ntile(sorted(m, key=lambda ck: (-m[ck][1], ck)), 4)
+    m_s = _ntile(sorted(m, key=lambda ck: (-m[ck][2], ck)), 4)
+    want = {
+        ck: (rd, f, c, r_s[ck], f_s[ck], m_s[ck],
+             r_s[ck] * 100 + f_s[ck] * 10 + m_s[ck])
+        for ck, (rd, f, c) in m.items()
+    }
+    assert got == want
