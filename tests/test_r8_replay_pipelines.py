@@ -2598,3 +2598,137 @@ def test_rfm_python_replay(spark, sfd):
         for ck, (rd, f, c) in m.items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche M: chunking / profiling / sentence-split / transition counts.
+# ---------------------------------------------------------------------------
+
+
+def test_document_chunking_python_replay(spark, sfd):
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_hash"])
+           for r in _rows(spark, "document_chunking", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    want = {}
+    for d, t in raw:
+        toks = _toks(t)
+        n = len(toks)
+        for s in range(1, max(n - 15, 1) + 1, 12):
+            chunk = toks[s - 1: s + 15]
+            want[(int(d), (s - 1) // 12)] = (
+                min(n - s + 1, 16), _md5_long(" ".join(chunk))
+            )
+    assert got == want
+
+
+def test_doc_chunking_python_replay(spark, sfd):
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_hash"])
+           for r in _rows(spark, "doc_chunking", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0")
+    want = {}
+    for d, t in raw:
+        toks = _toks(t)
+        for s in range(1, len(toks) + 1, 40):
+            chunk = toks[s - 1: s + 49]
+            want[(int(d), (s - 1) // 40)] = (len(chunk), _md5_long(" ".join(chunk)))
+    assert got == want
+
+
+def test_charset_profile_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["n_chars"], r["printable_ascii_ppm"],
+                         r["digit_ppm"], r["upper_ppm"])
+           for r in _rows(spark, "text_charset_profile", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    want = {}
+    for d, t in raw:
+        n = len(t)
+        if n == 0:
+            want[int(d)] = (0, 0, 0, 0)
+            continue
+        pr = sum(1 for c in t if " " <= c <= "~")
+        dg = sum(1 for c in t if c.isdigit() and c.isascii())
+        up = sum(1 for c in t if "A" <= c <= "Z")
+        want[int(d)] = (n, pr * 1000000 // n, dg * 1000000 // n, up * 1000000 // n)
+    assert got == want
+
+
+def test_doc_length_histogram_python_replay(spark, sfd):
+    got = {r["bucket"]: (r["bucket_lo"], r["n_docs"], r["total_chars"],
+                         r["min_chars"], r["max_chars"])
+           for r in _rows(spark, "doc_length_log_histogram", sfd)}
+    raw = _duck(sfd, "SELECT n_chars FROM documents")
+    agg: dict[int, list[int]] = {}
+    for (nc,) in raw:
+        nc = int(nc)
+        b = (nc + 1).bit_length() - 1
+        acc = agg.setdefault(b, [0, 0, 1 << 62, -1])
+        acc[0] += 1
+        acc[1] += nc
+        acc[2] = min(acc[2], nc)
+        acc[3] = max(acc[3], nc)
+    assert got == {
+        b: (1 << b, n, tc, mn, mx) for b, (n, tc, mn, mx) in agg.items()
+    }
+
+
+def test_transition_matrix_python_replay(spark, sfd):
+    got = {(r["event_type"], r["next_type"]): r["n"]
+           for r in _rows(spark, "event_transition_matrix", sfd)}
+    raw = _duck(sfd, "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id")
+    want: dict[tuple[str, str], int] = {}
+    prev_u, prev_e = None, None
+    for uid, et in raw:
+        if uid == prev_u:
+            want[(prev_e, et)] = want.get((prev_e, et), 0) + 1
+        prev_u, prev_e = uid, et
+    assert got == want
+
+
+def test_token_stats_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["n_chars_calc"], r["n_tokens"], r["n_bpe_tokens"])
+           for r in _rows(spark, "text_token_stats", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    want = {}
+    for d, t in raw:
+        nt = len(re.split(r"\s+", t.strip())) if t.strip() else 0
+        want[int(d)] = (len(t), nt, len(bpe_re.findall(t)))
+    assert got == want
+
+
+def test_udtf_sentence_split_python_replay(spark, sfd):
+    got = sorted(
+        (r["doc_id"], r["sent_no"], r["sentence"], r["n_chars"])
+        for r in _rows(spark, "udtf_sentence_split", sfd)
+    )
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    want = []
+    for d, t in raw:
+        i = 0
+        for part in re.split(r"[.!?]+", t):
+            s = part.strip()
+            if s:
+                i += 1
+                want.append((int(d), i, s, len(s)))
+    assert got == sorted(want)
+
+
+def test_event_funnel_python_replay(spark, sfd):
+    (r,) = _rows(spark, "event_funnel", sfd)
+    raw = _duck(sfd, "SELECT user_id, event_type, ts FROM events")
+    su: dict = {}
+    for uid, et, ts in raw:
+        if et == "signup" and (uid not in su or ts < su[uid]):
+            su[uid] = ts
+    cl: dict = {}
+    for uid, et, ts in raw:
+        if et == "click" and uid in su and ts > su[uid] and (
+                uid not in cl or ts < cl[uid]):
+            cl[uid] = ts
+    pu: dict = {}
+    for uid, et, ts in raw:
+        if et == "purchase" and uid in cl and ts > cl[uid] and (
+                uid not in pu or ts < pu[uid]):
+            pu[uid] = ts
+    assert (r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == \
+        (len(su), len(cl), len(pu))
