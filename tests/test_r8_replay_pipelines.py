@@ -2732,3 +2732,321 @@ def test_event_funnel_python_replay(spark, sfd):
             pu[uid] = ts
     assert (r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == \
         (len(su), len(cl), len(pu))
+
+
+# ---------------------------------------------------------------------------
+# Tranche N: curation composites (lang-ID x quality x dedup x chunking),
+# SimHash banding, cross-source matrix, mixture weights, padding audit,
+# embedding stats, gap-sensitivity sessionization.
+# ---------------------------------------------------------------------------
+
+
+def _quality_parts(text: str):
+    nc = len(text)
+    np_ = sum(1 for ch in text if ch in _PUNCT)
+    low = text.lower().strip()
+    toks = re.split(r"\s+", low) if low else None
+    sw = sum(1 for t in toks if t in _STOPWORDS) if toks else 0
+    return nc, np_, toks, sw
+
+
+def _lang_pred(text: str) -> str:
+    toks = re.split(r"\s+", text.lower().strip())
+    scores = {lg: sum(1 for t in toks if t in ms) for lg, ms in _LANG_MARKERS.items()}
+    best = max(scores.values())
+    return "und" if best == 0 else min(lg for lg, s in scores.items() if s == best)
+
+
+def test_simhash_neardup_python_replay(spark, sfd):
+    """SimHash 4x15-bit banding + Hamming<=3 verify replayed."""
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in _rows(spark, "dedup_simhash_neardup", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    sig = {}
+    for d, t in raw:
+        hs = {_md5_long(tk) for tk in set(_toks(t))}
+        s = 0
+        for j in range(60):
+            if sum(1 if (h >> j) & 1 else -1 for h in hs) > 0:
+                s |= 1 << j
+        sig[int(d)] = s
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sig.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (15 * b)) & 32767), []).append(d)
+    want = {}
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                ham = bin(sig[ds[i]] ^ sig[ds[j]]).count("1")
+                if ham <= 3:
+                    want[(ds[i], ds[j])] = ham
+    assert got == want
+
+
+def test_cluster_stats_python_replay(spark, sfd):
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in _rows(spark, "dedup_cluster_stats", sfd)}
+    all_ids = [int(d) for (d,) in _duck(sfd, "SELECT doc_id FROM documents")]
+    parent = {d: d for d in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _lsh_pairs(sfd):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for d in all_ids:
+        c = find(d)
+        sizes[c] = sizes.get(c, 0) + 1
+    want: dict[int, list[int]] = {}
+    for sz in sizes.values():
+        if sz >= 2:
+            acc = want.setdefault(sz, [0, 0])
+            acc[0] += 1
+            acc[1] += sz
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_cross_source_matrix_python_replay(spark, sfd):
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in _rows(spark, "dedup_cross_source_matrix", sfd)}
+    src = {int(d): s for d, s in _duck(sfd, "SELECT doc_id, source FROM documents")}
+    want: dict[tuple[str, str], int] = {}
+    for a, b in _lsh_pairs(sfd):
+        k = (src[a], src[b])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_domain_mixing_python_replay(spark, sfd):
+    got = {r["source"]: (r["n_docs"], r["tokens"], r["weight_ppm"], r["mix_ppm"])
+           for r in _rows(spark, "domain_mixing_weights", sfd)}
+    raw = _duck(sfd, "SELECT source, text FROM documents")
+    per: dict[str, list[int]] = {}
+    for s, t in raw:
+        nt = len(re.split(r"\s+", t.strip())) if t.strip() else 0
+        acc = per.setdefault(s, [0, 0])
+        acc[0] += 1
+        acc[1] += nt
+    tot = sum(tk for _, tk in per.values())
+    w = {s: tk * 1000000 // tot for s, (_, tk) in per.items()}
+    capped = {s: min(v, 150000) for s, v in w.items()}
+    ctot = sum(capped.values())
+    assert got == {
+        s: (nd, tk, w[s], capped[s] * 1000000 // ctot)
+        for s, (nd, tk) in per.items()
+    }
+
+
+def test_padding_waste_python_replay(spark, sfd):
+    got = {r["seq_bucket"]: (r["n_docs"], r["n_tokens"], r["n_slots"], r["waste_ppm"])
+           for r in _rows(spark, "padding_waste_audit", sfd)}
+    raw = _duck(sfd, "SELECT text FROM documents")
+    bpe_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    agg: dict[int, list[int]] = {}
+    for (t,) in raw:
+        n = len(bpe_re.findall(t))
+        cap = next(c for c in (64, 128, 256, 512, 1024, 2048) if n <= c or c == 2048)
+        acc = agg.setdefault(cap, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += min(n, 2048)
+        acc[2] += cap
+    assert got == {
+        c: (nd, nt, ns, (ns - nt) * 1000000 // ns) for c, (nd, nt, ns) in agg.items()
+    }
+
+
+def test_embedding_norms_python_replay(spark, sfd):
+    got = {r["vec_id"]: (r["l2_norm"], r["comp_sum"])
+           for r in _rows(spark, "embedding_norms", sfd)}
+    ids, m, _ = _emb(sfd)
+    for i, v in enumerate(ids):
+        l2 = math.sqrt(float(np.sum(m[i] * m[i])))
+        cs = float(np.sum(m[i]))
+        assert abs(got[v][0] - l2) < 1.5e-6
+        assert abs(got[v][1] - cs) < 1.5e-6
+
+
+def test_embedding_dim_stats_python_replay(spark, sfd):
+    got = {r["dim"]: (r["n_vecs"], r["sum_micro"], r["meansq_micro2"])
+           for r in _rows(spark, "embedding_dim_stats", sfd)}
+    ids, m, _ = _emb(sfd)
+    n = len(ids)
+    for dim in range(64):
+        micro = [_round_away(float(x) * 1e6) for x in m[:, dim]]
+        sm = sum(micro)
+        msq = sum(v * v for v in micro) // n
+        assert got[dim + 1] == (n, sm, msq), dim
+
+
+def test_quality_filter_pipeline_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["lang_pred"], r["quality"])
+           for r in _rows(spark, "quality_filter_pipeline", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    first: dict[int, int] = {}
+    for d, t in raw:
+        h = _md5_long(_norm(t))
+        first[h] = min(first.get(h, 1 << 62), int(d))
+    keep = set(first.values())
+    want = {}
+    for d, t in raw:
+        d = int(d)
+        if d not in keep:
+            continue
+        pred = _lang_pred(t)
+        nc, np_, toks, sw = _quality_parts(t)
+        if toks is None:
+            continue
+        punct = 0.0 if nc == 0 else np_ / nc
+        stop = sw / len(toks)
+        q = (min(nc / 500.0, 1.0) * 0.4 + min(stop * 5.0, 1.0) * 0.4
+             + (1.0 - min(punct * 4.0, 1.0)) * 0.2)
+        if pred == "en" and q >= 0.5:
+            want[d] = (pred, q)
+    assert set(got) == set(want)
+    for d, (p, q) in want.items():
+        assert got[d][0] == p and abs(got[d][1] - q) < 1e-9
+
+
+def _quality_s_int(text: str) -> int:
+    nc, np_, toks, sw = _quality_parts(text)
+    nt = len(toks) if toks is not None else 0
+    s = 800 * min(nc, 500)
+    s += min(2000000 * sw // nt, 400000) if nt else 0
+    s += 200000 - min(800000 * np_ // nc, 200000) if nc else 200000
+    return s
+
+
+def test_quality_frontier_python_replay(spark, sfd):
+    got = {r["decile"]: (r["n_docs"], r["n_tokens"], r["score_floor"],
+                         r["docs_kept"], r["tokens_kept"],
+                         r["docs_kept_ppm"], r["tokens_kept_ppm"])
+           for r in _rows(spark, "quality_selection_frontier", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    rows = []
+    for d, t in raw:
+        low = t.lower().strip()
+        nt = len(re.split(r"\s+", low)) if low else 0
+        rows.append((int(d), nt, _quality_s_int(t)))
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    deciles = _ntile([r[0] for r in order], 10)
+    byid = {r[0]: r for r in rows}
+    agg: dict[int, list[int]] = {}
+    for d, tile in deciles.items():
+        acc = agg.setdefault(tile, [0, 0, 1 << 62])
+        acc[0] += 1
+        acc[1] += byid[d][1]
+        acc[2] = min(acc[2], byid[d][2])
+    td = sum(a[0] for a in agg.values())
+    tt = sum(a[1] for a in agg.values())
+    want = {}
+    dk = tk = 0
+    for tile in sorted(agg, reverse=True):
+        nd, ntk, fl = agg[tile]
+        dk += nd
+        tk += ntk
+        want[tile] = (nd, ntk, fl, dk, tk,
+                      dk * 1000000 // td, tk * 1000000 // tt)
+    assert got == want
+
+
+def test_quality_dup_calibration_python_replay(spark, sfd):
+    got = {r["decile"]: (r["n_docs"], r["n_dup"], r["dup_ppm"],
+                         r["mean_score_micro"])
+           for r in _rows(spark, "quality_dup_calibration", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents")
+    fps: dict[int, int] = {}
+    rows = []
+    for d, t in raw:
+        fp = _md5_long(_norm(t))
+        fps[fp] = fps.get(fp, 0) + 1
+        rows.append((int(d), fp, _quality_s_int(t)))
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    deciles = _ntile([r[0] for r in order], 10)
+    byid = {r[0]: r for r in rows}
+    agg: dict[int, list[int]] = {}
+    for d, tile in deciles.items():
+        _, fp, s = byid[d]
+        acc = agg.setdefault(tile, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(fps[fp] >= 2)
+        acc[2] += s
+    assert got == {
+        t: (n, nd, nd * 1000000 // n, s // n) for t, (n, nd, s) in agg.items()
+    }
+
+
+def test_curation_pipeline_python_replay(spark, sfd):
+    got = {r["source"]: (r["docs_kept"], r["n_chunks"], r["total_tokens"])
+           for r in _rows(spark, "curation_pipeline_full", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, source, text FROM documents")
+    first: dict[int, int] = {}
+    for d, _, t in raw:
+        h = _md5_long(_norm(t))
+        first[h] = min(first.get(h, 1 << 62), int(d))
+    keep = set(first.values())
+    agg: dict[str, list] = {}
+    for d, s, t in raw:
+        d = int(d)
+        if d not in keep or _lang_pred(t) != "en":
+            continue
+        nc, np_, toks, sw = _quality_parts(t)
+        if toks is None:
+            continue
+        punct = 0.0 if nc == 0 else np_ / nc
+        q = (min(nc / 500.0, 1.0) * 0.4 + min(sw / len(toks) * 5.0, 1.0) * 0.4
+             + (1.0 - min(punct * 4.0, 1.0)) * 0.2)
+        if q < 0.5:
+            continue
+        ntoks = len(_toks(t))
+        acc = agg.setdefault(s, [set(), 0, 0])
+        acc[0].add(d)
+        for st in range(1, max(ntoks - 15, 1) + 1, 12):
+            acc[1] += 1
+            acc[2] += min(ntoks - st + 1, 16)
+    assert got == {s: (len(a[0]), a[1], a[2]) for s, a in agg.items()}
+
+
+def test_sessionize_gap_python_replay(spark, sfd):
+    got = {r["gap_s"]: (r["n_sessions"], r["n_singletons"], r["n_events"],
+                        r["events_per_session_milli"], r["mean_duration_s"])
+           for r in _rows(spark, "sessionize_gap_sensitivity", sfd)}
+    raw = _duck(sfd, "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id")
+    want = {}
+    for gap in (900, 1800, 3600):
+        sessions = []
+        prev_u, prev_ts, cur = None, None, None
+        for uid, ts, _ in raw:
+            new_s = uid != prev_u or (
+                (ts - prev_ts).days * 86400_000000
+                + (ts - prev_ts).seconds * 10**6
+                + (ts - prev_ts).microseconds
+            ) > gap * 10**6
+            if new_s:
+                if cur:
+                    sessions.append(cur)
+                cur = [ts, ts, 1]
+            else:
+                cur[1] = ts
+                cur[2] += 1
+            prev_u, prev_ts = uid, ts
+        if cur:
+            sessions.append(cur)
+        n_sess = len(sessions)
+        n_single = sum(1 for s in sessions if s[2] == 1)
+        n_ev = sum(s[2] for s in sessions)
+        dur = sum(
+            ((e - st).days * 86400_000000 + (e - st).seconds * 10**6
+             + (e - st).microseconds) // 10**6
+            for st, e, _ in sessions
+        )
+        want[gap] = (n_sess, n_single, n_ev,
+                     n_ev * 1000 // n_sess, dur // n_sess)
+    assert got == want
