@@ -3050,3 +3050,203 @@ def test_sessionize_gap_python_replay(spark, sfd):
         want[gap] = (n_sess, n_single, n_ev,
                      n_ev * 1000 // n_sess, dur // n_sess)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche O: SCD2 temporal joins, skew/z-order/drift audits, pareto classes,
+# incremental rollup maintenance.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_temporal_join_python_replay(spark, sfd):
+    got = {r["ver"]: (r["n_lines"], r["bal_cents_sum"])
+           for r in _rows(spark, "scd2_temporal_join", sfd)}
+    sup = {int(k): float(b) for k, b in
+           _duck(sfd, "SELECT s_suppkey, s_acctbal FROM supplier")}
+    raw = _duck(sfd, """
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) FROM lineitem
+        WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""")
+    cut = _dt.date(1995, 7, 1)
+    agg = {1: [0, 0], 2: [0, 0]}
+    for sk, d in raw:
+        if int(sk) not in sup:  # inner join drops FK-orphans (seed-43 subsample)
+            continue
+        ver = 1 if d < cut else 2
+        bal = sup[int(sk)] + (100.0 if ver == 2 else 0.0)
+        agg[ver][0] += 1
+        agg[ver][1] += _round_away(bal * 100)
+    assert got == {v: tuple(a) for v, a in agg.items() if a[0]}
+
+
+def _priority_intervals(sfd: str):
+    raw = _duck(sfd, """
+        SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderpriority, o_orderkey
+        FROM orders""")
+    ev: dict[tuple[int, object], tuple] = {}
+    for ck, d, pri, ok in raw:
+        key = (int(ck), d)
+        if key not in ev or int(ok) > ev[key][0]:
+            ev[key] = (int(ok), pri)
+    by_ck: dict[int, list] = {}
+    for (ck, d), (_, pri) in ev.items():
+        by_ck.setdefault(ck, []).append((d, pri))
+    out = {}
+    for ck, vs in by_ck.items():
+        vs.sort()
+        cps = []
+        prev = None
+        for d, pri in vs:
+            if prev is None or pri != prev:
+                cps.append((d, pri))
+            prev = pri
+        out[ck] = cps
+    return out
+
+
+def test_scd2_priority_history_python_replay(spark, sfd):
+    got = sorted(
+        (r["o_custkey"], r["priority"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in _rows(spark, "scd2_priority_history", sfd)
+    )
+    want = []
+    for ck, cps in _priority_intervals(sfd).items():
+        for i, (d, pri) in enumerate(cps):
+            vt = cps[i + 1][0] if i + 1 < len(cps) else None
+            want.append((ck, pri, str(d), str(vt) if vt else None,
+                         i + 1, vt is None))
+    assert got == sorted(want)
+
+
+def test_skew_salted_agg_python_replay(spark, sfd):
+    got = {r["event_type"]: (r["n_events"], r["total_cents"])
+           for r in _rows(spark, "skew_salted_agg", sfd)}
+    raw = _duck(sfd, "SELECT event_type, value FROM events")
+    agg: dict[str, list[int]] = {}
+    for et, v in raw:
+        acc = agg.setdefault(et, [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(float(v) * 100)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_zorder_audit_python_replay(spark, sfd):
+    got = {r["layout"]: (r["n_files"], r["files_scanned"], r["rows_scanned"],
+                         r["rows_matched"], r["rows_total"], r["scan_ppm"])
+           for r in _rows(spark, "zorder_pruning_audit", sfd)}
+    raw = _duck(sfd, "SELECT event_id, ts, CAST(user_id AS BIGINT) FROM events")
+    rows = []
+    epoch = _dt.date(2024, 1, 1)
+    for eid, ts, u in raw:
+        d = (ts.date() - epoch).days
+        u = int(u)
+        zv = sum(((u >> b) & 1) << (2 * b) for b in range(14)) + sum(
+            ((d >> b) & 1) << (2 * b + 1) for b in range(14)
+        )
+        rows.append((int(eid), ts, u, d, zv))
+    want = {}
+    for layout, keyf in (
+        ("time_ordered", lambda r: (r[1], r[0])),
+        ("z_ordered", lambda r: (r[4], r[0])),
+    ):
+        order = sorted(rows, key=keyf)
+        tiles = _ntile([r[0] for r in order], 32)
+        byid = {r[0]: r for r in rows}
+        files: dict[int, list] = {}
+        for eid, f in tiles.items():
+            _, _, u, d, _ = byid[eid]
+            acc = files.setdefault(f, [0, 1 << 62, -1 << 62, 1 << 62, -1 << 62])
+            acc[0] += 1
+            acc[1] = min(acc[1], u)
+            acc[2] = max(acc[2], u)
+            acc[3] = min(acc[3], d)
+            acc[4] = max(acc[4], d)
+        fs = rs = 0
+        for n, mnu, mxu, mnd, mxd in files.values():
+            if mxu >= 2 and mnu <= 7 and mxd >= 10 and mnd <= 19:
+                fs += 1
+                rs += n
+        matched = sum(1 for _, _, u, d, _ in rows
+                      if 2 <= u <= 7 and 10 <= d <= 19)
+        want[layout] = (len(files), fs, rs, matched, len(rows),
+                        rs * 1000000 // len(rows))
+    assert got == want
+
+
+def test_join_skew_audit_python_replay(spark, sfd):
+    got = {(r["tbl"], r["rnk"]): (r["key_val"], r["n_rows"], r["share_ppm"])
+           for r in _rows(spark, "join_skew_audit", sfd)}
+    want = {}
+    for tbl, sql in (
+        ("orders", "SELECT o_custkey FROM orders"),
+        ("lineitem", "SELECT l_suppkey FROM lineitem"),
+        ("events", "SELECT user_id FROM events"),
+    ):
+        keys = [int(k) for (k,) in _duck(sfd, sql)]
+        cnt: dict[int, int] = {}
+        for k in keys:
+            cnt[k] = cnt.get(k, 0) + 1
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rnk, (k, n) in enumerate(top, 1):
+            want[(tbl, rnk)] = (k, n, n * 1000000 // len(keys))
+    assert got == want
+
+
+def test_source_pareto_python_replay(spark, sfd):
+    got = {r["source"]: (r["tokens"], r["cum_tokens"], r["pareto_class"])
+           for r in _rows(spark, "source_pareto_classes", sfd)}
+    raw = _duck(sfd, "SELECT source, text FROM documents")
+    tok: dict[str, int] = {}
+    for s, t in raw:
+        tok[s] = tok.get(s, 0) + (len(re.split(r"\s+", t.strip())) if t.strip() else 0)
+    total = sum(tok.values())
+    cum = 0
+    want = {}
+    for s in sorted(tok, key=lambda s: (-tok[s], s)):
+        cum += tok[s]
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        want[s] = (tok[s], cum, cls)
+    assert got == want
+
+
+def test_column_drift_python_replay(spark, sfd):
+    got = {r["column_name"]: (r["rows_a"], r["rows_b"], r["ndv_a"], r["ndv_b"],
+                              r["nulls_a"], r["nulls_b"])
+           for r in _rows(spark, "column_drift_audit", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderstatus, o_orderpriority, o_custkey,
+               CAST(o_orderdate AS DATE) < DATE '1995-01-01' FROM orders""")
+    cols = {"o_orderstatus": 0, "o_orderpriority": 1, "o_custkey": 2}
+    assert set(got) == set(cols)
+    for name, ix in cols.items():
+        ra = rb = na = nb = 0
+        da, db = set(), set()
+        for row in raw:
+            v, is_a = row[ix], row[3]
+            if is_a:
+                ra += 1
+                na += v is None
+                if v is not None:
+                    da.add(v)
+            else:
+                rb += 1
+                nb += v is None
+                if v is not None:
+                    db.add(v)
+        assert got[name] == (ra, rb, len(da), len(db), na, nb), name
+
+
+def test_incremental_rollup_python_replay(spark, sfd):
+    got = {r["day"]: (r["n_orders"], r["revenue_cents"])
+           for r in _rows(spark, "incremental_rollup_maintenance", sfd)}
+    raw = _duck(sfd, """
+        SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-04-03'""")
+    agg: dict[str, list[int]] = {}
+    for d, p in raw:
+        price = float(p) + (10.0 if d == _dt.date(1995, 3, 15) else 0.0)
+        acc = agg.setdefault(str(d), [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(price * 100)
+    assert got == {k: tuple(v) for k, v in agg.items()}
