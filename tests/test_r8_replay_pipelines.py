@@ -3250,3 +3250,197 @@ def test_incremental_rollup_python_replay(spark, sfd):
         acc[0] += 1
         acc[1] += _round_away(price * 100)
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tranche P: running/rolling window analytics, deciles, OHLC, backlog,
+# activity heatmap, session-duration histogram, interpolated percentiles.
+# ---------------------------------------------------------------------------
+
+
+def test_running_total_python_replay(spark, sfd):
+    got = {(r["o_custkey"], r["o_orderkey"]): r["running_cents"]
+           for r in _rows(spark, "running_total", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_custkey % 100 = 0""")
+    per: dict[int, list] = {}
+    for ck, ok, d, c in raw:
+        per.setdefault(int(ck), []).append((d, int(ok), int(c)))
+    want = {}
+    for ck, vs in per.items():
+        vs.sort()
+        acc = 0
+        for _, ok, c in vs:
+            acc += c
+            want[(ck, ok)] = acc
+    assert got == want
+
+
+def test_rolling_7d_python_replay(spark, sfd):
+    got = {(r["o_orderpriority"], r["day"]): r["rolling_7d_cents"]
+           for r in _rows(spark, "rolling_revenue_7d", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
+        GROUP BY 1, 2""")
+    per: dict[str, list] = {}
+    for pri, d, c in raw:
+        per.setdefault(pri, []).append((d, int(c)))
+    want = {}
+    for pri, vs in per.items():
+        vs.sort()
+        for d, _ in vs:
+            tot = sum(c for dd, c in vs if 0 <= (d - dd).days <= 6)
+            want[(pri, str(d))] = tot
+    assert got == want
+
+
+def test_cumulative_users_python_replay(spark, sfd):
+    got = {r["day"]: (r["new_users"], r["cum_distinct_users"])
+           for r in _rows(spark, "cumulative_distinct_users", sfd)}
+    raw = _duck(sfd, "SELECT user_id, min(CAST(ts AS DATE)) FROM events GROUP BY 1")
+    daily: dict = {}
+    for _, d in raw:
+        daily[d] = daily.get(d, 0) + 1
+    want = {}
+    cum = 0
+    for d in sorted(daily):
+        cum += daily[d]
+        want[str(d)] = (daily[d], cum)
+    assert got == want
+
+
+def test_value_deciles_python_replay(spark, sfd):
+    got = {r["decile"]: (r["n_customers"], r["revenue_cents"],
+                         r["min_cents"], r["max_cents"])
+           for r in _rows(spark, "customer_value_deciles", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1""")
+    cents = {int(ck): int(c) for ck, c in raw}
+    tiles = _ntile(sorted(cents, key=lambda ck: (-cents[ck], ck)), 10)
+    agg: dict[int, list[int]] = {}
+    for ck, tile in tiles.items():
+        acc = agg.setdefault(tile, [0, 0, 1 << 62, -1])
+        acc[0] += 1
+        acc[1] += cents[ck]
+        acc[2] = min(acc[2], cents[ck])
+        acc[3] = max(acc[3], cents[ck])
+    assert got == {t: tuple(a) for t, a in agg.items()}
+
+
+def test_ntile_binning_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: r["quartile"]
+           for r in _rows(spark, "ntile_binning", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'""")
+    per: dict[str, list] = {}
+    for ok, pri, p in raw:
+        per.setdefault(pri, []).append((p, int(ok)))
+    want = {}
+    for pri, vs in per.items():
+        vs.sort()
+        tiles = _ntile([ok for _, ok in vs], 4)
+        want.update(tiles)
+    assert got == want
+
+
+def test_percentiles_python_replay(spark, sfd):
+    got = {r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+           for r in _rows(spark, "percentiles", sfd)}
+    raw = _duck(sfd, "SELECT o_orderpriority, o_totalprice FROM orders")
+    per: dict[str, list] = {}
+    for pri, p in raw:
+        per.setdefault(pri, []).append(float(p))
+    for pri, vs in per.items():
+        arr = np.array(sorted(vs))
+        for col, q in zip(range(3), (50, 90, 99)):
+            want = float(np.percentile(arr, q, method="linear"))
+            assert abs(got[pri][col] - want) < 1e-3, (pri, q)
+
+
+def test_ohlc_python_replay(spark, sfd):
+    got = {r["day"]: (r["open_cents"], r["high_cents"], r["low_cents"],
+                      r["close_cents"], r["n_orders"])
+           for r in _rows(spark, "ohlc_daily", sfd)}
+    raw = _duck(sfd, """
+        SELECT CAST(o_orderdate AS DATE), o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'""")
+    per: dict = {}
+    for d, ok, c in raw:
+        per.setdefault(d, []).append((int(ok), int(c)))
+    want = {}
+    for d, vs in per.items():
+        vs.sort()
+        cs = [c for _, c in vs]
+        want[str(d)] = (vs[0][1], max(cs), min(cs), vs[-1][1], len(vs))
+    assert got == want
+
+
+def test_backlog_python_replay(spark, sfd):
+    got = {r["day"]: (r["n_placed"], r["n_shipped"], r["open_backlog"])
+           for r in _rows(spark, "order_backlog_daily", sfd)}
+    placed_raw = _duck(sfd, "SELECT CAST(o_orderdate AS DATE), count(*) FROM orders GROUP BY 1")
+    done_raw = _duck(sfd, """
+        SELECT ship_day, count(*) FROM (
+            SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_day
+            FROM lineitem GROUP BY 1) GROUP BY 1""")
+    placed = {d: int(n) for d, n in placed_raw}
+    done = {d: int(n) for d, n in done_raw}
+    want = {}
+    acc = 0
+    for d in sorted(set(placed) | set(done)):
+        p, s = placed.get(d, 0), done.get(d, 0)
+        acc += p - s
+        want[str(d)] = (p, s, acc)
+    assert got == want
+
+
+def test_heatmap_python_replay(spark, sfd):
+    got = {(r["dow"], r["hour"]): (r["n_events"], r["n_users"])
+           for r in _rows(spark, "event_activity_heatmap", sfd)}
+    raw = _duck(sfd, "SELECT ts, user_id FROM events")
+    agg: dict[tuple[int, int], list] = {}
+    for ts, uid in raw:
+        dow = (ts.date().weekday() + 1) % 7  # DuckDB: Sunday = 0
+        acc = agg.setdefault((dow, ts.hour), [0, set()])
+        acc[0] += 1
+        acc[1].add(uid)
+    assert got == {k: (n, len(us)) for k, (n, us) in agg.items()}
+
+
+def test_session_histogram_python_replay(spark, sfd):
+    got = {r["bucket"]: (r["n_sessions"], r["total_events"], r["share_ppm"])
+           for r in _rows(spark, "session_duration_histogram", sfd)}
+    raw = _duck(sfd, "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id")
+    sessions = []
+    prev_u, prev_ts, cur = None, None, None
+    for uid, ts, _ in raw:
+        if uid != prev_u or (ts - prev_ts).total_seconds() > 1800:
+            if cur:
+                sessions.append(cur)
+            cur = [ts, ts, 1]
+        else:
+            cur[1] = ts
+            cur[2] += 1
+        prev_u, prev_ts = uid, ts
+    if cur:
+        sessions.append(cur)
+    agg: dict[str, list[int]] = {}
+    for st, en, n in sessions:
+        dur_min = int((en - st).total_seconds()) // 60
+        b = ("bounce" if dur_min == 0 else "min_1_5" if dur_min <= 5
+             else "min_6_15" if dur_min <= 15 else "min_16_30" if dur_min <= 30
+             else "min_31_60" if dur_min <= 60 else "over_60")
+        acc = agg.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += n
+    tot = sum(a[0] for a in agg.values())
+    assert got == {b: (n, e, n * 1000000 // tot) for b, (n, e) in agg.items()}
