@@ -3444,3 +3444,232 @@ def test_session_histogram_python_replay(spark, sfd):
         acc[1] += n
     tot = sum(a[0] for a in agg.values())
     assert got == {b: (n, e, n * 1000000 // tot) for b, (n, e) in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tranche Q: classical analytics — deterministic samples, min-cost supplier,
+# growth series, seasonality, brand share, histograms, segment transitions,
+# conversion lag, global running revenue, sales opportunity.
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_python_replay(spark, sfd):
+    got = {r["l_returnflag"]: (r["n_sampled"], r["qty_sampled"])
+           for r in _rows(spark, "deterministic_sample", sfd)}
+    raw = _duck(sfd, """
+        SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT)
+        FROM lineitem""")
+    agg: dict[str, list[int]] = {}
+    for ok, ln, rf, q in raw:
+        if _md5_long(str(int(ok) * 10 + int(ln))) % 100 < 10:
+            acc = agg.setdefault(rf, [0, 0])
+            acc[0] += 1
+            acc[1] += int(q)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_stratified_source_python_replay(spark, sfd):
+    got = {r["source"]: (r["rate_milli"], r["n_total"], r["n_kept"])
+           for r in _rows(spark, "stratified_source_sample", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, source FROM documents")
+    agg: dict[str, list[int]] = {}
+    for d, s in raw:
+        rate = 250 + (_md5_long(s) % 3) * 250
+        kept = int(_md5_long(f"{int(d)}#7") % 1000 < rate)
+        acc = agg.setdefault(s, [rate, 0, 0])
+        acc[1] += 1
+        acc[2] += kept
+    assert got == {s: tuple(a) for s, a in agg.items()}
+
+
+def test_min_cost_supplier_python_replay(spark, sfd):
+    got = [(r["p_partkey"], r["s_name"], r["cost_cents"])
+           for r in _rows(spark, "min_cost_supplier", sfd)]
+    raw = _duck(sfd, """
+        SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+               MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_type = 'ECONOMY' AND p_size <= 15 AND r_name = 'EUROPE'
+        GROUP BY 1, 2, 3, 4, 5""")
+    best: dict[int, int] = {}
+    for pk, _, _, _, _, c in raw:
+        pk = int(pk)
+        best[pk] = min(best.get(pk, 1 << 62), int(c))
+    rows = [
+        (int(pk), pn, sn, float(bal), nn, int(c))
+        for pk, pn, sn, bal, nn, c in raw if int(c) == best[int(pk)]
+    ]
+    rows.sort(key=lambda r: (-r[3], r[4], r[2], r[0]))
+    assert got == [(pk, sn, c) for pk, _, sn, _, _, c in rows[:100]]
+
+
+def test_monthly_growth_python_replay(spark, sfd):
+    got = {r["month"]: (r["revenue_cents"], r["mom_delta_cents"])
+           for r in _rows(spark, "monthly_revenue_growth", sfd)}
+    raw = _duck(sfd, """
+        SELECT strftime(o_orderdate, '%Y-%m'),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1""")
+    months = sorted((m, int(c)) for m, c in raw)
+    want = {}
+    prev = None
+    for m, c in months:
+        want[m] = (c, None if prev is None else c - prev)
+        prev = c
+    assert got == want
+
+
+def test_yoy_python_replay(spark, sfd):
+    got = {r["month"]: (r["revenue_cents"], r["prev_year_cents"],
+                        r["yoy_growth_ppm"])
+           for r in _rows(spark, "yoy_growth", sfd)}
+    raw = _duck(sfd, """
+        SELECT strftime(o_orderdate, '%Y-%m'),
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders GROUP BY 1, 2""")
+    months = sorted((int(mn), m, int(c)) for m, mn, c in raw)
+    want = {}
+    for i, (mn, m, c) in enumerate(months):
+        if i >= 12:
+            prev = months[i - 12][2]
+            if prev > 0:
+                want[m] = (c, prev, _tdiv((c - prev) * 1000000, prev))
+    assert got == want
+
+
+def test_weekday_python_replay(spark, sfd):
+    got = {r["dow"]: (r["n_orders"], r["revenue_cents"], r["revenue_share_ppm"])
+           for r in _rows(spark, "weekday_seasonality", sfd)}
+    raw = _duck(sfd, "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders")
+    agg: dict[int, list[int]] = {}
+    for d, p in raw:
+        dow = (d.weekday() + 1) % 7
+        acc = agg.setdefault(dow, [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(float(p) * 100)
+    tot = sum(a[1] for a in agg.values())
+    assert got == {d: (n, c, c * 1000000 // tot) for d, (n, c) in agg.items()}
+
+
+def test_brand_share_python_replay(spark, sfd):
+    got = {r["brand_label"]: (r["revenue_cents"], r["n_brands"])
+           for r in _rows(spark, "brand_share_topn", sfd)}
+    raw = _duck(sfd, """
+        SELECT p_brand, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""")
+    rev = sorted(((int(c), b) for b, c in raw), key=lambda t: (-t[0], t[1]))
+    want: dict[str, list[int]] = {}
+    for rk, (c, b) in enumerate(rev, 1):
+        lab = b if rk <= 5 else "OTHER"
+        acc = want.setdefault(lab, [0, 0])
+        acc[0] += c
+        acc[1] += 1
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_histogram_prices_python_replay(spark, sfd):
+    got = {r["bucket"]: (r["n_orders"], r["min_cents"], r["max_cents"])
+           for r in _rows(spark, "histogram_prices", sfd)}
+    raw = _duck(sfd, "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders")
+    agg: dict[int, list[int]] = {}
+    for (c,) in raw:
+        c = int(c)
+        b = c * 12 // 60000000 + 1
+        acc = agg.setdefault(b, [0, 1 << 62, -1])
+        acc[0] += 1
+        acc[1] = min(acc[1], c)
+        acc[2] = max(acc[2], c)
+    assert got == {b: tuple(a) for b, a in agg.items()}
+
+
+def test_segment_transitions_python_replay(spark, sfd):
+    got = {(r["q_from"], r["q_to"]): r["n_customers"]
+           for r in _rows(spark, "customer_segment_transitions", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT),
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1, 2""")
+    per_year: dict[int, dict[int, int]] = {1995: {}, 1996: {}}
+    for ck, yr, c in raw:
+        per_year[int(yr)][int(ck)] = int(c)
+    q: dict[int, dict[int, int]] = {}
+    for yr, m in per_year.items():
+        q[yr] = _ntile(sorted(m, key=lambda ck: (-m[ck], ck)), 5)
+    want: dict[tuple[int, int], int] = {}
+    for ck in set(q[1995]) | set(q[1996]):
+        k = (q[1995].get(ck, 0), q[1996].get(ck, 0))
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_conversion_lag_python_replay(spark, sfd):
+    (r,) = _rows(spark, "conversion_lag_stats", sfd)
+    raw = _duck(sfd, "SELECT user_id, event_type, ts FROM events WHERE event_type IN ('view','purchase')")
+    fv: dict = {}
+    fp: dict = {}
+    for uid, et, ts in raw:
+        d = fv if et == "view" else fp
+        if uid not in d or ts < d[uid]:
+            d[uid] = ts
+    lags = sorted(
+        int((fp[u] - fv[u]).total_seconds())
+        for u in set(fv) & set(fp) if fp[u] >= fv[u]
+    )
+    n = len(lags)
+    med = lags[n // 2] if n % 2 else (lags[n // 2 - 1] + lags[n // 2]) // 2
+    assert (r["n_converting"], r["min_lag_s"], r["max_lag_s"], r["sum_lag_s"],
+            r["median_lag_s"]) == (n, lags[0], lags[-1], sum(lags), med)
+
+
+def test_event_window_agg_python_replay(spark, sfd):
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value_cents"])
+           for r in _rows(spark, "event_window_agg", sfd)}
+    raw = _duck(sfd, "SELECT ts, event_type, value FROM events")
+    agg: dict[tuple, list[int]] = {}
+    for ts, et, v in raw:
+        key = (ts.replace(minute=0, second=0, microsecond=0), et)
+        acc = agg.setdefault(key, [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(float(v) * 100)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_global_running_revenue_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: r["running_cents"]
+           for r in _rows(spark, "global_running_revenue", sfd)}
+    raw = _duck(sfd, "SELECT o_orderdate, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) FROM orders")
+    rows = sorted((d, int(ok), int(c)) for d, ok, c in raw)
+    want = {}
+    acc = 0
+    for _, ok, c in rows:
+        acc += c
+        want[ok] = acc
+    assert got == want
+
+
+def test_sales_opportunity_python_replay(spark, sfd):
+    got = {r["cseg"]: (r["numcust"], r["totacctbal_cents"])
+           for r in _rows(spark, "global_sales_opportunity", sfd)}
+    cust = _duck(sfd, "SELECT c_custkey, c_name, c_acctbal FROM customer")
+    with_orders = {
+        int(k) for (k,) in _duck(sfd, """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""")
+    }
+    bal = {int(ck): (nm, _round_away(float(b) * 100), float(b))
+           for ck, nm, b in cust}
+    pos = [c for _, c, b in bal.values() if b > 0]
+    ab = sum(pos) / len(pos)
+    agg: dict[str, list[int]] = {}
+    for ck, (nm, cents, _) in bal.items():
+        if cents > ab and ck not in with_orders:
+            acc = agg.setdefault(nm[-2:], [0, 0])
+            acc[0] += 1
+            acc[1] += cents
+    assert got == {k: tuple(v) for k, v in agg.items()}
