@@ -3673,3 +3673,235 @@ def test_sales_opportunity_python_replay(spark, sfd):
             acc[0] += 1
             acc[1] += cents
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tranche R: TPC-H-style analytics replayed from RAW base-table rows with
+# Python dict joins (never by re-running the aggregate SQL).
+# ---------------------------------------------------------------------------
+
+
+def _li(sfd: str):
+    return _duck(sfd, """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_returnflag, l_linestatus,
+               CAST(l_shipdate AS DATE) FROM lineitem""")
+
+
+def _rev_centipct(price, disc) -> int:
+    return _round_away(float(price) * 100) * (100 - _round_away(float(disc) * 100))
+
+
+def test_pricing_summary_python_replay(spark, sfd):
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           (r["sum_qty"], r["sum_base_cents"], r["sum_disc_centipct"],
+            r["count_order"])
+           for r in _rows(spark, "pricing_summary", sfd)}
+    agg: dict[tuple, list[int]] = {}
+    for row in _li(sfd):
+        _, _, _, _, qty, price, disc, rf, ls, _ = row
+        acc = agg.setdefault((rf, ls), [0, 0, 0, 0])
+        acc[0] += int(qty)
+        acc[1] += _round_away(float(price) * 100)
+        acc[2] += _rev_centipct(price, disc)
+        acc[3] += 1
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def _cust_nation(sfd: str):
+    nat = {int(k): n for k, n in _duck(sfd, "SELECT n_nationkey, n_name FROM nation")}
+    return {
+        int(ck): (nm, nat.get(int(nk)))
+        for ck, nm, nk in _duck(sfd, "SELECT c_custkey, c_name, c_nationkey FROM customer")
+    }
+
+
+def test_revenue_by_nation_python_replay(spark, sfd):
+    got = {r["n_name"]: (r["n_orders"], r["revenue_cents"])
+           for r in _rows(spark, "revenue_by_nation", sfd)}
+    cn = _cust_nation(sfd)
+    agg: dict[str, list[int]] = {}
+    for ck, price in _duck(sfd, "SELECT o_custkey, o_totalprice FROM orders"):
+        info = cn.get(int(ck))
+        if info is None or info[1] is None:
+            continue
+        acc = agg.setdefault(info[1], [0, 0])
+        acc[0] += 1
+        acc[1] += _round_away(float(price) * 100)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_shipping_priority_python_replay(spark, sfd):
+    got = [(r["o_orderkey"], r["revenue_centipct"], r["orderdate"],
+            r["o_orderpriority"])
+           for r in _rows(spark, "shipping_priority", sfd)]
+    seg = {int(ck) for (ck,) in _duck(
+        sfd, "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'")}
+    cut = _dt.date(1995, 3, 15)
+    orders = {
+        int(ok): (d, pri)
+        for ok, ck, d, pri in _duck(sfd, """
+            SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE), o_orderpriority
+            FROM orders""")
+        if int(ck) in seg and d < cut
+    }
+    agg: dict[int, int] = {}
+    for row in _li(sfd):
+        ok, _, _, _, _, price, disc, _, _, ship = row
+        if int(ok) in orders and ship > cut:
+            agg[int(ok)] = agg.get(int(ok), 0) + _rev_centipct(price, disc)
+    want = sorted(
+        ((ok, rev, str(orders[ok][0]), orders[ok][1]) for ok, rev in agg.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == want
+
+
+def test_order_priority_count_python_replay(spark, sfd):
+    got = {r["o_orderpriority"]: r["order_count"]
+           for r in _rows(spark, "order_priority_count", sfd)}
+    orders = {
+        int(ok): (d, pri)
+        for ok, d, pri in _duck(sfd, """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority FROM orders
+            WHERE CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1995-07-01' AND DATE '1995-09-30'""")
+    }
+    late = set()
+    for row in _li(sfd):
+        ok, ship = int(row[0]), row[9]
+        if ok in orders and ship > orders[ok][0] + _dt.timedelta(days=60):
+            late.add(ok)
+    agg: dict[str, int] = {}
+    for ok in late:
+        pri = orders[ok][1]
+        agg[pri] = agg.get(pri, 0) + 1
+    assert got == agg
+
+
+def test_promo_revenue_python_replay(spark, sfd):
+    (r,) = _rows(spark, "promo_revenue", sfd)
+    ptype = {int(k): t for k, t in _duck(sfd, "SELECT p_partkey, p_type FROM part")}
+    promo = total = 0
+    for row in _li(sfd):
+        _, pk, _, _, _, price, disc, _, _, _ = row
+        if int(pk) not in ptype:
+            continue
+        rev = _rev_centipct(price, disc)
+        total += rev
+        if ptype[int(pk)].startswith("PROMO"):
+            promo += rev
+    assert (r["promo_centipct"], r["total_centipct"]) == (promo, total)
+
+
+def test_volume_shipping_python_replay(spark, sfd):
+    got = {(r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue_centipct"]
+           for r in _rows(spark, "volume_shipping", sfd)}
+    nat = {int(k): n for k, n in _duck(sfd, "SELECT n_nationkey, n_name FROM nation")}
+    sup = {int(k): nat.get(int(n)) for k, n in
+           _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier")}
+    cust = {int(k): nat.get(int(n)) for k, n in
+            _duck(sfd, "SELECT c_custkey, c_nationkey FROM customer")}
+    ordc = {int(ok): int(ck) for ok, ck in
+            _duck(sfd, "SELECT o_orderkey, o_custkey FROM orders")}
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1996, 12, 31)
+    agg: dict[tuple, int] = {}
+    for row in _li(sfd):
+        ok, _, sk, _, _, price, disc, _, _, ship = row
+        if not (lo <= ship <= hi) or int(ok) not in ordc:
+            continue
+        sn = sup.get(int(sk))
+        ck = ordc[int(ok)]
+        cnn = cust.get(ck)
+        pair = (sn, cnn)
+        if pair not in ((u"NATION_3", u"NATION_7"), (u"NATION_7", u"NATION_3")):
+            continue
+        key = (sn, cnn, ship.year)
+        agg[key] = agg.get(key, 0) + _rev_centipct(price, disc)
+    assert got == agg
+
+
+def test_returned_items_python_replay(spark, sfd):
+    got = [(r["c_custkey"], r["revenue"], r["n_items"])
+           for r in _rows(spark, "returned_item_customers", sfd)]
+    cn = _cust_nation(sfd)
+    lo, hi = _dt.date(1995, 10, 1), _dt.date(1995, 12, 31)
+    orders = {
+        int(ok): int(ck)
+        for ok, ck, d in _duck(sfd, """
+            SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) FROM orders""")
+        if lo <= d <= hi
+    }
+    agg: dict[int, list[int]] = {}
+    for row in _li(sfd):
+        ok, _, _, _, _, price, disc, rf, _, _ = row
+        if rf != "R" or int(ok) not in orders:
+            continue
+        ck = orders[int(ok)]
+        if ck not in cn or cn[ck][1] is None:
+            continue
+        acc = agg.setdefault(ck, [0, 0])
+        acc[0] += _rev_centipct(price, disc)
+        acc[1] += 1
+    want = sorted(
+        ((ck, rev, n) for ck, (rev, n) in agg.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got == want
+
+
+def test_top_supplier_python_replay(spark, sfd):
+    got = {r["s_suppkey"]: r["total_revenue_centipct"]
+           for r in _rows(spark, "top_supplier", sfd)}
+    snames = {int(k) for (k,) in _duck(sfd, "SELECT s_suppkey FROM supplier")}
+    lo, hi = _dt.date(1996, 1, 1), _dt.date(1996, 3, 31)
+    rev: dict[int, int] = {}
+    for row in _li(sfd):
+        _, _, sk, _, _, price, disc, _, _, ship = row
+        if lo <= ship <= hi:
+            rev[int(sk)] = rev.get(int(sk), 0) + _rev_centipct(price, disc)
+    mx = max(rev.values())
+    assert got == {sk: r for sk, r in rev.items() if r == mx and sk in snames}
+
+
+def test_local_supplier_volume_python_replay(spark, sfd):
+    got = {r["n_name"]: r["revenue_centipct"]
+           for r in _rows(spark, "local_supplier_volume", sfd)}
+    reg = {int(k) for k, n in
+           _duck(sfd, "SELECT r_regionkey, r_name FROM region") if n == "ASIA"}
+    nat = {int(k): (n, int(rk)) for k, n, rk in
+           _duck(sfd, "SELECT n_nationkey, n_name, n_regionkey FROM nation")}
+    cust = {int(k): int(n) for k, n in
+            _duck(sfd, "SELECT c_custkey, c_nationkey FROM customer")}
+    sup = {int(k): int(n) for k, n in
+           _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier")}
+    ordc = {int(ok): int(ck) for ok, ck in
+            _duck(sfd, "SELECT o_orderkey, o_custkey FROM orders")}
+    agg: dict[str, int] = {}
+    for row in _li(sfd):
+        ok, _, sk, _, _, price, disc, _, _, _ = row
+        ck = ordc.get(int(ok))
+        if ck is None or ck not in cust or int(sk) not in sup:
+            continue
+        cnk = cust[ck]
+        if sup[int(sk)] != cnk or cnk not in nat or nat[cnk][1] not in reg:
+            continue
+        nm = nat[cnk][0]
+        agg[nm] = agg.get(nm, 0) + _rev_centipct(price, disc)
+    assert got == agg
+
+
+def test_important_part_value_python_replay(spark, sfd):
+    got = {r["p_partkey"]: r["value_cents"]
+           for r in _rows(spark, "important_part_value", sfd)}
+    nat = {int(k) for k, n in
+           _duck(sfd, "SELECT n_nationkey, n_name FROM nation") if n == "NATION_4"}
+    sup = {int(k) for k, n in
+           _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier") if int(n) in nat}
+    pv: dict[int, int] = {}
+    for row in _li(sfd):
+        _, pk, sk, _, _, price, _, _, _, _ = row
+        if int(sk) in sup:
+            pv[int(pk)] = pv.get(int(pk), 0) + _round_away(float(price) * 100)
+    tot = sum(pv.values())
+    assert got == {pk: v for pk, v in pv.items() if v * 10000 > tot}
