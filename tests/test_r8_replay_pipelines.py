@@ -3905,3 +3905,243 @@ def test_important_part_value_python_replay(spark, sfd):
             pv[int(pk)] = pv.get(int(pk), 0) + _round_away(float(price) * 100)
     tot = sum(pv.values())
     assert got == {pk: v for pk, v in pv.items() if v * 10000 > tot}
+
+
+# ---------------------------------------------------------------------------
+# Tranche S: the remaining TPC-H-shape queries — correlated subqueries,
+# anti/semi joins, market share, conditional aggregates.
+# ---------------------------------------------------------------------------
+
+
+def test_large_volume_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: (r["c_custkey"], r["total_cents"], r["sum_qty"])
+           for r in _rows(spark, "large_volume_customers", sfd)}
+    qty: dict[int, int] = {}
+    for row in _li(sfd):
+        qty[int(row[0])] = qty.get(int(row[0]), 0) + int(row[4])
+    custs = {int(k) for (k,) in _duck(sfd, "SELECT c_custkey FROM customer")}
+    want = {}
+    for ok, ck, p in _duck(sfd, "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"):
+        ok, ck = int(ok), int(ck)
+        if qty.get(ok, 0) > 250 and ck in custs:
+            want[ok] = (ck, _round_away(float(p) * 100), qty[ok])
+    assert got == want
+
+
+def test_small_quantity_python_replay(spark, sfd):
+    (r,) = _rows(spark, "small_quantity_revenue", sfd)
+    brand = {int(k) for k, b in
+             _duck(sfd, "SELECT p_partkey, p_brand FROM part") if b == "Brand#23"}
+    per: dict[int, list] = {}
+    for row in _li(sfd):
+        per.setdefault(int(row[1]), []).append(row)
+    rev = n = 0
+    for pk, rows in per.items():
+        if pk not in brand:
+            continue
+        avg = sum(float(x[4]) for x in rows) / len(rows)
+        for x in rows:
+            if float(x[4]) < 0.2 * avg:
+                rev += _round_away(float(x[5]) * 100)
+                n += 1
+    assert (r["revenue_cents"], r["n_items"]) == (rev, n)
+
+
+def test_product_type_profit_python_replay(spark, sfd):
+    got = {(r["nation"], r["o_year"]): r["profit_centipct"]
+           for r in _rows(spark, "product_type_profit", sfd)}
+    parts = {int(k): float(rp) for k, nm, rp in
+             _duck(sfd, "SELECT p_partkey, p_name, p_retailprice FROM part")
+             if nm.startswith("red")}
+    nat = {int(k): n for k, n in _duck(sfd, "SELECT n_nationkey, n_name FROM nation")}
+    sup = {int(k): nat.get(int(n)) for k, n in
+           _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier")}
+    oyear = {int(ok): d.year for ok, d in
+             _duck(sfd, "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders")}
+    agg: dict[tuple, int] = {}
+    for row in _li(sfd):
+        ok, pk, sk, _, qty, price, disc, _, _, _ = row
+        if int(pk) not in parts or int(ok) not in oyear:
+            continue
+        sn = sup.get(int(sk))
+        if sn is None:
+            continue
+        profit = (_rev_centipct(price, disc)
+                  - _round_away(parts[int(pk)] * 100) * 100 * int(qty))
+        key = (sn, oyear[int(ok)])
+        agg[key] = agg.get(key, 0) + profit
+    assert got == agg
+
+
+def test_market_share_python_replay(spark, sfd):
+    got = {r["o_year"]: r["mkt_share"]
+           for r in _rows(spark, "nation_market_share", sfd)}
+    nat = {int(k): n for k, n in _duck(sfd, "SELECT n_nationkey, n_name FROM nation")}
+    sup = {int(k): nat.get(int(n)) for k, n in
+           _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier")}
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1996, 12, 31)
+    orders = {int(ok): d for ok, d in
+              _duck(sfd, "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders")
+              if lo <= d <= hi}
+    tot: dict[int, int] = {}
+    n5: dict[int, int] = {}
+    for row in _li(sfd):
+        ok, _, sk, _, _, price, disc, _, _, _ = row
+        if int(ok) not in orders:
+            continue
+        sn = sup.get(int(sk))
+        if sn is None:
+            continue
+        yr = orders[int(ok)].year
+        vol = _rev_centipct(price, disc)
+        tot[yr] = tot.get(yr, 0) + vol
+        if sn == "NATION_5":
+            n5[yr] = n5.get(yr, 0) + vol
+    for yr, t in tot.items():
+        assert abs(got[yr] - n5.get(yr, 0) / t) < 1.5e-6, yr
+    assert set(got) == set(tot)
+
+
+def test_promotion_suppliers_python_replay(spark, sfd):
+    got = {r["s_suppkey"] for r in _rows(spark, "promotion_part_suppliers", sfd)}
+    red = {int(k) for k, nm in _duck(sfd, "SELECT p_partkey, p_name FROM part")
+           if nm.startswith("red")}
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 12, 31)
+    sq: dict[tuple[int, int], list[int]] = {}
+    for row in _li(sfd):
+        _, pk, sk, _, qty, _, _, _, _, ship = row
+        if int(pk) not in red:
+            continue
+        acc = sq.setdefault((int(sk), int(pk)), [0, 0])
+        acc[0] += int(qty)
+        if lo <= ship <= hi:
+            acc[1] += int(qty)
+    hot = {sk for (sk, _), (t, y95) in sq.items() if y95 * 2 > t}
+    nat = {int(k) for k, n in _duck(sfd, "SELECT n_nationkey, n_name FROM nation")
+           if n == "NATION_2"}
+    want = {int(k) for k, n in _duck(sfd, "SELECT s_suppkey, s_nationkey FROM supplier")
+            if int(n) in nat and int(k) in hot}
+    assert got == want
+
+
+def test_waiting_suppliers_python_replay(spark, sfd):
+    got = {r["s_name"]: r["numwait"]
+           for r in _rows(spark, "waiting_supplier_orders", sfd)}
+    sname = {int(k): n for k, n in _duck(sfd, "SELECT s_suppkey, s_name FROM supplier")}
+    ords = {int(ok): d for ok, d, st in _duck(sfd, """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE), o_orderstatus FROM orders""")
+        if st == "F"}
+    by_order: dict[int, list] = {}
+    for row in _li(sfd):
+        by_order.setdefault(int(row[0]), []).append((int(row[2]), row[9]))
+    agg: dict[str, int] = {}
+    for ok, lines in by_order.items():
+        if ok not in ords:
+            continue
+        cut = ords[ok] + _dt.timedelta(days=30)
+        late_sups = {sk for sk, ship in lines if ship > cut}
+        all_sups = {sk for sk, _ in lines}
+        # the SQL counts each qualifying l1 LINE, not distinct suppliers
+        for sk, ship in lines:
+            if (ship > cut and all_sups - {sk} and not (late_sups - {sk})
+                    and sk in sname):
+                agg[sname[sk]] = agg.get(sname[sk], 0) + 1
+    assert got == agg
+
+
+def test_customers_without_orders_python_replay(spark, sfd):
+    got = {r["c_custkey"]: r["c_mktsegment"]
+           for r in _rows(spark, "customers_without_orders", sfd)}
+    lo, hi = _dt.date(1995, 3, 1), _dt.date(1995, 4, 1)
+    with_ord = {int(ck) for ck, d in _duck(sfd, """
+        SELECT o_custkey, CAST(o_orderdate AS DATE) FROM orders""")
+        if lo <= d < hi}
+    want = {int(k): s for k, s in
+            _duck(sfd, "SELECT c_custkey, c_mktsegment FROM customer")
+            if int(k) not in with_ord}
+    assert got == want
+
+
+def test_order_distribution_python_replay(spark, sfd):
+    got = {r["c_count"]: r["custdist"]
+           for r in _rows(spark, "customer_order_distribution", sfd)}
+    cnt: dict[int, int] = {
+        int(k): 0 for (k,) in _duck(sfd, "SELECT c_custkey FROM customer")
+    }
+    for ck, pri in _duck(sfd, "SELECT o_custkey, o_orderpriority FROM orders"):
+        if pri != "1-URGENT" and int(ck) in cnt:
+            cnt[int(ck)] += 1
+    dist: dict[int, int] = {}
+    for c in cnt.values():
+        dist[c] = dist.get(c, 0) + 1
+    assert got == dist
+
+
+def test_part_variety_python_replay(spark, sfd):
+    got = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+           for r in _rows(spark, "supplier_part_variety", sfd)}
+    bad_sup = {int(k) for k, b in
+               _duck(sfd, "SELECT s_suppkey, s_acctbal FROM supplier") if float(b) < 0}
+    parts = {
+        int(k): (b, t, int(s)) for k, b, t, s in
+        _duck(sfd, "SELECT p_partkey, p_brand, p_type, p_size FROM part")
+        if b != "Brand#45" and not t.startswith("PROMO") and int(s) in (1, 4, 7)
+    }
+    agg: dict[tuple, set] = {}
+    for row in _li(sfd):
+        _, pk, sk, _, _, _, _, _, _, _ = row
+        if int(pk) in parts and int(sk) not in bad_sup:
+            agg.setdefault(parts[int(pk)], set()).add(int(sk))
+    assert got == {k: len(s) for k, s in agg.items()}
+
+
+def test_suppliers_returns_python_replay(spark, sfd):
+    got = {r["s_suppkey"]: r["s_name"]
+           for r in _rows(spark, "suppliers_with_returns", sfd)}
+    ret = {int(row[2]) for row in _li(sfd) if row[7] == "R"}
+    want = {int(k): n for k, n in
+            _duck(sfd, "SELECT s_suppkey, s_name FROM supplier") if int(k) in ret}
+    assert got == want
+
+
+def test_discounted_or_python_replay(spark, sfd):
+    (r,) = _rows(spark, "discounted_revenue_or", sfd)
+    parts = {int(k): (b, int(s)) for k, b, s in
+             _duck(sfd, "SELECT p_partkey, p_brand, p_size FROM part")}
+    rev = n = 0
+    for row in _li(sfd):
+        _, pk, _, _, qty, price, disc, _, _, _ = row
+        if int(pk) not in parts:
+            continue
+        b, sz = parts[int(pk)]
+        q = float(qty)
+        if ((b == "Brand#12" and 1 <= sz <= 5 and 1 <= q <= 11)
+                or (b == "Brand#23" and 1 <= sz <= 10 and 10 <= q <= 20)
+                or (b == "Brand#34" and 1 <= sz <= 15 and 20 <= q <= 30)):
+            rev += _rev_centipct(price, disc)
+            n += 1
+    assert (r["revenue"], r["n_items"]) == (rev if n else None, n)
+
+
+def test_conditional_aggregates_python_replay(spark, sfd):
+    got = {r["l_returnflag"]:
+           (r["n_discounted"], r["n_bulk"], r["any_high_tax"],
+            r["all_positive_qty"], r["min_discounted_cents"])
+           for r in _rows(spark, "conditional_aggregates", sfd)}
+    raw = _duck(sfd, """
+        SELECT l_returnflag, l_discount, l_quantity, l_tax, l_extendedprice
+        FROM lineitem""")
+    agg: dict[str, list] = {}
+    for rf, disc, qty, tax, price in raw:
+        acc = agg.setdefault(rf, [0, 0, 0, 1, None])
+        if float(disc) > 0.05:
+            acc[0] += 1
+            c = _round_away(float(price) * 100)
+            acc[4] = c if acc[4] is None else min(acc[4], c)
+        if float(qty) >= 30:
+            acc[1] += 1
+        if float(tax) > 0.07:
+            acc[2] = 1
+        if not float(qty) > 0:
+            acc[3] = 0
+    assert got == {k: tuple(v) for k, v in agg.items()}
