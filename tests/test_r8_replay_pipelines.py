@@ -4145,3 +4145,170 @@ def test_conditional_aggregates_python_replay(spark, sfd):
         if not float(qty) > 0:
             acc[3] = 0
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tranche T: grouping sets / cube / rollup, pivots, histograms, masked-null
+# accounting, partition extraction — the last aggregate shapes.
+# ---------------------------------------------------------------------------
+
+
+def _orders_rows(sfd: str):
+    return _duck(sfd, """
+        SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INT),
+               o_orderstatus, o_orderpriority, o_totalprice,
+               CAST(o_orderdate AS DATE)
+        FROM orders""")
+
+
+def test_cube_rollup_python_replay(spark, sfd):
+    cube = {(r["order_year"], r["o_orderstatus"]): (r["revenue_cents"], r["n_orders"])
+            for r in _rows(spark, "cube_revenue", sfd)}
+    roll = {(r["order_year"], r["o_orderpriority"]): (r["revenue_cents"], r["n_orders"])
+            for r in _rows(spark, "rollup_revenue", sfd)}
+    raw = _orders_rows(sfd)
+    cube_w: dict[tuple, list[int]] = {}
+    roll_w: dict[tuple, list[int]] = {}
+    for _, _, yr, st, pri, p, _ in raw:
+        c = _round_away(float(p) * 100)
+        for key in ((yr, st), (yr, None), (None, st), (None, None)):
+            acc = cube_w.setdefault(key, [0, 0])
+            acc[0] += c
+            acc[1] += 1
+        for key in ((yr, pri), (yr, None), (None, None)):
+            acc = roll_w.setdefault(key, [0, 0])
+            acc[0] += c
+            acc[1] += 1
+    assert cube == {k: tuple(v) for k, v in cube_w.items()}
+    assert roll == {k: tuple(v) for k, v in roll_w.items()}
+
+
+def test_grouping_sets_python_replay(spark, sfd):
+    got = {(r["n_name"], r["o_orderpriority"]):
+           (r["g_nation"], r["g_prio"], r["n_orders"], r["revenue_cents"])
+           for r in _rows(spark, "grouping_sets_revenue", sfd)}
+    cn = _cust_nation(sfd)
+    want: dict[tuple, list[int]] = {}
+    for _, ck, _, _, pri, p, _ in _orders_rows(sfd):
+        info = cn.get(int(ck))
+        if info is None or info[1] is None:
+            continue
+        nm = info[1]
+        c = _round_away(float(p) * 100)
+        for key, g in (((nm, None), (0, 1)), ((None, pri), (1, 0)),
+                       ((nm, pri), (0, 0)), ((None, None), (1, 1))):
+            acc = want.setdefault(key, [g[0], g[1], 0, 0])
+            acc[2] += 1
+            acc[3] += c
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_error_rate_python_replay(spark, sfd):
+    got = {r["day"]: (r["n_events"], r["n_errors"], r["error_ppm"])
+           for r in _rows(spark, "event_error_rate_daily", sfd)}
+    raw = _duck(sfd, "SELECT CAST(CAST(ts AS DATE) AS VARCHAR), event_type FROM events")
+    agg: dict[str, list[int]] = {}
+    for day, et in raw:
+        acc = agg.setdefault(day, [0, 0])
+        acc[0] += 1
+        acc[1] += et == "error"
+    assert got == {d: (n, e, e * 1000000 // n) for d, (n, e) in agg.items()}
+
+
+def test_ship_latency_python_replay(spark, sfd):
+    got = {(r["o_orderpriority"], r["bucket"]): (r["n_lines"], r["share_ppm"])
+           for r in _rows(spark, "ship_latency_histogram", sfd)}
+    opri = {int(ok): (pri, d) for ok, _, _, _, pri, _, d in _orders_rows(sfd)}
+    agg: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for row in _li(sfd):
+        ok, ship = int(row[0]), row[9]
+        if ok not in opri:
+            continue
+        pri, od = opri[ok]
+        delay = (ship - od).days
+        b = ("week_1" if delay <= 7 else "week_2" if delay <= 14
+             else "month_1" if delay <= 30 else "month_2" if delay <= 60
+             else "month_3" if delay <= 90 else "over_90d")
+        agg[(pri, b)] = agg.get((pri, b), 0) + 1
+        tot[pri] = tot.get(pri, 0) + 1
+    assert got == {
+        k: (n, n * 1000000 // tot[k[0]]) for k, n in agg.items()
+    }
+
+
+def test_priority_lines_python_replay(spark, sfd):
+    got = {r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+           for r in _rows(spark, "priority_line_summary", sfd)}
+    opri = {int(ok): pri for ok, _, _, _, pri, _, _ in _orders_rows(sfd)}
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 12, 31)
+    agg: dict[str, list[int]] = {}
+    for row in _li(sfd):
+        ok, rf, ship = int(row[0]), row[7], row[9]
+        if ok not in opri or not (lo <= ship <= hi):
+            continue
+        acc = agg.setdefault(rf, [0, 0])
+        acc[opri[ok] not in ("1-URGENT", "2-HIGH")] += 1
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_pivot_unpivot_python_replay(spark, sfd):
+    piv = {r["order_year"]: (r["n_F"], r["n_O"], r["n_P"])
+           for r in _rows(spark, "pivot_orders", sfd)}
+    unp = {(r["order_year"], r["status"]): r["n"]
+           for r in _rows(spark, "unpivot_orders", sfd)}
+    agg: dict[int, dict[str, int]] = {}
+    for _, _, yr, st, _, _, _ in _orders_rows(sfd):
+        agg.setdefault(yr, {})[st] = agg.get(yr, {}).get(st, 0) + 1
+    want = {yr: (d.get("F", 0), d.get("O", 0), d.get("P", 0))
+            for yr, d in agg.items()}
+    assert piv == want
+    assert unp == {
+        (yr, st): n
+        for yr, (f, o, p) in want.items()
+        for st, n in (("F", f), ("O", o), ("P", p))
+    }
+
+
+def test_revenue_forecast_python_replay(spark, sfd):
+    (r,) = _rows(spark, "revenue_forecast", sfd)
+    lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 12, 31)
+    rev = n = 0
+    for row in _li(sfd):
+        _, _, _, _, qty, price, disc, _, _, ship = row
+        dc = _round_away(float(disc) * 100)
+        if lo <= ship <= hi and 5 <= dc <= 7 and float(qty) < 24:
+            rev += _round_away(float(price) * 100) * dc
+            n += 1
+    assert (r["revenue_centipct"], r["n_lines"]) == (rev if n else None, n)
+
+
+def test_null_accounting_python_replay(spark, sfd):
+    (nc,) = _rows(spark, "null_counts", sfd)
+    (vc,) = _rows(spark, "validation_count", sfd)
+    kept = {r["event_id"] for r in _rows(spark, "key_null_drop", sfd)}
+    ev = _duck(sfd, "SELECT event_id, user_id, event_type FROM events")
+    uk = sum(1 for _, u, _ in ev if int(u) % 7 == 0)
+    tm = sum(1 for _, _, et in ev if et == "error")
+    an = sum(1 for _, u, et in ev if int(u) % 7 == 0 or et == "error")
+    assert (nc["user_key_nulls"], nc["ts_masked_nulls"], nc["any_null_rows"]) == \
+        (uk, tm, an)
+    assert kept == {int(e) for e, u, _ in ev if int(u) % 7 != 0}
+    want_v = sum(1 for _, _, _, _, _, _, d in _orders_rows(sfd)
+                 if d == _dt.date(1995, 3, 15))
+    assert vc["n_rows"] == want_v
+
+
+def test_partition_extract_python_replay(spark, sfd):
+    got = {r["o_orderkey"] for r in _rows(spark, "daily_partition_extract", sfd)}
+    back = {r["run_date"]: r["row_count"]
+            for r in _rows(spark, "backfill_range_counts", sfd)}
+    raw = _orders_rows(sfd)
+    assert got == {int(ok) for ok, _, _, _, _, _, d in raw
+                   if d == _dt.date(1995, 3, 15)}
+    lo, hi = _dt.date(1995, 3, 1), _dt.date(1995, 6, 30)
+    agg: dict[str, int] = {}
+    for _, _, _, _, _, _, d in raw:
+        if lo <= d <= hi:
+            agg[str(d)] = agg.get(str(d), 0) + 1
+    assert back == agg
