@@ -4312,3 +4312,141 @@ def test_partition_extract_python_replay(spark, sfd):
         if lo <= d <= hi:
             agg[str(d)] = agg.get(str(d), 0) + 1
     assert back == agg
+
+
+# ---------------------------------------------------------------------------
+# Tranche U: window-function suites, set ops, null-safe joins, distincts,
+# array set algebra — closing out the SQL-surface demos.
+# ---------------------------------------------------------------------------
+
+
+def test_window_rank_suite_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: (r["rnk"], r["drnk"], r["prnk"], r["cdist"],
+                             r["second_best"])
+           for r in _rows(spark, "window_rank_suite", sfd)}
+    raw = [
+        (pri, int(ok), int(c)) for ok, pri, c in _duck(sfd, """
+            SELECT o_orderkey, o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-07'""")
+    ]
+    per: dict[str, list] = {}
+    for pri, ok, c in raw:
+        per.setdefault(pri, []).append((-c, ok))
+    want = {}
+    for pri, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        second = vs[1][1] if n >= 2 else None
+        # the (cents desc, orderkey) ordering is total -> rank == dense == row
+        for i, (_, ok) in enumerate(vs, 1):
+            want[ok] = (i, i, round((i - 1) / (n - 1), 6) if n > 1 else 0.0,
+                        round(i / n, 6), second)
+    assert set(got) == set(want)
+    for ok in want:
+        g, w = got[ok], want[ok]
+        assert g[0] == w[0] and g[1] == w[1] and g[4] == w[4], ok
+        assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9, ok
+
+
+def test_window_functions_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: (r["delta_cents"], r["quartile"], r["moving_cents"])
+           for r in _rows(spark, "window_functions", sfd)}
+    raw = [
+        (int(ck), d, int(ok), int(c)) for ok, ck, d, c in _duck(sfd, """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_custkey % 50 = 0""")
+    ]
+    per: dict[int, list] = {}
+    for ck, d, ok, c in raw:
+        per.setdefault(ck, []).append((d, ok, c))
+    want = {}
+    for ck, vs in per.items():
+        vs.sort()
+        tiles = _ntile([ok for _, ok, _ in vs], 4)
+        for i, (_, ok, c) in enumerate(vs):
+            delta = None if i == 0 else c - vs[i - 1][2]
+            moving = sum(x[2] for x in vs[max(0, i - 2):i + 1])
+            want[ok] = (delta, tiles[ok], moving)
+    assert got == want
+
+
+def test_set_operations_python_replay(spark, sfd):
+    (r,) = _rows(spark, "set_operations", sfd)
+    oks = [int(k) for (k,) in _duck(sfd, "SELECT o_orderkey FROM orders")]
+    a = {k for k in oks if k % 3 == 0}
+    b = {k for k in oks if k % 2 == 0}
+    assert (r["n_union"], r["n_intersect"], r["n_except"], r["n_union_all"]) == \
+        (len(a | b), len(a & b), len(a - b), len(a) + len(b))
+
+
+def test_null_safe_join_python_replay(spark, sfd):
+    got = {r["grp_key"]: r["n_matched"]
+           for r in _rows(spark, "null_safe_join", sfd)}
+    raw = [(int(ok), pri) for ok, pri in _duck(
+        sfd, "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 2000")]
+    lvals = [None if ok % 5 == 0 else pri for ok, pri in raw]
+    rvals = {None if ok % 7 == 0 else pri for ok, pri in raw}
+    want: dict[str, int] = {}
+    for v in lvals:
+        if v in rvals:
+            k = v if v is not None else "<NULL>"
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_null_aware_not_in_python_replay(spark, sfd):
+    got = {r["l_returnflag"]: r["n_items"]
+           for r in _rows(spark, "null_aware_not_in", sfd)}
+    bad = {int(k) % 97 for k, b in _duck(
+        sfd, "SELECT s_suppkey, s_acctbal FROM supplier") if float(b) < -900}
+    agg: dict[str, int] = {}
+    for row in _li(sfd):
+        sk, rf = int(row[2]), row[7]
+        bucket = None if sk % 97 == 13 else sk % 97
+        if not bad:
+            ok = True  # NOT IN over an empty set is TRUE, even for NULL
+        else:
+            ok = bucket is not None and bucket not in bad
+        if ok:
+            agg[rf] = agg.get(rf, 0) + 1
+    assert got == agg
+
+
+def test_agg_distinct_python_replay(spark, sfd):
+    g1 = {r["event_type"]: (r["n_users"], r["n_events"])
+          for r in _rows(spark, "agg_distinct_users", sfd)}
+    g2 = {r["event_type"]: r["n_users"]
+          for r in _rows(spark, "agg_distinct_scalable", sfd)}
+    g3 = {r["event_type"]: (r["exact_users"], r["n_events"], r["approx_within_5pct"])
+          for r in _rows(spark, "approx_distinct_users", sfd)}
+    raw = _duck(sfd, "SELECT event_type, user_id FROM events")
+    agg: dict[str, list] = {}
+    for et, u in raw:
+        acc = agg.setdefault(et, [set(), 0])
+        acc[0].add(u)
+        acc[1] += 1
+    assert g1 == {et: (len(us), n) for et, (us, n) in agg.items()}
+    assert g2 == {et: len(us) for et, (us, _) in agg.items()}
+    assert g3 == {et: (len(us), n, 1) for et, (us, n) in agg.items()}
+
+
+def test_array_set_ops_python_replay(spark, sfd):
+    got = {(r["user_a"], r["user_b"]):
+           (r["common_types"], r["n_common"], r["n_union"], r["n_only_a"])
+           for r in _rows(spark, "array_set_ops", sfd)}
+    raw = _duck(sfd, "SELECT user_id, event_type FROM events")
+    per: dict[int, set] = {}
+    for u, et in raw:
+        per.setdefault(int(u), set()).add(et)
+    want = {}
+    for ua in per:
+        if ua % 20 != 0 or ua + 1 not in per:
+            continue
+        ta, tb = per[ua], per[ua + 1]
+        want[(ua, ua + 1)] = (
+            "|".join(sorted(ta & tb)), len(ta & tb), len(ta | tb),
+            len(ta - tb),
+        )
+    assert got == want
