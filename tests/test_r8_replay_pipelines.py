@@ -4450,3 +4450,131 @@ def test_array_set_ops_python_replay(spark, sfd):
             len(ta - tb),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche V: expression-surface demos — JSON/variant parsing (including the
+# corrupt-payload path), map/array builders, datetime/string/regexp kernels.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+def test_json_functions_python_replay(spark, sfd):
+    got = {r["event_id"]: (r["k_typed"], r["is_valid"], r["arr_len"], r["absent"])
+           for r in _rows(spark, "json_functions", sfd)}
+    raw = _duck(sfd, "SELECT event_id, props FROM events")
+    want = {}
+    for eid, props in raw:
+        k = _json.loads(props)["k"]
+        want[int(eid)] = (int(k), True, 2, None)
+    assert got == want
+
+
+def test_variant_props_python_replay(spark, sfd):
+    got = {r["event_type"]: (r["n_events"], r["k_sum"], r["n_high"])
+           for r in _rows(spark, "variant_props_extract", sfd)}
+    raw = _duck(sfd, "SELECT event_type, props FROM events")
+    agg: dict[str, list[int]] = {}
+    for et, props in raw:
+        k = int(_json.loads(props)["k"])
+        acc = agg.setdefault(et, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += k
+        acc[2] += k > 50
+    assert got == {et: tuple(a) for et, a in agg.items()}
+
+
+def test_corrupt_json_python_replay(spark, sfd):
+    got = {r["event_type"]: (r["n_rows"], r["n_parsed"], r["n_corrupt"], r["k_sum"])
+           for r in _rows(spark, "corrupt_json_handling", sfd)}
+    raw = _duck(sfd, "SELECT event_id, event_type, props FROM events")
+    agg: dict[str, list[int]] = {}
+    for eid, et, props in raw:
+        payload = props[:-2] if int(eid) % 10 == 0 else props
+        try:
+            k = int(_json.loads(payload)["k"])
+        except (ValueError, KeyError):
+            k = None
+        acc = agg.setdefault(et, [0, 0, 0, 0])
+        acc[0] += 1
+        if k is None:
+            acc[2] += 1
+        else:
+            acc[1] += 1
+            acc[3] += k
+    assert got == {et: tuple(a) for et, a in agg.items()}
+
+
+def test_map_functions_python_replay(spark, sfd):
+    got = {r["user_id"]: (r["clicks"], r["views"], r["purchases"], r["n_types"])
+           for r in _rows(spark, "map_functions", sfd)}
+    raw = _duck(sfd, "SELECT user_id, event_type FROM events WHERE user_id % 10 = 0")
+    per: dict[int, dict[str, int]] = {}
+    for u, et in raw:
+        per.setdefault(int(u), {}).setdefault(et, 0)
+        per[int(u)][et] += 1
+    assert got == {
+        u: (d.get("click", 0), d.get("view", 0), d.get("purchase", 0), len(d))
+        for u, d in per.items()
+    }
+
+
+def test_array_functions_python_replay(spark, sfd):
+    got = {r["vec_id"]: (r["n_dims"], r["head3"], r["n_pos"], r["max_val"])
+           for r in _rows(spark, "array_functions", sfd)}
+    ids, m, _ = _emb(sfd)
+    for i, v in enumerate(ids):
+        head3 = "|".join(str(_round_away(float(x) * 1e6)) for x in m[i][:3])
+        r = got[v]
+        assert r[0] == 64 and r[1] == head3
+        assert r[2] == int(np.sum(m[i] > 0))
+        assert abs(r[3] - float(np.max(m[i]))) < 1.5e-6
+
+
+def test_datetime_functions_python_replay(spark, sfd):
+    got = {r["o_orderkey"]: (r["y"], r["m"], r["dow_sunday1"], r["month_start"],
+                             r["due_date"], r["days_since_95"])
+           for r in _rows(spark, "datetime_functions", sfd)}
+    raw = _duck(sfd, """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders
+        WHERE o_orderkey % 100 = 0""")
+    want = {}
+    for ok, d in raw:
+        want[int(ok)] = (
+            d.year, d.month, (d.weekday() + 1) % 7 + 1,
+            str(d.replace(day=1)), str(d + _dt.timedelta(days=30)),
+            (d - _dt.date(1995, 1, 1)).days,
+        )
+    assert got == want
+
+
+def test_string_functions_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["lang_upper"], r["trimmed"], r["src3"], r["padded_id"],
+                         r["lev_en"], r["src_len"], r["src_snake"])
+           for r in _rows(spark, "string_functions", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, lang, source FROM documents")
+    want = {}
+    for d, lang, src in raw:
+        want[int(d)] = (
+            lang.upper(), lang, src[:3], str(int(d)).rjust(8, "0"),
+            _lev(lang, "en"), len(src), src.replace("-", "_"),
+        )
+    assert got == want
+
+
+def test_regexp_functions_python_replay(spark, sfd):
+    got = {r["doc_id"]: (r["first_word"], r["n_numbers"], r["devoweled"],
+                         r["is_webish"])
+           for r in _rows(spark, "regexp_functions", sfd)}
+    raw = _duck(sfd, "SELECT doc_id, text, source FROM documents")
+    want = {}
+    for d, t, src in raw:
+        mw = re.search(r"([A-Za-z]+)", t)
+        want[int(d)] = (
+            mw.group(1) if mw else "",
+            len(re.findall(r"[0-9]+", t)),
+            re.sub(r"[aeiou]", "_", t[:40]),
+            int(bool(re.match(r"^(web|wiki)", src))),
+        )
+    assert got == want
