@@ -4578,3 +4578,106 @@ def test_regexp_functions_python_replay(spark, sfd):
             int(bool(re.match(r"^(web|wiki)", src))),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Tranche W: coercion ladder, projection/alignment, quarantine side output,
+# the deterministic fake-order generator, and data-quality expectations —
+# the last replayable pipeline queries.
+# ---------------------------------------------------------------------------
+
+
+def _fake_orders() -> list[dict]:
+    """Pure-Python replay of the md5-staged synthetic order generator."""
+    base = _dt.datetime(2025, 1, 1)
+    products = ["Laptop", "Tablet", "Smartphone", "Headphones", "Monitor",
+                "Keyboard"]
+    out = []
+    for i in range(1, 1001):
+        h = lambda seed: _md5_long(f"{i}#{seed}")
+        added = base + _dt.timedelta(seconds=h(1) % 15552000)
+        missing = h(3) % 100 < 30
+        created = None if missing else added + _dt.timedelta(
+            minutes=5 + h(2) % 176)
+        out.append({
+            "OrderID": i,
+            "UserID": 1000 + h(4) % 9000,
+            "AddedToCartAt": added,
+            "OrderCreatedAt": created,
+            "Amount": round((10000 + h(5) % 190001) / 100.0, 2),
+            "Product": products[h(6) % 6],
+            "IsDelivered": False if missing else h(7) % 2 == 1,
+        })
+    return out
+
+
+def test_fake_orders_python_replay(spark, sfd):
+    rows = {r["OrderID"]: r for r in _rows(spark, "fake_orders_generator", sfd)}
+    want = _fake_orders()
+    assert len(rows) == 1000
+    for w in want:
+        r = rows[w["OrderID"]]
+        for col in ("UserID", "AddedToCartAt", "OrderCreatedAt", "Product",
+                    "IsDelivered"):
+            assert r[col] == w[col], (w["OrderID"], col)
+        assert abs(float(r["Amount"]) - w["Amount"]) < 1e-9
+
+
+def test_data_quality_python_replay(spark, sfd):
+    (r,) = _rows(spark, "data_quality_expectations", sfd)
+    gen = _fake_orders()
+    ok1 = [g["OrderCreatedAt"] is not None for g in gen]
+    ok2 = [100 <= g["Amount"] <= 1050 for g in gen]
+    ok3 = [g["Product"] in ("Laptop", "Tablet", "Smartphone", "Headphones",
+                            "Monitor") for g in gen]
+    ok4 = [g["UserID"] % 7 != 0 for g in gen]
+    assert r["total"] == 1000
+    assert r["passed"] == sum(
+        a and b and c and d for a, b, c, d in zip(ok1, ok2, ok3, ok4))
+    assert r["viol_not_null_OrderCreatedAt"] == sum(not x for x in ok1)
+    assert r["viol_range_Amount"] == sum(not x for x in ok2)
+    assert r["viol_one_of_Product"] == sum(not x for x in ok3)
+    assert r["viol_fk_UserID"] == sum(not x for x in ok4)
+
+
+def test_coercion_python_replay(spark, sfd):
+    rows = {r["event_id"]: r for r in _rows(spark, "coercion_casts", sfd)}
+    (acct,) = _rows(spark, "coercion_accounting", sfd)
+    raw = _duck(sfd, "SELECT event_id, event_type, ts, value, props FROM events")
+    bad_nulled = flag_nulled = 0
+    for eid, et, ts, val, props in raw:
+        r = rows[int(eid)]
+        try:
+            bad = int(props[:3])
+        except ValueError:
+            bad = None
+        if bad is None:
+            bad_nulled += 1
+        flag = True if et == "click" else (False if et == "view" else None)
+        if flag is None:
+            flag_nulled += 1
+        assert r["bad_long"] == bad
+        assert r["good_long"] == int(eid)
+        assert r["prop_k"] == int(_json.loads(props)["k"])
+        assert r["ts_roundtrip"] == ts.replace(microsecond=0)
+        assert r["flag"] == flag
+        assert abs(r["value_roundtrip"] - round(float(val), 2)) < 1e-9
+    assert acct["bad_long_nulled"] == bad_nulled
+    assert acct["flag_nulled"] == flag_nulled
+
+
+def test_project_align_quarantine_python_replay(spark, sfd):
+    proj = {r["orderkey"]: (r["custkey"], r["orderstatus"])
+            for r in _rows(spark, "project_normalize", sfd)}
+    raw = _orders_rows(sfd)
+    assert proj == {
+        int(ok): (int(ck), st) for ok, ck, _, st, _, _, _ in raw
+        if int(ok) % 10 == 0
+    }
+    align = {r["doc_id"]: (r["lang"], r["license"], r["n_chars"])
+             for r in _rows(spark, "column_align", sfd)}
+    docs = _duck(sfd, "SELECT doc_id, lang, n_chars FROM documents")
+    assert align == {int(d): (lg, None, int(nc)) for d, lg, nc in docs}
+    quar = {r["event_id"] for r in _rows(spark, "incomplete_quarantine", sfd)}
+    ev = _duck(sfd, "SELECT event_id, event_type FROM events")
+    assert quar == {int(e) for e, et in ev if et == "error"}
