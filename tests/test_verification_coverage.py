@@ -29,28 +29,15 @@ _INDEPENDENT_SUITES = [
     "test_r7_ops.py",            # r7 property pins
     "test_r8_numpy_recompute.py",  # textbook numpy/pure-Python recomputes
     "test_r8_replay_pipelines.py",  # full-pipeline pure-Python replays
+    "test_r8_replay_remaining.py",  # merge/roundtrip/ACID/streaming replays
 ]
 
 # Queries allowed to have NO third implementation, each with the reason the
 # existing verification already constitutes an independent check.  Adding a
 # registry query without an independent test requires a conscious entry here.
-ALLOWED_WITHOUT_THIRD_IMPL = {
-    # merge engine: hypothesis property-tested against a pure-Python
-    # reference model (tests/test_merge_properties.py) — that model IS the
-    # third implementation.
-    "merge_upsert", "merge_insert_only", "merge_conditional",
-    "merge_composite_key", "merge_column_mask", "merge_small_source",
-    "merge_metrics",
-    # round trips: self-checking by construction — the oracle aggregates the
-    # PRE-WRITE source, so any write/read corruption hash-mismatches.
-    "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip", "xml_roundtrip",
-    # ACID / streaming pipelines: dedicated operator e2e suites
-    # (test_txn_table.py, test_streaming_cdc.py, test_pipeline.py,
-    # test_plans.py) exercise the same code paths against hand-built
-    # expectations.
-    "txn_table_changes", "txn_table_snapshot", "streaming_cdc_rollup",
-    "governed_ingest", "daily_sync_pipeline",
-}
+# Empty since test_r8_replay_remaining.py closed the last 16 entries (the
+# merge family, interchange round trips, and ACID/streaming pipelines).
+ALLOWED_WITHOUT_THIRD_IMPL: set[str] = set()
 
 
 def test_every_query_has_independent_check():
