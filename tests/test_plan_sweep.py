@@ -305,6 +305,37 @@ def test_plan_shuffle_count_bounded(spark, name):
     )
 
 
+# ---------------------------------------------------------------------------
+# Python-execution gate: the engine's stated contract is "UDFs are the slow
+# path; when Python is unavoidable, Arrow-batched, never per-row". Previous
+# rounds verified this by hand-grepping for udf() call sites; this gate makes
+# it structural over every registry PLAN instead: a row-at-a-time Python eval
+# node (BatchEvalPythonExec pickles one row per round trip — the ~10-100x
+# slow path at 100 TB) may never appear. Arrow-vectorized nodes
+# (ArrowEvalPythonExec, MapInPandasExec, FlatMapGroupsInPandas*, the
+# transformWithState family) are the sanctioned Python escape hatch and
+# remain allowed.
+# ---------------------------------------------------------------------------
+
+_ROW_AT_A_TIME_PYTHON = {"BatchEvalPythonExec", "BatchEvalPythonUDTFExec"}
+
+# justified exceptions (none): a row-at-a-time UDF has no 100-TB story —
+# rewrite as builtin expressions or a pandas_udf instead of allowlisting.
+ALLOWED_ROW_PYTHON: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_row_at_a_time_python_udf(spark, name):
+    for node in _walk(_plan(spark, name)):
+        if node.getClass().getSimpleName() in _ROW_AT_A_TIME_PYTHON:
+            assert name in ALLOWED_ROW_PYTHON, (
+                f"{name} plans a row-at-a-time Python eval node "
+                f"({node.getClass().getSimpleName()}): rewrite with builtin "
+                "expressions or an Arrow-batched pandas_udf.\n"
+                + node.toString()[:2000]
+            )
+
+
 def test_gate_metadata_names_exist_in_registry():
     """The documentation sets in this module (EXECUTES_AT_BUILD,
     ALLOWED_NESTED_LOOP, ALLOWED_GLOBAL_WINDOW) must not drift from the
@@ -316,6 +347,7 @@ def test_gate_metadata_names_exist_in_registry():
         ("ALLOWED_GLOBAL_WINDOW", set(ALLOWED_GLOBAL_WINDOW)),
         ("ALLOWED_FILE_SCANS", set(ALLOWED_FILE_SCANS)),
         ("ALLOWED_SHUFFLE_COUNT", set(ALLOWED_SHUFFLE_COUNT)),
+        ("ALLOWED_ROW_PYTHON", set(ALLOWED_ROW_PYTHON)),
     ):
         stale = set(names) - set(QUERIES)
         assert not stale, f"{label} names not in QUERIES registry: {sorted(stale)}"
