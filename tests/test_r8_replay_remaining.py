@@ -364,9 +364,15 @@ def test_txn_table_changes_python_replay(spark, sfd):
     upd = [r for r in raw if r[4].date() == _RUN_DATE]
     got = {r["_change_type"]: (r["n_rows"], r["cents"])
            for r in _rows(spark, "txn_table_changes", sfd)}
-    assert got["insert"] == (len(ins), sum(_cents(r[3]) for r in ins))
-    assert got["update_postimage"] == (
-        len(upd), sum(_cents(r[3] + 10.0) for r in upd))
+    # a change category with zero rows produces NO row (groupBy semantics
+    # — the seed-48 campaign find)
+    want = {}
+    if ins:
+        want["insert"] = (len(ins), sum(_cents(r[3]) for r in ins))
+    if upd:
+        want["update_postimage"] = (
+            len(upd), sum(_cents(r[3] + 10.0) for r in upd))
+    assert got == want
 
 
 def test_streaming_cdc_rollup_python_replay(spark, sfd):
