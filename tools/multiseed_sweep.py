@@ -45,12 +45,18 @@ def sweep_seed(seed: int, n_queries: int) -> dict:
             prior = json.load(f)
         if prior.get("n_queries") == n_queries and prior.get("n_fail") == 0:
             return prior
+        os.remove(snap)  # stale/red: never let it masquerade as a fresh run
     sf_dir = generate(seed)
-    subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "check_correctness.py"),
          "--json", snap, sf_dir],
         cwd=_REPO, check=False,
     )
+    if not os.path.exists(snap):
+        raise RuntimeError(
+            f"check_correctness for seed {seed} exited {proc.returncode} "
+            f"without writing {snap} — see its output above"
+        )
     with open(snap) as f:
         return json.load(f)
 
@@ -60,6 +66,9 @@ def main() -> int:
     out = "ALLGREEN_multiseed_r8.json"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print(__doc__)
+            return 2
         out = argv[i + 1]
         del argv[i:i + 2]
     seeds = [int(a) for a in argv] or [44, 45, 46, 47, 48]
@@ -68,8 +77,10 @@ def main() -> int:
     all_ok = True
     for seed in seeds:
         r = sweep_seed(seed, n_queries)
+        # check_correctness counts both OK (oracle parity) and ROWS
+        # (rows-only, no-oracle check) as green in n_ok — mirror that here
         fails = {k: v for k, v in r.get("queries", {}).items()
-                 if v.get("status") != "OK"}
+                 if v.get("status") not in ("OK", "ROWS")}
         combined["seeds"][str(seed)] = {
             "sf_dir": r.get("sf_dir"),
             "n_ok": r.get("n_ok"),
