@@ -9,9 +9,12 @@ registry through tools/check_correctness.py against the DuckDB oracle,
 then writes one combined artifact summarizing every seed.
 
 Usage:
-    python tools/multiseed_sweep.py [--out ALLGREEN_multiseed_r8.json] [seed ...]
+    python tools/multiseed_sweep.py [--out ALLGREEN_multiseed_r8.json]
+                                    [--src /root/testdata/sf0.01] [seed ...]
 
-Seeds default to 44-48. Per-seed detail snapshots live at
+Seeds default to 44-48; --src changes the source the fixtures are derived
+from (default sf0.001 — use sf0.01 for a 10x-larger derived point; its
+snapshots are suffixed with the source sf). Per-seed detail snapshots live at
 .fixtures/allgreen_seed{N}.json (gitignored); a per-seed snapshot that
 already exists, covers the current registry size, and is all-OK is reused
 instead of re-run (delete it to force a fresh sweep). The combined artifact
@@ -38,15 +41,21 @@ def _registry_size() -> int:
     return len(QUERIES)
 
 
-def sweep_seed(seed: int, n_queries: int) -> dict:
-    snap = os.path.join(_REPO, ".fixtures", f"allgreen_seed{seed}.json")
+def sweep_seed(seed: int, n_queries: int, src: str | None = None) -> dict:
+    tag = "" if src is None else "_" + os.path.basename(src.rstrip("/"))
+    snap = os.path.join(_REPO, ".fixtures", f"allgreen_seed{seed}{tag}.json")
     if os.path.exists(snap):
         with open(snap) as f:
             prior = json.load(f)
         if prior.get("n_queries") == n_queries and prior.get("n_fail") == 0:
             return prior
         os.remove(snap)  # stale/red: never let it masquerade as a fresh run
-    sf_dir = generate(seed)
+    if src is None:
+        sf_dir = generate(seed)
+    else:
+        dst = os.path.join(_REPO, ".fixtures",
+                           f"seed{seed}_{os.path.basename(src.rstrip('/'))}")
+        sf_dir = generate(seed, src=src, dst=dst)
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "check_correctness.py"),
          "--json", snap, sf_dir],
@@ -64,19 +73,26 @@ def sweep_seed(seed: int, n_queries: int) -> dict:
 def main() -> int:
     argv = [a for a in sys.argv[1:]]
     out = "ALLGREEN_multiseed_r8.json"
-    if "--out" in argv:
-        i = argv.index("--out")
-        if i + 1 >= len(argv):
-            print(__doc__)
-            return 2
-        out = argv[i + 1]
-        del argv[i:i + 2]
+    src = None
+    for flag in ("--out", "--src"):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                print(__doc__)
+                return 2
+            if flag == "--out":
+                out = argv[i + 1]
+            else:
+                src = argv[i + 1]
+            del argv[i:i + 2]
     seeds = [int(a) for a in argv] or [44, 45, 46, 47, 48]
     n_queries = _registry_size()
     combined = {"n_queries": n_queries, "seeds": {}, "n_seeds": len(seeds)}
     all_ok = True
+    if src is not None:
+        combined["src"] = src
     for seed in seeds:
-        r = sweep_seed(seed, n_queries)
+        r = sweep_seed(seed, n_queries, src)
         # check_correctness counts both OK (oracle parity) and ROWS
         # (rows-only, no-oracle check) as green in n_ok — mirror that here
         fails = {k: v for k, v in r.get("queries", {}).items()
