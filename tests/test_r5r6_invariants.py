@@ -35,7 +35,13 @@ from etl_mssql_to_postgres_dailysync_spark.plans import driver_queries as dq
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SEED42 = "/root/testdata/sf0.001"
+# base fixture for the "seed42" param; override with
+# SPARK_GRAFT_REPLAY_BASE to replay the whole suite at ANY fixture dir
+# (e.g. a tools/gen_fixture.py derived seed) — engine-vs-pure-Python
+# parity at new data is the strongest check against shared
+# engine/oracle staging errors
+_SEED42 = os.environ.get("SPARK_GRAFT_REPLAY_BASE",
+                         "/root/testdata/sf0.001")
 
 
 def _gen_seed43() -> str:
