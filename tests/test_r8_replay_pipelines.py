@@ -705,10 +705,14 @@ def test_hybrid_rrf_python_replay(spark, sfd):
             key=lambda t: (-t[0], t[1]),
         )[:20]
         dense[q] = {c: r + 1 for r, (_, c) in enumerate(top)}
+        # a query vec whose document was subsampled away (derived fixtures)
+        # has an EMPTY sparse arm — the engine's sparse queries come from
+        # documents while dense queries come from embeddings, fused outer
+        qtoks = toks.get(q, set())
         scores = {
-            d: sum(lnu(nd) - lnu(df[t]) for t in (toks[q] & ts))
+            d: sum(lnu(nd) - lnu(df[t]) for t in (qtoks & ts))
             for d, ts in toks.items()
-            if d != q and toks[q] & ts
+            if d != q and qtoks & ts
         }
         stop = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         sparse[q] = {d: r + 1 for r, (d, _) in enumerate(stop)}
@@ -2280,10 +2284,16 @@ import datetime as _dt
 
 
 def test_scd2_build_python_replay(spark, sfd):
+    # None valid_to (open current rows) breaks tuple sort when earlier
+    # elements tie at larger fixtures — sort None-last explicitly
+    _k = lambda t: tuple((v is None, v) for v in t)
     got = sorted(
-        (r["o_custkey"], r["o_orderpriority"], r["valid_from"], r["valid_to"],
-         r["is_current"])
-        for r in _rows(spark, "scd2_build", sfd)
+        (
+            (r["o_custkey"], r["o_orderpriority"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in _rows(spark, "scd2_build", sfd)
+        ),
+        key=_k,
     )
     raw = _duck(sfd, """
         SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE), o_orderkey
@@ -2297,7 +2307,7 @@ def test_scd2_build_python_replay(spark, sfd):
         for i, (d, _, pri) in enumerate(vs):
             nxt = str(vs[i + 1][0]) if i + 1 < len(vs) else None
             want.append((ck, pri, str(d), nxt, int(nxt is None)))
-    assert got == sorted(want)
+    assert got == sorted(want, key=_k)
 
 
 def test_scd2_point_in_time_python_replay(spark, sfd):
