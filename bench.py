@@ -355,6 +355,14 @@ def main() -> None:
         "unit": "sec",
         "queries": tranche_timings,
         "sf": sf,
+        # r8 verdict ask #6: the tranche gets the same host-weather
+        # normalization the headline has — cross-round tranche comparisons
+        # use tranche_control_ratio, not raw seconds (same control workload,
+        # same REGRESSION RULE as the headline).
+        "control_sec": control_sec,
+        "control_ratio": round(sum(tranche_timings.values()) / control_sec, 3)
+        if (control_sec and tranche_timings)
+        else None,
     }
     diag_line = {
         "runs_per_query": n_runs,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+import coverage_manifest
+
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -43,6 +45,7 @@ _CACHE: dict = {}
 
 
 def _rows(spark, name, sf):
+    coverage_manifest.record(name)
     if (name, sf) not in _CACHE:
         _CACHE[(name, sf)] = QUERIES[name](spark, sf).collect()
     return _CACHE[(name, sf)]

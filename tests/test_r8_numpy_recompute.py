@@ -30,6 +30,8 @@ import duckdb
 import numpy as np
 import pytest
 
+import coverage_manifest
+
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -60,6 +62,7 @@ _CACHE: dict[tuple[str, str], list] = {}
 
 
 def _rows(spark, name: str, sfd: str):
+    coverage_manifest.record(name)
     key = (name, sfd)
     if key not in _CACHE:
         _CACHE[key] = QUERIES[name](spark, sfd).collect()

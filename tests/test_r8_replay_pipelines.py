@@ -27,6 +27,8 @@ import re
 import duckdb
 import pytest
 
+import coverage_manifest
+
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -57,6 +59,7 @@ _CACHE: dict[tuple[str, str], list] = {}
 
 
 def _rows(spark, name: str, sfd: str):
+    coverage_manifest.record(name)
     key = (name, sfd)
     if key not in _CACHE:
         _CACHE[key] = QUERIES[name](spark, sfd).collect()

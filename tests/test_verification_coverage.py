@@ -10,15 +10,26 @@ independent check (or a conscious allowlist entry with a written reason)
 goes red here, exactly like the NLJ / global-window / file-scan / shuffle
 gates in test_plan_sweep.py.
 
-Detection is by query-name string literal in the suite sources; that is
-the same convention every suite uses to address queries (via QUERIES[...]
-or the per-suite _rows helper), so a mention implies a test touches it.
+Two enforcement layers (r8 verdict ask #2 hardened the first into the
+second):
+
+1. STATIC (this file, always on): AST-based extraction of string literals
+   from each suite — comments are invisible to the AST and docstrings are
+   skipped explicitly, so a query name merely *mentioned* in prose no
+   longer counts (the old grep's blind spot). A literal must appear in
+   executable code — an argument, a parametrize table, a loop list — to
+   count.
+2. RUNTIME (conftest.pytest_sessionfinish under SPARK_GRAFT_COVERAGE_STRICT=1,
+   set on full-suite runs): every suite's _rows helper records the names it
+   actually EXECUTES into tests/coverage_manifest.py; a full session that
+   ends without executing every registry name exits red. This is evidence
+   of execution, immune to any static-analysis gap.
 """
 
 from __future__ import annotations
 
+import ast
 import os
-import re
 
 from etl_mssql_to_postgres_dailysync_spark.plans.driver_queries import QUERIES
 
@@ -40,15 +51,47 @@ _INDEPENDENT_SUITES = [
 ALLOWED_WITHOUT_THIRD_IMPL: set[str] = set()
 
 
+def code_string_literals(source: str) -> set[str]:
+    """String literals that appear in EXECUTABLE positions of ``source``.
+
+    Comments never reach the AST; docstrings (module/class/function leading
+    Expr-constants) and any other bare string expression statements are
+    dropped, so a query name that exists only as prose cannot satisfy the
+    gate. Everything else — call arguments, dict keys, parametrize tables,
+    list/tuple elements, comparisons — counts, matching every addressing
+    convention the suites actually use.
+    """
+    tree = ast.parse(source)
+    doc_ids: set[int] = set()
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if not isinstance(body, list):
+            continue
+        for stmt in body:
+            # ANY bare string statement is documentation, not execution
+            if (
+                isinstance(stmt, ast.Expr)
+                and isinstance(stmt.value, ast.Constant)
+                and isinstance(stmt.value.value, str)
+            ):
+                doc_ids.add(id(stmt.value))
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in doc_ids
+        ):
+            out.add(node.value)
+    return out
+
+
 def test_every_query_has_independent_check():
     names = set(QUERIES)
     covered: set[str] = set()
     for fname in _INDEPENDENT_SUITES:
         with open(os.path.join(_TESTS, fname)) as f:
-            txt = f.read()
-        for m in re.findall(r"[\"']([a-z0-9_]+)[\"']", txt):
-            if m in names:
-                covered.add(m)
+            covered |= code_string_literals(f.read()) & names
     missing = sorted(names - covered - ALLOWED_WITHOUT_THIRD_IMPL)
     assert not missing, (
         f"{len(missing)} registry queries have neither an independent-check "
@@ -61,3 +104,47 @@ def test_every_query_has_independent_check():
     # and it must not drift to unknown names
     unknown = sorted(ALLOWED_WITHOUT_THIRD_IMPL - names)
     assert not unknown, f"allowlist names not in registry: {unknown}"
+
+
+def test_gate_is_blind_to_comments_and_docstrings():
+    """Self-demonstration that the detector rejects prose mentions (the r8
+    verdict's red-case): a name in a comment or docstring is NOT covered; the
+    same name as a call argument, parametrize table entry, or loop list IS."""
+    src = '''
+"""Module docstring mentioning 'query_in_module_docstring'."""
+
+def test_a(spark):
+    """Covers query_in_docstring per the old grep — but never runs it."""
+    # query_in_comment is also prose only
+    _rows(spark, "query_in_call", sfd)
+
+@pytest.mark.parametrize("name", [("query_in_parametrize", 1)])
+def test_b(spark, name):
+    _rows(spark, name, sfd)
+
+NAMES = ["query_in_list"]
+"query_bare_statement_string"
+'''
+    lits = code_string_literals(src)
+    assert "query_in_call" in lits
+    assert "query_in_parametrize" in lits
+    assert "query_in_list" in lits
+    assert "query_in_comment" not in lits
+    assert "query_in_docstring" not in lits
+    assert "query_in_module_docstring" not in lits
+    assert "query_bare_statement_string" not in lits
+
+
+def test_runtime_manifest_records_execution():
+    """The strict runtime layer's recording chokepoint works: record() makes
+    a name visible to seen(), and the strict gate's missing-set computation
+    over the real registry keys off exactly that."""
+    import coverage_manifest
+
+    before = coverage_manifest.seen()
+    assert "___not_a_query___" not in before
+    coverage_manifest.record("___not_a_query___")
+    assert "___not_a_query___" in coverage_manifest.seen()
+    # seen() returns a copy: callers cannot corrupt the manifest
+    coverage_manifest.seen().discard("___not_a_query___")
+    assert "___not_a_query___" in coverage_manifest.seen()

@@ -4,7 +4,15 @@ value-level matches — the same gate the round driver applies
 (CORRECTNESS_r{N}.json), runnable in-loop.
 
 Usage: python tools/check_correctness.py [--json OUT.json] [--resume]
+                                         [--sample N --seed R]
+                                         [--exclude PRIOR.json]
                                          [sf_dir] [query ...]
+
+``--sample N --seed R`` (r8 verdict ask #7) draws a deterministic fresh
+subset of the registry per round: names are ordered by md5(name + ":" + R)
+and the first N run. ``--exclude PRIOR.json`` removes that artifact's query
+names from the pool first — pass the driver's CORRECTNESS_r{N}.json so the
+spot-check set is provably disjoint from the driver's fixed 50-name sample.
 
 ``--json`` additionally writes {"sf_dir", "n_queries", "n_ok", "n_fail",
 "queries": {name: {"status": OK|ROWS|FAIL, "rows": n, "wall_s": t}}} — the
@@ -125,8 +133,42 @@ def main() -> int:
         if not json_out:
             print("--resume requires --json OUT.json")
             return 2
+    sample_n = sample_seed = None
+    exclude_file = None
+    for flag in ("--sample", "--seed", "--exclude"):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                print(f"{flag} requires a value")
+                return 2
+            val = argv[i + 1]
+            if flag == "--sample":
+                sample_n = int(val)
+            elif flag == "--seed":
+                sample_seed = int(val)
+            else:
+                exclude_file = val
+            del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if sample_n is not None:
+        import hashlib
+
+        if sample_seed is None:
+            print("--sample requires --seed for a reproducible draw")
+            return 2
+        pool = sorted(entry_mod.queries())
+        if exclude_file:
+            with open(exclude_file) as f:
+                prev = json.load(f)
+            # driver CORRECTNESS_r{N}.json is {name: {...}} flat; our own
+            # --json artifacts nest under "queries" — accept both
+            excluded = set(prev.get("queries", prev))
+            pool = [n for n in pool if n not in excluded]
+        pool.sort(key=lambda n: hashlib.md5(f"{n}:{sample_seed}".encode()).hexdigest())
+        only = set(pool[:sample_n])
+        print(f"sampled {len(only)}/{len(pool)} queries (seed {sample_seed}"
+              + (f", excluding {exclude_file}" if exclude_file else "") + ")")
     invocations = 1
     prior: dict[str, dict] = {}
     if resume and json_out:

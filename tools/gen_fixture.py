@@ -85,6 +85,147 @@ def generate(seed: int, src: str = SRC_DEFAULT, dst: str | None = None) -> str:
     return dst
 
 
+# --- degenerate fixtures (r8 verdict ask #1) -------------------------------
+#
+# Seed-48 (an empty CDC window) found a real oracle bug; this builds that
+# class deliberately. Each kind is a DuckDB COPY transform of the seed-42
+# source, so parquet schema/types are preserved exactly (the same guarantee
+# the seed subsampler above relies on) while the VALUES take the degenerate
+# shapes where divide-by-zero / empty-aggregate / tie-nondeterminism bugs
+# live: empty fact tables, single-row groups, all-NULL keys, zero-variance
+# measures, one-customer/one-day skew, and a 100%-duplicate corpus.
+#
+# Every transform is a plain SELECT with per-table overrides; tables not
+# named in a kind are copied whole. Constant replacements use scalar
+# subqueries over the SOURCE table (min of the column) so the replacement
+# value carries the column's exact type — no hand-written literals that
+# could drift from the parquet encoding.
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+_FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _const(src: str, table: str, col: str) -> str:
+    """Scalar-subquery replacement: the column's min over the source table,
+    so the constant is type-exact by construction."""
+    return f"(SELECT min({col}) FROM '{src}/{table}.parquet')"
+
+
+def _overrides(kind: str, src: str) -> dict[str, str]:
+    """kind -> {table: full SELECT with {T} standing for the source parquet}."""
+    if kind == "empty_facts":
+        # every fact table empty, dimensions whole: the empty-partition /
+        # empty-aggregate probe (the seed-48 bug class, taken to the limit)
+        return {t: "SELECT * FROM {T} WHERE 1=0" for t in _FACTS}
+    if kind == "onerow_groups":
+        # one row per natural group: single-row variance/rank/session groups,
+        # plus orphan lineitems (their order got dropped) and a 5-document
+        # corpus for the LM/BPE family
+        return {
+            "orders": "SELECT * FROM {T} QUALIFY row_number() OVER "
+                      "(PARTITION BY o_custkey ORDER BY o_orderkey) = 1",
+            "lineitem": "SELECT * FROM {T} QUALIFY row_number() OVER "
+                        "(PARTITION BY l_orderkey ORDER BY l_linenumber) = 1",
+            "events": "SELECT * FROM {T} QUALIFY row_number() OVER "
+                      "(PARTITION BY user_id ORDER BY event_id) = 1",
+            "documents": "SELECT * FROM {T} QUALIFY row_number() OVER "
+                         "(PARTITION BY source ORDER BY doc_id) = 1",
+            "embeddings": "SELECT * FROM {T} QUALIFY row_number() OVER "
+                          "(PARTITION BY label ORDER BY vec_id) = 1",
+        }
+    if kind == "null_keys":
+        # all-NULL key columns: the quarantine / NULL-group / NULL-join probe
+        return {
+            "orders": "SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, "
+                      "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {T}",
+            "events": "SELECT event_id, ts, CAST(NULL AS BIGINT) AS user_id, "
+                      "event_type, value, props FROM {T}",
+            "lineitem": "SELECT l_orderkey, l_partkey, CAST(NULL AS BIGINT) AS "
+                        "l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+                        "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM {T}",
+            "documents": "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, "
+                         "source, n_chars FROM {T}",
+        }
+    if kind == "constant_values":
+        # zero-variance measures everywhere: stddev=0 / corr-undefined /
+        # 100%-tie rank inputs across the stats tranche
+        c = lambda t, col: _const(src, t, col)  # noqa: E731
+        return {
+            "orders": f"SELECT o_orderkey, o_custkey, o_orderstatus, "
+                      f"{c('orders','o_totalprice')} AS o_totalprice, "
+                      f"o_orderdate, o_orderpriority FROM {{T}}",
+            "lineitem": f"SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+                        f"{c('lineitem','l_quantity')} AS l_quantity, "
+                        f"{c('lineitem','l_extendedprice')} AS l_extendedprice, "
+                        f"{c('lineitem','l_discount')} AS l_discount, "
+                        f"{c('lineitem','l_tax')} AS l_tax, "
+                        f"l_returnflag, l_linestatus, l_shipdate FROM {{T}}",
+            "customer": f"SELECT c_custkey, c_name, c_nationkey, "
+                        f"{c('customer','c_acctbal')} AS c_acctbal, c_mktsegment FROM {{T}}",
+            "supplier": f"SELECT s_suppkey, s_name, s_nationkey, "
+                        f"{c('supplier','s_acctbal')} AS s_acctbal FROM {{T}}",
+            "part": f"SELECT p_partkey, p_name, p_brand, p_type, "
+                    f"{c('part','p_size')} AS p_size, "
+                    f"{c('part','p_retailprice')} AS p_retailprice FROM {{T}}",
+            "events": f"SELECT event_id, ts, user_id, event_type, "
+                      f"{c('events','value')} AS value, props FROM {{T}}",
+        }
+    if kind == "skew_onecust_oneday":
+        # one-customer/one-day extreme skew: every order same customer and
+        # date, every event same user — the single-hot-key shuffle shape
+        return {
+            "orders": f"SELECT o_orderkey, {_const(src,'orders','o_custkey')} "
+                      f"AS o_custkey, o_orderstatus, o_totalprice, "
+                      f"{_const(src,'orders','o_orderdate')} AS o_orderdate, "
+                      f"o_orderpriority FROM {{T}}",
+            "events": f"SELECT event_id, ts, {_const(src,'events','user_id')} "
+                      f"AS user_id, event_type, value, props FROM {{T}}",
+        }
+    if kind == "alldup_docs":
+        # 100%-duplicate corpus + identical embeddings: every doc pairs with
+        # every doc, every cosine is a tie — the dedup/ANN adversarial limit
+        return {
+            "documents": f"SELECT doc_id, {_const(src,'documents','text')} "
+                         f"AS text, lang, source, "
+                         f"{_const(src,'documents','n_chars')} AS n_chars FROM {{T}}",
+            "embeddings": f"SELECT vec_id, (SELECT embedding FROM "
+                          f"'{src}/embeddings.parquet' ORDER BY vec_id LIMIT 1) "
+                          f"AS embedding, label FROM {{T}}",
+        }
+    raise ValueError(f"unknown degenerate kind: {kind}")
+
+
+DEGENERATE_KINDS = ["empty_facts", "onerow_groups", "null_keys",
+                    "constant_values", "skew_onecust_oneday", "alldup_docs"]
+
+
+def generate_degenerate(kind: str, src: str = SRC_DEFAULT,
+                        dst: str | None = None) -> str:
+    overrides = _overrides(kind, src)
+    if dst is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(repo, ".fixtures", f"degenerate_{kind}")
+    marker = os.path.join(dst, ".complete")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        body = overrides.get(name, "SELECT * FROM {T}")
+        body = body.replace("{T}", f"'{src}/{name}.parquet'")
+        con.sql(
+            f"COPY ({body}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    with open(marker, "w") as fh:
+        fh.write(f"src={src} kind={kind}\n")
+    return dst
+
+
 if __name__ == "__main__":
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 43
-    print(generate(seed))
+    arg = sys.argv[1] if len(sys.argv) > 1 else "43"
+    if arg in DEGENERATE_KINDS:
+        print(generate_degenerate(arg))
+    else:
+        print(generate(int(arg)))

@@ -15,15 +15,18 @@ Usage:
 Seeds default to 44-48; --src changes the source the fixtures are derived
 from (default sf0.001 — use sf0.01 for a 10x-larger derived point; its
 snapshots are suffixed with the source sf). Per-seed detail snapshots live at
-.fixtures/allgreen_seed{N}.json (gitignored); a per-seed snapshot that
-already exists, covers the current registry size, and is all-OK is reused
-instead of re-run (delete it to force a fresh sweep). The combined artifact
+.fixtures/allgreen_seed{N}.json (gitignored); a per-seed snapshot is reused
+only when it covers the current registry size, is all-OK, AND carries the
+current engine/registry content hash (r8 ADVICE: a pre-change green snapshot
+must never masquerade as evidence for changed code). The combined artifact
 keeps per-seed summaries plus any per-query failures verbatim, so an
 all-green file stays small while a red one carries the evidence.
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
 import json
 import os
 import subprocess
@@ -41,15 +44,36 @@ def _registry_size() -> int:
     return len(QUERIES)
 
 
-def sweep_seed(seed: int, n_queries: int, src: str | None = None) -> dict:
+def code_hash() -> str:
+    """Content hash over every engine/registry source file. Snapshot reuse is
+    keyed on this (r8 ADVICE): after ANY engine or oracle change the hash
+    moves, so a pre-change green snapshot can never masquerade as evidence
+    for the current code. A content hash beats git HEAD here because sweeps
+    legitimately run with uncommitted changes mid-round."""
+    h = hashlib.md5()
+    pkg = os.path.join(_REPO, "etl_mssql_to_postgres_dailysync_spark")
+    paths = [os.path.join(_REPO, "__spark_entry__.py")]
+    for root, _dirs, files in os.walk(pkg):
+        paths += [os.path.join(root, f) for f in files if f.endswith(".py")]
+    for p in sorted(paths):
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def sweep_seed(seed: int, n_queries: int, src: str | None = None,
+               chash: str | None = None) -> dict:
+    chash = chash or code_hash()
     tag = "" if src is None else "_" + os.path.basename(src.rstrip("/"))
     snap = os.path.join(_REPO, ".fixtures", f"allgreen_seed{seed}{tag}.json")
     if os.path.exists(snap):
         with open(snap) as f:
             prior = json.load(f)
-        if prior.get("n_queries") == n_queries and prior.get("n_fail") == 0:
+        if (prior.get("n_queries") == n_queries and prior.get("n_fail") == 0
+                and prior.get("code_hash") == chash):
             return prior
-        os.remove(snap)  # stale/red: never let it masquerade as a fresh run
+        os.remove(snap)  # stale/red/other-code: never masquerade as fresh
     if src is None:
         sf_dir = generate(seed)
     else:
@@ -67,32 +91,35 @@ def sweep_seed(seed: int, n_queries: int, src: str | None = None) -> dict:
             f"without writing {snap} — see its output above"
         )
     with open(snap) as f:
-        return json.load(f)
+        result = json.load(f)
+    result["code_hash"] = chash  # stamp so a later sweep can key reuse on it
+    with open(snap, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:]]
-    out = "ALLGREEN_multiseed_r8.json"
-    src = None
-    for flag in ("--out", "--src"):
-        if flag in argv:
-            i = argv.index(flag)
-            if i + 1 >= len(argv):
-                print(__doc__)
-                return 2
-            if flag == "--out":
-                out = argv[i + 1]
-            else:
-                src = argv[i + 1]
-            del argv[i:i + 2]
-    seeds = [int(a) for a in argv] or [44, 45, 46, 47, 48]
+    ap = argparse.ArgumentParser(
+        description="Multi-seed oracle-parity campaign over derived fixtures."
+    )
+    ap.add_argument("seeds", nargs="*", type=int, default=[44, 45, 46, 47, 48],
+                    help="fixture seeds (default: 44-48)")
+    ap.add_argument("--out", default="ALLGREEN_multiseed_r8.json",
+                    help="combined artifact filename (written at repo root)")
+    ap.add_argument("--src", default=None,
+                    help="source dir fixtures are derived from "
+                         "(default /root/testdata/sf0.001)")
+    args = ap.parse_args()
+    seeds, out, src = args.seeds or [44, 45, 46, 47, 48], args.out, args.src
     n_queries = _registry_size()
-    combined = {"n_queries": n_queries, "seeds": {}, "n_seeds": len(seeds)}
+    chash = code_hash()
+    combined = {"n_queries": n_queries, "seeds": {}, "n_seeds": len(seeds),
+                "code_hash": chash}
     all_ok = True
     if src is not None:
         combined["src"] = src
     for seed in seeds:
-        r = sweep_seed(seed, n_queries, src)
+        r = sweep_seed(seed, n_queries, src, chash)
         # check_correctness counts both OK (oracle parity) and ROWS
         # (rows-only, no-oracle check) as green in n_ok — mirror that here
         fails = {k: v for k, v in r.get("queries", {}).items()
