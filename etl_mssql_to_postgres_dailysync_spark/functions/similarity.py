@@ -496,6 +496,11 @@ def kmeans_fit_list(
     import numpy as np
 
     rows = _collect_train_rows(df, id_col, vec_col, train_sample)
+    if not rows:
+        # empty corpus: nothing to train on — no centroids. Downstream
+        # assignment closures build fine over the empty list and their
+        # (empty) inputs never invoke them, so search results are empty.
+        return []
     qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
     cent_mat = qm[:k].copy()  # seeds: k smallest (md5, id)
     for _ in range(iters):
@@ -596,6 +601,8 @@ def pq_fit_list(
     import numpy as np
 
     rows = _collect_train_rows(df, id_col, vec_col, train_sample)
+    if not rows:
+        return []  # empty corpus: no codebooks (see kmeans_fit_list)
     qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
     dim = qm.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -694,14 +701,22 @@ def pq_adc_topk(
 
     books = pq_fit_list(corpus, id_col=id_col, vec_col=vec_col,
                         m=m, k=codebook_k, iters=iters, train_sample=train_sample)
-    mats = [np.array(cb, dtype=np.int64) for _, cb in books]
-    d = mats[0].shape[1]
 
     qrows = sorted(
         queries.select(F.col(id_col).alias("qid"),
                        quantize_vec(F.col(vec_col)).alias("qv")).collect(),
         key=lambda r: r["qid"],
     )
+    if not books or not qrows:
+        # no trained codebooks (empty corpus) or no query vectors: the
+        # result set is empty by definition — return the empty relation
+        # with the contract schema instead of building degenerate tables
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_dist bigint, "
+                "sim double, rank int"
+        )
+    mats = [np.array(cb, dtype=np.int64) for _, cb in books]
+    d = mats[0].shape[1]
     qids = [r["qid"] for r in qrows]
     qm = np.array([list(r["qv"]) for r in qrows], dtype=np.int64)
     tables = np.stack([
