@@ -41,7 +41,11 @@ def asof_join(
     each right value column, taken from the latest right row at-or-before
     the left timestamp; NULL when no such row exists (left-join semantics).
 
-    ``keys`` must be non-NULL equality keys; right rows should be unique per
+    ``keys`` are equality keys with standard join NULL semantics: a left row
+    whose key is NULL matches nothing (NULL = NULL is not true), exactly like
+    DuckDB ASOF JOIN / pandas merge_asof — even though the window
+    implementation below physically groups NULL keys into one partition, the
+    final projection nulls those matches out. Right rows should be unique per
     (keys, right_ts) — with duplicates, the row sorted last wins.
 
     ``tolerance_seconds`` bounds staleness (the pandas merge_asof
@@ -92,6 +96,11 @@ def asof_join(
     )
     carried = u.withColumn("__m__", F.last("__r__", ignorenulls=True).over(w))
     matched = F.col("__m__")
+    # join NULL semantics: PARTITION BY groups NULL keys together (they
+    # would spuriously match each other), so null the carry-forward out for
+    # NULL-keyed rows — one scalar predicate, no plan change
+    for k in keys:
+        matched = F.when(F.col(k).isNotNull(), matched)
     if tolerance_seconds is not None:
         fresh = (
             F.unix_micros(F.col("__ts__")) - F.unix_micros(F.col(f"__m__.{right_ts}"))
