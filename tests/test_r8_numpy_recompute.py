@@ -905,6 +905,17 @@ def test_kneser_ney_numpy(spark, sfd):
         pml = r["c12"] / r["c1"]
         assert abs(r["pkn_ppm"] / 1e6 - p) < 5e-6
         assert abs(r["pml_ppm"] / 1e6 - pml) < 2e-6
+        # exact-integer pin with D = 750 milli hardcoded (r9 mutation-smoke
+        # find: on this corpus's top-30, n1fw*n1bw ~ nbt makes the float
+        # check D-INSENSITIVE — the discount's two terms cancel — so only
+        # a staged-integer replay can catch a wrong discount constant).
+        # All quantities non-negative, so Python // == Spark div here.
+        pkn_int = (max(r["c12"] * 1000 - 750, 0) * 1000000) // (
+            r["c1"] * 1000
+        ) + ((750 * r["n1bw"] * 1000000) // r["nbt"]) * r["n1fw"] // (
+            r["c1"] * 1000
+        )
+        assert r["pkn_ppm"] == pkn_int, (r, pkn_int)
 
 
 # ===========================================================================
@@ -1735,3 +1746,38 @@ def test_label_centroid_separation_numpy(spark, sfd):
         dist_f = float((delta * delta).sum())
         bound = float((2.0 * np.abs(delta) + 2.0).sum())
         assert abs(r["dist_micro2"] - dist_f) <= bound
+
+
+def test_theil_sen_slope_python_replay(spark, sfd):
+    """Full pure-Python replay of the Theil-Sen estimate (r9 mutation-smoke
+    find: the invariant suite pinned only the PAIR COUNT, leaving the slope
+    value's only witness the shared-text oracle — the exact blind-spot
+    class this suite exists for). Daily staging, offset-trick slope
+    division (numerator forced non-negative, so Python // == Spark div),
+    lower-median rank with the (slope, xa, xb) tie-break, and the
+    median-residual intercept are all recomputed from the raw parquet."""
+    (r,) = _rows(spark, "theil_sen_trend", sfd)
+    daily = _duck(sfd, """
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                            AND DATE '1995-03-31'
+        GROUP BY 1
+    """)
+    off = 10 ** 12
+    pts = sorted((int(x), int(c)) for x, c in daily)
+    slopes = []
+    for i in range(len(pts)):
+        xa, ca = pts[i]
+        for j in range(i + 1, len(pts)):
+            xb, cb = pts[j]
+            s = ((cb - ca) * 1000 + off * (xb - xa)) // (xb - xa) - off
+            slopes.append((s, xa, xb))
+    slopes.sort()
+    n_pairs = len(slopes)
+    assert r["n_days"] == len(pts) and r["n_pairs"] == n_pairs
+    ts_slope = slopes[(n_pairs + 1) // 2 - 1][0]
+    assert r["ts_slope_milli"] == ts_slope
+    resid = sorted((c * 1000 - ts_slope * x, x) for x, c in pts)
+    assert r["ts_intercept_milli"] == resid[(len(pts) + 1) // 2 - 1][0]

@@ -4700,3 +4700,29 @@ def test_project_align_quarantine_python_replay(spark, sfd):
     quar = {r["event_id"] for r in _rows(spark, "incomplete_quarantine", sfd)}
     ev = _duck(sfd, "SELECT event_id, event_type FROM events")
     assert quar == {int(e) for e, et in ev if et == "error"}
+
+
+def test_minhash_signature_value_pin(spark, sfd):
+    """Exact signature values for real fixture docs: the ENGINE's
+    minhash_signature column vs the hashlib replay (r9 mutation-smoke
+    find: match-count replays are insensitive to a changed shingle/
+    minhash constant — any constant preserves the equality structure of
+    exact duplicates, which dominates this corpus's candidate pairs — so
+    the constants themselves need a value-level pin)."""
+    from pyspark.sql import functions as F
+
+    from etl_mssql_to_postgres_dailysync_spark.functions import dedup as _dedup
+
+    raw = _duck(sfd, "SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5")
+    assert raw
+    df = spark.createDataFrame(
+        [(int(d), t) for d, t in raw], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", _dedup.minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for d, t in raw:
+        assert got[int(d)] == _minhash_sig(t), d

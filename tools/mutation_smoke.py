@@ -114,9 +114,11 @@ MUTATIONS = [
         '_mh_const("sh-c1", MINHASH_P - 2) + 2',
         '_mh_const("sh-x1", MINHASH_P - 2) + 2',
         _pytest("tests/test_r8_replay_pipelines.py::"
-                "test_incremental_batch_python_replay[seed42]"),
-        "spark-only", "different shingle polynomial constant (the replays "
-                      "re-derive it from the documented seed string)",
+                "test_minhash_signature_value_pin[seed42]"),
+        "spark-only", "different shingle polynomial constant — caught by "
+                      "the signature VALUE pin (match-count replays proved "
+                      "constant-insensitive: any constant preserves the "
+                      "equality structure of exact duplicates)",
     ),
     Mutation(
         "global_rank_offset", _CUMSUM,
@@ -128,11 +130,15 @@ MUTATIONS = [
         count=2,
     ),
     Mutation(
-        "theil_sen_upper_median", _DQ,
-        '.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))',
-        '.filter(F.col("rn") == F.expr("(n_pairs + 2) div 2"))',
-        _pytest("tests/test_r5r6_invariants.py::test_theil_sen_trend[seed42]"),
-        "spark-only", "upper instead of lower median of the pairwise slopes",
+        "theil_sen_offset_drop", _DQ,
+        ' div (xb - xa) - cast({_TS_OFF} as bigint) as bigint)"',
+        ' div (xb - xa) as bigint)"',
+        _pytest("tests/test_r8_numpy_recompute.py::test_theil_sen_slope_python_replay[seed42]"),
+        "spark-only", "drop the negative-slope offset un-shift from the "
+                      "pairwise slope staging (an upper-vs-lower-median "
+                      "flip proved a NO-OP: pair counts C(90,2) are odd, "
+                      "so (n+1)//2 == (n+2)//2 — mutations must move the "
+                      "fixture's actual output)",
     ),
     Mutation(
         "sigmoid_denominator", _DQ,
