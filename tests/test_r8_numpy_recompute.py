@@ -127,11 +127,19 @@ def test_spearman_pearson_numpy(spark, sfd):
     y = np.array([t[1] for t in rows], dtype=float)
     yd = np.array([t[2] for t in rows], dtype=float)
     rx, ry = _rankdata(x), _rankdata(y)
-    rho = float(np.corrcoef(rx, ry)[0, 1])
-    pear = float(np.corrcoef(x, yd)[0, 1])
     assert r["n"] == len(rows)
-    assert abs(r["spearman_rho"] - rho) < 1e-5
-    assert abs(r["pearson_r"] - pear) < 1e-5
+    # zero-variance side (constant_values fixture): correlation is
+    # undefined -- both engines emit NULL
+    if np.std(rx) == 0 or np.std(ry) == 0:
+        assert r["spearman_rho"] is None
+    else:
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(r["spearman_rho"] - rho) < 1e-5
+    if np.std(x) == 0 or np.std(yd) == 0:
+        assert r["pearson_r"] is None
+    else:
+        pear = float(np.corrcoef(x, yd)[0, 1])
+        assert abs(r["pearson_r"] - pear) < 1e-5
 
 
 def test_one_way_anova_numpy(spark, sfd):
@@ -149,9 +157,12 @@ def test_one_way_anova_numpy(spark, sfd):
     ssb = sum(len(xs) * (np.mean(xs) - gm) ** 2 for xs in by_g.values())
     ssw = sum(((np.array(xs) - np.mean(xs)) ** 2).sum() for xs in by_g.values())
     k, n = len(by_g), len(all_x)
-    f = (ssb / (k - 1)) / (ssw / (n - k))
     assert r["n"] == n and r["k"] == k
-    assert r["f_stat"] == pytest.approx(f, rel=1e-4)
+    if ssw == 0:  # zero within-group variance: F undefined -> NULL
+        assert r["f_stat"] is None
+    else:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert r["f_stat"] == pytest.approx(f, rel=1e-4)
 
 
 def test_welch_ttest_numpy(spark, sfd):
@@ -163,11 +174,14 @@ def test_welch_ttest_numpy(spark, sfd):
     x0 = np.array([float(x) for g, x in rows if g == 0])
     x1 = np.array([float(x) for g, x in rows if g == 1])
     v0, v1 = x0.var(ddof=1) / len(x0), x1.var(ddof=1) / len(x1)
-    t = (x1.mean() - x0.mean()) / math.sqrt(v0 + v1)
-    df = (v0 + v1) ** 2 / (v0**2 / (len(x0) - 1) + v1**2 / (len(x1) - 1))
     assert r["n0"] == len(x0) and r["n1"] == len(x1)
-    assert r["t_stat"] == pytest.approx(t, rel=1e-4, abs=1e-5)
-    assert abs(r["df_welch"] - df) <= 1.0
+    if v0 + v1 == 0:  # zero-variance arms: t and df undefined -> NULL
+        assert r["t_stat"] is None and r["df_welch"] is None
+    else:
+        t = (x1.mean() - x0.mean()) / math.sqrt(v0 + v1)
+        df = (v0 + v1) ** 2 / (v0**2 / (len(x0) - 1) + v1**2 / (len(x1) - 1))
+        assert r["t_stat"] == pytest.approx(t, rel=1e-4, abs=1e-5)
+        assert abs(r["df_welch"] - df) <= 1.0
 
 
 def test_kruskal_wallis_numpy(spark, sfd):
@@ -189,9 +203,12 @@ def test_kruskal_wallis_numpy(spark, sfd):
     ) - 3 * (n + 1)
     _, counts = np.unique(cents, return_counts=True)
     tie = 1.0 - float(np.sum(counts**3 - counts)) / (n**3 - n)
-    h /= tie
     assert r["n"] == n and r["k"] == len(by_g)
-    assert r["h_stat"] == pytest.approx(h, rel=1e-4, abs=1e-4)
+    if tie == 0:  # every observation tied: H is 0/0-undefined -> NULL
+        assert r["h_stat"] is None
+    else:
+        h /= tie
+        assert r["h_stat"] == pytest.approx(h, rel=1e-4, abs=1e-4)
 
 
 def test_cohens_kappa_numpy(spark, sfd):
@@ -202,10 +219,15 @@ def test_cohens_kappa_numpy(spark, sfd):
     assert a + b + c + d == n
     po = (a + d) / n
     pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
-    kappa = (po - pe) / (1 - pe)
-    assert abs(r["kappa_ppm"] / 1e6 - kappa) < 3e-6
     assert abs(r["po_ppm"] / 1e6 - po) < 2e-6
     assert abs(r["pe_ppm"] / 1e6 - pe) < 2e-6
+    if pe == 1:
+        # degenerate one-cell confusion matrix (100%-dup fixture): kappa is
+        # 0/0-undefined — both engines emit NULL
+        assert r["kappa_ppm"] is None
+    else:
+        kappa = (po - pe) / (1 - pe)
+        assert abs(r["kappa_ppm"] / 1e6 - kappa) < 3e-6
 
 
 def test_friedman_q_numpy(spark, sfd):
@@ -220,19 +242,37 @@ def test_friedman_q_numpy(spark, sfd):
     cells: dict[str, dict[str, int]] = {}
     for blk, trt, x in rows:
         cells.setdefault(blk, {})[trt] = int(x)
-    k = max(len(v) for v in cells.values())
+    # the engine keeps blocks with ALL FIVE priorities (k is fixed by the
+    # treatment domain, not by the best-populated block — onerow fixture
+    # find: max-block-size k admitted blocks with DIFFERENT 4-priority
+    # subsets and crashed the replay)
+    k = 5
     complete = {b: v for b, v in cells.items() if len(v) == k}
+    if not complete:
+        assert (r["n"], r["k"], r["q_stat"]) == (0, 0, None)
+        return
     trts = sorted(next(iter(complete.values())).keys())
     rsum = {t: 0.0 for t in trts}
+    r2sum = {t: 0 for t in trts}  # doubled integer ranks (engine staging)
     for _, v in complete.items():
         xs = np.array([v[t] for t in trts], dtype=float)
         rks = _rankdata(xs)
         for t, rk in zip(trts, rks):
             rsum[t] += rk
+        for t in trts:
+            lt = sum(1 for u in trts if v[u] < v[t])
+            eq = sum(1 for u in trts if v[u] == v[t])
+            r2sum[t] += 2 * lt + eq + 1
     n = len(complete)
     q = 12.0 / (n * k * (k + 1)) * sum(s * s for s in rsum.values()) - 3 * n * (k + 1)
     assert r["n"] == n and r["k"] == k
-    assert r["q_stat"] == pytest.approx(q, rel=1e-4, abs=1e-3)
+    # exact staged-integer replay (the engines round each (sum 2R)^2/4 to
+    # BIGINT before summing; under heavy ties that quantization moves Q by
+    # up to ~0.02, so the float band below must stay loose)
+    sum_r2sq = sum((s2 * s2) // 4 for s2 in r2sum.values())
+    q_staged = 12.0 * sum_r2sq / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    assert r["q_stat"] == pytest.approx(round(q_staged, 6), abs=1e-9)
+    assert r["q_stat"] == pytest.approx(q, rel=1e-4, abs=0.03)
     assert q >= -1e-9  # the non-negativity pin that caught the r7 bug
 
 
@@ -465,9 +505,12 @@ def test_page_trend_numpy(spark, sfd):
     cells: dict[str, dict[int, int]] = {}
     for blk, j, x in raw:
         cells.setdefault(blk, {})[int(j)] = int(x)
-    k = max(len(v) for v in cells.values())
+    k = 5  # fixed treatment domain (see friedman note above)
     complete = {b: v for b, v in cells.items() if len(v) == k}
     n = len(complete)
+    if n == 0:
+        assert (r["n"], r["k"], r["l2"], r["z_stat"]) == (0, 0, None, None)
+        return
     l_stat = 0.0
     for v in complete.values():
         js = sorted(v)
@@ -599,20 +642,40 @@ def test_changepoint_numpy(spark, sfd):
     days = [d for d, _ in raw]
     x = np.array([v for _, v in raw], dtype=float)
     n = len(x)
+    if n < 2:  # degenerate one-day series: no split candidates
+        assert rows == []
+        return
     cum = np.cumsum(x)
     tot = cum[-1]
     b = np.zeros(n - 1)
     for k in range(1, n):
         ml, mr = cum[k - 1] / k, (tot - cum[k - 1]) / (n - k)
         b[k - 1] = k * (n - k) / n * (ml - mr) ** 2
-    order = sorted(range(n - 1), key=lambda i: (-b[i], days[i]))
-    top_days = [days[i] for i in order[: len(rows)]]
-    assert [r["split_day"] for r in rows] == top_days
-    b0 = b[order[0]]
-    for r, i in zip(rows, order):
-        assert r["between_ss_scaled"] / rows[0]["between_ss_scaled"] == (
-            pytest.approx(b[i] / b0, rel=1e-3, abs=1e-6)
-        )
+    # exact staged-integer replay of the emitted score (r9 degenerate
+    # campaign: near-tie splits on a constant-price fixture made any float
+    # tolerance either flaky or powerless — so replicate the documented
+    # staging round((cs*n - cn*s)^2 / (n^2*cn*(n-cn)) / 1e6) bit-for-bit
+    # and demand the EXACT deterministic top-5 under (score desc, day asc))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    stot = int(tot)
+    stage: dict[str, int] = {}
+    run = 0
+    for i, (day, v) in enumerate(raw):
+        run += int(v)
+        cn = i + 1
+        if cn < n:
+            num = float(run) * n - float(cn) * stot
+            scaled = num * num / (float(n) * n * cn * (n - cn)) / 1000000.0
+            stage[day] = int(
+                Decimal(scaled).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+    top = sorted(stage.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["split_day"], r["between_ss_scaled"]) for r in rows] == top
+    # float sanity: the staged score is b/(n*1e6) rounded to integer
+    bmap = {days[i]: b[i] for i in range(n - 1)}
+    for day, bs in top:
+        assert abs(bs - bmap[day] / (n * 1e6)) <= 0.501, (day, bs, bmap[day])
 
 
 def test_logistic_irls_numpy(spark, sfd):
@@ -639,7 +702,11 @@ def test_logistic_irls_numpy(spark, sfd):
         w = p * (1 - p)
         g = X.T @ (y - p)
         h = X.T @ (X * w[:, None])
-        step = np.linalg.solve(h, g)
+        try:
+            step = np.linalg.solve(h, g)
+        except np.linalg.LinAlgError:
+            break  # singular design (zero-variance feature): the engines'
+            # det==0 guard keeps beta unchanged -- mirror it
         beta = beta + step
         if np.max(np.abs(step)) < 1e-12:
             break
@@ -718,7 +785,12 @@ def test_geometric_median_minimizer_numpy(spark, sfd):
     dist_g = np.linalg.norm(x - g, axis=1).sum()
     dist_mean = np.linalg.norm(x - x.mean(axis=0), axis=1).sum()
     assert np.allclose(mean_staged, x.mean(axis=0), atol=2e-6)
-    assert dist_g <= dist_mean * (1 + 1e-9)
+    # quantization slack: the estimate lives on the 1e-6 integer-micro grid,
+    # so each of the n per-point distances can exceed the float optimum by
+    # up to sqrt(64)*0.5e-6 — invisible on healthy data, but on an
+    # all-coincident corpus (100%-dup fixture) dist_mean is exactly 0 and
+    # the grid error IS the whole residual
+    assert dist_g <= dist_mean * (1 + 1e-9) + len(x) * 4.1e-6
 
 
 # ===========================================================================
@@ -784,8 +856,11 @@ def test_dist_moments_numpy(spark, sfd):
         m3 = ((x - mu) ** 3).mean()
         m4 = ((x - mu) ** 4).mean()
         assert r["n"] == len(x)
-        assert r["skewness"] == pytest.approx(m3 / m2**1.5, abs=1e-5)
-        assert r["kurtosis_excess"] == pytest.approx(m4 / m2**2 - 3, abs=1e-5)
+        if m2 == 0:  # constant sample: moments undefined -> NULL
+            assert r["skewness"] is None and r["kurtosis_excess"] is None
+        else:
+            assert r["skewness"] == pytest.approx(m3 / m2**1.5, abs=1e-5)
+            assert r["kurtosis_excess"] == pytest.approx(m4 / m2**2 - 3, abs=1e-5)
 
 
 def test_linear_regression_numpy(spark, sfd):
@@ -801,8 +876,12 @@ def test_linear_regression_numpy(spark, sfd):
         by_f[f][1].append(float(y))
     for r in rows:
         xs, ys = by_f[r["l_returnflag"]]
-        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
         assert r["n"] == len(xs)
+        if np.std(xs) == 0 or np.std(ys) == 0:
+            # degenerate regressor/response: OLS undefined -> NULL
+            assert r["slope_cents"] is None
+            continue
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
         assert r["slope_cents"] == pytest.approx(slope, rel=1e-6, abs=1e-4)
         assert r["intercept_cents"] == pytest.approx(intercept, rel=1e-6, abs=1e-3)
 
@@ -1300,7 +1379,10 @@ def test_manual_corr_stats_numpy(spark, sfd):
         xs = np.array([x for x, _ in by_g[r["l_returnflag"]]], dtype=float)
         ys = np.array([y for _, y in by_g[r["l_returnflag"]]], dtype=float)
         assert r["n"] == len(xs)
-        assert abs(r["corr_qty_disc"] - float(np.corrcoef(xs, ys)[0, 1])) < 2e-6
+        if np.std(xs) == 0 or np.std(ys) == 0:
+            assert r["corr_qty_disc"] is None  # undefined -> NULL
+        else:
+            assert abs(r["corr_qty_disc"] - float(np.corrcoef(xs, ys)[0, 1])) < 2e-6
         assert abs(r["stddev_qty"] - float(np.std(xs, ddof=1))) < 2e-6
 
 
@@ -1756,7 +1838,7 @@ def test_theil_sen_slope_python_replay(spark, sfd):
     division (numerator forced non-negative, so Python // == Spark div),
     lower-median rank with the (slope, xa, xb) tie-break, and the
     median-residual intercept are all recomputed from the raw parquet."""
-    (r,) = _rows(spark, "theil_sen_trend", sfd)
+    rows = _rows(spark, "theil_sen_trend", sfd)
     daily = _duck(sfd, """
         SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT),
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1767,6 +1849,10 @@ def test_theil_sen_slope_python_replay(spark, sfd):
     """)
     off = 10 ** 12
     pts = sorted((int(x), int(c)) for x, c in daily)
+    if len(pts) < 2:  # degenerate one-day window: no pairs, no estimate
+        assert rows == []
+        return
+    (r,) = rows
     slopes = []
     for i in range(len(pts)):
         xa, ca = pts[i]
