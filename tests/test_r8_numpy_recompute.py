@@ -158,7 +158,8 @@ def test_one_way_anova_numpy(spark, sfd):
     ssw = sum(((np.array(xs) - np.mean(xs)) ** 2).sum() for xs in by_g.values())
     k, n = len(by_g), len(all_x)
     assert r["n"] == n and r["k"] == k
-    if ssw == 0:  # zero within-group variance: F undefined -> NULL
+    if ssw == 0 or k < 2 or n <= k:
+        # zero within-group variance / single group: F undefined -> NULL
         assert r["f_stat"] is None
     else:
         f = (ssb / (k - 1)) / (ssw / (n - k))
@@ -173,8 +174,12 @@ def test_welch_ttest_numpy(spark, sfd):
         FROM orders""")
     x0 = np.array([float(x) for g, x in rows if g == 0])
     x1 = np.array([float(x) for g, x in rows if g == 1])
-    v0, v1 = x0.var(ddof=1) / len(x0), x1.var(ddof=1) / len(x1)
     assert r["n0"] == len(x0) and r["n1"] == len(x1)
+    if len(x0) < 2 or len(x1) < 2:
+        # an arm without two observations has no sample variance -> NULL
+        assert r["t_stat"] is None and r["df_welch"] is None
+        return
+    v0, v1 = x0.var(ddof=1) / len(x0), x1.var(ddof=1) / len(x1)
     if v0 + v1 == 0:  # zero-variance arms: t and df undefined -> NULL
         assert r["t_stat"] is None and r["df_welch"] is None
     else:
@@ -307,9 +312,12 @@ def test_logrank_numpy(spark, sfd):
         if n_risk > 1:
             v += (d * n1_risk * (n_risk - n1_risk) * (n_risk - d)
                   / (n_risk**2 * (n_risk - 1)))
-    chi2 = (o1 - e1) ** 2 / v
     assert r["o1"] == int(o1)
-    assert r["chi2_stat"] == pytest.approx(chi2, rel=5e-3, abs=1e-3)
+    if v == 0:  # degenerate risk sets (single user): chi2 undefined -> NULL
+        assert r["chi2_stat"] is None
+    else:
+        chi2 = (o1 - e1) ** 2 / v
+        assert r["chi2_stat"] == pytest.approx(chi2, rel=5e-3, abs=1e-3)
 
 
 def test_mann_whitney_auc_numpy(spark, sfd):
@@ -364,6 +372,12 @@ def test_mann_kendall_numpy(spark, sfd):
         FROM orders GROUP BY 1 ORDER BY 1""")
     x = np.array([v for _, v in rows], dtype=np.int64)
     n = len(x)
+    if n < 2:  # one-day series: no pairs -> S/z NULL (var's closed form
+        # evaluates to exactly 0 on both engines)
+        assert r["n"] == n
+        assert r["s_stat"] is None and r["var_s"] in (0, None)
+        assert r["z"] is None
+        return
     s = int(np.sign(x[None, :] - x[:, None])[np.triu_indices(n, 1)].sum())
     _, counts = np.unique(x, return_counts=True)
     var = (n * (n - 1) * (2 * n + 5)
@@ -380,7 +394,15 @@ def test_theil_sen_numpy(spark, sfd):
     """The median pairwise slope recomputed in float (lower-middle order
     statistic, the engine's convention) within 1 milli of the staged
     integer value."""
-    (r,) = _rows(spark, "theil_sen_trend", sfd)
+    rows_ = _rows(spark, "theil_sen_trend", sfd)
+    if len(rows_) == 0:
+        daily_n = _duck(sfd, """
+            SELECT count(DISTINCT CAST(o_orderdate AS DATE)) FROM orders
+            WHERE CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'""")[0][0]
+        assert daily_n < 2  # one-day window: no pairs, no estimate
+        return
+    (r,) = rows_
     rows = _duck(sfd, """
         SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)),
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -419,9 +441,15 @@ def test_acf_durbin_watson_numpy(spark, sfd):
         ORDER BY CAST(o_orderdate AS DATE)""")
     x = np.array([v for (v,) in raw], dtype=float)
     n = len(x)
+    if n < 2:  # one-day series: no lag pairs at all
+        assert rows == {}
+        return
     mean = x.mean()
     ssq = float(((x - mean) ** 2).sum())
     for lag in range(1, 8):
+        if lag not in rows:
+            assert n - lag <= 0  # lags beyond the series emit no row
+            continue
         a, b = x[:-lag], x[lag:]
         acf = float(((a - mean) * (b - mean)).sum()) / ssq
         dw = float(((b - a) ** 2).sum()) / ssq
@@ -487,10 +515,14 @@ def test_cmh_numpy(spark, sfd):
             v += n1 * n0 * m1 * (t - m1) / (t * t * (t - 1))
         ad += a * d / t
         bc += b * c / t
-    chi2 = (o - e) ** 2 / v
     assert r["o"] == int(o) and r["k"] == len(raw)
-    assert r["chi2_stat"] == pytest.approx(chi2, rel=1e-3, abs=1e-4)
-    assert r["or_mh_ppm"] / 1e6 == pytest.approx(ad / bc, rel=1e-3)
+    if v == 0:  # degenerate strata (single unit): chi2 undefined -> NULL
+        assert r["chi2_stat"] is None
+    else:
+        chi2 = (o - e) ** 2 / v
+        assert r["chi2_stat"] == pytest.approx(chi2, rel=1e-3, abs=1e-4)
+    if bc != 0:
+        assert r["or_mh_ppm"] / 1e6 == pytest.approx(ad / bc, rel=1e-3)
 
 
 def test_page_trend_numpy(spark, sfd):
@@ -618,11 +650,16 @@ def test_gumbel_numpy(spark, sfd):
         SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         FROM orders GROUP BY CAST(CAST(o_orderdate AS DATE) AS VARCHAR)""")
     mx = np.array([v for (v,) in raw], dtype=float)
-    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
-    mu = mx.mean() - 0.5772156649 * beta
     any_r = rows[30]
     assert any_r["n_days"] == len(mx)
     assert any_r["observed_max"] == int(mx.max())
+    if len(mx) < 2:  # one-day series: no sample sd, fit undefined -> NULL
+        for r in rows.values():
+            assert r["mu_cents"] is None and r["beta_cents"] is None
+            assert r["return_level_cents"] is None
+        return
+    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = mx.mean() - 0.5772156649 * beta
     assert abs(any_r["mu_cents"] - mu) <= 2
     assert abs(any_r["beta_cents"] - beta) <= 2
     for t_days, r in rows.items():
