@@ -425,6 +425,11 @@ def _cells_udf(cent: list, n: int):
     mat = np.array([cent[i][1] for i in order], dtype=np.int64)  # (k, dim)
 
     def assign(s):
+        if len(ids) == 0:
+            # untrained (empty corpus): no cells exist, so every row probes
+            # nothing — the explode over [] drops it, and the search result
+            # is empty even when THIS side (e.g. queries) is non-empty.
+            return pd.Series([[] for _ in range(len(s))])
         qm = np.array(list(s), dtype=np.int64)  # (N, dim)
         diff = qm[:, None, :] - mat[None, :, :]  # (N, k, dim)
         d = (diff * diff).sum(axis=2)  # exact int64
@@ -497,9 +502,9 @@ def kmeans_fit_list(
 
     rows = _collect_train_rows(df, id_col, vec_col, train_sample)
     if not rows:
-        # empty corpus: nothing to train on — no centroids. Downstream
-        # assignment closures build fine over the empty list and their
-        # (empty) inputs never invoke them, so search results are empty.
+        # empty corpus: nothing to train on — no centroids. _cells_udf
+        # assigns [] cells for an empty centroid list (even when the query
+        # side is non-empty), so downstream search results are empty.
         return []
     qm = np.array([list(r["qv"]) for r in rows], dtype=np.int64)  # (n, dim)
     cent_mat = qm[:k].copy()  # seeds: k smallest (md5, id)

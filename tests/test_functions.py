@@ -537,6 +537,21 @@ class TestKMeansIVF:
         total = exact.count()
         assert hits / total >= 0.5  # nprobe=2 of 4 trained cells keeps most true neighbors
 
+    def test_trained_ivf_empty_corpus_nonempty_queries(self, spark, sf_dir):
+        """Empty corpus + NON-empty queries (r9 advice): the assignment UDF
+        must still be invokable on the query side — no centroids means every
+        query probes zero cells and the result is a schema-stable empty DF,
+        not an IndexError inside the pandas UDF."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        empty_corpus = emb.filter(F.lit(False))
+        out = similarity.ivf_topk_trained(queries, empty_corpus, k=3,
+                                          nprobe=2, num_cells=4, iters=2)
+        assert out.count() == 0
+        full = similarity.ivf_topk_trained(queries, emb, k=3, nprobe=2,
+                                           num_cells=4, iters=2)
+        assert out.columns == full.columns
+
 
 class TestPQADC:
     def test_pq_codes_partitioning_invariant_and_bounds(self, spark, sf_dir):

@@ -94,6 +94,10 @@ EXECUTES_AT_BUILD = {
     "mmd_rbf_two_sample",  # 128-row audit population checkpointed
     "page_trend_test",  # calendar x 5 cell grid checkpointed
     "dunn_posthoc_nations",  # value-grain + 25-row rank tables checkpointed
+    # r10: recursion materialized under a statement-scoped cteRecursionRowLimit
+    # override (localCheckpoint inside the try/finally that restores the 1M
+    # session default)
+    "components_recursive_sql",
 }
 SKIP: set[str] = set()
 

@@ -201,6 +201,24 @@ DEGENERATE_KINDS = ["empty_facts", "onerow_groups", "null_keys",
                     "constant_values", "skew_onecust_oneday", "alldup_docs"]
 
 
+def _degenerate_stamp(kind: str, src: str, overrides: dict[str, str]) -> str:
+    """Content stamp for the .complete marker: the kind's override SQL plus
+    the source fixture's parquet mtimes/sizes. If either changes, the cached
+    degenerate fixture is stale and must be regenerated (r9 advice: a marker
+    keyed on existence alone silently reuses fixtures built from old SQL)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"src={src} kind={kind}\n".encode())
+    for t in sorted(overrides):
+        h.update(f"{t}:{overrides[t]}\n".encode())
+    for name in TABLES:
+        p = f"{src}/{name}.parquet"
+        st = os.stat(p)
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def generate_degenerate(kind: str, src: str = SRC_DEFAULT,
                         dst: str | None = None) -> str:
     overrides = _overrides(kind, src)
@@ -208,8 +226,12 @@ def generate_degenerate(kind: str, src: str = SRC_DEFAULT,
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         dst = os.path.join(repo, ".fixtures", f"degenerate_{kind}")
     marker = os.path.join(dst, ".complete")
+    stamp = _degenerate_stamp(kind, src, overrides)
     if os.path.exists(marker):
-        return dst
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return dst
+        os.remove(marker)  # stale: override SQL or source fixture changed
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for name in TABLES:
@@ -219,7 +241,7 @@ def generate_degenerate(kind: str, src: str = SRC_DEFAULT,
             f"COPY ({body}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
         )
     with open(marker, "w") as fh:
-        fh.write(f"src={src} kind={kind}\n")
+        fh.write(stamp + "\n")
     return dst
 
 
