@@ -1,7 +1,7 @@
 """Fifth third-implementation tranche: end-to-end pure-Python replays of the
 hash-pipeline operators (SimHash, winnowing, HLL union, KMV pair sketches,
 Bloom decontamination, perceptual dHash) that were not yet covered by
-test_r8_numpy_recompute.py.
+test_replay_numpy.py.
 
 Same discipline as the earlier tranches: the population is read with plain
 DuckDB SQL straight from parquet, the whole pipeline — normalization,
@@ -353,7 +353,7 @@ def test_dhash_neardup_python_replay(spark, sfd):
 # ---------------------------------------------------------------------------
 # Tranche B: graph operators over the near-dup candidate graph.  The LSH
 # pair generator is replayed once (same contract as the dedup_minhash_lsh
-# replay in test_r8_numpy_recompute.py), then each graph algorithm is
+# replay in test_replay_numpy.py), then each graph algorithm is
 # recomputed with ordinary Python data structures (union-find, BFS,
 # set-based triangle closure, integer PageRank loop).
 # ---------------------------------------------------------------------------

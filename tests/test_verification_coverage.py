@@ -38,15 +38,15 @@ _TESTS = os.path.dirname(os.path.abspath(__file__))
 _INDEPENDENT_SUITES = [
     "test_r5r6_invariants.py",   # one mathematical invariant per stats query
     "test_r7_ops.py",            # r7 property pins
-    "test_r8_numpy_recompute.py",  # textbook numpy/pure-Python recomputes
-    "test_r8_replay_pipelines.py",  # full-pipeline pure-Python replays
-    "test_r8_replay_remaining.py",  # merge/roundtrip/ACID/streaming replays
+    "test_replay_numpy.py",  # textbook numpy/pure-Python recomputes
+    "test_replay_pipelines.py",  # full-pipeline pure-Python replays
+    "test_replay_remaining.py",  # merge/roundtrip/ACID/streaming replays
 ]
 
 # Queries allowed to have NO third implementation, each with the reason the
 # existing verification already constitutes an independent check.  Adding a
 # registry query without an independent test requires a conscious entry here.
-# Empty since test_r8_replay_remaining.py closed the last 16 entries (the
+# Empty since test_replay_remaining.py closed the last 16 entries (the
 # merge family, interchange round trips, and ACID/streaming pipelines).
 ALLOWED_WITHOUT_THIRD_IMPL: set[str] = set()
 
