@@ -24,6 +24,18 @@ claim was unresolvable. The headline set now runs as TWO interleaved passes
   within-session between-pass disagreement on IDENTICAL code;
 * headline "noise_floor"     = |sum(median_A) - sum(median_B)|.
 
+Noise-adaptive passes (r10, r9 verdict ask #5): when the headline floor
+exceeds SPARK_GRAFT_BENCH_NOISE_TOL (default 10%) of the reported total —
+the r9 driver artifact carried a 6.4 s floor on a 31.6 s headline, which
+drowns any round-over-round claim — the harness keeps taking passes (cap
+SPARK_GRAFT_BENCH_MAX_PASSES, default 6). With >2 passes the reported
+figure stays min-of-pass-medians and the floors become the delta between
+the two SMALLEST pass medians/totals (identical to the A/B definition at
+exactly 2 passes): extra passes give the estimator more chances to catch
+two quiet windows, so the floor converges on quiet-enough hosts, and the
+artifact self-reports "passes" so a still-wide floor at the cap reads as
+genuine host weather (adjudicate by control_ratio, as always).
+
 REGRESSION RULE (the written-down adjudication, r5 verdict ask #5): a query
 q counts as a regression between rounds only if
     new_q - old_q > max(noise_floor_q(new round), noise_floor_q(old round),
@@ -269,12 +281,26 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def run_set(
-        names: list[str], passes: int
-    ) -> tuple[dict[str, float], dict[str, float], dict[str, float], float | None]:
-        """Returns (timings, spread, noise_floor, total_floor). With
-        passes=2 the timing is min-of-pass-medians, the per-query floor is
-        the between-pass delta, and total_floor = |sum(A) - sum(B)|; with
-        passes=1 the timing is the single median and the floors are {}/None."""
+        names: list[str], passes: int, adaptive: bool = False
+    ) -> tuple[dict[str, float], dict[str, float], dict[str, float],
+               float | None, int]:
+        """Returns (timings, spread, noise_floor, total_floor, passes_run).
+
+        With passes>=2 the timing is min-of-pass-medians, the per-query
+        floor is the delta between the two SMALLEST pass medians (the two
+        least-noise estimates; identical to max-min at exactly 2 passes),
+        and total_floor is the delta between the two smallest pass totals;
+        with passes=1 the timing is the single median and the floors are
+        {}/None.
+
+        adaptive=True (headline only, r9 verdict ask #5): when the
+        total_floor exceeds SPARK_GRAFT_BENCH_NOISE_TOL (default 10%) of
+        the reported total — as in the r9 driver-session artifact, whose
+        6.4 s floor on a 31.6 s headline drowned the round-over-round
+        delta — keep taking passes (up to SPARK_GRAFT_BENCH_MAX_PASSES,
+        default 6) until the two best passes agree within tolerance. The
+        artifact then self-reports `passes`: a floor that is still wide at
+        the cap is genuine host weather, adjudicated by control_ratio."""
         names = [n for n in names if n in qs]
         # Warm-up pass: run every query once so the timed passes measure
         # steady-state execution (JIT-compiled codegen, Python worker pool,
@@ -283,7 +309,8 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
         pass_medians: list[dict[str, float]] = []
         all_samples: dict[str, list[float]] = {name: [] for name in names}
-        for _ in range(passes):
+
+        def one_pass() -> None:
             samples: dict[str, list[float]] = {name: [] for name in names}
             for _ in range(n_runs):
                 for name in names:
@@ -293,32 +320,54 @@ def main() -> None:
                     samples[name].append(dt)
                     all_samples[name].append(dt)
             pass_medians.append({n: median(ts) for n, ts in samples.items()})
-        timings = {
-            n: round(min(pm[n] for pm in pass_medians), 3) for n in names
-        }
+
+        def two_smallest_delta(xs: list[float]) -> float:
+            lo = sorted(xs)[:2]
+            return lo[1] - lo[0]
+
+        def stats():
+            timings = {
+                n: round(min(pm[n] for pm in pass_medians), 3) for n in names
+            }
+            noise = (
+                {
+                    n: round(two_smallest_delta([pm[n] for pm in pass_medians]), 3)
+                    for n in names
+                }
+                if len(pass_medians) > 1
+                else {}
+            )
+            pass_totals = [sum(pm.values()) for pm in pass_medians]
+            total_floor = (
+                round(two_smallest_delta(pass_totals), 3)
+                if len(pass_medians) > 1
+                else None
+            )
+            return timings, noise, total_floor
+
+        for _ in range(passes):
+            one_pass()
+        timings, noise, total_floor = stats()
+        if adaptive and passes > 1:
+            tol = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_TOL", "0.10"))
+            max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "6"))
+            while (
+                len(pass_medians) < max_passes
+                and total_floor is not None
+                and sum(timings.values()) > 0
+                and total_floor > tol * sum(timings.values())
+            ):
+                one_pass()
+                timings, noise, total_floor = stats()
         spread = {
             n: round(max(ts) - min(ts), 3) for n, ts in all_samples.items()
         }
-        noise = (
-            {
-                n: round(
-                    max(pm[n] for pm in pass_medians)
-                    - min(pm[n] for pm in pass_medians),
-                    3,
-                )
-                for n in names
-            }
-            if passes > 1
-            else {}
-        )
-        pass_totals = [sum(pm.values()) for pm in pass_medians]
-        total_floor = (
-            round(max(pass_totals) - min(pass_totals), 3) if passes > 1 else None
-        )
-        return timings, spread, noise, total_floor
+        return timings, spread, noise, total_floor, len(pass_medians)
 
     headline_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings, spread, noise, total_floor = run_set(HEADLINE, headline_passes)
+    timings, spread, noise, total_floor, passes_run = run_set(
+        HEADLINE, headline_passes, adaptive=True
+    )
     # Same-session control run (r7 verdict ask #4): median-of-n of the
     # frozen calibration workload, measured right after the headline passes
     # so it samples the same host weather the headline saw.
@@ -335,7 +384,7 @@ def main() -> None:
     skip_tranche = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "") == "headline"
     tranche_timings, tranche_spread = ({}, {})
     if not skip_tranche:
-        tranche_timings, tranche_spread, _, _ = run_set(TRANCHE, 1)
+        tranche_timings, tranche_spread, _, _, _ = run_set(TRANCHE, 1)
 
     headline_line = {
         "metric": "headline_queries_total",
@@ -344,6 +393,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "noise_floor": total_floor,
+        "passes": passes_run,
         "control_sec": control_sec,
         "control_ratio": round(sum(timings.values()) / control_sec, 3)
         if control_sec
@@ -366,7 +416,7 @@ def main() -> None:
     }
     diag_line = {
         "runs_per_query": n_runs,
-        "headline_passes": headline_passes,
+        "headline_passes": passes_run,
         "spread": spread,
         "noise_floor": noise,
         "tranche_spread": tranche_spread,
