@@ -13,7 +13,7 @@ mtimes key the .complete marker) and runs the FULL registry through
 tools/check_correctness.py against the DuckDB oracle, asserting every query
 passes. Snapshot reuse is keyed on the engine/registry content hash
 (tools/multiseed_sweep.code_hash), so a green re-run at unchanged code is
-seconds, while any engine edit forces a live re-sweep of all six kinds —
+seconds, while any engine edit forces a live re-sweep of all seven kinds —
 an engine change that breaks a degenerate contract goes red HERE without
 anyone remembering to run a tool.
 
@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.join(
 if os.environ.get("SPARK_GRAFT_DEGENERATE") != "1":
     pytest.skip(
         "degenerate-fixture gate is opt-in: set SPARK_GRAFT_DEGENERATE=1 "
-        "(sweeps the full registry at six adversarial fixtures; snapshot "
+        "(sweeps the full registry at seven adversarial fixtures; snapshot "
         "reuse makes a green re-run at unchanged code cheap)",
         allow_module_level=True,
     )

@@ -551,6 +551,19 @@ class TestKMeansIVF:
         full = similarity.ivf_topk_trained(queries, emb, k=3, nprobe=2,
                                            num_cells=4, iters=2)
         assert out.columns == full.columns
+        # the count above can be satisfied by AQE's empty-relation
+        # propagation without ever RUNNING the assignment UDF — invoke it
+        # directly on non-empty rows so the empty-centroid guard is the
+        # thing under test (mutation-smoke detector: cells_udf guard drop)
+        from etl_mssql_to_postgres_dailysync_spark.functions.similarity import (
+            _cells_udf, quantize_vec)
+
+        assign = _cells_udf([], 2)
+        probed = queries.select(
+            assign(quantize_vec(F.col("embedding"))).alias("cells")
+        ).collect()
+        assert len(probed) == 5
+        assert all(list(r["cells"]) == [] for r in probed)
 
 
 class TestPQADC:

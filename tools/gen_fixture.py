@@ -148,6 +148,28 @@ def _overrides(kind: str, src: str) -> dict[str, str]:
             "documents": "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, "
                          "source, n_chars FROM {T}",
         }
+    if kind == "mixed_null_keys":
+        # HALF-NULL key columns (r10): the all-or-nothing null_keys fixture
+        # cannot see a bug whose NULL handling only matters when NULL and
+        # real keys COEXIST — e.g. a dropped NULL-exclusion filter lets the
+        # NULL group displace a real heavy hitter inside a top-k, while the
+        # final join re-excludes it, leaving row counts unchanged. Keys go
+        # NULL on even ids, deterministically.
+        return {
+            "orders": "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN "
+                      "NULL ELSE o_custkey END AS o_custkey, o_orderstatus, "
+                      "o_totalprice, o_orderdate, o_orderpriority FROM {T}",
+            "events": "SELECT event_id, ts, CASE WHEN event_id % 2 = 0 THEN "
+                      "NULL ELSE user_id END AS user_id, event_type, value, "
+                      "props FROM {T}",
+            "lineitem": "SELECT l_orderkey, l_partkey, CASE WHEN "
+                        "(l_orderkey + l_linenumber) % 2 = 0 THEN NULL ELSE "
+                        "l_suppkey END AS l_suppkey, l_linenumber, l_quantity, "
+                        "l_extendedprice, l_discount, l_tax, l_returnflag, "
+                        "l_linestatus, l_shipdate FROM {T}",
+            "documents": "SELECT doc_id, text, CASE WHEN doc_id % 2 = 0 THEN "
+                         "NULL ELSE lang END AS lang, source, n_chars FROM {T}",
+        }
     if kind == "constant_values":
         # zero-variance measures everywhere: stddev=0 / corr-undefined /
         # 100%-tie rank inputs across the stats tranche
@@ -198,7 +220,8 @@ def _overrides(kind: str, src: str) -> dict[str, str]:
 
 
 DEGENERATE_KINDS = ["empty_facts", "onerow_groups", "null_keys",
-                    "constant_values", "skew_onecust_oneday", "alldup_docs"]
+                    "mixed_null_keys", "constant_values",
+                    "skew_onecust_oneday", "alldup_docs"]
 
 
 def _degenerate_stamp(kind: str, src: str, overrides: dict[str, str]) -> str:

@@ -206,10 +206,15 @@ MUTATIONS = [
         "cms_null_key_unpin", _DQ,
         'events = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())',
         'events = _t(spark, sf_dir, "events")',
-        _degenerate("null_keys", "cms_frequency_sketch"),
+        _degenerate("mixed_null_keys", "cms_frequency_sketch"),
         "spark-only", "un-pin the CMS/CountSketch NULL-key exclusion on the "
                       "Spark side only (the oracle still excludes NULLs; "
-                      "r9 find: a NULL key violated CMS >= exact)",
+                      "r9 find: a NULL key violated CMS >= exact). The "
+                      "all-NULL fixture proved BLIND to this — the final "
+                      "join on user_id re-excludes the NULL row, so row "
+                      "counts match — which is why the r10 mixed_null_keys "
+                      "fixture exists: there the un-excluded NULL group "
+                      "displaces a real heavy hitter inside the top-10",
         count=2,
     ),
     Mutation(
