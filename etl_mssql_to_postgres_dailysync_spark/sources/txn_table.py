@@ -529,8 +529,14 @@ class TxnTable:
         touched = self._files_matching(condition, live, schema)
         if not touched:
             return base  # nothing matches; no commit needed
+        # SQL DELETE semantics: remove rows where the condition is TRUE;
+        # rows where it is NULL/UNKNOWN are KEPT. A bare ~condition drops
+        # them (mixed_null_keys fixture find: a GDPR delete on user_id ==
+        # victim silently destroyed the NULL-keyed rows of every rewritten
+        # file — and WHICH rows died depended on the file layout, so the
+        # corruption was nondeterministic across sessions).
         keep = self._read_add_files([live[p] for p in touched], schema).filter(
-            ~condition
+            ~F.coalesce(condition, F.lit(False))
         )
         actions = [{"remove": _remove_action(live[p])} for p in touched]
         actions += self._write_files(

@@ -329,30 +329,38 @@ def test_logrank_numpy(spark, sfd):
                     ELSE (t_max - t_first) // 3600000000 END,
                CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END
         FROM ue CROSS JOIN mx""")
-    # SQL NULL-key semantics: a NULL user_id forms no cohort (its grp
-    # NULL%2 is NULL, never 0/1) — drop it like the engines do
-    rows = [x for x in rows if x[0] is not None]
     if not rows:
-        # no cohort members (empty_facts, null_keys): o1/chi2 are
-        # aggregates over nothing -> NULL; never rejects
+        # empty events (empty_facts): o1/chi2 are aggregates over nothing
         assert (r["o1"], r["chi2_stat"], r["reject_95"]) == (None, None, 0)
         return
-    grp = np.array([x[0] for x in rows], dtype=np.int64)
+    # SQL NULL-key semantics (null_keys / mixed_null_keys): the NULL
+    # user_ids form ONE pseudo-subject (GROUP BY groups NULLs) whose grp
+    # NULL%2 is NULL — it sits in the RISK SET and its event counts into
+    # d, but SUM(grp) skips it, so it belongs to neither arm; a time whose
+    # event-leavers are all NULL-grp contributes a NULL d1 (SUM over
+    # NULLs), and o1 itself is NULL when every d1 is
+    grp = np.array([-1 if x[0] is None else int(x[0]) for x in rows],
+                   dtype=np.int64)
+    nullg = np.array([x[0] is None for x in rows])
     t = np.array([x[1] for x in rows], dtype=np.int64)
     ev = np.array([x[2] for x in rows], dtype=np.int64)
-    o1 = e1 = v = 0.0
+    o1 = None
+    e1 = v = 0.0
     for tt in np.unique(t[ev == 1]):
         at = t >= tt
         n_risk, n1_risk = int(at.sum()), int((at & (grp == 1)).sum())
         d = int(((t == tt) & (ev == 1)).sum())
-        d1 = int(((t == tt) & (ev == 1) & (grp == 1)).sum())
-        o1 += d1
+        leavers = (t == tt) & (ev == 1)
+        if int((leavers & ~nullg).sum()):
+            d1 = int((leavers & (grp == 1)).sum())
+            o1 = d1 if o1 is None else o1 + d1
         e1 += d * n1_risk / n_risk
         if n_risk > 1:
             v += (d * n1_risk * (n_risk - n1_risk) * (n_risk - d)
                   / (n_risk**2 * (n_risk - 1)))
-    assert r["o1"] == int(o1)
-    if v == 0:  # degenerate risk sets (single user): chi2 undefined -> NULL
+    assert r["o1"] == o1
+    if v == 0 or o1 is None:
+        # degenerate risk sets / all-NULL leavers: chi2 undefined -> NULL
         assert r["chi2_stat"] is None
     else:
         chi2 = (o1 - e1) ** 2 / v
@@ -1218,13 +1226,17 @@ def test_hll_estimator_python_replay(spark, sfd):
     for et, r in rows.items():
         mj = regs[et]
         v_zero = m - len(mj)
-        if any(v is None for v in mj.values()):
-            # a NULL register makes the sum (and everything above it) NULL
+        real = [v for v in mj.values() if v is not None]
+        if not real:
+            # ONLY the NULL register exists (null_keys): SUM over it is
+            # NULL, and everything above inherits the NULL
             assert r["v_zero"] == v_zero and r["s_sum"] is None
             assert r["hll_est"] is None
             assert r["exact_distinct"] == len(exact[et])
             continue
-        s_sum = sum(1 << (51 - v) for v in mj.values()) + v_zero * (1 << 51)
+        # mixed fixture: SQL SUM SKIPS the NULL register — it occupies a
+        # present bucket (v_zero excludes it) but contributes no mass
+        s_sum = sum(1 << (51 - v) for v in real) + v_zero * (1 << 51)
         raw_est = const // (1000 * s_sum)
         if v_zero > 0 and raw_est < 2560:
             est = m * (6931472 - round(math.log(v_zero) * 1_000_000)) // 1_000_000
@@ -1235,7 +1247,7 @@ def test_hll_estimator_python_replay(spark, sfd):
         assert r["exact_distinct"] == len(exact[et])
         # and the estimator itself is the textbook alpha m^2 / sum 2^-M
         float_est = alpha * m * m / (
-            sum(2.0 ** -(v) for v in mj.values()) + v_zero * 1.0
+            sum(2.0 ** -(v) for v in real) + v_zero * 1.0
         )
         if not (v_zero > 0 and raw_est < 2560):
             assert est == pytest.approx(float_est, rel=1e-3)

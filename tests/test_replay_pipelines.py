@@ -231,12 +231,16 @@ def test_hll_union_merge_python_replay(spark, sfd):
                 r["err_ppm"]) == (None, None, None, None)
         return
     assert r["sum_of_parts"] == sum(len(s) for s in per_type.values())
-    if any(mj is None for mj in merged.values()):
-        # a NULL register poisons the register sum and everything above it
+    real = [mj for mj in merged.values() if mj is not None]
+    if not real:
+        # ONLY the NULL register exists (null_keys): the SUM over it is
+        # NULL and everything above inherits the NULL
         assert (r["s_sum"], r["hll_union_est"], r["err_ppm"]) == (None, None,
                                                                   None)
         return
-    s_sum = sum(1 << (vbits + 1 - mj) for mj in merged.values()) + v_zero * (
+    # mixed fixture: SQL SUM SKIPS the NULL register — present bucket,
+    # zero mass
+    s_sum = sum(1 << (vbits + 1 - mj) for mj in real) + v_zero * (
         1 << (vbits + 1)
     )
     raw_est = num // (1000 * s_sum)
@@ -1593,10 +1597,19 @@ def test_cms_heavy_hitters_python_replay(spark, sfd):
         assert rows == {}
         return
     for u in uids:
+        if u is None:
+            # a NULL key hashes to NULL buckets and never survives the
+            # candidate/exact joins on user_id (mixed fixture); its EVENTS
+            # still count in the threshold numerator below
+            continue
         exact[u] = exact.get(u, 0) + 1
         for seed in range(4):
             b = _hex_bucket(str(u), seed)
             sketch[(seed, b)] = sketch.get((seed, b), 0) + 1
+    if not exact:
+        assert rows == {}  # all keys NULL: no candidate survives a join
+        return
+    # count(*) counts every event; count(DISTINCT user_id) skips NULL
     thr = 5 * len(uids) // (4 * len(exact))
     want = {}
     for u in exact:
@@ -2380,9 +2393,10 @@ def test_asof_join_python_replay(spark, sfd):
 
 
 def test_sessionize_python_replay(spark, sfd):
+    _nk = lambda t: ((t[0] is not None, t[0] or 0),) + t[1:]  # noqa: E731
     got = sorted(
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in _rows(spark, "sessionize", sfd)
+        ((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+         for r in _rows(spark, "sessionize", sfd)), key=_nk,
     )
     raw = _duck(sfd, "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id")
     want = []
@@ -2403,7 +2417,7 @@ def test_sessionize_python_replay(spark, sfd):
         prev_uid, prev_ts = uid, ts
     if cur:
         want.append(cur)
-    assert got == sorted(want)
+    assert got == sorted(want, key=_nk)
 
 
 def test_latest_per_key_python_replay(spark, sfd):
@@ -3319,10 +3333,12 @@ def _priority_intervals(sfd: str):
 
 
 def test_scd2_priority_history_python_replay(spark, sfd):
+    _nk = lambda t: ((t[0] is not None, t[0] or 0),) + tuple(  # noqa: E731
+        (v is None, v) for v in t[1:])
     got = sorted(
-        (r["o_custkey"], r["priority"], r["valid_from"], r["valid_to"],
-         r["version"], r["is_current"])
-        for r in _rows(spark, "scd2_priority_history", sfd)
+        ((r["o_custkey"], r["priority"], r["valid_from"], r["valid_to"],
+          r["version"], r["is_current"])
+         for r in _rows(spark, "scd2_priority_history", sfd)), key=_nk,
     )
     want = []
     for ck, cps in _priority_intervals(sfd).items():
@@ -3330,7 +3346,7 @@ def test_scd2_priority_history_python_replay(spark, sfd):
             vt = cps[i + 1][0] if i + 1 < len(cps) else None
             want.append((ck, pri, str(d), str(vt) if vt else None,
                          i + 1, vt is None))
-    assert got == sorted(want)
+    assert got == sorted(want, key=_nk)
 
 
 def test_skew_salted_agg_python_replay(spark, sfd):
@@ -4115,18 +4131,22 @@ def test_top_supplier_python_replay(spark, sfd):
            for r in _rows(spark, "top_supplier", sfd)}
     snames = {int(k) for (k,) in _duck(sfd, "SELECT s_suppkey FROM supplier")}
     lo, hi = _dt.date(1996, 1, 1), _dt.date(1996, 3, 31)
-    rev: dict[int, int] = {}
+    rev: dict = {}
     for row in _li(sfd):
         _, _, sk, _, _, price, disc, _, _, ship = row
-        if sk is not None and lo <= ship <= hi:
-            rev[int(sk)] = rev.get(int(sk), 0) + _rev_centipct(price, disc)
+        if lo <= ship <= hi:
+            # GROUP BY keeps the NULL-suppkey group: it competes for the
+            # max (and can win it, emptying the result — mixed fixture);
+            # only the final supplier join excludes it
+            k = None if sk is None else int(sk)
+            rev[k] = rev.get(k, 0) + _rev_centipct(price, disc)
     if not rev:
-        # no revenue rows (empty_facts; null_keys -- NULL suppkey joins
-        # nothing): both engines emit an empty result
+        # no revenue rows at all (empty_facts): both engines emit nothing
         assert got == {}
         return
     mx = max(rev.values())
-    assert got == {sk: r for sk, r in rev.items() if r == mx and sk in snames}
+    assert got == {sk: r for sk, r in rev.items()
+                   if r == mx and sk is not None and sk in snames}
 
 
 def test_local_supplier_volume_python_replay(spark, sfd):
