@@ -308,6 +308,11 @@ def minhash_lsh_pairs(
     band_rows = lsh_band_rows(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, k=k, use_arrow=use_arrow
     )
+    # NOTE (r10, measured): do NOT localCheckpoint the band rows here. Both
+    # self-join sides hash-partition the identical subtree by (band,
+    # band_hash), so runtime exchange reuse already runs the signature UDF
+    # once; an eager barrier only serializes otherwise-parallel stages
+    # (A/B: 1.05 s -> 1.27 s at sf0.1).
     left = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_a"))
     right = band_rows.select(F.col("band"), F.col("band_hash"), F.col("doc").alias("id_b"))
     return (
@@ -359,6 +364,9 @@ def minhash_estimate_pairs(
     ).select(
         "doc", "sigs", F.col("bx.band").alias("band"), F.col("bx.band_hash").alias("band_hash")
     )
+    # NOTE (r10, measured): no localCheckpoint here either — the self-join
+    # sides share one (band, band_hash) exchange at runtime (see
+    # minhash_lsh_pairs), so the signature UDF already runs once.
     left = band_rows.select("band", "band_hash", F.col("doc").alias("id_a"), F.col("sigs").alias("sa"))
     right = band_rows.select("band", "band_hash", F.col("doc").alias("id_b"), F.col("sigs").alias("sb"))
     pairs = (
@@ -619,6 +627,10 @@ def jaccard_prefix_filter_pairs(
         F.col(id_col).alias("doc"),
         sh_fn(F.col(text_col), k).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
+    # NOTE (r10, measured): no eager materialization of `base` — its four
+    # readers either share exchanges at runtime or execute as parallel
+    # stages of the single action; an eager barrier serialized them and
+    # cost +0.5 s at sf0.1.
     ex = base.select("doc", "n_sh", F.explode("shingles").alias("sh"))
     tf = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("sh").asc())

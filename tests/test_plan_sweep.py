@@ -40,6 +40,7 @@ ALLOWED_NESTED_LOOP: dict[str, str] = {
     "dedup_semantic_prune": "corpus x broadcast(8 sampled centroids) assignment",
     "mmd_rbf_two_sample": "by design: bounded audit-pair population (vec_id<128 both sides, checkpointed so the filter bound is invisible to the proof; same posture as jl_projection_distortion)",
     "conformal_interval_sketch": "by design: fact x broadcast(1-row OLS fit, checkpointed so the 1-row bound is invisible to the proof; same posture as mmd_rbf_two_sample)",
+    "conformal_interval": "by design: fact x broadcast(1-row OLS fit, checkpointed since r10 so the 1-row bound is invisible to the proof; same posture as conformal_interval_sketch)",
     "dunn_posthoc_nations": "by design: 25x25 nation-pair theta join over the checkpointed group-rank table (group-grain, bounded by |nations|; the checkpoint hides the aggregate bound from the proof)",
 }
 
