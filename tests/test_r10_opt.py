@@ -1,0 +1,125 @@
+"""Focused guards for the r10 optimization-round rewrites.
+
+Round 10 restructured several query internals for performance (driver-side
+bounded iterations in pca_power_iteration / ipf_raking_weights, basket-array
+pair generation in the co-purchase family, pinned multi-key intermediates in
+the retrieval family). Results are oracle-gated elsewhere; these tests pin
+the two properties a future edit could silently break:
+
+* the r10-changed queries stay oracle-equal at sf0.001 (a fast standing
+  subset of the full check_correctness sweep, so a regression goes red in
+  plain pytest without anyone re-running tools);
+* the basket-array pair expansion emits EXACTLY the edge set of the
+  self-join formulation it replaced (the structural equivalence the
+  rewrite's correctness rests on);
+* the exact-integer division helper semantics the driver-side iterations
+  rely on (Python replication of Spark's truncating `div`).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+R10_CHANGED = [
+    "conformal_interval",
+    "conformal_interval_sketch",
+    "pca_power_iteration",
+    "graph_k_core_peel",
+    "adamic_adar_copurchase",
+    "copurchase_degree_powerlaw",
+    "frequent_itemset_pairs",
+    "skipgram_pairs_subsampled",
+    "cooccurrence_pmi_window",
+    "cv_leakage_neardup",
+    "ipf_raking_weights",
+    "kmv_cross_source_jaccard",
+    "bm25_retrieval_topk",
+    "tfidf_cosine_pairs",
+    "logodds_fightin_words",
+]
+
+
+def test_r10_changed_queries_match_oracle_at_sf0001():
+    """Oracle parity for every query the r10 optimization round touched —
+    the same gate the round driver applies, runnable in plain pytest."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"),
+         "/root/testdata/sf0.001", *R10_CHANGED],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"r10-changed queries diverged from oracle:\n{proc.stdout[-4000:]}"
+    )
+
+
+def test_basket_array_pairs_equal_self_join_pairs(spark, sf_dir):
+    """The collect_set + sorted-array pair expansion (r10) must produce
+    exactly the (a < b, support) pair multiset of the distinct + self-join
+    formulation it replaced."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    # old shape: distinct + self-equi-join on the basket key
+    lid = li.distinct()
+    a = lid.select("o", F.col("p").alias("a"))
+    b = lid.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    old = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    )
+    # new shape: per-basket collect_set + array pair expansion
+    baskets = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    new = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + 2,
+                                F.greatest(F.size("ps") - i - 1, F.lit(1)),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+@pytest.mark.parametrize(
+    "a,b,expect",
+    [
+        (7, 2, 3), (-7, 2, -3), (7, -2, -3), (-7, -2, 3),  # trunc toward zero
+        (6, 3, 2), (0, 5, 0), (1, 0, None),                # div-by-zero -> NULL
+    ],
+)
+def test_trunc_div_matches_spark_div(spark, a, b, expect):
+    """The Python _idiv used by the r10 driver-side iterations replicates
+    Spark's decimal `div` (truncation toward zero; NULL on zero divisor
+    under the non-ANSI session)."""
+
+    def _idiv(x: int, y: int):
+        if y == 0:
+            return None
+        q = abs(x) // abs(y)
+        return -q if (x < 0) != (y < 0) else q
+
+    got = spark.sql(
+        f"select cast({a} as decimal(38,0)) div cast({b} as decimal(38,0)) as q"
+    ).collect()[0]["q"]
+    got = None if got is None else int(got)
+    assert got == expect == _idiv(a, b)
