@@ -364,27 +364,37 @@ def main() -> None:
         }
         return timings, spread, noise, total_floor, len(pass_medians)
 
+    def sample_control() -> float:
+        """Median-of-n of the frozen calibration workload (r7 verdict ask #4)."""
+        control_workload(spark)  # warm-up
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            control_workload(spark)
+            samples.append(time.time() - t0)
+        return round(median(samples), 3)
+
     headline_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings, spread, noise, total_floor, passes_run = run_set(
         HEADLINE, headline_passes, adaptive=True
     )
-    # Same-session control run (r7 verdict ask #4): median-of-n of the
-    # frozen calibration workload, measured right after the headline passes
-    # so it samples the same host weather the headline saw.
-    control_workload(spark)  # warm-up
-    control_samples = []
-    for _ in range(n_runs):
-        t0 = time.time()
-        control_workload(spark)
-        control_samples.append(time.time() - t0)
-    control_sec = round(median(control_samples), 3)
+    # Same-session control run, measured right after the headline passes so
+    # it samples the same host weather the headline saw. `control_sec` keeps
+    # its r7 position/methodology so cross-round artifacts stay comparable;
+    # r11 (r10 verdict ask #2b) ADDS a second sample after the tranche
+    # section because r10's weather table showed the control shifting
+    # 1.40→2.69 s WITHIN a run — per-section samples make each section's
+    # control_ratio self-consistent.
+    control_sec = sample_control()
     # diagnostic knob: SPARK_GRAFT_BENCH_SECTIONS=headline skips the tranche
     # (used to adjudicate host-noise questions with a fast re-measure; the
     # driver always runs both sections)
     skip_tranche = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "") == "headline"
     tranche_timings, tranche_spread = ({}, {})
+    control_sec_tranche = None
     if not skip_tranche:
         tranche_timings, tranche_spread, _, _, _ = run_set(TRANCHE, 1)
+        control_sec_tranche = sample_control()
 
     headline_line = {
         "metric": "headline_queries_total",
@@ -398,6 +408,14 @@ def main() -> None:
         "control_ratio": round(sum(timings.values()) / control_sec, 3)
         if control_sec
         else None,
+        # r11 additions (r10 verdict ask #2a): echo what the session actually
+        # ran on so the driver's scaling heuristic stops guessing from
+        # overhead-dominated per-query ratios. Additive fields only.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        # r10 verdict ask #2b: headline-adjacent control sample (same sample
+        # as control_sec — named so per-section ratios are explicit).
+        "control_sec_headline": control_sec,
     }
     tranche_line = {
         "metric": "tranche_queries_total",
@@ -412,6 +430,15 @@ def main() -> None:
         "control_sec": control_sec,
         "control_ratio": round(sum(tranche_timings.values()) / control_sec, 3)
         if (control_sec and tranche_timings)
+        else None,
+        # r11 additions (r10 verdict ask #2b): control sampled right AFTER
+        # the tranche section, so a within-run weather shift between the two
+        # sections is visible and the tranche gets a self-consistent ratio.
+        "control_sec_tranche": control_sec_tranche,
+        "control_ratio_tranche": round(
+            sum(tranche_timings.values()) / control_sec_tranche, 3
+        )
+        if (control_sec_tranche and tranche_timings)
         else None,
     }
     diag_line = {
