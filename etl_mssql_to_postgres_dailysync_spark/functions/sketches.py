@@ -66,6 +66,36 @@ def cms_build(df: DataFrame, key_col: str, depth: int = CMS_DEPTH,
     )
 
 
+def cms_build_from_counts(counts: DataFrame, key_col: str, weight_col: str,
+                          depth: int = CMS_DEPTH,
+                          width: int = CMS_WIDTH) -> DataFrame:
+    """Build the sketch from a KEY-GRAIN count table instead of raw rows:
+    counter(seed, bucket) = sum of the weights of the keys hashing there —
+    bit-identical counters to :func:`cms_build` over the un-aggregated rows
+    (the bucket depends only on the key value, so counting rows per bucket
+    equals summing per-key row counts per bucket; a NULL key yields the same
+    NULL-bucket rows on both paths). Two wins at scale (r11, guide §6/§2.3):
+    one md5 + explode per DISTINCT key instead of one per row, and the
+    key-grain aggregate can be SHARED with an exact-count arm through
+    runtime exchange reuse — one scan feeds both the sketch and the truth."""
+    assert 3 * depth <= 32, "depth > 10 would overrun the md5 digest"
+    assert 4096 % width == 0, "width must divide 4096 for a uniform modulus"
+    hexd = F.md5(F.col(key_col).cast("string"))
+    pairs = F.array(*[
+        F.struct(
+            F.lit(s).alias("seed"),
+            (F.conv(F.substring(hexd, 1 + 3 * s, 3), 16, 10).cast("bigint")
+             % F.lit(width)).alias("bucket"),
+        )
+        for s in range(depth)
+    ])
+    return (
+        counts.select(F.col(weight_col).alias("_w"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.seed").alias("seed"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("counter"))
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the same (depth, width): counters add."""
     out = sketches[0]
