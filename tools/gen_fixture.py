@@ -170,6 +170,24 @@ def _overrides(kind: str, src: str) -> dict[str, str]:
             "documents": "SELECT doc_id, text, CASE WHEN doc_id % 2 = 0 THEN "
                          "NULL ELSE lang END AS lang, source, n_chars FROM {T}",
         }
+    if kind == "null_basket_keys":
+        # NULL l_orderkey / l_partkey coexisting with real keys (r11, from
+        # the r10 ADVICE): pins the basket-array pair-generation contract —
+        # the DuckDB oracles' equi-joins drop NULL baskets, their item
+        # comparisons (a < b) drop NULL items, and count(DISTINCT basket)
+        # excludes NULL while per-item membership counts include the NULL
+        # basket's rows. The mixed_null_keys kind never NULLs these two
+        # columns, so the contract was previously unguarded. Deterministic:
+        # every 5th line loses its orderkey, every 7th its partkey.
+        return {
+            "lineitem": "SELECT CASE WHEN l_linenumber % 5 = 0 THEN NULL "
+                        "ELSE l_orderkey END AS l_orderkey, "
+                        "CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN "
+                        "NULL ELSE l_partkey END AS l_partkey, l_suppkey, "
+                        "l_linenumber, l_quantity, l_extendedprice, "
+                        "l_discount, l_tax, l_returnflag, l_linestatus, "
+                        "l_shipdate FROM {T}",
+        }
     if kind == "constant_values":
         # zero-variance measures everywhere: stddev=0 / corr-undefined /
         # 100%-tie rank inputs across the stats tranche
@@ -220,7 +238,7 @@ def _overrides(kind: str, src: str) -> dict[str, str]:
 
 
 DEGENERATE_KINDS = ["empty_facts", "onerow_groups", "null_keys",
-                    "mixed_null_keys", "constant_values",
+                    "mixed_null_keys", "null_basket_keys", "constant_values",
                     "skew_onecust_oneday", "alldup_docs"]
 
 
